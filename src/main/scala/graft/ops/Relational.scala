@@ -1,25 +1,32 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** Relational operator family (SURVEY.md §2 Tier B): scans, filters,
-  * hash aggregation with partial/final, broadcast + shuffle joins,
-  * semi/anti joins, window functions, rollup/cube, set ops, sort/top-k.
+  * hash aggregation with partial/final combine, broadcast + shuffle
+  * joins, semi/anti joins, window functions, rollup/cube, set ops,
+  * sort/top-k, as-of and range joins, JSON extraction.
   *
-  * All queries are pure DataFrame-DSL logical plans — Catalyst handles
-  * predicate pushdown, column pruning and join strategy; small dims are
-  * explicitly `broadcast()` so fact-dim joins never shuffle the fact
-  * side. Double-typed aggregates are rounded (2dp sums / 4dp avgs) so
-  * results hash-match a single-threaded oracle engine regardless of
-  * Spark's partial-aggregation summation order.
+  * Scale design notes (100 TB / 1000-executor target):
+  *  - Dim tables (region/nation/customer/supplier/part) are always
+  *    `broadcast()` so fact-side rows never shuffle for dim joins.
+  *  - Fact-fact joins (orders x lineitem) shuffle once on the join key;
+  *    at scale the same plans benefit from bucketing both tables on
+  *    orderkey (see engine.Sink bucketed write support).
+  *  - The as-of join is a union+window merge: ONE shuffle on the
+  *    partition key, no point-in-time cross join. The range self-join
+  *    is bucketized (probe rows exploded into adjacent time buckets) so
+  *    the join stays equi-key and skew-bounded instead of O(n^2).
+  *  - Double aggregates are rounded (2dp sums / 4dp avgs) so results
+  *    hash-match a single-threaded oracle engine regardless of Spark's
+  *    partial-aggregation summation order.
   */
-object Relational {
+object Relational extends QueryFamily {
 
   /** TPC-H Q1 shape: pricing summary over lineitem.
-    * scan -> filter (pushed to parquet) -> partial/final hash agg -> sort.
-    */
+    * scan -> filter (pushed to parquet) -> partial/final hash agg -> sort. */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     T.lineitem(spark, dir)
@@ -51,4 +58,440 @@ object Relational {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 shape: shipping priority. customer (broadcast) x orders x
+    * lineitem, date-banded, top-10 revenue order keys. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val cust = T.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
+    val ord = T.orders(spark, dir).filter($"o_orderdate" < cutoff)
+    val li = T.lineitem(spark, dir).filter($"l_shipdate" > cutoff)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"))
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3ShippingPrioritySql: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape: local-supplier revenue per nation. 6-way join
+    * where every dim side is broadcast; only lineitem x orders shuffles. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = T.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"o_orderdate" <  lit("1998-01-01").cast("timestamp"))
+    val region = T.region(spark, dir).filter($"r_name" === "ASIA")
+    T.lineitem(spark, dir)
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(T.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(T.customer(spark, dir)),
+        $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(T.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  val q5LocalSupplierSql: String =
+    """SELECT n_name,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Left-semi join (EXISTS): orders having at least one heavy lineitem. */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val heavy = T.lineitem(spark, dir).filter($"l_quantity" > 45).select($"l_orderkey")
+    T.orders(spark, dir)
+      .join(heavy, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val qSemiJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no recent orders
+    * (none on/after 2000-01-01). */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val recent = T.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    T.customer(spark, dir)
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val qAntiJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_cust
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Per-group top-k via ranking window (row_number <= k). */
+  def qTopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+    T.lineitem(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"l_returnflag", $"rn", $"l_orderkey", $"l_linenumber",
+        round($"l_extendedprice", 2).as("price"))
+      .orderBy($"l_returnflag", $"rn")
+  }
+
+  val qTopkPerGroupSql: String =
+    """SELECT l_returnflag, rn, l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+      |FROM (
+      |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem)
+      |WHERE rn <= 3
+      |ORDER BY l_returnflag, rn""".stripMargin
+
+  /** Analytic windows: lag, frame-bounded running sum, rank. */
+  def qWindowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wSeq = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val wRank = Window.partitionBy($"o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    T.orders(spark, dir).select(
+        $"o_custkey", $"o_orderkey",
+        round(lag($"o_totalprice", 1).over(wSeq), 2).as("prev_price"),
+        round(sum($"o_totalprice")
+          .over(wSeq.rowsBetween(Window.unboundedPreceding, 0)), 2).as("running_total"),
+        rank().over(wRank).as("price_rank"))
+      .orderBy($"o_orderkey")
+  }
+
+  val qWindowAnalyticsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      | round(lag(o_totalprice, 1) OVER w_seq, 2) AS prev_price,
+      | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+      | rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+      |FROM orders
+      |WINDOW w_seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** ROLLUP grouping over lineitem flags. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.lineitem(spark, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  val qRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** CUBE grouping over order status x priority. */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.orders(spark, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  val qCubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      | round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** Set operations: INTERSECT / EXCEPT between customer and supplier
+    * nation sets, tagged and unioned. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cn = T.customer(spark, dir).select($"c_nationkey".as("nationkey")).distinct()
+    val sn = T.supplier(spark, dir).select($"s_nationkey".as("nationkey")).distinct()
+    cn.intersect(sn).withColumn("tag", lit("both"))
+      .unionByName(cn.except(sn).withColumn("tag", lit("cust_only")))
+      .orderBy($"tag", $"nationkey")
+  }
+
+  val qSetOpsSql: String =
+    """WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+      |     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+      |SELECT nationkey, 'both' AS tag FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+      |UNION ALL
+      |SELECT nationkey, 'cust_only' AS tag FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+      |ORDER BY tag, nationkey""".stripMargin
+
+  /** Schema-drift-safe union: unionByName(allowMissingColumns) across
+    * heterogeneous exports (customer vs supplier). */
+  def qUnionDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = T.customer(spark, dir).select(
+      $"c_name".as("name"), $"c_acctbal".as("acctbal"),
+      $"c_nationkey".as("nationkey"), $"c_mktsegment".as("mktsegment"),
+      lit("customer").as("kind"))
+    val s = T.supplier(spark, dir).select(
+      $"s_name".as("name"), $"s_acctbal".as("acctbal"),
+      $"s_nationkey".as("nationkey"), lit("supplier").as("kind"))
+    c.unionByName(s, allowMissingColumns = true).orderBy($"kind", $"name")
+  }
+
+  val qUnionDriftSql: String =
+    """SELECT c_name AS name, c_acctbal AS acctbal, c_nationkey AS nationkey,
+      |       c_mktsegment AS mktsegment, 'customer' AS kind
+      |FROM customer
+      |UNION ALL
+      |SELECT s_name, s_acctbal, s_nationkey, NULL, 'supplier' FROM supplier
+      |ORDER BY kind, name""".stripMargin
+
+  /** Exact distinct counts (shuffle-dedup per group). */
+  def qDistinctCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.orders(spark, dir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        countDistinct($"o_custkey").as("n_cust"),
+        countDistinct(year($"o_orderdate")).as("n_years"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val qDistinctCountsSql: String =
+    """SELECT o_orderstatus,
+      | count(DISTINCT o_custkey) AS n_cust,
+      | count(DISTINCT year(o_orderdate)) AS n_years,
+      | count(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** HLL approximate distinct — sketch-based, constant memory at any
+    * scale. No SQL oracle (estimator-specific); driver does rows-only. */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
+        approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** As-of join: each purchase event matched to the latest prior click
+    * of the same user. Implemented as union + running-max window — one
+    * shuffle on user_id, no point-in-time cross join (merge-asof at any
+    * scale). Ties (click at the same microsecond as the purchase) count
+    * as "prior" on both sides. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = T.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click").select(
+      $"user_id", $"ts".as("c_ts"),
+      lit(null).cast("timestamp").as("p_ts"), lit(null).cast("long").as("event_id"),
+      lit(0).as("tag"))
+    val purchases = ev.filter($"event_type" === "purchase").select(
+      $"user_id", lit(null).cast("timestamp").as("c_ts"),
+      $"ts".as("p_ts"), $"event_id", lit(1).as("tag"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy(coalesce($"c_ts", $"p_ts").asc, $"tag".asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    clicks.unionByName(purchases)
+      .withColumn("last_click", max($"c_ts").over(w))
+      .filter($"tag" === 1)
+      .select($"event_id",
+        unix_micros($"p_ts").as("p_us"),
+        unix_micros($"last_click").as("click_us"))
+      .orderBy($"event_id")
+  }
+
+  val qAsofJoinSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |             make_timestamp(epoch_ns(ts)//1000) AS ts FROM events),
+      | c AS (SELECT user_id, ts AS c_ts FROM e WHERE event_type = 'click'),
+      | p AS (SELECT event_id, user_id, ts AS p_ts FROM e WHERE event_type = 'purchase')
+      |SELECT p.event_id, epoch_us(p.p_ts) AS p_us,
+      | (SELECT max(epoch_us(c.c_ts)) FROM c
+      |   WHERE c.user_id = p.user_id AND c.c_ts <= p.p_ts) AS click_us
+      |FROM p ORDER BY p.event_id""".stripMargin
+
+  /** Range self-join, bucketized: for every event, how many events of
+    * the same user happened in the preceding hour. Probe rows explode
+    * into their own and the previous 1-hour bucket, so the join is
+    * equi-key on (user_id, bucket) — O(n * density), never O(n^2). */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    val e = T.events(spark, dir)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"))
+    val cand = e.select($"user_id", $"us".as("r_us"), ($"us" divide hourUs).cast("long").as("b"))
+    val probes = e.select($"event_id", $"user_id", $"us",
+      explode(array(($"us" divide hourUs).cast("long"), ($"us" divide hourUs).cast("long") - 1)).as("b"))
+    val counts = probes.join(cand, Seq("user_id", "b"))
+      .filter($"r_us" >= $"us" - hourUs && $"r_us" < $"us")
+      .groupBy($"event_id").agg(count(lit(1)).as("n_prev"))
+    e.select($"event_id")
+      .join(counts, Seq("event_id"), "left")
+      .withColumn("n_prev", coalesce($"n_prev", lit(0L)))
+      .orderBy($"event_id")
+  }
+
+  val qRangeJoinSql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS us FROM events)
+      |SELECT e1.event_id, count(e2.event_id) AS n_prev
+      |FROM e e1
+      |LEFT JOIN e e2 ON e1.user_id = e2.user_id
+      |  AND e2.us >= e1.us - 3600000000 AND e2.us < e1.us
+      |GROUP BY e1.event_id
+      |ORDER BY e1.event_id""".stripMargin
+
+  /** JSON extraction from events.props + aggregation. */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.events(spark, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"k").cast("long").as("sum_k"),
+        round(avg($"k"), 4).as("avg_k"))
+      .orderBy($"event_type")
+  }
+
+  val qJsonExtractSql: String =
+    """SELECT event_type, count(*) AS n,
+      | CAST(sum(json_extract(props, '$.k')::INT) AS BIGINT) AS sum_k,
+      | round(avg(json_extract(props, '$.k')::INT), 4) AS avg_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Scalar function surface: string / math / modulo over part. */
+  def qScalarFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.part(spark, dir).select(
+        $"p_partkey",
+        lower($"p_name").as("lname"),
+        substring($"p_type", 1, 6).as("t6"),
+        length($"p_name").as("ln"),
+        concat_ws("-", $"p_brand", $"p_type").as("bt"),
+        round(sqrt($"p_retailprice"), 4).as("sq"),
+        ($"p_partkey" % 7).as("m7"),
+        abs($"p_size" - 25).as("sz"))
+      .orderBy($"p_partkey")
+  }
+
+  val qScalarFuncsSql: String =
+    """SELECT p_partkey, lower(p_name) AS lname, substr(p_type, 1, 6) AS t6,
+      | length(p_name) AS ln, concat_ws('-', p_brand, p_type) AS bt,
+      | round(sqrt(p_retailprice), 4) AS sq,
+      | p_partkey % 7 AS m7, abs(p_size - 25) AS sz
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Date bucketing: per year/month order stats. */
+  def qDateAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.orders(spark, dir)
+      .groupBy(year($"o_orderdate").as("y"), month($"o_orderdate").as("m"))
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"y", $"m")
+  }
+
+  val qDateAggSql: String =
+    """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+      | count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin
+
+  /** Global sort + limit (top-n by price). */
+  def qGlobalSort(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.orders(spark, dir)
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(20)
+  }
+
+  val qGlobalSortSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  /** Regex predicate on data (reference's REGEXP_LIKE generalized,
+    * SURVEY.md A3/A4): parts whose type matches a pattern. */
+  def qRegexFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.part(spark, dir)
+      .filter($"p_type".rlike("^(STANDARD|LARGE)") && !$"p_name".rlike("green"))
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"), round(avg($"p_retailprice"), 4).as("avg_price"))
+      .orderBy($"p_brand")
+  }
+
+  val qRegexFilterSql: String =
+    """SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 4) AS avg_price
+      |FROM part
+      |WHERE regexp_matches(p_type, '^(STANDARD|LARGE)')
+      |  AND NOT regexp_matches(p_name, 'green')
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1PricingSummarySql)),
+    QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3ShippingPrioritySql)),
+    QueryDef("q5_local_supplier", q5LocalSupplier, Some(q5LocalSupplierSql)),
+    QueryDef("q_semi_join", qSemiJoin, Some(qSemiJoinSql)),
+    QueryDef("q_anti_join", qAntiJoin, Some(qAntiJoinSql)),
+    QueryDef("q_topk_per_group", qTopkPerGroup, Some(qTopkPerGroupSql)),
+    QueryDef("q_window_analytics", qWindowAnalytics, Some(qWindowAnalyticsSql)),
+    QueryDef("q_rollup", qRollup, Some(qRollupSql)),
+    QueryDef("q_cube", qCube, Some(qCubeSql)),
+    QueryDef("q_set_ops", qSetOps, Some(qSetOpsSql)),
+    QueryDef("q_union_drift", qUnionDrift, Some(qUnionDriftSql)),
+    QueryDef("q_distinct_counts", qDistinctCounts, Some(qDistinctCountsSql)),
+    QueryDef("q_approx_distinct", qApproxDistinct, None),
+    QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
+    QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
+    QueryDef("q_json_extract", qJsonExtract, Some(qJsonExtractSql)),
+    QueryDef("q_scalar_funcs", qScalarFuncs, Some(qScalarFuncsSql)),
+    QueryDef("q_date_agg", qDateAgg, Some(qDateAggSql)),
+    QueryDef("q_global_sort", qGlobalSort, Some(qGlobalSortSql)),
+    QueryDef("q_regex_filter", qRegexFilter, Some(qRegexFilterSql)),
+  )
 }
