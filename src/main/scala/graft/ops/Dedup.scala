@@ -1,0 +1,239 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator family for LLM-data pipelines (SURVEY.md §2
+  * Tier B / north star): exact hash dedup, MinHash+LSH near-dup,
+  * SimHash signatures, df-pruned n-gram Jaccard, and embedding-cosine
+  * near-dup with IVF-style blocking.
+  *
+  * Scale design (100 TB corpus):
+  *  - Near-dup never does an all-pairs join. MinHash candidates come
+  *    from a band-bucket self-join (equi-key shuffle on (band, bandsig);
+  *    candidate count ~ true-dup count, not n^2). The n-gram variant
+  *    uses an inverted index pruned by document frequency, the
+  *    embedding variant blocks on the cluster id (IVF coarse quantizer).
+  *  - Signatures (MinHash sig, SimHash bits) are computed with
+  *    higher-order array functions inside one projection — per-doc work
+  *    with no row blowup and no UDF, so it stays in codegen and the
+  *    only shuffle is the candidate join itself.
+  *  - Hashes are md5 hex strings: deterministic, portable (the DuckDB
+  *    oracles replicate the exact same signatures), and uniformly
+  *    distributed for banding. A 100 TB run would swap md5 for xxhash64
+  *    with the same structure (one line per expression).
+  */
+object Dedup extends QueryFamily {
+
+  /** 3-word shingle set per document, as an array column. */
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("w", split(col("text"), " "))
+      .withColumn("shs", array_distinct(expr(
+        "transform(slice(w, 1, size(w) - 2), (x, i) -> concat(x, ' ', element_at(w, i + 2), ' ', element_at(w, i + 3)))")))
+
+  /** Exact dedup: group by full-content hash, keep the smallest doc_id. */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.documents(spark, dir)
+      .groupBy(md5($"text".cast("binary")).as("h"))
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
+      .select($"doc_id", $"h", $"n_dups")
+      .orderBy($"doc_id")
+  }
+
+  val qDedupExactSql: String =
+    """SELECT min(doc_id) AS doc_id, md5(text) AS h, count(*) AS n_dups
+      |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin
+
+  /** MinHash signatures (16 hashes), banded 4x4, band-bucket self-join
+    * for candidates, exact-Jaccard verification of candidates only. */
+  private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = withShingles(T.documents(spark, dir))
+      .select($"doc_id", $"shs")
+      .withColumn("sig", expr(
+        "transform(sequence(0, 15), s -> array_min(transform(shs, x -> md5(concat(cast(s AS string), ':', x)))))"))
+      .withColumn("bands", expr(
+        "transform(sequence(0, 3), b -> md5(concat_ws('|', slice(sig, b * 4 + 1, 4))))"))
+    val bands = docs.select($"doc_id", posexplode($"bands").as(Seq("b", "bandsig")))
+    val cand = bands.select($"doc_id".as("a_id"), $"b", $"bandsig")
+      .join(bands.select($"doc_id".as("b_id"), $"b", $"bandsig"), Seq("b", "bandsig"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id").distinct()
+    val sizes = docs.select($"doc_id", size($"shs").as("n"))
+    val shx = docs.select($"doc_id", explode($"shs").as("sh"))
+    val inter = cand
+      .join(shx.select($"doc_id".as("a_id"), $"sh"), Seq("a_id"))
+      .join(shx.select($"doc_id".as("b_id"), $"sh"), Seq("b_id", "sh"))
+      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("ninter"))
+    inter
+      .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), Seq("a_id"))
+      .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), Seq("b_id"))
+      .withColumn("j", $"ninter".cast("double") / ($"na" + $"nb" - $"ninter"))
+  }
+
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    minhashPairs(spark, dir)
+      .filter($"j" >= 0.8)
+      .select($"a_id", $"b_id", round($"j", 4).as("jaccard"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** Shared CTE prefix replicating the exact MinHash pipeline in DuckDB. */
+  private val minhashCte: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shs FROM w),
+      |sig AS (SELECT doc_id, shs,
+      |  list_transform(range(0, 16), s ->
+      |    list_min(list_transform(shs, x -> md5(concat(s, ':', x))))) AS sig FROM sh),
+      |bands AS (SELECT doc_id, b,
+      |  md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bandsig
+      |  FROM sig, range(0, 4) t(b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.bandsig = b.bandsig
+      |  WHERE a.doc_id < b.doc_id),
+      |verified AS (SELECT a_id, b_id,
+      |  len(list_intersect(sa.shs, sb.shs))::DOUBLE /
+      |  (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) AS j
+      |  FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)""".stripMargin
+
+  val qDedupMinhashSql: String =
+    s"""$minhashCte
+       |SELECT a_id, b_id, round(j, 4) AS jaccard FROM verified
+       |WHERE j >= 0.8 ORDER BY a_id, b_id""".stripMargin
+
+  /** Near-dup dedup survivors: drop every doc that near-duplicates
+    * (j >= 0.8) a doc with a smaller id — the standard one-pass keep
+    * rule over the LSH pair list. */
+  def qDedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val drop = minhashPairs(spark, dir).filter($"j" >= 0.8).select($"b_id")
+    T.documents(spark, dir)
+      .join(drop, $"doc_id" === $"b_id", "left_anti")
+      .select($"doc_id")
+      .orderBy($"doc_id")
+  }
+
+  val qDedupSurvivorsSql: String =
+    s"""$minhashCte
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT b_id FROM verified WHERE j >= 0.8)
+       |ORDER BY doc_id""".stripMargin
+
+  /** SimHash: 32-bit signature from per-token md5 nibbles, computed by
+    * a single higher-order aggregate over the token array (no explode,
+    * no shuffle beyond the final sort). */
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.documents(spark, dir)
+      .withColumn("hs", expr("transform(split(text, ' '), t -> md5(t))"))
+      .withColumn("counts", expr(
+        """aggregate(hs, transform(sequence(0, 31), z -> 0),
+          |  (acc, h) -> zip_with(acc, sequence(0, 31), (a, i) ->
+          |    a + IF((shiftright(locate(substring(h, (i div 4) + 1, 1), '0123456789abcdef') - 1, i % 4) & 1) = 1, 1, -1)))""".stripMargin))
+      .select($"doc_id",
+        expr("array_join(transform(counts, c -> IF(c > 0, '1', '0')), '')").as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  val qDedupSimhashSql: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |h AS (SELECT doc_id, md5(t) AS h FROM w),
+      |bits AS (SELECT doc_id, b,
+      |  CASE WHEN ((strpos('0123456789abcdef', substr(h, (b//4)+1, 1)) - 1) >> (b % 4)) & 1 = 1
+      |       THEN 1 ELSE -1 END AS v
+      |  FROM h, range(0, 32) t(b)),
+      |acc AS (SELECT doc_id, b, sum(v) AS s FROM bits GROUP BY 1, 2)
+      |SELECT doc_id,
+      | string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+      |FROM acc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Exact n-gram (4-word shingle) Jaccard near-dup via a df-pruned
+    * inverted index: candidate pairs must share a shingle whose
+    * document frequency is <= 10, so the candidate join degree is
+    * bounded regardless of corpus size. */
+  def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = T.documents(spark, dir)
+      .withColumn("w", split($"text", " "))
+      .withColumn("shs", array_distinct(expr(
+        "transform(slice(w, 1, size(w) - 3), (x, i) -> concat_ws(' ', x, element_at(w, i + 2), element_at(w, i + 3), element_at(w, i + 4)))")))
+      .select($"doc_id", $"shs")
+    val shx = docs.select($"doc_id", explode($"shs").as("sh"))
+    val rare = shx.groupBy($"sh").agg(count(lit(1)).as("df")).filter($"df" <= 10 && $"df" >= 2)
+    val rareShx = shx.join(rare.select($"sh"), Seq("sh"))
+    val cand = rareShx.select($"doc_id".as("a_id"), $"sh")
+      .join(rareShx.select($"doc_id".as("b_id"), $"sh"), Seq("sh"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id").distinct()
+    val sizes = docs.select($"doc_id", size($"shs").as("n"))
+    val inter = cand
+      .join(shx.select($"doc_id".as("a_id"), $"sh"), Seq("a_id"))
+      .join(shx.select($"doc_id".as("b_id"), $"sh"), Seq("b_id", "sh"))
+      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("ninter"))
+    inter
+      .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), Seq("a_id"))
+      .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), Seq("b_id"))
+      .withColumn("j", $"ninter".cast("double") / ($"na" + $"nb" - $"ninter"))
+      .filter($"j" >= 0.5)
+      .select($"a_id", $"b_id", round($"j", 4).as("jaccard"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val qDedupNgramJaccardSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-2),
+      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shs FROM w),
+      |shx AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+      |rare AS (SELECT s FROM shx GROUP BY s HAVING count(*) <= 10 AND count(*) >= 2),
+      |rx AS (SELECT doc_id, s FROM shx JOIN rare USING (s)),
+      |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM rx a JOIN rx b ON a.s = b.s WHERE a.doc_id < b.doc_id),
+      |verified AS (SELECT a_id, b_id,
+      |  len(list_intersect(sa.shs, sb.shs))::DOUBLE /
+      |  (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) AS j
+      |  FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)
+      |SELECT a_id, b_id, round(j, 4) AS jaccard FROM verified
+      |WHERE j >= 0.5 ORDER BY a_id, b_id""".stripMargin
+
+  /** Embedding-cosine near-dup with IVF-style blocking: only vectors in
+    * the same coarse cluster (label) are compared. Dot products and
+    * norms run in double precision via higher-order aggregates — pure
+    * codegen, no UDF. */
+  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = T.embeddings(spark, dir)
+      .select($"vec_id", $"label",
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("n2", expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
+    val a = e.select($"vec_id".as("a_id"), $"label", $"v".as("va"), $"n2".as("na"))
+    val b = e.select($"vec_id".as("b_id"), $"label", $"v".as("vb"), $"n2".as("nb"))
+    a.join(b, Seq("label")).filter($"a_id" < $"b_id")
+      .withColumn("dot", expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cos", $"dot" / sqrt($"na" * $"nb"))
+      .filter($"cos" >= 0.4)
+      .select($"a_id", $"b_id", round($"cos", 4).as("cos"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val qDedupEmbeddingSql: String =
+    """WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding ea, b.embedding eb
+      |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id),
+      |u AS (SELECT a_id, b_id, unnest(ea) AS ax, unnest(eb) AS bx FROM p),
+      |c AS (SELECT a_id, b_id, sum(ax::DOUBLE * bx::DOUBLE) AS dot,
+      |        sum(ax::DOUBLE * ax::DOUBLE) AS na, sum(bx::DOUBLE * bx::DOUBLE) AS nb
+      |      FROM u GROUP BY 1, 2)
+      |SELECT a_id, b_id, round(dot / sqrt(na * nb), 4) AS cos FROM c
+      |WHERE dot / sqrt(na * nb) >= 0.4 ORDER BY a_id, b_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactSql)),
+    QueryDef("q_dedup_minhash", qDedupMinhash, Some(qDedupMinhashSql)),
+    QueryDef("q_dedup_survivors", qDedupSurvivors, Some(qDedupSurvivorsSql)),
+    QueryDef("q_dedup_simhash", qDedupSimhash, Some(qDedupSimhashSql)),
+    QueryDef("q_dedup_ngram_jaccard", qDedupNgramJaccard, Some(qDedupNgramJaccardSql)),
+    QueryDef("q_dedup_embedding", qDedupEmbedding, Some(qDedupEmbeddingSql)),
+  )
+}

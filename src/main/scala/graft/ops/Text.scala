@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator family for LLM-data pipelines (north-star
+  * scope, SURVEY.md §2 Tier B): token statistics, token/n-gram
+  * frequency, quality scoring, language-ID heuristic, document
+  * fingerprinting.
+  *
+  * Everything is built from codegen'd higher-order functions
+  * (`split` / `transform` / `filter` / `aggregate`) over the token
+  * array — no UDFs, no explode-multiplication in the per-doc queries,
+  * so the hot path stays inside whole-stage codegen and scales linearly
+  * in corpus size. Frequency queries explode once and hash-aggregate
+  * (map-side partial combine keeps the shuffle at |vocab| not |tokens|).
+  */
+object Text extends QueryFamily {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private def stopArr = array(stopwords.map(lit): _*)
+  private val stopListSql = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** Per-document token statistics: counts, distincts, type-token ratio,
+    * average word length. */
+  def qTokenStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.documents(spark, dir)
+      .withColumn("w", split($"text", " "))
+      .select(
+        $"doc_id",
+        size($"w").as("n_tokens"),
+        size(array_distinct($"w")).as("n_distinct"),
+        round(size(array_distinct($"w")).cast("double") / size($"w"), 4).as("ttr"),
+        round((length($"text") - size($"w") + 1).cast("double") / size($"w"), 4).as("avg_wlen"))
+      .orderBy($"doc_id")
+  }
+
+  val qTokenStatsSql: String =
+    """SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
+      | round(len(list_distinct(w))::DOUBLE / len(w), 4) AS ttr,
+      | round((length(text) - len(w) + 1)::DOUBLE / len(w), 4) AS avg_wlen
+      |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Corpus token frequency: top 20 tokens (count desc, token asc). */
+  def qTokenFreq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token"))
+      .limit(20)
+  }
+
+  val qTokenFreqSql: String =
+    """SELECT token, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+
+  /** Word-bigram frequency: top 20 (count desc, bigram asc). Bigrams are
+    * built inside the array (transform over positions) then exploded
+    * once — no self-join. */
+  def qBigramTop(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.documents(spark, dir)
+      .withColumn("w", split($"text", " "))
+      .withColumn("bg", expr(
+        "transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', element_at(w, i + 2)))"))
+      .select(explode($"bg").as("bigram"))
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("bigram"))
+      .limit(20)
+  }
+
+  val qBigramTopSql: String =
+    """SELECT bigram, count(*) AS n
+      |FROM (
+      |  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+      |  FROM (SELECT string_split(text, ' ') AS w FROM documents))
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+
+  /** Corpus histogram per language x source. */
+  def qLangStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.documents(spark, dir)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        round(avg($"n_chars"), 4).as("avg_chars"))
+      .orderBy($"lang", $"source")
+  }
+
+  val qLangStatsSql: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      | sum(n_chars) AS sum_chars, round(avg(n_chars), 4) AS avg_chars
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  /** Heuristic quality score per document: length saturation x
+    * (1 - stopword ratio). The building blocks (token count, stopword
+    * ratio, length clamp) are the standard web-corpus quality signals. */
+  def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.documents(spark, dir)
+      .withColumn("w", split($"text", " "))
+      .withColumn("n_stop",
+        size(filter($"w", x => array_contains(stopArr, x))))
+      .select(
+        $"doc_id",
+        size($"w").as("n_tokens"),
+        $"n_stop",
+        round($"n_stop".cast("double") / size($"w"), 4).as("stop_ratio"),
+        round(least(lit(1.0), size($"w") / lit(100.0)) *
+          (lit(1.0) - $"n_stop".cast("double") / size($"w")), 4).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  val qQualityScoreSql: String =
+    s"""SELECT doc_id, len(w) AS n_tokens, n_stop,
+       | round(n_stop::DOUBLE / len(w), 4) AS stop_ratio,
+       | round(least(1.0, len(w) / 100.0) * (1.0 - n_stop::DOUBLE / len(w)), 4) AS quality
+       |FROM (
+       |  SELECT doc_id, w, len(list_filter(w, x -> list_contains($stopListSql, x))) AS n_stop
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
+  /** Language-ID heuristic: stopword-profile hit ratios with a
+    * deterministic arg-max. (A real corpus would use char n-gram
+    * profiles; the fixture vocabulary only carries English function
+    * words, so profiles beyond `en` exist to exercise the arg-max.) */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val enArr = array(Seq("the", "a", "of", "and").map(lit): _*)
+    val deArr = array(Seq("der", "die", "das", "und").map(lit): _*)
+    val frArr = array(Seq("le", "la", "et", "les").map(lit): _*)
+    T.documents(spark, dir)
+      .withColumn("w", split($"text", " "))
+      .withColumn("en_score", round(size(filter($"w", x => array_contains(enArr, x))).cast("double") / size($"w"), 4))
+      .withColumn("de_score", round(size(filter($"w", x => array_contains(deArr, x))).cast("double") / size($"w"), 4))
+      .withColumn("fr_score", round(size(filter($"w", x => array_contains(frArr, x))).cast("double") / size($"w"), 4))
+      .withColumn("pred_lang",
+        when($"en_score" >= $"de_score" && $"en_score" >= $"fr_score" && $"en_score" > 0.02, lit("en"))
+          .when($"de_score" >= $"fr_score" && $"de_score" > 0.02, lit("de"))
+          .when($"fr_score" > 0.02, lit("fr"))
+          .otherwise(lit("unk")))
+      .select($"doc_id", $"en_score", $"de_score", $"fr_score", $"pred_lang", $"lang".as("true_lang"))
+      .orderBy($"doc_id")
+  }
+
+  val qLangIdSql: String =
+    """SELECT doc_id, en_score, de_score, fr_score,
+      | CASE WHEN en_score >= de_score AND en_score >= fr_score AND en_score > 0.02 THEN 'en'
+      |      WHEN de_score >= fr_score AND de_score > 0.02 THEN 'de'
+      |      WHEN fr_score > 0.02 THEN 'fr'
+      |      ELSE 'unk' END AS pred_lang,
+      | lang AS true_lang
+      |FROM (
+      |  SELECT doc_id, lang,
+      |   round(len(list_filter(w, x -> list_contains(['the','a','of','and'], x)))::DOUBLE / len(w), 4) AS en_score,
+      |   round(len(list_filter(w, x -> list_contains(['der','die','das','und'], x)))::DOUBLE / len(w), 4) AS de_score,
+      |   round(len(list_filter(w, x -> list_contains(['le','la','et','les'], x)))::DOUBLE / len(w), 4) AS fr_score
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Content-defined document fingerprint: full-content hash plus a
+    * coarse prefix bucket; per-source distinct-fingerprint counts give
+    * the corpus-level duplication profile. */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.documents(spark, dir)
+      .withColumn("fp", md5($"text".cast("binary")))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"fp").as("n_unique"),
+        countDistinct(substring($"fp", 1, 4)).as("n_buckets"))
+      .orderBy($"source")
+  }
+
+  val qFingerprintSql: String =
+    """SELECT source, count(*) AS n_docs,
+      | count(DISTINCT md5(text)) AS n_unique,
+      | count(DISTINCT substr(md5(text), 1, 4)) AS n_buckets
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_token_stats", qTokenStats, Some(qTokenStatsSql)),
+    QueryDef("q_token_freq", qTokenFreq, Some(qTokenFreqSql)),
+    QueryDef("q_bigram_top", qBigramTop, Some(qBigramTopSql)),
+    QueryDef("q_lang_stats", qLangStats, Some(qLangStatsSql)),
+    QueryDef("q_quality_score", qQualityScore, Some(qQualityScoreSql)),
+    QueryDef("q_lang_id", qLangId, Some(qLangIdSql)),
+    QueryDef("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
+  )
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupTextSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("minhash near-dup pairs all verify above threshold") {
+    val df = ops.Dedup.qDedupMinhash(spark, sf)
+    val rows = df.collect()
+    assert(rows.forall(_.getAs[Double]("jaccard") >= 0.8))
+    assert(rows.forall(r => r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
+  }
+
+  test("survivors + dropped = all docs") {
+    val total = ops.T.documents(spark, sf).count()
+    val survivors = ops.Dedup.qDedupSurvivors(spark, sf).count()
+    val dropped = ops.Dedup.qDedupMinhash(spark, sf)
+      .select("b_id").distinct().count()
+    assert(survivors === total - dropped)
+  }
+
+  test("simhash is 32 binary chars and deterministic") {
+    val df = ops.Dedup.qDedupSimhash(spark, sf)
+    val s1 = df.collect().map(_.getString(1))
+    assert(s1.forall(s => s.length == 32 && s.forall(c => c == '0' || c == '1')))
+    val s2 = ops.Dedup.qDedupSimhash(spark, sf).collect().map(_.getString(1))
+    assert(s1.sameElements(s2))
+  }
+
+  test("embedding near-dup cosine within [-1, 1] and ordered pairs") {
+    val rows = ops.Dedup.qDedupEmbedding(spark, sf).collect()
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0))
+  }
+
+  test("quality score bounded [0, 1]") {
+    val bad = ops.Text.qQualityScore(spark, sf)
+      .filter(col("quality") < 0 || col("quality") > 1).count()
+    assert(bad === 0)
+  }
+
+  test("token freq total tokens consistent with token stats") {
+    val byFreq = ops.Text.qTokenFreq(spark, sf)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(byFreq > 0)
+  }
+}
