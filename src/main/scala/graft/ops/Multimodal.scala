@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column operator family (north star): treat image/audio/
+  * video payloads as opaque `binary` columns with typed metadata, and
+  * run decode / feature-extraction as partition-wise batch functions.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * STUB: a deterministic fake that stands in for a real decoder (e.g.
+  * libjpeg / ffmpeg bindings or a `mapInPandas`-style vectorized UDF in
+  * PySpark). Everything around it — the binary column, the metadata
+  * schema, the `mapPartitions` batch shape, the partitioning — is real
+  * and is what a production decode pipeline on Spark looks like: one
+  * task per input split, the decoder amortized across the partition's
+  * rows, output schema declared up front.
+  *
+  * The fixtures carry no binary column, so the pipeline derives one
+  * from `documents.text` (utf-8 bytes) — the plumbing is identical for
+  * a real media payload.
+  */
+object Multimodal extends QueryFamily {
+
+  /** Typed metadata over binary payloads: size, checksum, fake format
+    * tag. Pure column expressions — oracle-checkable. */
+  def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.documents(spark, dir)
+      .withColumn("blob", $"text".cast("binary"))
+      .select(
+        $"doc_id",
+        octet_length($"blob").as("n_bytes"),
+        md5($"blob").as("checksum"),
+        element_at(
+          array(lit("jpeg"), lit("png"), lit("wav")),
+          (pmod(octet_length($"blob"), lit(3)) + 1).cast("int")).as("format"))
+      .orderBy($"doc_id")
+  }
+
+  val qMultimodalMetaSql: String =
+    """SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS checksum,
+      | ['jpeg', 'png', 'wav'][(octet_length(text::BLOB) % 3) + 1] AS format
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  /** STUB decoder: deterministic fake standing in for a real media
+    * decode. Maps the payload to fake dimensions and an 8-bin byte
+    * histogram "feature vector". A real deployment replaces ONLY this
+    * function body (bytes => decoded features); the batch shape stays. */
+  private def decodeStub(payload: Array[Byte]): (Int, Int, Array[Double]) = {
+    val w = 64 + (payload.length % 193)
+    val h = 64 + ((payload.length * 31) % 149)
+    val bins = new Array[Double](8)
+    var i = 0
+    while (i < payload.length) {
+      bins((payload(i) & 0xff) % 8) += 1.0
+      i += 1
+    }
+    val n = math.max(1, payload.length).toDouble
+    (w, h, bins.map(b => math.rint(b / n * 10000) / 10000))
+  }
+
+  /** Partition-wise decode + feature extraction over the binary column.
+    * `mapPartitions` so per-partition decoder setup cost (in a real
+    * pipeline: codec init, model load) is amortized across the batch —
+    * the Scala analogue of `mapInPandas`. Driver check is rows-only
+    * (no SQL oracle for the stubbed decode); MultimodalSpec pins the
+    * schema, determinism, and feature invariants. */
+  def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = T.documents(spark, dir)
+      .withColumn("blob", $"text".cast("binary"))
+      .select($"doc_id", $"blob")
+    val enc = RowEncoder.encoderFor(featureSchema)
+    src.mapPartitions { rows =>
+      // per-partition init of the (stub) decoder happens here
+      rows.map { r =>
+        val id = r.getAs[Long]("doc_id")
+        val payload = r.getAs[Array[Byte]]("blob")
+        val fmt = Seq("jpeg", "png", "wav")(payload.length % 3)
+        val (w, h, feats) = decodeStub(payload)
+        Row(id, fmt, w, h, feats)
+      }
+    }(enc).orderBy($"doc_id")
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_multimodal_meta", qMultimodalMeta, Some(qMultimodalMetaSql)),
+    QueryDef("q_multimodal_features", qMultimodalFeatures, None),
+  )
+}

@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity-search operator family over the `embeddings` table
+  * (ArrayType(FloatType), SURVEY.md §2 Tier B / north star).
+  *
+  * Three tiers, mirroring a production ANN stack:
+  *  - brute-force exact top-k: the correctness baseline. The (small)
+  *    query set is broadcast so the scan side never shuffles; cost is
+  *    O(|queries| x |corpus|) FLOPs, embarrassingly parallel.
+  *  - sign-LSH top-k: random-hyperplane-style bucketing using the sign
+  *    pattern of leading dimensions (deterministic, engine-portable).
+  *    Candidates are joined equi-key on the bucket, so the pair count
+  *    drops by ~2^bits; recall < 1 by design (ANN).
+  *  - IVF top-k: coarse-quantizer blocking on the `label` cluster id;
+  *    probes only the query's own cell (nprobe=1).
+  *
+  * All dot products / norms are double-precision higher-order
+  * aggregates (`zip_with` + `aggregate`) — codegen'd, no UDF. At 100 TB
+  * the same plans hold: broadcast the probe set, partition the corpus
+  * by bucket/cell, and the per-partition work is a dense scan.
+  */
+object Similarity extends QueryFamily {
+
+  private def withVec(df: DataFrame): DataFrame =
+    df.withColumn("v", expr("transform(embedding, x -> cast(x AS double))"))
+      .withColumn("n2", expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
+
+  private def cosine = expr(
+    "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+
+  /** Exact brute-force top-5 cosine neighbors for probe vectors
+    * (vec_id < 10) against the whole corpus. */
+  def qSimBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = withVec(T.embeddings(spark, dir))
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"n2".as("qn2"))
+    val corpus = e.select($"vec_id".as("n_id"), $"v", $"n2")
+    val scored = corpus.join(broadcast(probes), $"q_id" =!= $"n_id")
+      .withColumn("cos", cosine / sqrt($"qn2" * $"n2"))
+    val w = Window.partitionBy($"q_id").orderBy(desc("cos"), asc("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"rank", $"n_id", round($"cos", 4).as("cos"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val qSimBruteforceSql: String =
+    """WITH e AS (SELECT vec_id, embedding,
+      |  (SELECT sum(x::DOUBLE * x::DOUBLE) FROM unnest(embedding) t(x)) AS n2
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, embedding AS qe, n2 AS qn2 FROM e WHERE vec_id < 10),
+      |pairs AS (SELECT q_id, e.vec_id AS n_id, qn2, n2, qe, embedding AS ne
+      |  FROM q JOIN e ON e.vec_id <> q_id),
+      |u AS (SELECT q_id, n_id, qn2, n2, unnest(qe) AS qx, unnest(ne) AS nx FROM pairs),
+      |scored AS (SELECT q_id, n_id,
+      |    sum(qx::DOUBLE * nx::DOUBLE) / sqrt(any_value(qn2) * any_value(n2)) AS cos
+      |  FROM u GROUP BY q_id, n_id),
+      |ranked AS (SELECT q_id, n_id, cos,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, n_id, round(cos, 4) AS cos FROM ranked
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** Sign-LSH approximate top-3: bucket = sign pattern of the first 8
+    * dimensions; probe only its own bucket. Deterministic ANN — recall
+    * traded for a 2^8 candidate reduction. */
+  def qSimLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucketExpr = expr(
+      "array_join(transform(slice(v, 1, 8), x -> IF(x > 0D, '1', '0')), '')")
+    val e = withVec(T.embeddings(spark, dir)).withColumn("bucket", bucketExpr)
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"n2".as("qn2"), $"bucket")
+    val corpus = e.select($"vec_id".as("n_id"), $"v", $"n2", $"bucket")
+    val scored = corpus.join(broadcast(probes), Seq("bucket"))
+      .filter($"q_id" =!= $"n_id")
+      .withColumn("cos", cosine / sqrt($"qn2" * $"n2"))
+    val w = Window.partitionBy($"q_id").orderBy(desc("cos"), asc("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"n_id", round($"cos", 4).as("cos"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val qSimLshSql: String =
+    """WITH e AS (SELECT vec_id, embedding,
+      |  (SELECT sum(x::DOUBLE * x::DOUBLE) FROM unnest(embedding) t(x)) AS n2,
+      |  array_to_string(list_transform(embedding[1:8],
+      |    x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, embedding AS qe, n2 AS qn2, bucket FROM e WHERE vec_id < 10),
+      |pairs AS (SELECT q_id, e.vec_id AS n_id, qn2, n2, qe, embedding AS ne
+      |  FROM q JOIN e USING (bucket) WHERE e.vec_id <> q_id),
+      |u AS (SELECT q_id, n_id, qn2, n2, unnest(qe) AS qx, unnest(ne) AS nx FROM pairs),
+      |scored AS (SELECT q_id, n_id,
+      |    sum(qx::DOUBLE * nx::DOUBLE) / sqrt(any_value(qn2) * any_value(n2)) AS cos
+      |  FROM u GROUP BY q_id, n_id),
+      |ranked AS (SELECT q_id, n_id, cos,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, n_id, round(cos, 4) AS cos FROM ranked
+      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  /** IVF top-3 with nprobe=1: the `label` column is the coarse cluster
+    * assignment; each probe searches only its own cell. */
+  def qSimIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = withVec(T.embeddings(spark, dir))
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"n2".as("qn2"), $"label")
+    val corpus = e.select($"vec_id".as("n_id"), $"v", $"n2", $"label")
+    val scored = corpus.join(broadcast(probes), Seq("label"))
+      .filter($"q_id" =!= $"n_id")
+      .withColumn("cos", cosine / sqrt($"qn2" * $"n2"))
+    val w = Window.partitionBy($"q_id").orderBy(desc("cos"), asc("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"n_id", round($"cos", 4).as("cos"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val qSimIvfSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding,
+      |  (SELECT sum(x::DOUBLE * x::DOUBLE) FROM unnest(embedding) t(x)) AS n2
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, embedding AS qe, n2 AS qn2, label FROM e WHERE vec_id < 10),
+      |pairs AS (SELECT q_id, e.vec_id AS n_id, qn2, n2, qe, embedding AS ne
+      |  FROM q JOIN e USING (label) WHERE e.vec_id <> q_id),
+      |u AS (SELECT q_id, n_id, qn2, n2, unnest(qe) AS qx, unnest(ne) AS nx FROM pairs),
+      |scored AS (SELECT q_id, n_id,
+      |    sum(qx::DOUBLE * nx::DOUBLE) / sqrt(any_value(qn2) * any_value(n2)) AS cos
+      |  FROM u GROUP BY q_id, n_id),
+      |ranked AS (SELECT q_id, n_id, cos,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, n_id, round(cos, 4) AS cos FROM ranked
+      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_sim_bruteforce", qSimBruteforce, Some(qSimBruteforceSql)),
+    QueryDef("q_sim_lsh", qSimLsh, Some(qSimLshSql)),
+    QueryDef("q_sim_ivf", qSimIvf, Some(qSimIvfSql)),
+  )
+}

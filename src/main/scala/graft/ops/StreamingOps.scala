@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming operator family over `events` (SURVEY.md §2 Tier B).
+  *
+  * The window/sessionization logic lives in transform functions that
+  * accept ANY DataFrame — batch or streaming. The t2-checked queries
+  * run them in batch (Spark guarantees identical semantics for
+  * time-window aggregation in both modes); `StreamingSpec` runs the
+  * same transforms on a `MemoryStream` with watermarks through
+  * `writeStream`, covering the genuinely streaming-only behaviors
+  * (incremental triggers, late-data drop, state cleanup).
+  *
+  * Scale notes: event-time windows aggregate with partial combine
+  * before the shuffle keyed on (window, group); session windows key
+  * state by user_id — at 100 TB the shuffle is bounded by the distinct
+  * key count per trigger, and the watermark bounds state size.
+  */
+object StreamingOps extends QueryFamily {
+
+  /** Tumbling 1-hour windows per event type. Works on batch or stream. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_micros(col("win.start")).as("win_start_us"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  def qStreamTumbling(spark: SparkSession, dir: String): DataFrame =
+    tumbling(T.events(spark, dir)).orderBy(col("win_start_us"), col("event_type"))
+
+  val qStreamTumblingSql: String =
+    """WITH e AS (SELECT event_type, value, make_timestamp(epoch_ns(ts)//1000) AS ts FROM events)
+      |SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
+      | count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM e GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin
+
+  /** Sliding 1-hour windows every 30 minutes: each event lands in two
+    * overlapping windows. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("win.start")).as("win_start_us"), col("event_type"), col("n"))
+
+  def qStreamSliding(spark: SparkSession, dir: String): DataFrame =
+    sliding(T.events(spark, dir)).orderBy(col("win_start_us"), col("event_type"))
+
+  val qStreamSlidingSql: String =
+    """WITH e AS (SELECT event_type, epoch_ns(ts)//1000 AS us FROM events),
+      |x AS (SELECT event_type, (us // 1800000000) * 1800000000 - i * 1800000000 AS win_start_us
+      |      FROM e, range(0, 2) t(i))
+      |SELECT win_start_us, event_type, count(*) AS n
+      |FROM x GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin
+
+  /** Session windows with a 30-minute inactivity gap, per user. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("win.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"))
+
+  def qStreamSessions(spark: SparkSession, dir: String): DataFrame =
+    sessions(T.events(spark, dir)).orderBy(col("user_id"), col("session_start_us"))
+
+  /** Gaps-and-islands replication of Spark's session semantics: a new
+    * session starts when the gap since the previous event is >= 30min
+    * (a session's end is last-event + gap, exclusive). */
+  val qStreamSessionsSql: String =
+    """WITH e AS (SELECT user_id, value, epoch_ns(ts)//1000 AS us FROM events),
+      |flagged AS (SELECT user_id, value, us,
+      |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+      |         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+      |       THEN 1 ELSE 0 END AS new_session
+      |  FROM e),
+      |sess AS (SELECT user_id, value, us,
+      |  sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, min(us) AS session_start_us, count(*) AS n_events,
+      | round(sum(value), 2) AS sum_value
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_stream_tumbling", qStreamTumbling, Some(qStreamTumblingSql)),
+    QueryDef("q_stream_sliding", qStreamSliding, Some(qStreamSlidingSql)),
+    QueryDef("q_stream_sessions", qStreamSessions, Some(qStreamSessionsSql)),
+  )
+}

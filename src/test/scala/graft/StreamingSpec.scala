@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling windows over a MemoryStream match the batch transform") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val data = Seq(
+      Ev(t("2024-01-01 00:10:00"), "click", 1.0, 1L),
+      Ev(t("2024-01-01 00:50:00"), "click", 2.0, 2L),
+      Ev(t("2024-01-01 01:10:00"), "view", 3.0, 1L),
+      Ev(t("2024-01-01 02:05:00"), "click", 4.0, 3L))
+    val ms = MemoryStream[Ev]
+    ms.addData(data: _*)
+    val q = ops.StreamingOps.tumbling(ms.toDF())
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("tumbling_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out")
+        .orderBy("win_start_us", "event_type").collect().toSeq
+      val batch = ops.StreamingOps.tumbling(data.toDF())
+        .orderBy("win_start_us", "event_type").collect().toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("watermark drops late events in append mode") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val agg = ms.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros($"window.start").as("ws"), $"event_type", $"n")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("wm_out").start()
+    try {
+      ms.addData(Ev(t("2024-01-01 00:10:00"), "click", 1.0, 1L))
+      q.processAllAvailable()
+      // advance watermark far past the first window's end
+      ms.addData(Ev(t("2024-01-01 03:00:00"), "click", 1.0, 1L))
+      q.processAllAvailable()
+      val afterClose = spark.table("wm_out").collect()
+      assert(afterClose.length === 1) // [00:00,01:00) finalized with n=1
+      assert(afterClose(0).getAs[Long]("n") === 1L)
+      // this event is 3h behind the watermark -> must be dropped
+      ms.addData(Ev(t("2024-01-01 00:20:00"), "click", 1.0, 1L))
+      q.processAllAvailable()
+      ms.addData(Ev(t("2024-01-01 05:00:00"), "click", 1.0, 1L))
+      q.processAllAvailable()
+      val finalRows = spark.table("wm_out")
+        .filter($"ws" === 1704067200000000L).collect() // 2024-01-01 00:00 UTC
+      assert(finalRows.length === 1 && finalRows(0).getAs[Long]("n") === 1L,
+        "late event leaked into a closed window")
+    } finally q.stop()
+  }
+
+  test("session windows on a stream merge events within the gap") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = ops.StreamingOps.sessions(ms.toDF())
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sess_out").start()
+    try {
+      ms.addData(
+        Ev(t("2024-01-01 00:00:00"), "click", 1.0, 7L),
+        Ev(t("2024-01-01 00:20:00"), "click", 1.0, 7L), // same session (gap 20m)
+        Ev(t("2024-01-01 01:30:00"), "click", 1.0, 7L)) // new session
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").orderBy("session_start_us").collect()
+      assert(rows.length === 2)
+      assert(rows(0).getAs[Long]("n_events") === 2L)
+      assert(rows(1).getAs[Long]("n_events") === 1L)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running totals across triggers") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[graft.streaming.Stateful.UserEvent]
+    val q = graft.streaming.Stateful.runningTotals(ms.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("state_out").start()
+    try {
+      ms.addData(graft.streaming.Stateful.UserEvent(1L, "click", 2.0))
+      q.processAllAvailable()
+      ms.addData(graft.streaming.Stateful.UserEvent(1L, "view", 3.0))
+      q.processAllAvailable()
+      val latest = spark.table("state_out")
+        .groupBy($"user_id").agg(max($"n_events").as("n"), max($"total_value").as("v"))
+        .collect()
+      assert(latest.length === 1)
+      assert(latest(0).getAs[Long]("n") === 2L)
+      assert(latest(0).getAs[Double]("v") === 5.0)
+    } finally q.stop()
+  }
+}
