@@ -1,0 +1,115 @@
+package graft.engine
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+import scala.util.matching.Regex
+
+/** Catalog discovery (reference A1-A6): which tables to export per
+  * schema and which columns per table, with regex include/exclude,
+  * external/temporary-table exclusion, unsupported-type exclusion and
+  * deterministic ordering.
+  *
+  * The reference pushes these as SQL against Oracle's `all_tables` /
+  * `all_tab_columns` (main.py:191-217, main.py:87-108); here the SQL
+  * text generators live beside a driver-neutral [[TableCatalog]] trait
+  * so the filtering logic is unit-testable without a live Oracle
+  * (SURVEY.md §5.4). Note the reference's exclude-pattern SQL is
+  * malformed — the clause is appended after ORDER BY (main.py:201,
+  * 205-207); we generate the *intended* SQL (exclude before ORDER BY).
+  */
+final case class ColumnMeta(name: String, dataType: String, position: Int)
+
+trait TableCatalog {
+  /** Exportable table names of a schema, filtered and sorted ASC. */
+  def listTables(schema: String, include: Regex, exclude: Option[Regex]): Seq[String]
+  /** Exportable columns of a table in dictionary position order. */
+  def listColumns(schema: String, table: String): Seq[ColumnMeta]
+}
+
+object Catalog {
+
+  /** Oracle types the reference never exports (main.py:96-97). */
+  val excludedTypes: Set[String] =
+    Set("BLOB", "BFILE", "CLOB", "UNDEFINED", "UROWID", "LONG", "RAW")
+
+  def isExportableType(dataType: String): Boolean = {
+    val dt = dataType.toUpperCase
+    !excludedTypes.contains(dt) && !dt.startsWith("INTERVAL ")
+  }
+
+  /** Include/exclude regex filter with the reference's *intended*
+    * semantics (A3/A4): keep tables matching `include` and, when an
+    * exclude pattern is set, drop those matching it. Patterns are
+    * unanchored like Oracle's REGEXP_LIKE. */
+  def filterTables(tables: Seq[String], include: Regex,
+      exclude: Option[Regex]): Seq[String] =
+    tables
+      .filter(t => include.findFirstIn(t).isDefined)
+      .filterNot(t => exclude.exists(_.findFirstIn(t).isDefined))
+      .sorted
+
+  /** SQL text sent to Oracle for table discovery — the reference's
+    * observable contract (main.py:195-207), with the exclude clause in
+    * its intended position before ORDER BY. Bind-style placeholders. */
+  def tablesSql(excludePattern: Boolean): String = {
+    val exclude =
+      if (excludePattern) "\n  AND NOT REGEXP_LIKE(table_name, :exclude_pattern)" else ""
+    s"""SELECT table_name
+       |FROM all_tables
+       |WHERE owner = :owner
+       |  AND external = 'NO'
+       |  AND temporary = 'N'
+       |  AND REGEXP_LIKE(table_name, :include_pattern)$exclude
+       |ORDER BY table_name ASC""".stripMargin
+  }
+
+  /** SQL text for column discovery (main.py:92-99): position-ordered,
+    * unsupported types excluded server-side. */
+  def columnsSql: String = {
+    val types = excludedTypes.toSeq.sorted.map(t => s"'$t'").mkString(", ")
+    s"""SELECT column_name, data_type
+       |FROM all_tab_columns
+       |WHERE owner = :owner
+       |  AND table_name = :table_name
+       |  AND data_type NOT IN ($types)
+       |  AND data_type NOT LIKE 'INTERVAL %'
+       |ORDER BY column_id ASC""".stripMargin
+  }
+}
+
+/** Directory-backed catalog for Parquet-staged schemas: a schema is a
+  * directory, a table is a `{name}.parquet` file or `{name}/` dir of
+  * parquet parts. Powers tests and the Parquet-to-Parquet pipeline. */
+final class ParquetCatalog(root: Path) extends TableCatalog {
+
+  private def schemaDir(schema: String): Path = root.resolve(schema)
+
+  override def listTables(schema: String, include: Regex,
+      exclude: Option[Regex]): Seq[String] = {
+    val dir = schemaDir(schema)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val names = Files.list(dir).iterator().asScala.toSeq.flatMap { p =>
+        val fn = p.getFileName.toString
+        if (Files.isDirectory(p)) Some(fn)
+        else if (fn.endsWith(".parquet")) Some(fn.stripSuffix(".parquet"))
+        else None
+      }
+      Catalog.filterTables(names, include, exclude)
+    }
+  }
+
+  override def listColumns(schema: String, table: String): Seq[ColumnMeta] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.read.parquet(tablePath(schema, table))
+    df.schema.fields.zipWithIndex.toSeq.map { case (f, i) =>
+      ColumnMeta(f.name, f.dataType.simpleString, i + 1)
+    }
+  }
+
+  def tablePath(schema: String, table: String): String = {
+    val asFile = schemaDir(schema).resolve(s"$table.parquet")
+    val p = if (Files.exists(asFile)) asFile else schemaDir(schema).resolve(table)
+    p.toString
+  }
+}

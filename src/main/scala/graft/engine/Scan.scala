@@ -1,0 +1,83 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table scan sources (reference A8-A11, A15, A20).
+  *
+  * The reference streams `SELECT <cols> FROM "S"."T" [FETCH FIRST n
+  * ROWS ONLY]` over a single connection (main.py:144-158). The Spark
+  * equivalents:
+  *  - [[ParquetSource]]: staged-Parquet scan — the testable path and
+  *    the input side of every Tier-B operator.
+  *  - [[JdbcSource]]: Oracle scan via Spark's JDBC reader. Projection
+  *    and limit are authored into the dbtable subquery exactly like the
+  *    reference; snapshot consistency is rebuilt with flashback
+  *    (`AS OF SCN`) because Spark opens one connection per partition —
+  *    a single driver-side SCN pin replaces the reference's
+  *    one-SERIALIZABLE-connection trick (main.py:219-223, SURVEY §7.4).
+  *    Unlike the reference (sequential, parallelism=1), scans can
+  *    partition on a numeric column for intra-table parallel reads.
+  */
+trait TableSource {
+  def read(spark: SparkSession, schema: String, table: String,
+      cols: Seq[String], lowercase: Boolean, rowLimit: Long): DataFrame
+}
+
+final class ParquetSource(catalog: ParquetCatalog) extends TableSource {
+  override def read(spark: SparkSession, schema: String, table: String,
+      cols: Seq[String], lowercase: Boolean, rowLimit: Long): DataFrame = {
+    // TIMESTAMP(NANOS) columns are rejected by Spark's reader outright;
+    // surface them as raw int64 nanoseconds instead — a lossless export
+    // (the reference likewise emits whatever physical type the driver
+    // hands it, main.py:156-170).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(catalog.tablePath(schema, table))
+    val projected = Projection(df, cols, lowercase)
+    if (rowLimit >= 0) projected.limit(rowLimit.toInt) else projected
+  }
+}
+
+/** Oracle JDBC source. `scn = Some(n)` pins every scan of the run to
+  * one System Change Number (SERIALIZABLE-equivalent consistency);
+  * `None` reads current data (READ COMMITTED-equivalent). */
+final class JdbcSource(
+    cfg: ExportConfig,
+    scn: Option[Long],
+    partitionColumn: Option[(String, Long, Long, Int)] = None)
+  extends TableSource {
+
+  /** The SELECT text pushed to Oracle — observable contract matching
+    * the reference's generated SQL (main.py:144-146) plus the AS OF
+    * SCN clause that replaces session-level isolation pinning. */
+  def selectSql(schema: String, table: String, cols: Seq[String],
+      lowercase: Boolean): String = {
+    val proj = Projection.columnSql(cols, lowercase)
+    val flashback = scn.map(n => s" AS OF SCN $n").getOrElse("")
+    val limit = if (cfg.rowLimit >= 0) s" FETCH FIRST ${cfg.rowLimit} ROWS ONLY" else ""
+    s"""SELECT $proj FROM "$schema"."$table"$flashback$limit"""
+  }
+
+  /** SQL that fetches the SCN to pin, issued once on the driver. */
+  def currentScnSql: String = "SELECT current_scn FROM v$database"
+
+  override def read(spark: SparkSession, schema: String, table: String,
+      cols: Seq[String], lowercase: Boolean, rowLimit: Long): DataFrame = {
+    val reader = spark.read.format("jdbc")
+      .option("url", cfg.jdbcUrl)
+      .option("user", cfg.username)
+      .option("password", cfg.password)
+      .option("dbtable", s"(${selectSql(schema, table, cols, lowercase)})")
+      .option("fetchsize", cfg.batchSize)
+      .option("sessionInitStatement",
+        "ALTER SESSION SET NLS_TIMESTAMP_FORMAT = 'YYYY-MM-DD HH24:MI:SSXFF'")
+    val withPartitioning = partitionColumn match {
+      case Some((colName, lo, hi, n)) => reader
+        .option("partitionColumn", colName)
+        .option("lowerBound", lo)
+        .option("upperBound", hi)
+        .option("numPartitions", n)
+      case None => reader
+    }
+    withPartitioning.load()
+  }
+}

@@ -1,0 +1,74 @@
+package graft.engine
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Parquet sink (reference A12-A14): `{out}/{schema}/{table}/` layout,
+  * codec selection, run-level overwrite semantics and byte-targeted
+  * file splitting.
+  *
+  * The reference rolls to a new file when accumulated *uncompressed
+  * in-memory* bytes exceed the target — documented as approximate
+  * (main.py:174-183, 446-455). Spark splits by `maxRecordsPerFile`, so
+  * the byte target is converted to a record budget from a sampled
+  * average row width: the same "close, not guaranteed" contract at the
+  * same granularity the reference offers, with no custom committer.
+  */
+final case class WriteStats(rows: Long, files: Int, outputDir: String)
+
+final class ParquetSink(cfg: ExportConfig) {
+
+  private val root: Path = Paths.get(cfg.outputDirectory)
+
+  /** Run-level output-root preparation (main.py:225-232): existing dir
+    * + overwrite -> wipe and recreate; existing dir without overwrite
+    * -> abort; else create. */
+  def prepareRoot(): Unit = {
+    if (Files.exists(root)) {
+      if (!cfg.overwrite)
+        throw new IllegalStateException(
+          s"output directory ${cfg.outputDirectory} exists and overwrite is disabled")
+      deleteRecursively(root)
+    }
+    Files.createDirectories(root)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+      .forEach(f => Files.delete(f))
+
+  /** Records-per-file budget hitting the byte target: sample up to
+    * `sampleRows` rows, measure their average UnsafeRow width, divide.
+    * In-memory row width stands in for uncompressed Arrow batch bytes —
+    * the same estimator family as the reference's `Table.nbytes`. */
+  def estimateRecordsPerFile(df: DataFrame, sampleRows: Int = 1000): Long = {
+    val sample = df.limit(sampleRows)
+      .queryExecution.toRdd.map(_.asInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeRow].getSizeInBytes.toLong)
+      .collect()
+    if (sample.isEmpty) Long.MaxValue
+    else {
+      val avg = math.max(1L, sample.sum / sample.length)
+      math.max(1L, cfg.parquetMaxFileSize / avg)
+    }
+  }
+
+  /** Write one table under `{out}/{schema}/{table}/` (names lowercased
+    * when configured, like the reference's path casing main.py:245-253). */
+  def writeTable(df: DataFrame, schema: String, table: String): WriteStats = {
+    val s = Projection.objectName(schema, cfg.lowercaseObjectNames)
+    val t = Projection.objectName(table, cfg.lowercaseObjectNames)
+    val dir = root.resolve(s).resolve(t)
+    val recordsPerFile = estimateRecordsPerFile(df)
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("compression", cfg.compressionMethod.replace("none", "uncompressed"))
+      .option("maxRecordsPerFile", recordsPerFile)
+      .parquet(dir.toString)
+    val files = Files.list(dir).iterator()
+    var n = 0
+    files.forEachRemaining(p => if (p.getFileName.toString.endsWith(".parquet")) n += 1)
+    WriteStats(rows = -1L, files = n, outputDir = dir.toString)
+  }
+}

@@ -1,0 +1,190 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine._
+
+class CatalogSpec extends AnyFunSuite {
+
+  test("type exclusion matches the reference's negative list") {
+    assert(!Catalog.isExportableType("BLOB"))
+    assert(!Catalog.isExportableType("CLOB"))
+    assert(!Catalog.isExportableType("RAW"))
+    assert(!Catalog.isExportableType("INTERVAL YEAR TO MONTH"))
+    assert(!Catalog.isExportableType("INTERVAL DAY TO SECOND"))
+    assert(Catalog.isExportableType("NUMBER"))
+    assert(Catalog.isExportableType("VARCHAR2"))
+    assert(Catalog.isExportableType("TIMESTAMP(6)"))
+  }
+
+  test("include/exclude composition implements intended A4 semantics") {
+    val tables = Seq("ORDERS", "ORDERS_ARCHIVE", "CUSTOMER", "TMP_LOAD")
+    assert(Catalog.filterTables(tables, ".*".r, None) === tables.sorted)
+    assert(Catalog.filterTables(tables, "^ORDERS".r, None) ===
+      Seq("ORDERS", "ORDERS_ARCHIVE"))
+    assert(Catalog.filterTables(tables, ".*".r, Some("ARCHIVE|TMP".r)) ===
+      Seq("CUSTOMER", "ORDERS"))
+    assert(Catalog.filterTables(tables, "^ORDERS".r, Some("ARCHIVE".r)) ===
+      Seq("ORDERS"))
+  }
+
+  test("generated discovery SQL is well-formed: exclude precedes ORDER BY") {
+    val sql = Catalog.tablesSql(excludePattern = true)
+    val excludeIdx = sql.indexOf("NOT REGEXP_LIKE")
+    val orderIdx = sql.indexOf("ORDER BY")
+    assert(excludeIdx >= 0 && orderIdx > excludeIdx,
+      "exclude clause must come before ORDER BY (upstream bug fixed)")
+    assert(sql.contains("external = 'NO'") && sql.contains("temporary = 'N'"))
+    assert(Catalog.columnsSql.contains("ORDER BY column_id ASC"))
+    assert(Catalog.columnsSql.contains("'BLOB'"))
+  }
+
+  test("parquet catalog discovers fixture tables with filters") {
+    val cat = new ParquetCatalog(Paths.get("/root/testdata"))
+    val all = cat.listTables("sf0.001", ".*".r, None)
+    assert(all.contains("lineitem") && all.contains("orders") && all.size === 10)
+    assert(cat.listTables("sf0.001", "^e".r, None) === Seq("embeddings", "events"))
+    assert(cat.listTables("sf0.001", ".*".r, Some("s$".r)) ===
+      Seq("customer", "lineitem", "nation", "part", "region", "supplier"))
+    assert(cat.listTables("missing_schema", ".*".r, None) === Seq.empty)
+  }
+}
+
+class ProjectionSpec extends AnyFunSuite {
+
+  test("column sql quotes case-exactly and aliases lowercase on demand") {
+    assert(Projection.columnSql(Seq("COL_A", "ColB"), lowercase = false) ===
+      "\"COL_A\", \"ColB\"")
+    assert(Projection.columnSql(Seq("COL_A", "already_lower"), lowercase = true) ===
+      "\"COL_A\" AS \"col_a\", \"already_lower\"")
+  }
+
+  test("lowercase object-name mapping is idempotent (property)") {
+    val prop = org.scalacheck.Prop.forAll { (s: String) =>
+      val once = Projection.objectName(s, lowercase = true)
+      Projection.objectName(once, lowercase = true) == once
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(result.passed, result.status.toString)
+  }
+}
+
+class SinkExporterSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def freshDir(): String = {
+    val p = Files.createTempDirectory("graft-sink")
+    Files.delete(p)
+    p.toString
+  }
+
+  test("sink refuses existing output without overwrite, wipes with it") {
+    val out = freshDir()
+    Files.createDirectories(Paths.get(out, "stale"))
+    val cfgNo = ExportConfig(outputDirectory = out, overwrite = false)
+    intercept[IllegalStateException](new ParquetSink(cfgNo).prepareRoot())
+    val cfgYes = ExportConfig(outputDirectory = out, overwrite = true)
+    new ParquetSink(cfgYes).prepareRoot()
+    assert(!Files.exists(Paths.get(out, "stale")))
+  }
+
+  test("byte-target splitting produces multiple bounded files") {
+    val out = freshDir()
+    // ~60k rows of lineitem ~= a few MB in memory; 200KB target => many files
+    val cfg = ExportConfig(outputDirectory = out, overwrite = true,
+      parquetMaxFileSize = 200000L, compressionMethod = "snappy")
+    val sink = new ParquetSink(cfg)
+    sink.prepareRoot()
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+    val stats = sink.writeTable(df, "main", "lineitem")
+    assert(stats.files > 1, s"expected multiple rolled files, got ${stats.files}")
+    val back = spark.read.parquet(stats.outputDir)
+    assert(back.count() === df.count())
+  }
+
+  test("exporter end-to-end from parquet catalog: layout, rows, lowercase") {
+    val out = freshDir()
+    val cfg = ExportConfig(outputDirectory = out, overwrite = true,
+      schemas = Seq("sf0.001"), tableNameIncludePattern = "^(region|nation)$",
+      lowercaseObjectNames = true, compressionMethod = "zstd")
+    val catalog = new ParquetCatalog(Paths.get("/root/testdata"))
+    val exporter = new Exporter(cfg, catalog, new ParquetSource(catalog),
+      new ParquetSink(cfg))
+    val report = exporter.exportTables(spark)
+    assert(report.tables.map(_.table).sorted === Seq("nation", "region"))
+    assert(report.totalRows === 30) // 25 nations + 5 regions
+    assert(Files.exists(Paths.get(out, "sf0.001", "region")))
+    assert(report.seconds > 0)
+  }
+
+  test("row limit propagates to the scan") {
+    val out = freshDir()
+    val cfg = ExportConfig(outputDirectory = out, overwrite = true,
+      schemas = Seq("sf0.001"), tableNameIncludePattern = "^orders$",
+      rowLimit = 100L)
+    val catalog = new ParquetCatalog(Paths.get("/root/testdata"))
+    val report = new Exporter(cfg, catalog, new ParquetSource(catalog),
+      new ParquetSink(cfg)).exportTables(spark)
+    assert(report.totalRows === 100)
+  }
+}
+
+class JdbcSourceSpec extends AnyFunSuite {
+
+  test("generated SELECT matches the reference contract plus AS OF SCN") {
+    val cfg = ExportConfig(rowLimit = 50L)
+    val src = new JdbcSource(cfg, scn = Some(12345L))
+    val sql = src.selectSql("HR", "EMPLOYEES", Seq("ID", "Name"), lowercase = true)
+    assert(sql ===
+      """SELECT "ID" AS "id", "Name" AS "name" FROM "HR"."EMPLOYEES" AS OF SCN 12345 FETCH FIRST 50 ROWS ONLY""")
+    val noPin = new JdbcSource(cfg.copy(rowLimit = -1L), scn = None)
+    assert(noPin.selectSql("S", "T", Seq("C"), lowercase = false) ===
+      """SELECT "C" FROM "S"."T"""")
+    assert(src.currentScnSql.contains("v$database"))
+  }
+
+  test("jdbc url built from config parts") {
+    val cfg = ExportConfig(hostname = "db", port = 1522, serviceName = "X")
+    assert(cfg.jdbcUrl === "jdbc:oracle:thin:@//db:1522/X")
+  }
+}
+
+class CliSpec extends AnyFunSuite {
+
+  test("flag parsing mirrors the reference surface") {
+    val Right((cfg, extras)) = graft.cli.Main.parseArgs(Seq(
+      "--username", "u", "--password", "secret", "--schema", "A", "--schema", "B",
+      "--table-name-exclude-pattern", "TMP.*", "--overwrite",
+      "--compression-method", "gzip", "--row-limit", "7",
+      "--isolation-level", "READ COMMITTED", "--lowercase-object-names",
+      "--parquet-max-file-size", "1000000",
+      "--source-format", "parquet", "--source-root", "/tmp/x")): @unchecked
+    assert(cfg.schemas === Seq("A", "B"))
+    assert(cfg.tableNameExcludePattern === Some("TMP.*"))
+    assert(cfg.overwrite && cfg.lowercaseObjectNames)
+    assert(cfg.compressionMethod === "gzip" && cfg.rowLimit === 7L)
+    assert(cfg.isolationLevel === IsolationLevel.ReadCommitted)
+    assert(extras("source-format") === "parquet")
+  }
+
+  test("version short-circuits; unknown flag rejected; password redacted") {
+    assert(graft.cli.Main.parseArgs(Seq("--version")).isLeft)
+    assert(graft.cli.Main.parseArgs(Seq("--nope")).isLeft)
+    val Right((cfg, _)) =
+      graft.cli.Main.parseArgs(Seq("--password", "hunter2")): @unchecked
+    assert(!graft.cli.Main.redacted(cfg).contains("hunter2"))
+  }
+
+  test("env fallbacks apply with explicit args winning") {
+    val env = Map("DATABASE_USERNAME" -> "envuser", "BATCH_SIZE" -> "777",
+      "ISOLATION_LEVEL" -> "READ COMMITTED")
+    val Right((cfg, _)) =
+      graft.cli.Main.parseArgs(Seq("--username", "argued"), env): @unchecked
+    assert(cfg.username === "argued")
+    assert(cfg.batchSize === 777)
+    assert(cfg.isolationLevel === IsolationLevel.ReadCommitted)
+  }
+}
