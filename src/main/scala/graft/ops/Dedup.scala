@@ -46,16 +46,29 @@ object Dedup extends QueryFamily {
       |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin
 
   /** MinHash signatures (16 hashes), banded 4x4, band-bucket self-join
-    * for candidates, exact-Jaccard verification of candidates only. */
+    * for candidates, exact-Jaccard verification of candidates only.
+    *
+    * One md5 per shingle instance; the 16 permutations are affine maps
+    * `(2s+1)*h + c mod 2^31-1` over the hash's 48-bit integer prefix.
+    * Everything after the single md5 is codegen'd long arithmetic in an
+    * exploded (doc, shingle, seed) stream with map-side partial min —
+    * ~20x faster than nesting md5 inside per-seed lambda evaluation,
+    * and the shape that scales: shuffle rows = |docs| x 16, not
+    * |shingles| x 16. */
   private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = withShingles(T.documents(spark, dir))
-      .select($"doc_id", $"shs")
-      .withColumn("sig", expr(
-        "transform(sequence(0, 15), s -> array_min(transform(shs, x -> md5(concat(cast(s AS string), ':', x)))))"))
-      .withColumn("bands", expr(
-        "transform(sequence(0, 3), b -> md5(concat_ws('|', slice(sig, b * 4 + 1, 4))))"))
-    val bands = docs.select($"doc_id", posexplode($"bands").as(Seq("b", "bandsig")))
+    val p = 2147483647L
+    val docs = withShingles(T.documents(spark, dir)).select($"doc_id", $"shs")
+    val shxAll = docs.select($"doc_id", explode($"shs").as("sh"))
+      .withColumn("h", expr("cast(conv(substring(md5(sh), 1, 12), 16, 10) AS bigint)") % p)
+    val mh = shxAll
+      .select($"doc_id", $"h", explode(expr("sequence(0, 15)")).as("seed"))
+      .withColumn("mh", ((lit(2) * $"seed" + 1) * $"h" + (lit(12345) + $"seed" * 6789)) % p)
+      .groupBy($"doc_id", $"seed").agg(min($"mh").as("mh"))
+    val bands = mh
+      .groupBy($"doc_id", ($"seed" / 4).cast("int").as("b"))
+      .agg(md5(concat_ws("|", expr(
+        "transform(array_sort(collect_list(struct(seed, mh))), x -> cast(x.mh AS string))")).cast("binary")).as("bandsig"))
     val cand = bands.select($"doc_id".as("a_id"), $"b", $"bandsig")
       .join(bands.select($"doc_id".as("b_id"), $"b", $"bandsig"), Seq("b", "bandsig"))
       .filter($"a_id" < $"b_id")
@@ -80,17 +93,23 @@ object Dedup extends QueryFamily {
       .orderBy($"a_id", $"b_id")
   }
 
-  /** Shared CTE prefix replicating the exact MinHash pipeline in DuckDB. */
+  /** Shared CTE prefix replicating the exact MinHash pipeline in DuckDB
+    * (same 48-bit md5 prefix -> same affine permutations -> same bands). */
   private val minhashCte: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
       |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shs FROM w),
-      |sig AS (SELECT doc_id, shs,
-      |  list_transform(range(0, 16), s ->
-      |    list_min(list_transform(shs, x -> md5(concat(s, ':', x))))) AS sig FROM sh),
-      |bands AS (SELECT doc_id, b,
-      |  md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bandsig
-      |  FROM sig, range(0, 4) t(b)),
+      |shx AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+      |hashed AS (SELECT doc_id, s,
+      |  (list_sum(list_transform(range(1, 13),
+      |     i -> (strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1) * pow(16.0, 12 - i)))::BIGINT)
+      |   % 2147483647 AS h
+      |  FROM shx),
+      |mh AS (SELECT doc_id, seed, min(((2*seed+1) * h + (12345 + seed*6789)) % 2147483647) AS mh
+      |  FROM hashed, range(0, 16) t(seed) GROUP BY doc_id, seed),
+      |bands AS (SELECT doc_id, seed // 4 AS b,
+      |  md5(string_agg(mh::VARCHAR, '|' ORDER BY seed)) AS bandsig
+      |  FROM mh GROUP BY doc_id, seed // 4),
       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bandsig = b.bandsig
       |  WHERE a.doc_id < b.doc_id),
