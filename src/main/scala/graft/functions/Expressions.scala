@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions (SURVEY.md §4.3 revisited): the two hot
+  * kernels of the similarity/dedup families, implemented with
+  * `doGenCode` so they compile into whole-stage-codegen'd loops instead
+  * of per-element higher-order-function lambda dispatch. Semantics are
+  * bit-identical to the HOF formulations they replace (same sequential
+  * double-precision accumulation order), so the DuckDB oracles are
+  * unchanged.
+  */
+
+/** cosine(a, b) over two double arrays; null when either norm is 0. */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) null else dot / math.sqrt(nx * ny)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0, nx = 0.0, ny = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double xi = $a.getDouble(i); double yi = $b.getDouble(i);
+         |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
+         |}
+         |if (nx == 0.0 || ny == 0.0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = dot / Math.sqrt(nx * ny); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** hamming(a, b): number of differing byte positions of two equal-length
+  * strings (e.g. '0'/'1' SimHash signatures); null on length mismatch. */
+case class HammingDistance(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[UTF8String].getBytes
+    val y = b.asInstanceOf[UTF8String].getBytes
+    if (x.length != y.length) null
+    else {
+      var d = 0; var i = 0
+      while (i < x.length) { if (x(i) != y(i)) d += 1; i += 1 }
+      d
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |byte[] xb = $a.getBytes(); byte[] yb = $b.getBytes();
+         |if (xb.length != yb.length) { ${ev.isNull} = true; }
+         |else {
+         |  int d = 0;
+         |  for (int i = 0; i < xb.length; i++) if (xb[i] != yb[i]) d++;
+         |  ${ev.value} = d;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingDistance =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API entry points; array inputs are cast to array<double>
+  * so callers can pass float embeddings directly. */
+object F {
+  private def e(c: Column) = GraftShims.toExpr(c)
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    GraftShims.toColumn(CosineSimilarity(
+      e(a.cast("array<double>")), e(b.cast("array<double>"))))
+
+  def hammingDistance(a: Column, b: Column): Column =
+    GraftShims.toColumn(HammingDistance(
+      e(a.cast("string")), e(b.cast("string"))))
+}

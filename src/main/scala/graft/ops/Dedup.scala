@@ -144,7 +144,7 @@ object Dedup extends QueryFamily {
   /** SimHash: 32-bit signature from per-token md5 nibbles, computed by
     * a single higher-order aggregate over the token array (no explode,
     * no shuffle beyond the final sort). */
-  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  private def simhashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     T.documents(spark, dir)
       .withColumn("hs", expr("transform(split(text, ' '), t -> md5(t))"))
@@ -154,8 +154,58 @@ object Dedup extends QueryFamily {
           |    a + IF((shiftright(locate(substring(h, (i div 4) + 1, 1), '0123456789abcdef') - 1, i % 4) & 1) = 1, 1, -1)))""".stripMargin))
       .select($"doc_id",
         expr("array_join(transform(counts, c -> IF(c > 0, '1', '0')), '')").as("simhash"))
-      .orderBy($"doc_id")
   }
+
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    simhashes(spark, dir).orderBy($"doc_id")
+  }
+
+  /** SimHash near-dup pairs: band the 32-bit signature into 4 8-bit
+    * chunks (hamming <= 3 guarantees at least one identical band — here
+    * the accept threshold is <= 1, stricter than the banding bound), an
+    * equi-join per band yields candidates, and the native codegen'd
+    * [[graft.functions.HammingDistance]] expression verifies. */
+  def qDedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sims = simhashes(spark, dir)
+    val bands = sims.select($"doc_id", $"simhash",
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> substring(simhash, b * 8 + 1, 8))")).as(Seq("b", "key")))
+    val cand = bands.select($"doc_id".as("a_id"), $"simhash".as("sa"), $"b", $"key")
+      .join(bands.select($"doc_id".as("b_id"), $"simhash".as("sb"), $"b", $"key"),
+        Seq("b", "key"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id", $"sa", $"sb").distinct()
+    cand
+      .withColumn("hamming", graft.functions.F.hammingDistance($"sa", $"sb"))
+      .filter($"hamming" <= 1)
+      .select($"a_id", $"b_id", $"hamming")
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val qDedupSimhashPairsSql: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |h AS (SELECT doc_id, md5(t) AS h FROM w),
+      |bits AS (SELECT doc_id, b,
+      |  CASE WHEN ((strpos('0123456789abcdef', substr(h, (b//4)+1, 1)) - 1) >> (b % 4)) & 1 = 1
+      |       THEN 1 ELSE -1 END AS v
+      |  FROM h, range(0, 32) t(b)),
+      |acc AS (SELECT doc_id, b, sum(v) AS s FROM bits GROUP BY 1, 2),
+      |sh AS (SELECT doc_id,
+      |  string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+      |  FROM acc GROUP BY doc_id),
+      |bands AS (SELECT doc_id, simhash, b, substr(simhash, b*8+1, 8) AS key
+      |  FROM sh, range(0, 4) t(b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    a.simhash AS sa, b.simhash AS sb
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key
+      |  WHERE a.doc_id < b.doc_id),
+      |hd AS (SELECT a_id, b_id,
+      |  len(list_filter(range(1, 33), i -> substr(sa, i, 1) != substr(sb, i, 1))) AS hamming
+      |  FROM cand)
+      |SELECT a_id, b_id, hamming FROM hd WHERE hamming <= 1
+      |ORDER BY a_id, b_id""".stripMargin
 
   val qDedupSimhashSql: String =
     """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
@@ -218,20 +268,17 @@ object Dedup extends QueryFamily {
       |WHERE j >= 0.5 ORDER BY a_id, b_id""".stripMargin
 
   /** Embedding-cosine near-dup with IVF-style blocking: only vectors in
-    * the same coarse cluster (label) are compared. Dot products and
-    * norms run in double precision via higher-order aggregates — pure
-    * codegen, no UDF. */
+    * the same coarse cluster (label) are compared. The cosine kernel is
+    * the native codegen'd [[graft.functions.CosineSimilarity]]
+    * expression (same sequential double accumulation as the HOF
+    * formulation, so the oracle is unchanged). */
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = T.embeddings(spark, dir)
-      .select($"vec_id", $"label",
-        expr("transform(embedding, x -> cast(x AS double))").as("v"))
-      .withColumn("n2", expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
-    val a = e.select($"vec_id".as("a_id"), $"label", $"v".as("va"), $"n2".as("na"))
-    val b = e.select($"vec_id".as("b_id"), $"label", $"v".as("vb"), $"n2".as("nb"))
+    val e = T.embeddings(spark, dir).select($"vec_id", $"label", $"embedding")
+    val a = e.select($"vec_id".as("a_id"), $"label", $"embedding".as("va"))
+    val b = e.select($"vec_id".as("b_id"), $"label", $"embedding".as("vb"))
     a.join(b, Seq("label")).filter($"a_id" < $"b_id")
-      .withColumn("dot", expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
-      .withColumn("cos", $"dot" / sqrt($"na" * $"nb"))
+      .withColumn("cos", graft.functions.F.cosineSimilarity($"va", $"vb"))
       .filter($"cos" >= 0.4)
       .select($"a_id", $"b_id", round($"cos", 4).as("cos"))
       .orderBy($"a_id", $"b_id")
@@ -252,6 +299,7 @@ object Dedup extends QueryFamily {
     QueryDef("q_dedup_minhash", qDedupMinhash, Some(qDedupMinhashSql)),
     QueryDef("q_dedup_survivors", qDedupSurvivors, Some(qDedupSurvivorsSql)),
     QueryDef("q_dedup_simhash", qDedupSimhash, Some(qDedupSimhashSql)),
+    QueryDef("q_dedup_simhash_pairs", qDedupSimhashPairs, Some(qDedupSimhashPairsSql)),
     QueryDef("q_dedup_ngram_jaccard", qDedupNgramJaccard, Some(qDedupNgramJaccardSql)),
     QueryDef("q_dedup_embedding", qDedupEmbedding, Some(qDedupEmbeddingSql)),
   )

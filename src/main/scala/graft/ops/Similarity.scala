@@ -25,23 +25,21 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity extends QueryFamily {
 
-  private def withVec(df: DataFrame): DataFrame =
-    df.withColumn("v", expr("transform(embedding, x -> cast(x AS double))"))
-      .withColumn("n2", expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
-
-  private def cosine = expr(
-    "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+  /** Native codegen'd cosine kernel (graft.functions.CosineSimilarity);
+    * identical accumulation order to the HOF formulation, so DuckDB
+    * oracles match bit-for-bit. */
+  private def cos = graft.functions.F.cosineSimilarity(col("qv"), col("v"))
 
   /** Exact brute-force top-5 cosine neighbors for probe vectors
     * (vec_id < 10) against the whole corpus. */
   def qSimBruteforce(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = withVec(T.embeddings(spark, dir))
+    val e = T.embeddings(spark, dir)
     val probes = e.filter($"vec_id" < 10)
-      .select($"vec_id".as("q_id"), $"v".as("qv"), $"n2".as("qn2"))
-    val corpus = e.select($"vec_id".as("n_id"), $"v", $"n2")
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val corpus = e.select($"vec_id".as("n_id"), $"embedding".as("v"))
     val scored = corpus.join(broadcast(probes), $"q_id" =!= $"n_id")
-      .withColumn("cos", cosine / sqrt($"qn2" * $"n2"))
+      .withColumn("cos", cos)
     val w = Window.partitionBy($"q_id").orderBy(desc("cos"), asc("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= 5)
@@ -72,14 +70,14 @@ object Similarity extends QueryFamily {
   def qSimLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bucketExpr = expr(
-      "array_join(transform(slice(v, 1, 8), x -> IF(x > 0D, '1', '0')), '')")
-    val e = withVec(T.embeddings(spark, dir)).withColumn("bucket", bucketExpr)
+      "array_join(transform(slice(embedding, 1, 8), x -> IF(x > CAST(0 AS float), '1', '0')), '')")
+    val e = T.embeddings(spark, dir).withColumn("bucket", bucketExpr)
     val probes = e.filter($"vec_id" < 10)
-      .select($"vec_id".as("q_id"), $"v".as("qv"), $"n2".as("qn2"), $"bucket")
-    val corpus = e.select($"vec_id".as("n_id"), $"v", $"n2", $"bucket")
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"bucket")
+    val corpus = e.select($"vec_id".as("n_id"), $"embedding".as("v"), $"bucket")
     val scored = corpus.join(broadcast(probes), Seq("bucket"))
       .filter($"q_id" =!= $"n_id")
-      .withColumn("cos", cosine / sqrt($"qn2" * $"n2"))
+      .withColumn("cos", cos)
     val w = Window.partitionBy($"q_id").orderBy(desc("cos"), asc("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)
@@ -110,13 +108,13 @@ object Similarity extends QueryFamily {
     * assignment; each probe searches only its own cell. */
   def qSimIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = withVec(T.embeddings(spark, dir))
+    val e = T.embeddings(spark, dir)
     val probes = e.filter($"vec_id" < 10)
-      .select($"vec_id".as("q_id"), $"v".as("qv"), $"n2".as("qn2"), $"label")
-    val corpus = e.select($"vec_id".as("n_id"), $"v", $"n2", $"label")
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"label")
+    val corpus = e.select($"vec_id".as("n_id"), $"embedding".as("v"), $"label")
     val scored = corpus.join(broadcast(probes), Seq("label"))
       .filter($"q_id" =!= $"n_id")
-      .withColumn("cos", cosine / sqrt($"qn2" * $"n2"))
+      .withColumn("cos", cos)
     val w = Window.partitionBy($"q_id").orderBy(desc("cos"), asc("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge between the public Column API and Catalyst expressions.
+  * Spark 4 made the Column<->Expression conversions `private[sql]`
+  * (columnNodeSupport.scala); extension libraries shipping native
+  * expressions use a package-located shim like this one.
+  */
+object GraftShims {
+  def toExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+}

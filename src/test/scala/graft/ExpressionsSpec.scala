@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.F
+
+class ExpressionsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("cosine similarity: known values, both codegen and interpreted paths") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 2.0f), Array(2.0f, 4.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f), -1.0)).toDF("a", "b", "want")
+    val got = df.withColumn("cos", F.cosineSimilarity($"a", $"b")).collect()
+    got.foreach { r =>
+      assert(math.abs(r.getAs[Double]("cos") - r.getAs[Double]("want")) < 1e-12)
+    }
+    // interpreted path (codegen off) must agree
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val got2 = df.withColumn("cos", F.cosineSimilarity($"a", $"b")).collect()
+      assert(got.map(_.getAs[Double]("cos")).toSeq ===
+        got2.map(_.getAs[Double]("cos")).toSeq)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("cosine similarity: zero vector yields null, null input yields null") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f)),
+      (Array(1.0f, 1.0f), Array(0.0f, 0.0f))).toDF("a", "b")
+    assert(df.withColumn("c", F.cosineSimilarity($"a", $"b"))
+      .filter($"c".isNull).count() === 2)
+    val withNull = df.withColumn("c",
+      F.cosineSimilarity(lit(null).cast("array<double>"), $"b".cast("array<double>")))
+    assert(withNull.filter($"c".isNull).count() === 2)
+  }
+
+  test("hamming distance: equal, differing, mismatched-length strings") {
+    import spark.implicits._
+    val df = Seq(
+      ("0101", "0101", Some(0)),
+      ("0101", "0111", Some(1)),
+      ("0000", "1111", Some(4)),
+      ("01", "0101", None)).toDF("a", "b", "want")
+    val got = df.withColumn("d", F.hammingDistance($"a", $"b")).collect()
+    got.foreach { r =>
+      val want = if (r.isNullAt(2)) null else Integer.valueOf(r.getInt(2))
+      assert(r.get(3) === want, s"for ${r.getString(0)}/${r.getString(1)}")
+    }
+  }
+
+  test("native cosine matches the HOF formulation on real embeddings") {
+    import spark.implicits._
+    val e = ops.T.embeddings(spark, sf).limit(50)
+      .select($"vec_id", $"embedding")
+    val a = e.select($"vec_id".as("ai"), $"embedding".as("va"))
+    val b = e.select($"vec_id".as("bi"), $"embedding".as("vb"))
+    val pairs = a.join(b, $"ai" < $"bi").limit(500)
+      .withColumn("native", F.cosineSimilarity($"va", $"vb"))
+      .withColumn("hofd", expr(
+        """aggregate(zip_with(cast(va AS array<double>), cast(vb AS array<double>), (x, y) -> x * y), 0D, (acc, x) -> acc + x)
+          | / sqrt(aggregate(cast(va AS array<double>), 0D, (acc, x) -> acc + x * x)
+          |       * aggregate(cast(vb AS array<double>), 0D, (acc, x) -> acc + x * x))""".stripMargin))
+    assert(pairs.filter($"native" =!= $"hofd").count() === 0,
+      "native kernel must be bit-identical to the HOF formulation")
+  }
+}
