@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Custom typed aggregators (SURVEY.md §4.3 "possibly one Aggregator
+  * for minhash signatures" — delivered). Aggregators participate in
+  * partial aggregation: `reduce` runs map-side before the shuffle, so
+  * the exchanged rows are one buffer per (group, partition), not one
+  * per input row — the property that makes them usable at 100 TB.
+  */
+object Aggregators {
+
+  /** One-pass k-wide MinHash signature over pre-hashed shingle values.
+    * Replaces an explode(k) + two-level groupBy: input rows carry one
+    * 31-bit hash; the buffer keeps the k running minima of the affine
+    * permutations `(2s+1)*h + (12345 + 6789s) mod 2^31-1` (identical
+    * constants to the SQL-oracle pipeline). */
+  final class MinHashSig(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    private val p = 2147483647L
+
+    override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      var s = 0
+      while (s < k) {
+        val mh = ((2L * s + 1L) * h + (12345L + s * 6789L)) % p
+        if (mh < buf(s)) buf(s) = mh
+        s += 1
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var s = 0
+      while (s < k) { if (b(s) < a(s)) a(s) = b(s); s += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Geometric mean: buffer = (sum of logs, count). */
+  final class GeoMean extends Aggregator[Double, (Double, Long), Double] {
+    override def zero: (Double, Long) = (0.0, 0L)
+    override def reduce(b: (Double, Long), x: Double): (Double, Long) =
+      (b._1 + math.log(x), b._2 + 1)
+    override def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    override def finish(b: (Double, Long)): Double =
+      if (b._2 == 0) Double.NaN else math.exp(b._1 / b._2)
+    override def bufferEncoder: Encoder[(Double, Long)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Column-API forms (untyped usage inside groupBy().agg). */
+  def minhashSig(k: Int)(col: Column): Column = udaf(new MinHashSig(k), Encoders.scalaLong).apply(col)
+  def geoMean(col: Column): Column = udaf(new GeoMean, Encoders.scalaDouble).apply(col)
+}

@@ -61,14 +61,16 @@ object Dedup extends QueryFamily {
     val docs = withShingles(T.documents(spark, dir)).select($"doc_id", $"shs")
     val shxAll = docs.select($"doc_id", explode($"shs").as("sh"))
       .withColumn("h", expr("cast(conv(substring(md5(sh), 1, 12), 16, 10) AS bigint)") % p)
-    val mh = shxAll
-      .select($"doc_id", $"h", explode(expr("sequence(0, 15)")).as("seed"))
-      .withColumn("mh", ((lit(2) * $"seed" + 1) * $"h" + (lit(12345) + $"seed" * 6789)) % p)
-      .groupBy($"doc_id", $"seed").agg(min($"mh").as("mh"))
-    val bands = mh
-      .groupBy($"doc_id", ($"seed" / 4).cast("int").as("b"))
-      .agg(md5(concat_ws("|", expr(
-        "transform(array_sort(collect_list(struct(seed, mh))), x -> cast(x.mh AS string))")).cast("binary")).as("bandsig"))
+    // one-pass signature UDAF: map-side partial reduce means the shuffle
+    // carries one 16-long buffer per doc per partition, not 16 rows per
+    // shingle (graft.functions.Aggregators.MinHashSig)
+    val sigs = shxAll.groupBy($"doc_id")
+      .agg(graft.functions.Aggregators.minhashSig(16)($"h").as("sig"))
+    val bands = sigs.select($"doc_id", posexplode(expr(
+      """transform(sequence(0, 3),
+        |  b -> md5(cast(concat_ws('|', transform(slice(sig, b * 4 + 1, 4),
+        |                                         x -> cast(x AS string))) AS binary)))""".stripMargin))
+      .as(Seq("b", "bandsig")))
     val cand = bands.select($"doc_id".as("a_id"), $"b", $"bandsig")
       .join(bands.select($"doc_id".as("b_id"), $"b", $"bandsig"), Seq("b", "bandsig"))
       .filter($"a_id" < $"b_id")

@@ -472,6 +472,79 @@ object Relational extends QueryFamily {
       |GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin
 
+  /** Pivot (wide aggregation): order counts per priority x status. */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select($"o_orderpriority",
+        coalesce($"F", lit(0L)).as("n_f"),
+        coalesce($"O", lit(0L)).as("n_o"),
+        coalesce($"P", lit(0L)).as("n_p"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val qPivotSql: String =
+    """SELECT o_orderpriority,
+      | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** GROUPING SETS through the SQL front-end (temp view + spark.sql). */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    T.orders(spark, dir).createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** Exact percentiles (sort-based) per group. */
+  def qMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.orders(spark, dir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val qMedianSql: String =
+    """SELECT o_orderstatus,
+      | round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+      | round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+      | count(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Custom typed UDAF (graft.functions.Aggregators.GeoMean): geometric
+    * mean of order totals per priority, with map-side partial merge. */
+  def qGeoMean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(round(graft.functions.Aggregators.geoMean($"o_totalprice"), 4).as("geo_price"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val qGeoMeanSql: String =
+    """SELECT o_orderpriority,
+      | round(exp(sum(ln(o_totalprice)) / count(*)), 4) AS geo_price,
+      | count(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1PricingSummarySql)),
     QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3ShippingPrioritySql)),
@@ -493,5 +566,9 @@ object Relational extends QueryFamily {
     QueryDef("q_date_agg", qDateAgg, Some(qDateAggSql)),
     QueryDef("q_global_sort", qGlobalSort, Some(qGlobalSortSql)),
     QueryDef("q_regex_filter", qRegexFilter, Some(qRegexFilterSql)),
+    QueryDef("q_pivot", qPivot, Some(qPivotSql)),
+    QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
+    QueryDef("q_median", qMedian, Some(qMedianSql)),
+    QueryDef("q_geomean", qGeoMean, Some(qGeoMeanSql)),
   )
 }
