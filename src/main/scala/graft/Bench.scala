@@ -22,6 +22,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up the session (codegen compiler, parquet footer reader, shuffle
+    // machinery) so the first measured query isn't charged JVM start-up
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_name").count().collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {

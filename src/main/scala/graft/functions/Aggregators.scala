@@ -45,6 +45,42 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
+  /** One-pass 32-bit SimHash over pre-hashed tokens. Input is the
+    * token's md5 prefix parsed as a 32-bit integer; bit b (in the
+    * hex-nibble indexing the SQL oracle uses: nibble = hex char at
+    * position b/4, bit-in-nibble = b%4) contributes +1/-1 to counter b.
+    * Finish emits the '0'/'1' signature string. */
+  final class SimHashSig extends Aggregator[Long, Array[Int], String] {
+    override def zero: Array[Int] = new Array[Int](32)
+
+    override def reduce(buf: Array[Int], h: Long): Array[Int] = {
+      var b = 0
+      while (b < 32) {
+        val bit = (h >> (4 * (7 - b / 4) + (b % 4))) & 1L
+        buf(b) += (if (bit == 1L) 1 else -1)
+        b += 1
+      }
+      buf
+    }
+
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 32) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Int]): String = {
+      val sb = new StringBuilder(32)
+      var i = 0
+      while (i < 32) { sb.append(if (buf(i) > 0) '1' else '0'); i += 1 }
+      sb.toString
+    }
+
+    override def bufferEncoder: Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    override def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
   /** Geometric mean: buffer = (sum of logs, count). */
   final class GeoMean extends Aggregator[Double, (Double, Long), Double] {
     override def zero: (Double, Long) = (0.0, 0L)
@@ -61,5 +97,6 @@ object Aggregators {
 
   /** Column-API forms (untyped usage inside groupBy().agg). */
   def minhashSig(k: Int)(col: Column): Column = udaf(new MinHashSig(k), Encoders.scalaLong).apply(col)
+  def simhashSig(col: Column): Column = udaf(new SimHashSig, Encoders.scalaLong).apply(col)
   def geoMean(col: Column): Column = udaf(new GeoMean, Encoders.scalaDouble).apply(col)
 }

@@ -25,11 +25,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup extends QueryFamily {
 
-  /** 3-word shingle set per document, as an array column. */
-  private def withShingles(df: DataFrame): DataFrame =
-    df.withColumn("w", split(col("text"), " "))
-      .withColumn("shs", array_distinct(expr(
-        "transform(slice(w, 1, size(w) - 2), (x, i) -> concat(x, ' ', element_at(w, i + 2), ' ', element_at(w, i + 3)))")))
+  /** Distinct n-word shingles as (doc_id, sh) rows. Built by exploding
+    * positions and concatenating via element_at — every expression on
+    * the hot path is codegen'd (a `transform` lambda would evaluate
+    * interpreted and gets re-evaluated in every join branch that reuses
+    * the shingle relation). */
+  private def shingleRows(spark: SparkSession, dir: String, n: Int): DataFrame = {
+    import spark.implicits._
+    val parts = (0 until n).map(k => expr(s"element_at(w, i + $k)"))
+    T.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", $"w", explode(expr(
+        s"CASE WHEN size(w) >= $n THEN sequence(1, size(w) - ${n - 1}) ELSE array() END")).as("i"))
+      .select($"doc_id", concat_ws(" ", parts: _*).as("sh"))
+      .distinct()
+  }
 
   /** Exact dedup: group by full-content hash, keep the smallest doc_id. */
   def qDedupExact(spark: SparkSession, dir: String): DataFrame = {
@@ -58,13 +68,13 @@ object Dedup extends QueryFamily {
   private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val p = 2147483647L
-    val docs = withShingles(T.documents(spark, dir)).select($"doc_id", $"shs")
-    val shxAll = docs.select($"doc_id", explode($"shs").as("sh"))
+    val shx = shingleRows(spark, dir, 3)
+    val hashed = shx
       .withColumn("h", expr("cast(conv(substring(md5(sh), 1, 12), 16, 10) AS bigint)") % p)
     // one-pass signature UDAF: map-side partial reduce means the shuffle
     // carries one 16-long buffer per doc per partition, not 16 rows per
     // shingle (graft.functions.Aggregators.MinHashSig)
-    val sigs = shxAll.groupBy($"doc_id")
+    val sigs = hashed.groupBy($"doc_id")
       .agg(graft.functions.Aggregators.minhashSig(16)($"h").as("sig"))
     val bands = sigs.select($"doc_id", posexplode(expr(
       """transform(sequence(0, 3),
@@ -75,8 +85,7 @@ object Dedup extends QueryFamily {
       .join(bands.select($"doc_id".as("b_id"), $"b", $"bandsig"), Seq("b", "bandsig"))
       .filter($"a_id" < $"b_id")
       .select($"a_id", $"b_id").distinct()
-    val sizes = docs.select($"doc_id", size($"shs").as("n"))
-    val shx = docs.select($"doc_id", explode($"shs").as("sh"))
+    val sizes = shx.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(shx.select($"doc_id".as("a_id"), $"sh"), Seq("a_id"))
       .join(shx.select($"doc_id".as("b_id"), $"sh"), Seq("b_id", "sh"))
@@ -143,19 +152,18 @@ object Dedup extends QueryFamily {
        |WHERE doc_id NOT IN (SELECT b_id FROM verified WHERE j >= 0.8)
        |ORDER BY doc_id""".stripMargin
 
-  /** SimHash: 32-bit signature from per-token md5 nibbles, computed by
-    * a single higher-order aggregate over the token array (no explode,
-    * no shuffle beyond the final sort). */
+  /** SimHash: 32-bit signature from per-token md5 prefixes. Tokens are
+    * exploded once (md5 + hex-parse stay codegen'd projections) and the
+    * [[graft.functions.Aggregators.SimHashSig]] UDAF folds the 32
+    * +1/-1 counters map-side — one shuffle buffer per doc, no
+    * interpreted per-bit lambda work. */
   private def simhashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     T.documents(spark, dir)
-      .withColumn("hs", expr("transform(split(text, ' '), t -> md5(t))"))
-      .withColumn("counts", expr(
-        """aggregate(hs, transform(sequence(0, 31), z -> 0),
-          |  (acc, h) -> zip_with(acc, sequence(0, 31), (a, i) ->
-          |    a + IF((shiftright(locate(substring(h, (i div 4) + 1, 1), '0123456789abcdef') - 1, i % 4) & 1) = 1, 1, -1)))""".stripMargin))
-      .select($"doc_id",
-        expr("array_join(transform(counts, c -> IF(c > 0, '1', '0')), '')").as("simhash"))
+      .select($"doc_id", explode(split($"text", " ")).as("t"))
+      .withColumn("h", expr("cast(conv(substring(md5(t), 1, 8), 16, 10) AS bigint)"))
+      .groupBy($"doc_id")
+      .agg(graft.functions.Aggregators.simhashSig($"h").as("simhash"))
   }
 
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
@@ -227,19 +235,14 @@ object Dedup extends QueryFamily {
     * bounded regardless of corpus size. */
   def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = T.documents(spark, dir)
-      .withColumn("w", split($"text", " "))
-      .withColumn("shs", array_distinct(expr(
-        "transform(slice(w, 1, size(w) - 3), (x, i) -> concat_ws(' ', x, element_at(w, i + 2), element_at(w, i + 3), element_at(w, i + 4)))")))
-      .select($"doc_id", $"shs")
-    val shx = docs.select($"doc_id", explode($"shs").as("sh"))
+    val shx = shingleRows(spark, dir, 4)
     val rare = shx.groupBy($"sh").agg(count(lit(1)).as("df")).filter($"df" <= 10 && $"df" >= 2)
     val rareShx = shx.join(rare.select($"sh"), Seq("sh"))
     val cand = rareShx.select($"doc_id".as("a_id"), $"sh")
       .join(rareShx.select($"doc_id".as("b_id"), $"sh"), Seq("sh"))
       .filter($"a_id" < $"b_id")
       .select($"a_id", $"b_id").distinct()
-    val sizes = docs.select($"doc_id", size($"shs").as("n"))
+    val sizes = shx.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(shx.select($"doc_id".as("a_id"), $"sh"), Seq("a_id"))
       .join(shx.select($"doc_id".as("b_id"), $"sh"), Seq("b_id", "sh"))

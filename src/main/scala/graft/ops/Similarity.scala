@@ -18,10 +18,11 @@ import org.apache.spark.sql.expressions.Window
   *  - IVF top-k: coarse-quantizer blocking on the `label` cluster id;
   *    probes only the query's own cell (nprobe=1).
   *
-  * All dot products / norms are double-precision higher-order
-  * aggregates (`zip_with` + `aggregate`) — codegen'd, no UDF. At 100 TB
-  * the same plans hold: broadcast the probe set, partition the corpus
-  * by bucket/cell, and the per-partition work is a dense scan.
+  * The cosine kernel is the native codegen'd
+  * [[graft.functions.CosineSimilarity]] expression (double-precision,
+  * sequential accumulation — oracle-exact). At 100 TB the same plans
+  * hold: broadcast the probe set, partition the corpus by bucket/cell,
+  * and the per-partition work is a dense scan.
   */
 object Similarity extends QueryFamily {
 
