@@ -54,6 +54,28 @@ final class ParquetSink(cfg: ExportConfig) {
     }
   }
 
+  /** Bucketed + sorted table write: co-locates future joins/aggregations
+    * on `bucketCols` so they run shuffle-free (both sides pre-hashed
+    * into the same bucket layout). This is the 100 TB path for repeated
+    * fact-fact joins — the shuffle is paid once at export time instead
+    * of per query. Registers `tableName` in the session catalog with
+    * data at `{out}/{schema}/{table}`. */
+  def writeBucketed(df: DataFrame, schema: String, table: String,
+      tableName: String, bucketCols: Seq[String], buckets: Int): String = {
+    val s = Projection.objectName(schema, cfg.lowercaseObjectNames)
+    val t = Projection.objectName(table, cfg.lowercaseObjectNames)
+    val dir = root.resolve(s).resolve(t)
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("compression", cfg.compressionMethod.replace("none", "uncompressed"))
+      .option("path", dir.toString)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(tableName)
+    dir.toString
+  }
+
   /** Write one table under `{out}/{schema}/{table}/` (names lowercased
     * when configured, like the reference's path casing main.py:245-253). */
   def writeTable(df: DataFrame, schema: String, table: String): WriteStats = {

@@ -545,6 +545,76 @@ object Relational extends QueryFamily {
       | count(*) AS n
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Correlated scalar subquery through the SQL front-end — Catalyst
+    * decorrelates it into an aggregate + join; the DSL never needs a
+    * hand-written decorrelation. */
+  def qCorrelated(spark: SparkSession, dir: String): DataFrame = {
+    T.orders(spark, dir).createOrReplaceTempView("orders_corr")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        |FROM orders_corr o
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice)
+        |                            FROM orders_corr o2
+        |                            WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val qCorrelatedSql: String =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+      |FROM orders o
+      |WHERE o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice)
+      |                            FROM orders o2
+      |                            WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Event funnel: users reaching view -> click-after-view ->
+    * purchase-after-click, counted per stage. Each stage is a
+    * min-timestamp aggregate joined forward — no per-user state, three
+    * shuffles total, any scale. */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = T.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("v_us"))
+    val c = e.filter($"event_type" === "click")
+      .join(v, Seq("user_id"))
+      .filter($"us" >= $"v_us")
+      .groupBy($"user_id").agg(min($"us").as("c_us"))
+    val p = e.filter($"event_type" === "purchase")
+      .join(c, Seq("user_id"))
+      .filter($"us" >= $"c_us")
+      .groupBy($"user_id").agg(min($"us").as("p_us"))
+    v.agg(count(lit(1)).as("n_view")).crossJoin(
+      c.agg(count(lit(1)).as("n_click_after_view"))).crossJoin(
+      p.agg(count(lit(1)).as("n_purchase_after_click")))
+  }
+
+  val qFunnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+      |v AS (SELECT user_id, min(us) AS v_us FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(us) AS c_us FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND us >= v_us GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(us) AS p_us FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND us >= c_us GROUP BY e.user_id)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |       (SELECT count(*) FROM c) AS n_click_after_view,
+      |       (SELECT count(*) FROM p) AS n_purchase_after_click""".stripMargin
+
+  /** Edit-distance histogram (built-in levenshtein, identical DP
+    * definition in both engines). */
+  def qEditDistance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.part(spark, dir)
+      .withColumn("d", levenshtein($"p_type", lit("STANDARD BRUSHED COPPER")))
+      .groupBy($"d").agg(count(lit(1)).as("n"))
+      .orderBy($"d")
+  }
+
+  val qEditDistanceSql: String =
+    """SELECT levenshtein(p_type, 'STANDARD BRUSHED COPPER') AS d, count(*) AS n
+      |FROM part GROUP BY 1 ORDER BY d""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1PricingSummarySql)),
     QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3ShippingPrioritySql)),
@@ -570,5 +640,8 @@ object Relational extends QueryFamily {
     QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
     QueryDef("q_median", qMedian, Some(qMedianSql)),
     QueryDef("q_geomean", qGeoMean, Some(qGeoMeanSql)),
+    QueryDef("q_correlated", qCorrelated, Some(qCorrelatedSql)),
+    QueryDef("q_funnel", qFunnel, Some(qFunnelSql)),
+    QueryDef("q_edit_distance", qEditDistance, Some(qEditDistanceSql)),
   )
 }

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{ExportConfig, ParquetSink}
+
+/** Scale-mechanics tests: bucketed co-located joins and skew salting. */
+class ScaleSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("bucketed tables join without a shuffle on either side") {
+    val out = Files.createTempDirectory("graft-bucketed").toString
+    val cfg = ExportConfig(outputDirectory = out, overwrite = true)
+    val sink = new ParquetSink(cfg)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+    sink.writeBucketed(li, "b", "lineitem", "li_bucketed", Seq("l_orderkey"), 8)
+    sink.writeBucketed(ord, "b", "orders", "ord_bucketed", Seq("o_orderkey"), 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      // AdaptiveSparkPlanExec hides its inner plan from collect(); the
+      // rendered plan is the reliable view of what will execute
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join, got:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle, got:\n$plan")
+      assert(plan.contains("Bucketed: true"), "scans must use the bucket layout")
+      // and it still computes the right thing
+      assert(joined.count() === li.join(ord,
+        col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
+  test("salted join equals the plain join") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val part = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_partkey", "p_brand")
+    val plain = li.join(part, col("l_partkey") === col("p_partkey"))
+      .drop("p_partkey")
+      .groupBy("p_brand").agg(sum("l_quantity").as("q"))
+    val salted = ops.Skew.saltedJoin(li, part, "l_partkey", "p_partkey", salts = 4)
+      .groupBy("p_brand").agg(sum("l_quantity").as("q"))
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
+  test("key histogram surfaces the heaviest keys in order") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val hist = ops.Skew.keyHistogram(li, col("l_suppkey"), topN = 5).collect()
+    assert(hist.length === 5)
+    assert(hist.map(_.getAs[Long]("n")).toSeq ===
+      hist.map(_.getAs[Long]("n")).sortBy(-_).toSeq)
+  }
+}
