@@ -50,6 +50,7 @@ object Main {
           case "--log-level" => cfg = cfg.copy(logLevel = next())
           case "--source-format" => extras += "source-format" -> next()
           case "--source-root" => extras += "source-root" -> next()
+          case "--export-parallelism" => extras += "export-parallelism" -> next()
           case other => return Left(s"unknown option: $other")
         }
         i += 1
@@ -87,7 +88,9 @@ object Main {
           val root = java.nio.file.Paths.get(extras.getOrElse("source-root",
             sys.error("--source-root required for --source-format parquet")))
           val catalog = new ParquetCatalog(root)
-          new Exporter(cfg, catalog, new ParquetSource(catalog), sink).exportTables(spark)
+          val par = extras.getOrElse("export-parallelism", "1").toInt
+          new Exporter(cfg, catalog, new ParquetSource(catalog), sink, par)
+            .exportTables(spark)
         case "jdbc" =>
           sys.error("jdbc source requires a reachable Oracle instance; " +
             "none exists in this offline environment — use --source-format parquet")

@@ -23,7 +23,8 @@ final class Exporter(
     cfg: ExportConfig,
     catalog: TableCatalog,
     source: TableSource,
-    sink: ParquetSink) {
+    sink: ParquetSink,
+    tableParallelism: Int = 1) {
 
   private val include: Regex = cfg.tableNameIncludePattern.r
   private val exclude: Option[Regex] = cfg.tableNameExcludePattern.map(_.r)
@@ -31,12 +32,29 @@ final class Exporter(
   def exportTables(spark: SparkSession): ExportReport = {
     val t0 = System.nanoTime()
     sink.prepareRoot()
-    val reports = for {
+    val targets = for {
       schema <- cfg.schemas
       table <- catalog.listTables(schema, include, exclude)
-      report <- exportTable(spark, schema, table)
-    } yield report
-    ExportReport(reports, (System.nanoTime() - t0) / 1e9)
+    } yield (schema, table)
+    // Spark jobs are thread-safe on one session: with parallelism > 1,
+    // per-table jobs overlap scheduling/IO (the reference is strictly
+    // sequential over one connection, main.py:239-263). Reports come
+    // back in deterministic (schema, table) order either way.
+    val reports =
+      if (tableParallelism <= 1) targets.flatMap { case (s, t) => exportTable(spark, s, t) }
+      else {
+        import java.util.concurrent.Executors
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = Executors.newFixedThreadPool(tableParallelism)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try {
+          val fs = targets.map { case (s, t) => Future(exportTable(spark, s, t)) }
+          Await.result(Future.sequence(fs), Duration.Inf).flatten
+        } finally pool.shutdown()
+      }
+    ExportReport(reports.sortBy(r => (r.schema, r.table)),
+      (System.nanoTime() - t0) / 1e9)
   }
 
   /** One table end-to-end; `None` when every column is excluded (the

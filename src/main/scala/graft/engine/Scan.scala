@@ -60,6 +60,14 @@ final class JdbcSource(
   /** SQL that fetches the SCN to pin, issued once on the driver. */
   def currentScnSql: String = "SELECT current_scn FROM v$database"
 
+  /** Bounds query for intra-table parallel reads: min/max of the chosen
+    * partition column at the SAME pinned SCN, so partition ranges and
+    * data snapshot agree. */
+  def partitionBoundsSql(schema: String, table: String, column: String): String = {
+    val flashback = scn.map(n => s" AS OF SCN $n").getOrElse("")
+    s"""SELECT MIN("$column"), MAX("$column") FROM "$schema"."$table"$flashback"""
+  }
+
   override def read(spark: SparkSession, schema: String, table: String,
       cols: Seq[String], lowercase: Boolean, rowLimit: Long): DataFrame = {
     val reader = spark.read.format("jdbc")

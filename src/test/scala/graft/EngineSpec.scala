@@ -120,6 +120,28 @@ class SinkExporterSpec extends AnyFunSuite {
     assert(report.seconds > 0)
   }
 
+  test("parallel export equals sequential export") {
+    val outSeq = freshDir(); val outPar = freshDir()
+    val catalog = new ParquetCatalog(Paths.get("/root/testdata"))
+    def run(out: String, par: Int) = {
+      val cfg = ExportConfig(outputDirectory = out, overwrite = true,
+        schemas = Seq("sf0.001"), tableNameIncludePattern = "^(region|nation|supplier|part)$")
+      new Exporter(cfg, catalog, new ParquetSource(catalog),
+        new ParquetSink(cfg), tableParallelism = par).exportTables(SparkTestSession.spark)
+    }
+    val seq = run(outSeq, 1)
+    val par = run(outPar, 4)
+    assert(par.tables.map(t => (t.schema, t.table, t.rows)) ===
+      seq.tables.map(t => (t.schema, t.table, t.rows)))
+    assert(par.totalRows === 240) // 5 + 25 + 10 + 200
+  }
+
+  test("partition bounds SQL pins the same SCN as the scan") {
+    val src = new JdbcSource(ExportConfig(), scn = Some(777L))
+    assert(src.partitionBoundsSql("S", "T", "ID") ===
+      """SELECT MIN("ID"), MAX("ID") FROM "S"."T" AS OF SCN 777""")
+  }
+
   test("row limit propagates to the scan") {
     val out = freshDir()
     val cfg = ExportConfig(outputDirectory = out, overwrite = true,
