@@ -211,6 +211,51 @@ object Relational extends QueryFamily {
       |WINDOW w_seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Value-based (RANGE) window frame: per customer, total spend in the
+    * trailing 90 days relative to each order. */
+  def qWindowRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"day")
+      .rangeBetween(-90, 0)
+    T.orders(spark, dir)
+      .withColumn("day",
+        (unix_micros($"o_orderdate".cast("timestamp")) / lit(86400000000L)).cast("long"))
+      .select($"o_custkey", $"o_orderkey", $"day",
+        round(sum($"o_totalprice").over(w), 2).as("spend_90d"))
+      .orderBy($"o_orderkey")
+  }
+
+  val qWindowRangeSql: String =
+    """SELECT o_custkey, o_orderkey, day,
+      | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY day
+      |   RANGE BETWEEN 90 PRECEDING AND CURRENT ROW), 2) AS spend_90d
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        epoch_us(o_orderdate) // 86400000000 AS day FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Distribution window functions: ntile, percent_rank, cume_dist. */
+  def qWindowRanks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderstatus")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    T.orders(spark, dir).select(
+        $"o_orderstatus", $"o_orderkey",
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy($"o_orderkey")
+  }
+
+  val qWindowRanksSql: String =
+    """SELECT o_orderstatus, o_orderkey,
+      | ntile(4) OVER w AS quartile,
+      | round(percent_rank() OVER w, 6) AS pct_rank,
+      | round(cume_dist() OVER w, 6) AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** ROLLUP grouping over lineitem flags. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -623,6 +668,8 @@ object Relational extends QueryFamily {
     QueryDef("q_anti_join", qAntiJoin, Some(qAntiJoinSql)),
     QueryDef("q_topk_per_group", qTopkPerGroup, Some(qTopkPerGroupSql)),
     QueryDef("q_window_analytics", qWindowAnalytics, Some(qWindowAnalyticsSql)),
+    QueryDef("q_window_range", qWindowRange, Some(qWindowRangeSql)),
+    QueryDef("q_window_ranks", qWindowRanks, Some(qWindowRanksSql)),
     QueryDef("q_rollup", qRollup, Some(qRollupSql)),
     QueryDef("q_cube", qCube, Some(qCubeSql)),
     QueryDef("q_set_ops", qSetOps, Some(qSetOpsSql)),
