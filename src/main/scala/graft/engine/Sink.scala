@@ -54,6 +54,25 @@ final class ParquetSink(cfg: ExportConfig) {
     }
   }
 
+  /** Hive-style partitioned write (`{dir}/{col}={value}/...`): exports
+    * laid out for partition pruning, so downstream scans touching a
+    * date/key range read only matching directories (PartitionFilters in
+    * the scan, verified in ScaleSpec). The 100 TB default for fact
+    * exports: partition by a low-cardinality time bucket, bucket by the
+    * join key inside each partition. */
+  def writePartitioned(df: DataFrame, schema: String, table: String,
+      partitionCols: Seq[String]): WriteStats = {
+    val s = Projection.objectName(schema, cfg.lowercaseObjectNames)
+    val t = Projection.objectName(table, cfg.lowercaseObjectNames)
+    val dir = root.resolve(s).resolve(t)
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("compression", cfg.compressionMethod.replace("none", "uncompressed"))
+      .partitionBy(partitionCols: _*)
+      .parquet(dir.toString)
+    WriteStats(rows = -1L, files = -1, outputDir = dir.toString)
+  }
+
   /** Bucketed + sorted table write: co-locates future joins/aggregations
     * on `bucketCols` so they run shuffle-free (both sides pre-hashed
     * into the same bucket layout). This is the 100 TB path for repeated

@@ -41,6 +41,24 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned export enables partition pruning at scan time") {
+    val out = Files.createTempDirectory("graft-part").toString
+    val cfg = ExportConfig(outputDirectory = out, overwrite = true)
+    val sink = new ParquetSink(cfg)
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .withColumn("order_year", year(col("o_orderdate")))
+    val stats = sink.writePartitioned(ord, "p", "orders", Seq("order_year"))
+    val pruned = spark.read.parquet(stats.outputDir)
+      .filter(col("order_year") === 1996)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(order_year"),
+      s"expected partition filters in scan, got:\n$plan")
+    val expect = ord.filter(col("order_year") === 1996).count()
+    assert(pruned.count() === expect && expect > 0)
+    // layout is hive-style
+    assert(Files.exists(java.nio.file.Paths.get(stats.outputDir, "order_year=1996")))
+  }
+
   test("salted join equals the plain join") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_quantity")

@@ -88,6 +88,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming parquet sink with checkpoint writes append-only files") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft-stream-sink")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros($"window.start").as("ws"), $"event_type", $"n")
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      ms.addData(Ev(t("2024-01-01 00:10:00"), "click", 1.0, 1L))
+      q.processAllAvailable()
+      ms.addData(Ev(t("2024-01-01 03:00:00"), "click", 1.0, 1L)) // closes window 0
+      q.processAllAvailable()
+      val rows = spark.read.parquet(outDir.toString).collect()
+      assert(rows.length === 1)
+      assert(rows(0).getAs[Long]("n") === 1L)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running totals across triggers") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
