@@ -184,7 +184,27 @@ object Text extends QueryFamily {
       | count(DISTINCT substr(md5(text), 1, 4)) AS n_buckets
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** Deterministic content-hash sampling: keep documents whose md5 falls
+    * in the first quarter of hash space (a reproducible ~25% sample,
+    * stable across engines, runs and cluster layouts — the property
+    * that makes training-data subsets auditable). */
+  def qSampleHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.documents(spark, dir)
+      .filter(substring(md5($"text".cast("binary")), 1, 1).isin("0", "1", "2", "3"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_sampled"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"lang")
+  }
+
+  val qSampleHashSql: String =
+    """SELECT lang, count(*) AS n_sampled, sum(n_chars) AS sum_chars
+      |FROM documents
+      |WHERE substr(md5(text), 1, 1) IN ('0', '1', '2', '3')
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_sample_hash", qSampleHash, Some(qSampleHashSql)),
     QueryDef("q_token_stats", qTokenStats, Some(qTokenStatsSql)),
     QueryDef("q_token_freq", qTokenFreq, Some(qTokenFreqSql)),
     QueryDef("q_bigram_top", qBigramTop, Some(qBigramTopSql)),
