@@ -152,6 +152,52 @@ object Dedup extends QueryFamily {
        |WHERE doc_id NOT IN (SELECT b_id FROM verified WHERE j >= 0.8)
        |ORDER BY doc_id""".stripMargin
 
+  /** Near-dup clusters: connected components over the verified MinHash
+    * pair graph, labels = min doc_id per component (docs in no pair are
+    * their own singleton cluster). Iterative min-label propagation —
+    * the standard CC-on-Spark loop, O(component diameter) rounds of an
+    * equi-join + min-aggregate; converges in 1-2 rounds on near-dup
+    * graphs, works at any corpus size (GraphFrames uses the same
+    * shape). Deterministic: the fixpoint is unique. */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashPairs(spark, dir).filter($"j" >= 0.8)
+      .select($"a_id", $"b_id")
+    val edges = pairs.select($"a_id".as("u"), $"b_id".as("v"))
+      .unionByName(pairs.select($"b_id".as("u"), $"a_id".as("v")))
+      .cache()
+    var labels = T.documents(spark, dir)
+      .select($"doc_id", $"doc_id".as("label")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.select($"doc_id".as("v"), $"label".as("nlabel")), Seq("v"))
+        .groupBy($"u").agg(min($"nlabel").as("nmin"))
+      val next = labels
+        .join(neighborMin, $"doc_id" === $"u", "left")
+        .select($"doc_id",
+          least($"label", coalesce($"nmin", $"label")).as("label"))
+        .cache()
+      changed = next.join(labels.select($"doc_id", $"label".as("old")), Seq("doc_id"))
+        .filter($"label" =!= $"old").count()
+      labels.unpersist()
+      labels = next
+    }
+    val out = labels.select($"doc_id", $"label".as("cluster_id")).orderBy($"doc_id")
+    edges.unpersist()
+    out
+  }
+
+  val qDedupClustersSql: String =
+    s"""${minhashCte.replace("WITH w AS", "WITH RECURSIVE w AS")},
+       |edges AS (SELECT a_id AS u, b_id AS v FROM verified WHERE j >= 0.8
+       |          UNION ALL SELECT b_id, a_id FROM verified WHERE j >= 0.8),
+       |reach(u, v) AS (SELECT u, v FROM edges
+       |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       |SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+       |FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   /** SimHash: 32-bit signature from per-token md5 prefixes. Tokens are
     * exploded once (md5 + hex-parse stay codegen'd projections) and the
     * [[graft.functions.Aggregators.SimHashSig]] UDAF folds the 32
@@ -303,6 +349,7 @@ object Dedup extends QueryFamily {
     QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactSql)),
     QueryDef("q_dedup_minhash", qDedupMinhash, Some(qDedupMinhashSql)),
     QueryDef("q_dedup_survivors", qDedupSurvivors, Some(qDedupSurvivorsSql)),
+    QueryDef("q_dedup_clusters", qDedupClusters, Some(qDedupClustersSql)),
     QueryDef("q_dedup_simhash", qDedupSimhash, Some(qDedupSimhashSql)),
     QueryDef("q_dedup_simhash_pairs", qDedupSimhashPairs, Some(qDedupSimhashPairsSql)),
     QueryDef("q_dedup_ngram_jaccard", qDedupNgramJaccard, Some(qDedupNgramJaccardSql)),
