@@ -318,6 +318,52 @@ object Dedup extends QueryFamily {
       |SELECT a_id, b_id, round(j, 4) AS jaccard FROM verified
       |WHERE j >= 0.5 ORDER BY a_id, b_id""".stripMargin
 
+  /** Asymmetric containment (|A∩B| / |A|): detects quotation /
+    * subset-duplication that symmetric Jaccard under-scores. Same
+    * df-pruned candidate generation as the n-gram query; both
+    * directions reported for pairs where either containment >= 0.5. */
+  def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shx = shingleRows(spark, dir, 4)
+    val rare = shx.groupBy($"sh").agg(count(lit(1)).as("df")).filter($"df" <= 10 && $"df" >= 2)
+    val rareShx = shx.join(rare.select($"sh"), Seq("sh"))
+    val cand = rareShx.select($"doc_id".as("a_id"), $"sh")
+      .join(rareShx.select($"doc_id".as("b_id"), $"sh"), Seq("sh"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id").distinct()
+    val sizes = shx.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(shx.select($"doc_id".as("a_id"), $"sh"), Seq("a_id"))
+      .join(shx.select($"doc_id".as("b_id"), $"sh"), Seq("b_id", "sh"))
+      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("ninter"))
+    inter
+      .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), Seq("a_id"))
+      .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), Seq("b_id"))
+      .withColumn("cont_a", $"ninter".cast("double") / $"na")
+      .withColumn("cont_b", $"ninter".cast("double") / $"nb")
+      .filter($"cont_a" >= 0.5 || $"cont_b" >= 0.5)
+      .select($"a_id", $"b_id",
+        round($"cont_a", 4).as("cont_a"), round($"cont_b", 4).as("cont_b"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val qDedupContainmentSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-2),
+      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shs FROM w),
+      |shx AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+      |rare AS (SELECT s FROM shx GROUP BY s HAVING count(*) <= 10 AND count(*) >= 2),
+      |rx AS (SELECT doc_id, s FROM shx JOIN rare USING (s)),
+      |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM rx a JOIN rx b ON a.s = b.s WHERE a.doc_id < b.doc_id),
+      |m AS (SELECT a_id, b_id,
+      |  len(list_intersect(sa.shs, sb.shs))::DOUBLE / len(sa.shs) AS cont_a,
+      |  len(list_intersect(sa.shs, sb.shs))::DOUBLE / len(sb.shs) AS cont_b
+      |  FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)
+      |SELECT a_id, b_id, round(cont_a, 4) AS cont_a, round(cont_b, 4) AS cont_b
+      |FROM m WHERE cont_a >= 0.5 OR cont_b >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** Embedding-cosine near-dup with IVF-style blocking: only vectors in
     * the same coarse cluster (label) are compared. The cosine kernel is
     * the native codegen'd [[graft.functions.CosineSimilarity]]
@@ -353,6 +399,7 @@ object Dedup extends QueryFamily {
     QueryDef("q_dedup_simhash", qDedupSimhash, Some(qDedupSimhashSql)),
     QueryDef("q_dedup_simhash_pairs", qDedupSimhashPairs, Some(qDedupSimhashPairsSql)),
     QueryDef("q_dedup_ngram_jaccard", qDedupNgramJaccard, Some(qDedupNgramJaccardSql)),
+    QueryDef("q_dedup_containment", qDedupContainment, Some(qDedupContainmentSql)),
     QueryDef("q_dedup_embedding", qDedupEmbedding, Some(qDedupEmbeddingSql)),
   )
 }

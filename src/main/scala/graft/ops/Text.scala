@@ -203,8 +203,44 @@ object Text extends QueryFamily {
       |WHERE substr(md5(text), 1, 1) IN ('0', '1', '2', '3')
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** TF-IDF: top-3 terms per document (docs < 50) by tf * ln(N/df).
+    * Term and document frequencies are two hash aggregates over one
+    * exploded token stream; idf joins back broadcast (|vocab| rows). */
+  def qTfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = T.documents(spark, dir)
+    val n = docs.count()
+    val tokens = docs.select($"doc_id", explode(split($"text", " ")).as("t"))
+    val tf = tokens.groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
+    val df = tokens.select($"doc_id", $"t").distinct()
+      .groupBy($"t").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id").orderBy(desc("tfidf"), asc("t"))
+    tf.join(broadcast(df), Seq("t"))
+      .withColumn("tfidf", $"tf" * log(lit(n.toDouble) / $"df"))
+      .filter($"doc_id" < 50)
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"rank", $"t".as("term"), round($"tfidf", 4).as("tfidf"))
+      .orderBy($"doc_id", $"rank")
+  }
+
+  val qTfidfSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+      |df AS (SELECT t, count(*) AS df FROM (SELECT DISTINCT doc_id, t FROM tok) GROUP BY t),
+      |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+      |scored AS (SELECT doc_id, t, tf * ln(n.n / df.df) AS tfidf
+      |  FROM tf JOIN df USING (t) CROSS JOIN n WHERE doc_id < 50),
+      |ranked AS (SELECT doc_id, t, tfidf,
+      |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, t) AS rank
+      |  FROM scored)
+      |SELECT doc_id, rank, t AS term, round(tfidf, 4) AS tfidf
+      |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_sample_hash", qSampleHash, Some(qSampleHashSql)),
+    QueryDef("q_tfidf", qTfidf, Some(qTfidfSql)),
     QueryDef("q_token_stats", qTokenStats, Some(qTokenStatsSql)),
     QueryDef("q_token_freq", qTokenFreq, Some(qTokenFreqSql)),
     QueryDef("q_bigram_top", qBigramTop, Some(qBigramTopSql)),
