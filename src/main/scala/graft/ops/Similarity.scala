@@ -105,6 +105,61 @@ object Similarity extends QueryFamily {
       |SELECT q_id, rank, n_id, round(cos, 4) AS cos FROM ranked
       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  /** Multi-probe sign-LSH top-3: each query additionally probes the 8
+    * buckets at hamming distance 1 from its own (one sign bit flipped),
+    * trading 9x candidate volume for recall — the standard multi-probe
+    * refinement over single-bucket LSH. Candidate generation stays an
+    * equi-key join. */
+  def qSimLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucketExpr = expr(
+      "array_join(transform(slice(embedding, 1, 8), x -> IF(x > CAST(0 AS float), '1', '0')), '')")
+    val e = T.embeddings(spark, dir).withColumn("bucket", bucketExpr)
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"bucket")
+      .withColumn("probe_bucket", explode(expr(
+        """transform(sequence(0, 8), k -> CASE WHEN k = 0 THEN bucket
+          |  ELSE concat(substring(bucket, 1, k - 1),
+          |              IF(substring(bucket, k, 1) = '1', '0', '1'),
+          |              substring(bucket, k + 1, 8 - k)) END)""".stripMargin)))
+      .drop("bucket")
+    val corpus = e.select($"vec_id".as("n_id"), $"embedding".as("v"),
+      $"bucket".as("probe_bucket"))
+    val scored = corpus.join(broadcast(probes), Seq("probe_bucket"))
+      .filter($"q_id" =!= $"n_id")
+      .withColumn("cos", cos)
+    val w = Window.partitionBy($"q_id").orderBy(desc("cos"), asc("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"n_id", round($"cos", 4).as("cos"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val qSimLshMultiprobeSql: String =
+    """WITH e AS (SELECT vec_id, embedding,
+      |  array_to_string(list_transform(embedding[1:8],
+      |    x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, embedding AS qe, pb AS probe_bucket
+      |  FROM (SELECT vec_id, embedding,
+      |    unnest(list_transform(range(0, 9), k -> CASE WHEN k = 0 THEN bucket
+      |      ELSE substr(bucket, 1, k - 1) ||
+      |           (CASE WHEN substr(bucket, k, 1) = '1' THEN '0' ELSE '1' END) ||
+      |           substr(bucket, k + 1, 8 - k) END)) AS pb
+      |    FROM e WHERE vec_id < 10)),
+      |pairs AS (SELECT q_id, e.vec_id AS n_id, qe, embedding AS ne
+      |  FROM q JOIN e ON e.bucket = q.probe_bucket WHERE e.vec_id <> q_id),
+      |u AS (SELECT q_id, n_id, unnest(qe) AS qx, unnest(ne) AS nx FROM pairs),
+      |scored AS (SELECT q_id, n_id,
+      |    sum(qx::DOUBLE * nx::DOUBLE) /
+      |    sqrt(sum(qx::DOUBLE * qx::DOUBLE) * sum(nx::DOUBLE * nx::DOUBLE)) AS cos
+      |  FROM u GROUP BY q_id, n_id),
+      |ranked AS (SELECT q_id, n_id, cos,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, n_id, round(cos, 4) AS cos FROM ranked
+      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   /** IVF top-3 with nprobe=1: the `label` column is the coarse cluster
     * assignment; each probe searches only its own cell. */
   def qSimIvf(spark: SparkSession, dir: String): DataFrame = {
@@ -143,6 +198,7 @@ object Similarity extends QueryFamily {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_sim_bruteforce", qSimBruteforce, Some(qSimBruteforceSql)),
     QueryDef("q_sim_lsh", qSimLsh, Some(qSimLshSql)),
+    QueryDef("q_sim_lsh_multiprobe", qSimLshMultiprobe, Some(qSimLshMultiprobeSql)),
     QueryDef("q_sim_ivf", qSimIvf, Some(qSimIvfSql)),
   )
 }

@@ -116,6 +116,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark drops replayed events") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type", "ts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    try {
+      ms.addData(Ev(t("2024-01-01 00:10:00"), "click", 1.0, 1L))
+      q.processAllAvailable()
+      // exact replay (at-least-once delivery) inside the watermark window
+      ms.addData(Ev(t("2024-01-01 00:10:00"), "click", 1.0, 1L))
+      q.processAllAvailable()
+      ms.addData(Ev(t("2024-01-01 00:20:00"), "click", 1.0, 1L)) // distinct ts
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() === 2)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running totals across triggers") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
