@@ -195,7 +195,32 @@ object Similarity extends QueryFamily {
       |SELECT q_id, rank, n_id, round(cos, 4) AS cos FROM ranked
       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  /** Array/higher-order function surface over the embedding vectors:
+    * per-vector stats via array_max/min, filter, slice, sort. */
+  def qArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.embeddings(spark, dir)
+      .filter($"vec_id" < 100)
+      .select(
+        $"vec_id",
+        size($"embedding").as("dim"),
+        round(expr("array_max(transform(embedding, x -> cast(x AS double)))"), 4).as("vmax"),
+        round(expr("array_min(transform(embedding, x -> cast(x AS double)))"), 4).as("vmin"),
+        expr("size(filter(embedding, x -> x > CAST(0 AS float)))").as("n_pos"),
+        round(expr("cast(element_at(array_sort(transform(embedding, x -> cast(x AS double))), 32) AS double)"), 4).as("p50ish"))
+      .orderBy($"vec_id")
+  }
+
+  val qArrayFuncsSql: String =
+    """SELECT vec_id, len(embedding) AS dim,
+      | round(list_max(list_transform(embedding, x -> x::DOUBLE)), 4) AS vmax,
+      | round(list_min(list_transform(embedding, x -> x::DOUBLE)), 4) AS vmin,
+      | len(list_filter(embedding, x -> x > 0)) AS n_pos,
+      | round(list_sort(list_transform(embedding, x -> x::DOUBLE))[32], 4) AS p50ish
+      |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_array_funcs", qArrayFuncs, Some(qArrayFuncsSql)),
     QueryDef("q_sim_bruteforce", qSimBruteforce, Some(qSimBruteforceSql)),
     QueryDef("q_sim_lsh", qSimLsh, Some(qSimLshSql)),
     QueryDef("q_sim_lsh_multiprobe", qSimLshMultiprobe, Some(qSimLshMultiprobeSql)),

@@ -238,9 +238,36 @@ object Text extends QueryFamily {
       |SELECT doc_id, rank, t AS term, round(tfidf, 4) AS tfidf
       |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** Shannon entropy of the token distribution per source — a corpus
+    * diversity signal (low entropy = templated/boilerplate text). */
+  def qTokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tokens = T.documents(spark, dir)
+      .select($"source", explode(split($"text", " ")).as("t"))
+    val tf = tokens.groupBy($"source", $"t").agg(count(lit(1)).as("n"))
+    val totals = tf.groupBy($"source").agg(sum($"n").as("total"))
+    tf.join(totals, Seq("source"))
+      .withColumn("p", $"n".cast("double") / $"total")
+      .groupBy($"source")
+      .agg(round(-sum($"p" * log($"p")), 4).as("entropy"),
+        countDistinct($"t").as("vocab"))
+      .orderBy($"source")
+  }
+
+  val qTokenEntropySql: String =
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+      |tf AS (SELECT source, t, count(*) AS n FROM tok GROUP BY source, t),
+      |tot AS (SELECT source, sum(n) AS total FROM tf GROUP BY source)
+      |SELECT source,
+      | round(-sum((n::DOUBLE / total) * ln(n::DOUBLE / total)), 4) AS entropy,
+      | count(DISTINCT t) AS vocab
+      |FROM tf JOIN tot USING (source)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_sample_hash", qSampleHash, Some(qSampleHashSql)),
     QueryDef("q_tfidf", qTfidf, Some(qTfidfSql)),
+    QueryDef("q_token_entropy", qTokenEntropy, Some(qTokenEntropySql)),
     QueryDef("q_token_stats", qTokenStats, Some(qTokenStatsSql)),
     QueryDef("q_token_freq", qTokenFreq, Some(qTokenFreqSql)),
     QueryDef("q_bigram_top", qBigramTop, Some(qBigramTopSql)),
