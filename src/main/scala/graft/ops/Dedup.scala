@@ -318,6 +318,93 @@ object Dedup extends QueryFamily {
       |SELECT a_id, b_id, round(j, 4) AS jaccard FROM verified
       |WHERE j >= 0.5 ORDER BY a_id, b_id""".stripMargin
 
+  /** Materialized MinHash signatures (doc_id, 16-wide sig). In a
+    * production pipeline these persist beside the corpus so future
+    * batches dedup against stored signatures instead of re-hashing the
+    * whole corpus. */
+  def qDedupMinhashSigs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = 2147483647L
+    shingleRows(spark, dir, 3)
+      .withColumn("h", expr("cast(conv(substring(md5(sh), 1, 12), 16, 10) AS bigint)") % p)
+      .groupBy($"doc_id")
+      .agg(graft.functions.Aggregators.minhashSig(16)($"h").as("sig"))
+      .orderBy($"doc_id")
+  }
+
+  val qDedupMinhashSigsSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shs FROM w),
+      |shx AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+      |hashed AS (SELECT doc_id, s,
+      |  (list_sum(list_transform(range(1, 13),
+      |     i -> (strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1) * pow(16.0, 12 - i)))::BIGINT)
+      |   % 2147483647 AS h
+      |  FROM shx),
+      |mh AS (SELECT doc_id, seed, min(((2*seed+1) * h + (12345 + seed*6789)) % 2147483647) AS mh
+      |  FROM hashed, range(0, 16) t(seed) GROUP BY doc_id, seed)
+      |SELECT doc_id, list(mh ORDER BY seed) AS sig
+      |FROM mh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Incremental dedup: which documents of an arriving batch
+    * (doc_id >= 400) near-duplicate the existing corpus (doc_id < 400).
+    * Band-bucket join restricted across the boundary — the shape of a
+    * daily-ingest dedup where corpus signatures are precomputed. */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    minhashPairs(spark, dir)
+      .filter($"j" >= 0.8 && $"a_id" < 400 && $"b_id" >= 400)
+      .groupBy($"b_id".as("new_doc"))
+      .agg(min($"a_id").as("matches_existing"), round(max($"j"), 4).as("max_j"))
+      .orderBy($"new_doc")
+  }
+
+  val qDedupIncrementalSql: String =
+    s"""$minhashCte
+       |SELECT b_id AS new_doc, min(a_id) AS matches_existing,
+       |       round(max(j), 4) AS max_j
+       |FROM verified WHERE j >= 0.8 AND a_id < 400 AND b_id >= 400
+       |GROUP BY b_id ORDER BY new_doc""".stripMargin
+
+  /** End-to-end corpus curation (the LLM-pipeline composition): drop
+    * near-dups (keep cluster minimum), keep quality >= 0.3 and
+    * token-count >= 20, report per-language yield. */
+  def qCleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val drop = minhashPairs(spark, dir).filter($"j" >= 0.8).select($"b_id")
+    T.documents(spark, dir)
+      .join(drop, $"doc_id" === $"b_id", "left_anti")
+      .withColumn("w", split($"text", " "))
+      .withColumn("n_stop", size(filter($"w", x => array_contains(stopArrShared, x))))
+      .withColumn("quality",
+        least(lit(1.0), size($"w") / lit(100.0)) *
+          (lit(1.0) - $"n_stop".cast("double") / size($"w")))
+      .filter($"quality" >= 0.3 && size($"w") >= 20)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"),
+        round(avg($"quality"), 4).as("avg_quality"),
+        sum($"n_chars").as("sum_chars"))
+      .orderBy($"lang")
+  }
+
+  private def stopArrShared =
+    array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+
+  val qCleanCorpusSql: String =
+    s"""$minhashCte,
+       |keep AS (SELECT d.* FROM documents d
+       |  WHERE doc_id NOT IN (SELECT b_id FROM verified WHERE j >= 0.8)),
+       |scored AS (SELECT lang, n_chars,
+       |  least(1.0, len(w) / 100.0) *
+       |    (1.0 - len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x)))::DOUBLE / len(w)) AS quality,
+       |  len(w) AS n_tok
+       |  FROM (SELECT lang, n_chars, string_split(text, ' ') AS w, doc_id FROM keep))
+       |SELECT lang, count(*) AS n_kept, round(avg(quality), 4) AS avg_quality,
+       |       sum(n_chars) AS sum_chars
+       |FROM scored WHERE quality >= 0.3 AND n_tok >= 20
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Asymmetric containment (|A∩B| / |A|): detects quotation /
     * subset-duplication that symmetric Jaccard under-scores. Same
     * df-pruned candidate generation as the n-gram query; both
@@ -400,6 +487,9 @@ object Dedup extends QueryFamily {
     QueryDef("q_dedup_simhash_pairs", qDedupSimhashPairs, Some(qDedupSimhashPairsSql)),
     QueryDef("q_dedup_ngram_jaccard", qDedupNgramJaccard, Some(qDedupNgramJaccardSql)),
     QueryDef("q_dedup_containment", qDedupContainment, Some(qDedupContainmentSql)),
+    QueryDef("q_dedup_minhash_sigs", qDedupMinhashSigs, Some(qDedupMinhashSigsSql)),
+    QueryDef("q_dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)),
+    QueryDef("q_clean_corpus", qCleanCorpus, Some(qCleanCorpusSql)),
     QueryDef("q_dedup_embedding", qDedupEmbedding, Some(qDedupEmbeddingSql)),
   )
 }
