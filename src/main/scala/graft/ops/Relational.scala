@@ -660,6 +660,74 @@ object Relational extends QueryFamily {
     """SELECT levenshtein(p_type, 'STANDARD BRUSHED COPPER') AS d, count(*) AS n
       |FROM part GROUP BY 1 ORDER BY d""".stripMargin
 
+  /** Day-over-day retention: users active on day d who return on d+1. */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = T.events(spark, dir)
+      .select($"user_id", (unix_micros($"ts") / lit(86400000000L)).cast("long").as("day"))
+      .distinct()
+    days.as("d0")
+      .join(days.as("d1"),
+        $"d0.user_id" === $"d1.user_id" && $"d1.day" === $"d0.day" + 1)
+      .groupBy($"d0.day".as("day"))
+      .agg(countDistinct($"d0.user_id").as("retained"))
+      .join(days.groupBy($"day").agg(countDistinct($"user_id").as("active")), Seq("day"))
+      .withColumn("retention", round($"retained".cast("double") / $"active", 4))
+      .select($"day", $"active", $"retained", $"retention")
+      .orderBy($"day")
+  }
+
+  val qRetentionSql: String =
+    """WITH days AS (SELECT DISTINCT user_id, epoch_ns(ts)//1000 // 86400000000 AS day FROM events),
+      |ret AS (SELECT d0.day, count(DISTINCT d0.user_id) AS retained
+      |  FROM days d0 JOIN days d1 ON d0.user_id = d1.user_id AND d1.day = d0.day + 1
+      |  GROUP BY d0.day),
+      |act AS (SELECT day, count(DISTINCT user_id) AS active FROM days GROUP BY day)
+      |SELECT day, active, retained, round(retained::DOUBLE / active, 4) AS retention
+      |FROM ret JOIN act USING (day) ORDER BY day""".stripMargin
+
+  /** Fixed-width value histogram over events.value. */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.events(spark, dir)
+      .withColumn("bin", floor($"value" / 10.0).cast("long"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), round(avg($"value"), 4).as("avg_v"))
+      .orderBy($"bin")
+  }
+
+  val qHistogramSql: String =
+    """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS n,
+      | round(avg(value), 4) AS avg_v
+      |FROM events GROUP BY 1 ORDER BY bin""".stripMargin
+
+  /** NULL semantics: nullif/coalesce/null-safe aggregation over derived
+    * nulls (count ignores nulls, count(*) does not; sums skip nulls). */
+  def qNullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.orders(spark, dir)
+      .withColumn("maybe", when($"o_orderkey" % 5 === 0, lit(null).cast("double"))
+        .otherwise($"o_totalprice"))
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count($"maybe").as("n_nonnull"),
+        round(sum($"maybe"), 2).as("sum_nonnull"),
+        round(sum(coalesce($"maybe", lit(0.0))), 2).as("sum_coalesced"),
+        count(when($"maybe".isNull, 1)).as("n_null"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val qNullSemanticsSql: String =
+    """WITH t AS (SELECT o_orderstatus,
+      |  CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END AS maybe
+      |  FROM orders)
+      |SELECT o_orderstatus, count(*) AS n_rows, count(maybe) AS n_nonnull,
+      | round(sum(maybe), 2) AS sum_nonnull,
+      | round(sum(coalesce(maybe, 0.0)), 2) AS sum_coalesced,
+      | count(CASE WHEN maybe IS NULL THEN 1 END) AS n_null
+      |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1PricingSummarySql)),
     QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3ShippingPrioritySql)),
@@ -690,5 +758,8 @@ object Relational extends QueryFamily {
     QueryDef("q_correlated", qCorrelated, Some(qCorrelatedSql)),
     QueryDef("q_funnel", qFunnel, Some(qFunnelSql)),
     QueryDef("q_edit_distance", qEditDistance, Some(qEditDistanceSql)),
+    QueryDef("q_retention", qRetention, Some(qRetentionSql)),
+    QueryDef("q_histogram", qHistogram, Some(qHistogramSql)),
+    QueryDef("q_null_semantics", qNullSemantics, Some(qNullSemanticsSql)),
   )
 }
