@@ -660,6 +660,25 @@ object Relational extends QueryFamily {
     """SELECT levenshtein(p_type, 'STANDARD BRUSHED COPPER') AS d, count(*) AS n
       |FROM part GROUP BY 1 ORDER BY d""".stripMargin
 
+  /** Ordered string aggregation: nations per region as a sorted
+    * comma-joined list (deterministic listagg via
+    * array_join(array_sort(collect_list))). */
+  def qCollectAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.nation(spark, dir)
+      .join(broadcast(T.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(
+        expr("array_join(array_sort(collect_list(n_name)), ',')").as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy($"r_name")
+  }
+
+  val qCollectAggSql: String =
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations, count(*) AS n
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
   /** Day-over-day retention: users active on day d who return on d+1. */
   def qRetention(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -761,5 +780,6 @@ object Relational extends QueryFamily {
     QueryDef("q_retention", qRetention, Some(qRetentionSql)),
     QueryDef("q_histogram", qHistogram, Some(qHistogramSql)),
     QueryDef("q_null_semantics", qNullSemantics, Some(qNullSemanticsSql)),
+    QueryDef("q_collect_agg", qCollectAgg, Some(qCollectAggSql)),
   )
 }
