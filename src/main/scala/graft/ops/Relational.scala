@@ -660,6 +660,52 @@ object Relational extends QueryFamily {
     """SELECT levenshtein(p_type, 'STANDARD BRUSHED COPPER') AS d, count(*) AS n
       |FROM part GROUP BY 1 ORDER BY d""".stripMargin
 
+  /** Full outer join: customer vs supplier presence per nation key —
+    * nations with only one side populated survive with zero-filled
+    * counts. */
+  def qOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = T.customer(spark, dir).groupBy($"c_nationkey".as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val s = T.supplier(spark, dir).groupBy($"s_nationkey".as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(s, Seq("nationkey"), "full_outer")
+      .select($"nationkey",
+        coalesce($"n_cust", lit(0L)).as("n_cust"),
+        coalesce($"n_supp", lit(0L)).as("n_supp"))
+      .orderBy($"nationkey")
+  }
+
+  val qOuterJoinSql: String =
+    """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY 1),
+      |s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier GROUP BY 1)
+      |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+      | coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+      |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  /** Date arithmetic: quarter bucketing, interval shifting, weekday
+    * distribution (Spark weekday == ISO dow - 1). */
+  def qDateArith(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.orders(spark, dir)
+      .withColumn("q", date_format(date_trunc("quarter", $"o_orderdate"), "yyyy-MM-dd"))
+      .withColumn("due", date_format($"o_orderdate" + expr("INTERVAL 30 DAYS"), "yyyy-MM-dd"))
+      .withColumn("wd", weekday($"o_orderdate"))
+      .groupBy($"q")
+      .agg(count(lit(1)).as("n"),
+        round(avg($"wd"), 4).as("avg_weekday"),
+        max($"due").as("max_due"))
+      .orderBy($"q")
+  }
+
+  val qDateArithSql: String =
+    """SELECT strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS q,
+      | count(*) AS n,
+      | round(avg(isodow(o_orderdate) - 1), 4) AS avg_weekday,
+      | max(strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')) AS max_due
+      |FROM orders GROUP BY 1 ORDER BY q""".stripMargin
+
   /** Ordered string aggregation: nations per region as a sorted
     * comma-joined list (deterministic listagg via
     * array_join(array_sort(collect_list))). */
@@ -781,5 +827,7 @@ object Relational extends QueryFamily {
     QueryDef("q_histogram", qHistogram, Some(qHistogramSql)),
     QueryDef("q_null_semantics", qNullSemantics, Some(qNullSemanticsSql)),
     QueryDef("q_collect_agg", qCollectAgg, Some(qCollectAggSql)),
+    QueryDef("q_outer_join", qOuterJoin, Some(qOuterJoinSql)),
+    QueryDef("q_date_arith", qDateArith, Some(qDateArithSql)),
   )
 }
