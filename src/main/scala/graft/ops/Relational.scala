@@ -829,5 +829,10 @@ object Relational extends QueryFamily {
     QueryDef("q_collect_agg", qCollectAgg, Some(qCollectAggSql)),
     QueryDef("q_outer_join", qOuterJoin, Some(qOuterJoinSql)),
     QueryDef("q_date_arith", qDateArith, Some(qDateArithSql)),
+    QueryDef("q_skew_diag",
+      (s: SparkSession, d: String) =>
+        Skew.keyHistogram(T.lineitem(s, d), org.apache.spark.sql.functions.col("l_suppkey"), 20),
+      Some("""SELECT l_suppkey AS key, count(*) AS n FROM lineitem
+             |GROUP BY l_suppkey ORDER BY n DESC, key LIMIT 20""".stripMargin)),
   )
 }

@@ -203,6 +203,30 @@ object Text extends QueryFamily {
       |WHERE substr(md5(text), 1, 1) IN ('0', '1', '2', '3')
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Stratified deterministic sampling: per-language rates (en 12.5%,
+    * others 50%) enforced by comparing the first md5 nibble against a
+    * per-stratum threshold — reproducible downsampling of dominant
+    * strata, the rebalancing move in corpus construction. */
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nib = expr(
+      "locate(substring(md5(cast(text AS binary)), 1, 1), '0123456789abcdef') - 1")
+    T.documents(spark, dir)
+      .withColumn("nib", nib)
+      .filter(($"lang" === "en" && $"nib" < 2) || ($"lang" =!= "en" && $"nib" < 8))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy($"lang")
+  }
+
+  val qSampleStratifiedSql: String =
+    """SELECT lang, count(*) AS n_sampled
+      |FROM (SELECT lang,
+      |        strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS nib
+      |      FROM documents)
+      |WHERE (lang = 'en' AND nib < 2) OR (lang <> 'en' AND nib < 8)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** TF-IDF: top-3 terms per document (docs < 50) by tf * ln(N/df).
     * Term and document frequencies are two hash aggregates over one
     * exploded token stream; idf joins back broadcast (|vocab| rows). */
@@ -268,6 +292,7 @@ object Text extends QueryFamily {
     QueryDef("q_sample_hash", qSampleHash, Some(qSampleHashSql)),
     QueryDef("q_tfidf", qTfidf, Some(qTfidfSql)),
     QueryDef("q_token_entropy", qTokenEntropy, Some(qTokenEntropySql)),
+    QueryDef("q_sample_stratified", qSampleStratified, Some(qSampleStratifiedSql)),
     QueryDef("q_token_stats", qTokenStats, Some(qTokenStatsSql)),
     QueryDef("q_token_freq", qTokenFreq, Some(qTokenFreqSql)),
     QueryDef("q_bigram_top", qBigramTop, Some(qBigramTopSql)),
