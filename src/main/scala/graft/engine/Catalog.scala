@@ -77,6 +77,36 @@ object Catalog {
   }
 }
 
+/** Driver-portable JDBC catalog over `java.sql.DatabaseMetaData` —
+  * works against any JDBC database (the offline tests use embedded
+  * Derby). The Oracle deployment path swaps in the dictionary SQL from
+  * [[Catalog.tablesSql]]/[[Catalog.columnsSql]], which also encodes the
+  * external/temporary-table exclusions `getTables` cannot express. */
+final class JdbcMetaCatalog(url: String) extends TableCatalog {
+
+  private def withConn[A](f: java.sql.Connection => A): A = {
+    val c = java.sql.DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  override def listTables(schema: String, include: Regex,
+      exclude: Option[Regex]): Seq[String] = withConn { c =>
+    val rs = c.getMetaData.getTables(null, schema, "%", Array("TABLE"))
+    val names = Iterator.continually(rs)
+      .takeWhile(_.next()).map(_.getString("TABLE_NAME")).toList
+    Catalog.filterTables(names, include, exclude)
+  }
+
+  override def listColumns(schema: String, table: String): Seq[ColumnMeta] =
+    withConn { c =>
+      val rs = c.getMetaData.getColumns(null, schema, table, "%")
+      Iterator.continually(rs).takeWhile(_.next()).map { r =>
+        ColumnMeta(r.getString("COLUMN_NAME"), r.getString("TYPE_NAME"),
+          r.getInt("ORDINAL_POSITION"))
+      }.toList.sortBy(_.position)
+    }
+}
+
 /** Directory-backed catalog for Parquet-staged schemas: a schema is a
   * directory, a table is a `{name}.parquet` file or `{name}/` dir of
   * parquet parts. Powers tests and the Parquet-to-Parquet pipeline. */

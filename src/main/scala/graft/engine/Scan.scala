@@ -43,8 +43,11 @@ final class ParquetSource(catalog: ParquetCatalog) extends TableSource {
 final class JdbcSource(
     cfg: ExportConfig,
     scn: Option[Long],
-    partitionColumn: Option[(String, Long, Long, Int)] = None)
+    partitionColumn: Option[(String, Long, Long, Int)] = None,
+    urlOverride: Option[String] = None)
   extends TableSource {
+
+  private def url: String = urlOverride.getOrElse(cfg.jdbcUrl)
 
   /** The SELECT text pushed to Oracle — observable contract matching
     * the reference's generated SQL (main.py:144-146) plus the AS OF
@@ -70,13 +73,16 @@ final class JdbcSource(
 
   override def read(spark: SparkSession, schema: String, table: String,
       cols: Seq[String], lowercase: Boolean, rowLimit: Long): DataFrame = {
-    val reader = spark.read.format("jdbc")
-      .option("url", cfg.jdbcUrl)
-      .option("user", cfg.username)
-      .option("password", cfg.password)
-      .option("dbtable", s"(${selectSql(schema, table, cols, lowercase)})")
+    // the derived-table correlation name is required by ANSI engines
+    // (Derby) and legal without AS in Oracle
+    var reader = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", s"(${selectSql(schema, table, cols, lowercase)}) export_src")
       .option("fetchsize", cfg.batchSize)
-      .option("sessionInitStatement",
+    if (cfg.username.nonEmpty)
+      reader = reader.option("user", cfg.username).option("password", cfg.password)
+    if (urlOverride.isEmpty)
+      reader = reader.option("sessionInitStatement",
         "ALTER SESSION SET NLS_TIMESTAMP_FORMAT = 'YYYY-MM-DD HH24:MI:SSXFF'")
     val withPartitioning = partitionColumn match {
       case Some((colName, lo, hi, n)) => reader
