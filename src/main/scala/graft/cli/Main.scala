@@ -51,6 +51,7 @@ object Main {
           case "--source-format" => extras += "source-format" -> next()
           case "--source-root" => extras += "source-root" -> next()
           case "--export-parallelism" => extras += "export-parallelism" -> next()
+          case "--jdbc-url" => extras += "jdbc-url" -> next()
           case other => return Left(s"unknown option: $other")
         }
         i += 1
@@ -92,8 +93,17 @@ object Main {
           new Exporter(cfg, catalog, new ParquetSource(catalog), sink, par)
             .exportTables(spark)
         case "jdbc" =>
-          sys.error("jdbc source requires a reachable Oracle instance; " +
-            "none exists in this offline environment — use --source-format parquet")
+          // --jdbc-url overrides the Oracle URL built from config parts
+          // (e.g. an embedded Derby for offline runs); catalog discovery
+          // goes through DatabaseMetaData either way.
+          val override_ = extras.get("jdbc-url")
+          val jdbcUrl = override_.getOrElse(cfg.jdbcUrl)
+          val par = extras.getOrElse("export-parallelism", "1").toInt
+          val catalog = new JdbcMetaCatalog(jdbcUrl)
+          val scn = None // SCN pinning requires an Oracle round-trip; see JdbcSource
+          new Exporter(cfg, catalog,
+            new JdbcSource(cfg, scn, urlOverride = override_), sink, par)
+            .exportTables(spark)
         case other => sys.error(s"unknown source format: $other")
       }
       report.tables.foreach { t =>
