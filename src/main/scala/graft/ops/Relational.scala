@@ -660,6 +660,73 @@ object Relational extends QueryFamily {
     """SELECT levenshtein(p_type, 'STANDARD BRUSHED COPPER') AS d, count(*) AS n
       |FROM part GROUP BY 1 ORDER BY d""".stripMargin
 
+  /** Statistical aggregates: sample stddev/variance, Pearson
+    * correlation, covariance. */
+  def qStatsAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(stddev_samp($"l_quantity"), 4).as("sd_qty"),
+        round(var_samp($"l_discount"), 6).as("var_disc"),
+        round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qty_price"),
+        round(covar_samp($"l_quantity", $"l_extendedprice"), 2).as("cov_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qStatsAggSql: String =
+    """SELECT l_returnflag,
+      | round(stddev_samp(l_quantity), 4) AS sd_qty,
+      | round(var_samp(l_discount), 6) AS var_disc,
+      | round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      | round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Mode (most frequent value) per group, deterministic tie-break by
+    * value — two hash aggregates plus a ranking window. */
+  def qMode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = T.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_quantity")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"l_returnflag").orderBy(desc("n"), asc("l_quantity"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"l_returnflag", $"l_quantity".as("mode_qty"), $"n")
+      .orderBy($"l_returnflag")
+  }
+
+  val qModeSql: String =
+    """SELECT l_returnflag, l_quantity AS mode_qty, n FROM (
+      |  SELECT l_returnflag, l_quantity, count(*) AS n,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY count(*) DESC, l_quantity) AS rn
+      |  FROM lineitem GROUP BY l_returnflag, l_quantity)
+      |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
+
+  /** Event-sequence transition matrix: counts of consecutive event-type
+    * pairs per user timeline (Markov-chain estimation input). */
+  def qTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    T.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  val qTransitionsSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+      |seq AS (SELECT event_type,
+      |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_type
+      |  FROM e)
+      |SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      |FROM seq WHERE next_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
+
   /** Full outer join: customer vs supplier presence per nation key —
     * nations with only one side populated survive with zero-filled
     * counts. */
@@ -829,6 +896,9 @@ object Relational extends QueryFamily {
     QueryDef("q_collect_agg", qCollectAgg, Some(qCollectAggSql)),
     QueryDef("q_outer_join", qOuterJoin, Some(qOuterJoinSql)),
     QueryDef("q_date_arith", qDateArith, Some(qDateArithSql)),
+    QueryDef("q_stats_agg", qStatsAgg, Some(qStatsAggSql)),
+    QueryDef("q_mode", qMode, Some(qModeSql)),
+    QueryDef("q_transitions", qTransitions, Some(qTransitionsSql)),
     QueryDef("q_skew_diag",
       (s: SparkSession, d: String) =>
         Skew.keyHistogram(T.lineitem(s, d), org.apache.spark.sql.functions.col("l_suppkey"), 20),
