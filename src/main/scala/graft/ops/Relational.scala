@@ -660,6 +660,36 @@ object Relational extends QueryFamily {
     """SELECT levenshtein(p_type, 'STANDARD BRUSHED COPPER') AS d, count(*) AS n
       |FROM part GROUP BY 1 ORDER BY d""".stripMargin
 
+  /** Referential-integrity audit over the exported star schema — the
+    * check a snapshot-consistent (AS OF SCN) export should pass and a
+    * drifting per-table export would fail: orphan counts per foreign
+    * key. */
+  def qIntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val liOrph = T.lineitem(spark, dir)
+      .join(T.orders(spark, dir).select($"o_orderkey"),
+        $"l_orderkey" === $"o_orderkey", "left_anti")
+      .agg(count(lit(1)).as("lineitem_orphans"))
+    val ordOrph = T.orders(spark, dir)
+      .join(T.customer(spark, dir).select($"c_custkey"),
+        $"o_custkey" === $"c_custkey", "left_anti")
+      .agg(count(lit(1)).as("order_orphans"))
+    val custOrph = T.customer(spark, dir)
+      .join(broadcast(T.nation(spark, dir).select($"n_nationkey")),
+        $"c_nationkey" === $"n_nationkey", "left_anti")
+      .agg(count(lit(1)).as("customer_orphans"))
+    liOrph.crossJoin(ordOrph).crossJoin(custOrph)
+  }
+
+  val qIntegrityAuditSql: String =
+    """SELECT
+      | (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+      |   (SELECT o_orderkey FROM orders)) AS lineitem_orphans,
+      | (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+      |   (SELECT c_custkey FROM customer)) AS order_orphans,
+      | (SELECT count(*) FROM customer WHERE c_nationkey NOT IN
+      |   (SELECT n_nationkey FROM nation)) AS customer_orphans""".stripMargin
+
   /** Statistical aggregates: sample stddev/variance, Pearson
     * correlation, covariance. */
   def qStatsAgg(spark: SparkSession, dir: String): DataFrame = {
@@ -896,6 +926,7 @@ object Relational extends QueryFamily {
     QueryDef("q_collect_agg", qCollectAgg, Some(qCollectAggSql)),
     QueryDef("q_outer_join", qOuterJoin, Some(qOuterJoinSql)),
     QueryDef("q_date_arith", qDateArith, Some(qDateArithSql)),
+    QueryDef("q_integrity_audit", qIntegrityAudit, Some(qIntegrityAuditSql)),
     QueryDef("q_stats_agg", qStatsAgg, Some(qStatsAggSql)),
     QueryDef("q_mode", qMode, Some(qModeSql)),
     QueryDef("q_transitions", qTransitions, Some(qTransitionsSql)),

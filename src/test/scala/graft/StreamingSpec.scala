@@ -116,6 +116,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rate streaming source drives the shared window transform") {
+    import spark.implicits._
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+      .select($"timestamp".as("ts"),
+        (($"value" % 3).cast("int")).cast("string").as("event_type"),
+        lit(1.0).as("value"))
+    val q = ops.StreamingOps.tumbling(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("rate_out").start()
+    try {
+      Thread.sleep(1500)
+      q.processAllAvailable()
+      assert(spark.table("rate_out").count() > 0)
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops replayed events") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
