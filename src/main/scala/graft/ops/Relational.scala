@@ -712,6 +712,25 @@ object Relational extends QueryFamily {
       | round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Deterministic argmax via struct ordering: max(struct(value, key))
+    * compares fields lexicographically in both engines, so ties on the
+    * value resolve by key — no nondeterministic max_by. */
+  def qArgmax(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.orders(spark, dir)
+      .groupBy($"o_orderstatus")
+      .agg(max(struct($"o_totalprice".as("p"), $"o_orderkey".as("k"))).as("m"))
+      .select($"o_orderstatus",
+        round($"m.p", 2).as("best_price"), $"m.k".as("best_key"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val qArgmaxSql: String =
+    """SELECT o_orderstatus, round(m['p'], 2) AS best_price, m['k'] AS best_key
+      |FROM (SELECT o_orderstatus, max({'p': o_totalprice, 'k': o_orderkey}) AS m
+      |      FROM orders GROUP BY o_orderstatus)
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** Mode (most frequent value) per group, deterministic tie-break by
     * value — two hash aggregates plus a ranking window. */
   def qMode(spark: SparkSession, dir: String): DataFrame = {
@@ -929,6 +948,7 @@ object Relational extends QueryFamily {
     QueryDef("q_integrity_audit", qIntegrityAudit, Some(qIntegrityAuditSql)),
     QueryDef("q_stats_agg", qStatsAgg, Some(qStatsAggSql)),
     QueryDef("q_mode", qMode, Some(qModeSql)),
+    QueryDef("q_argmax", qArgmax, Some(qArgmaxSql)),
     QueryDef("q_transitions", qTransitions, Some(qTransitionsSql)),
     QueryDef("q_skew_diag",
       (s: SparkSession, d: String) =>
