@@ -307,6 +307,39 @@ object Relational extends QueryFamily {
       |SELECT nationkey, 'cust_only' AS tag FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
       |ORDER BY tag, nationkey""".stripMargin
 
+  /** Multiset set operations (INTERSECT ALL / EXCEPT ALL): duplicate-
+    * preserving overlap between the nation keys of two order slices. */
+  def qSetOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def slice(lo: String, hi: String) = T.orders(spark, dir)
+      .filter($"o_orderdate" >= lit(lo).cast("timestamp") &&
+              $"o_orderdate" < lit(hi).cast("timestamp"))
+      .select($"o_custkey")
+    val a = slice("1996-01-01", "1997-01-01")
+    val b = slice("1997-01-01", "1998-01-01")
+    a.intersectAll(b).withColumn("tag", lit("both_years"))
+      .unionByName(a.exceptAll(b).withColumn("tag", lit("only_1996")))
+      .groupBy($"tag")
+      .agg(count(lit(1)).as("n"), countDistinct($"o_custkey").as("n_distinct"))
+      .orderBy($"tag")
+  }
+
+  val qSetOpsAllSql: String =
+    """WITH a AS (SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'),
+      |b AS (SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'),
+      |u AS (
+      |  SELECT o_custkey, 'both_years' AS tag FROM (
+      |    SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
+      |  UNION ALL
+      |  SELECT o_custkey, 'only_1996' AS tag FROM (
+      |    SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b))
+      |SELECT tag, count(*) AS n, count(DISTINCT o_custkey) AS n_distinct
+      |FROM u GROUP BY tag ORDER BY tag""".stripMargin
+
   /** Schema-drift-safe union: unionByName(allowMissingColumns) across
     * heterogeneous exports (customer vs supplier). */
   def qUnionDrift(spark: SparkSession, dir: String): DataFrame = {
@@ -922,6 +955,7 @@ object Relational extends QueryFamily {
     QueryDef("q_rollup", qRollup, Some(qRollupSql)),
     QueryDef("q_cube", qCube, Some(qCubeSql)),
     QueryDef("q_set_ops", qSetOps, Some(qSetOpsSql)),
+    QueryDef("q_set_ops_all", qSetOpsAll, Some(qSetOpsAllSql)),
     QueryDef("q_union_drift", qUnionDrift, Some(qUnionDriftSql)),
     QueryDef("q_distinct_counts", qDistinctCounts, Some(qDistinctCountsSql)),
     QueryDef("q_approx_distinct", qApproxDistinct, None),
