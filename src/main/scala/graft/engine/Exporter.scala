@@ -31,6 +31,10 @@ final class Exporter(
 
   def exportTables(spark: SparkSession): ExportReport = {
     val t0 = System.nanoTime()
+    // session-wide, BEFORE any (possibly concurrent) per-table work:
+    // schema inference of a TIMESTAMP(NANOS) table must not race the
+    // first ParquetSource.read that would otherwise set this
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     sink.prepareRoot()
     val targets = for {
       schema <- cfg.schemas

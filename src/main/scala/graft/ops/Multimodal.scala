@@ -93,8 +93,43 @@ object Multimodal extends QueryFamily {
     }(enc).orderBy($"doc_id")
   }
 
+  /** Frame sampling: split each payload into fixed-size frames (the
+    * audio/video access pattern), one row per sampled frame with a
+    * per-frame checksum and mean byte value. Frame extraction is pure
+    * column algebra (sequence + explode + substring on binary), so it
+    * scales as a projection; only every 4th frame is kept — the "sample
+    * frames, not all frames" shape of video pipelines. Oracle-checked:
+    * DuckDB replicates the frame math on the utf-8 text bytes. */
+  def qMultimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frameLen = 64
+    T.documents(spark, dir)
+      .withColumn("blob", $"text".cast("binary"))
+      .withColumn("n_frames",
+        ceil(octet_length($"blob") / lit(frameLen.toDouble)).cast("int"))
+      .withColumn("f", explode(expr("sequence(0, n_frames - 1)")))
+      .filter($"f" % 4 === 0)
+      .withColumn("frame", expr(s"substring(blob, f * $frameLen + 1, $frameLen)"))
+      .select(
+        $"doc_id", $"f".as("frame_idx"),
+        octet_length($"frame").as("frame_bytes"),
+        md5($"frame").as("frame_checksum"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  val qMultimodalFramesSql: String =
+    """SELECT doc_id, f AS frame_idx,
+      | octet_length(substr(text, f * 64 + 1, 64)::BLOB) AS frame_bytes,
+      | md5(substr(text, f * 64 + 1, 64)) AS frame_checksum
+      |FROM (SELECT doc_id, text,
+      |        unnest(range(0, CAST(ceil(octet_length(text::BLOB) / 64.0) AS INT))) AS f
+      |      FROM documents)
+      |WHERE f % 4 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_multimodal_meta", qMultimodalMeta, Some(qMultimodalMetaSql)),
     QueryDef("q_multimodal_features", qMultimodalFeatures, None),
+    QueryDef("q_multimodal_frames", qMultimodalFrames, Some(qMultimodalFramesSql)),
   )
 }

@@ -124,8 +124,10 @@ class SinkExporterSpec extends AnyFunSuite {
     val outSeq = freshDir(); val outPar = freshDir()
     val catalog = new ParquetCatalog(Paths.get("/root/testdata"))
     def run(out: String, par: Int) = {
+      // events included deliberately: its TIMESTAMP(NANOS) schema must
+      // not race the session conf under parallel export
       val cfg = ExportConfig(outputDirectory = out, overwrite = true,
-        schemas = Seq("sf0.001"), tableNameIncludePattern = "^(region|nation|supplier|part)$")
+        schemas = Seq("sf0.001"), tableNameIncludePattern = "^(region|nation|supplier|part|events)$")
       new Exporter(cfg, catalog, new ParquetSource(catalog),
         new ParquetSink(cfg), tableParallelism = par).exportTables(SparkTestSession.spark)
     }
@@ -133,7 +135,7 @@ class SinkExporterSpec extends AnyFunSuite {
     val par = run(outPar, 4)
     assert(par.tables.map(t => (t.schema, t.table, t.rows)) ===
       seq.tables.map(t => (t.schema, t.table, t.rows)))
-    assert(par.totalRows === 240) // 5 + 25 + 10 + 200
+    assert(par.totalRows === 1240) // 5 + 25 + 10 + 200 + 1000 events
   }
 
   test("partition bounds SQL pins the same SCN as the scan") {
