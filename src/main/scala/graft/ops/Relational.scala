@@ -745,6 +745,72 @@ object Relational extends QueryFamily {
       | round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** CASE-based segmentation: price bands with conditional aggregates. */
+  def qCaseBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.orders(spark, dir)
+      .withColumn("band",
+        when($"o_totalprice" < 100000, "low")
+          .when($"o_totalprice" < 300000, "mid")
+          .otherwise("high"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n"),
+        round(min($"o_totalprice"), 2).as("min_p"),
+        round(max($"o_totalprice"), 2).as("max_p"))
+      .orderBy($"band")
+  }
+
+  val qCaseBucketsSql: String =
+    """SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+      |            WHEN o_totalprice < 300000 THEN 'mid'
+      |            ELSE 'high' END AS band,
+      | count(*) AS n, round(min(o_totalprice), 2) AS min_p,
+      | round(max(o_totalprice), 2) AS max_p
+      |FROM orders GROUP BY 1 ORDER BY band""".stripMargin
+
+  /** String shaping functions: reverse, lpad, translate, trim, repeat. */
+  def qStringShape(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.part(spark, dir)
+      .filter($"p_partkey" < 100)
+      .select(
+        $"p_partkey",
+        reverse($"p_brand").as("rev"),
+        lpad($"p_brand", 12, "*").as("padded"),
+        translate($"p_type", "AEO", "430").as("leet"),
+        trim(lit("  x  ")).as("trimmed"),
+        expr("repeat('-', CAST(p_size % 5 AS INT))").as("dashes"))
+      .orderBy($"p_partkey")
+  }
+
+  val qStringShapeSql: String =
+    """SELECT p_partkey, reverse(p_brand) AS rev, lpad(p_brand, 12, '*') AS padded,
+      | translate(p_type, 'AEO', '430') AS leet, trim('  x  ') AS trimmed,
+      | repeat('-', p_size % 5) AS dashes
+      |FROM part WHERE p_partkey < 100 ORDER BY p_partkey""".stripMargin
+
+  /** first_value / last_value over an explicit full-partition frame. */
+  def qWindowFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    T.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey",
+        first($"o_orderkey").over(w).as("first_order"),
+        last($"o_orderkey").over(w).as("last_order"))
+      .orderBy($"o_orderkey")
+  }
+
+  val qWindowFirstLastSql: String =
+    """SELECT o_custkey, o_orderkey,
+      | first_value(o_orderkey) OVER w AS first_order,
+      | last_value(o_orderkey) OVER w AS last_order
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Deterministic argmax via struct ordering: max(struct(value, key))
     * compares fields lexicographically in both engines, so ties on the
     * value resolve by key — no nondeterministic max_by. */
@@ -983,6 +1049,9 @@ object Relational extends QueryFamily {
     QueryDef("q_stats_agg", qStatsAgg, Some(qStatsAggSql)),
     QueryDef("q_mode", qMode, Some(qModeSql)),
     QueryDef("q_argmax", qArgmax, Some(qArgmaxSql)),
+    QueryDef("q_case_buckets", qCaseBuckets, Some(qCaseBucketsSql)),
+    QueryDef("q_string_shape", qStringShape, Some(qStringShapeSql)),
+    QueryDef("q_window_firstlast", qWindowFirstLast, Some(qWindowFirstLastSql)),
     QueryDef("q_transitions", qTransitions, Some(qTransitionsSql)),
     QueryDef("q_skew_diag",
       (s: SparkSession, d: String) =>
