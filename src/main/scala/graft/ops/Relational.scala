@@ -745,6 +745,28 @@ object Relational extends QueryFamily {
       | round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Exact decimal aggregation: casting to DECIMAL(18,2) BEFORE summing
+    * makes the arithmetic associative and exact — the deterministic
+    * alternative to rounding double sums, and the fidelity contract for
+    * Oracle NUMBER(p,s) columns (SURVEY §7.4.3). */
+  def qDecimalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        sum($"l_extendedprice".cast("decimal(18,2)")).as("sum_price_exact"),
+        sum($"l_discount".cast("decimal(18,4)")).as("sum_disc_exact"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qDecimalAggSql: String =
+    """SELECT l_returnflag,
+      | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price_exact,
+      | sum(CAST(l_discount AS DECIMAL(18,4))) AS sum_disc_exact,
+      | count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** CASE-based segmentation: price bands with conditional aggregates. */
   def qCaseBuckets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1050,6 +1072,7 @@ object Relational extends QueryFamily {
     QueryDef("q_mode", qMode, Some(qModeSql)),
     QueryDef("q_argmax", qArgmax, Some(qArgmaxSql)),
     QueryDef("q_case_buckets", qCaseBuckets, Some(qCaseBucketsSql)),
+    QueryDef("q_decimal_agg", qDecimalAgg, Some(qDecimalAggSql)),
     QueryDef("q_string_shape", qStringShape, Some(qStringShapeSql)),
     QueryDef("q_window_firstlast", qWindowFirstLast, Some(qWindowFirstLastSql)),
     QueryDef("q_transitions", qTransitions, Some(qTransitionsSql)),
