@@ -127,9 +127,17 @@ object Multimodal extends QueryFamily {
       |WHERE f % 4 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Driver-facing variant of [[qMultimodalFeatures]]: the feature
+    * vector is comma-joined to a string because top-level array columns
+    * crash the driver harness's pandas row sort (unhashable ndarray).
+    * The typed array pipeline stays the library API (MultimodalSpec). */
+  def qMultimodalFeaturesFlat(spark: SparkSession, dir: String): DataFrame =
+    qMultimodalFeatures(spark, dir).withColumn("features",
+      expr("array_join(transform(features, x -> cast(x AS string)), ',')"))
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_multimodal_meta", qMultimodalMeta, Some(qMultimodalMetaSql)),
-    QueryDef("q_multimodal_features", qMultimodalFeatures, None),
+    QueryDef("q_multimodal_features", qMultimodalFeaturesFlat, None),
     QueryDef("q_multimodal_frames", qMultimodalFrames, Some(qMultimodalFramesSql)),
   )
 }

@@ -748,22 +748,26 @@ object Relational extends QueryFamily {
   /** Exact decimal aggregation: casting to DECIMAL(18,2) BEFORE summing
     * makes the arithmetic associative and exact — the deterministic
     * alternative to rounding double sums, and the fidelity contract for
-    * Oracle NUMBER(p,s) columns (SURVEY §7.4.3). */
+    * Oracle NUMBER(p,s) columns (SURVEY §7.4.3). The exact sums are
+    * emitted as strings because the engines widen sum(DECIMAL(18,s))
+    * differently (Spark DECIMAL(28,s), DuckDB DECIMAL(38,s)) and the
+    * driver's hash is sensitive to the physical decimal width; the
+    * digit string is identical and keeps full exactness. */
   def qDecimalAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     T.lineitem(spark, dir)
       .groupBy($"l_returnflag")
       .agg(
-        sum($"l_extendedprice".cast("decimal(18,2)")).as("sum_price_exact"),
-        sum($"l_discount".cast("decimal(18,4)")).as("sum_disc_exact"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("string").as("sum_price_exact"),
+        sum($"l_discount".cast("decimal(18,4)")).cast("string").as("sum_disc_exact"),
         count(lit(1)).as("n"))
       .orderBy($"l_returnflag")
   }
 
   val qDecimalAggSql: String =
     """SELECT l_returnflag,
-      | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price_exact,
-      | sum(CAST(l_discount AS DECIMAL(18,4))) AS sum_disc_exact,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price_exact,
+      | CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS sum_disc_exact,
       | count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 

@@ -95,7 +95,7 @@ object Text extends QueryFamily {
 
   val qLangStatsSql: String =
     """SELECT lang, source, count(*) AS n_docs,
-      | sum(n_chars) AS sum_chars, round(avg(n_chars), 4) AS avg_chars
+      | CAST(sum(n_chars) AS BIGINT) AS sum_chars, round(avg(n_chars), 4) AS avg_chars
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
   /** Heuristic quality score per document: length saturation x
@@ -198,7 +198,7 @@ object Text extends QueryFamily {
   }
 
   val qSampleHashSql: String =
-    """SELECT lang, count(*) AS n_sampled, sum(n_chars) AS sum_chars
+    """SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents
       |WHERE substr(md5(text), 1, 1) IN ('0', '1', '2', '3')
       |GROUP BY lang ORDER BY lang""".stripMargin

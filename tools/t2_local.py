@@ -5,17 +5,26 @@ Usage: python3 tools/t2_local.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name> parquet dump produced by graft.Verify,
 runs the paired SQL from oracle_sql.json in DuckDB against views named
-after the tables in <sfDir>, and compares (rows, schema names, values)
-with columns sorted by name and rows sorted canonically — approximating
-the driver's hash compare so mismatches surface before the round ends.
+after the tables in <sfDir>, and compares the two result sets THE WAY
+THE DRIVER DOES: both sides converted to pandas (pd.read_parquet for
+the Spark dump, cursor.df() for DuckDB), columns sorted by name, rows
+sorted via DataFrame.sort_values, then values compared canonically.
+
+Going through pandas is load-bearing: it reproduces the driver's
+failure modes that raw fetchall() hides —
+  * DuckDB HUGEINT / wide DECIMAL become float64 in .df(), so a bare
+    sum(int32) in an oracle mismatches Spark's int64 ("5.3e9" vs 53...),
+  * top-level array columns crash sort_values (unhashable ndarray).
 
 Dev tooling only — the Scala library has no Python dependency.
 """
 import json
 import math
 import sys
+from decimal import Decimal
 
 import duckdb
+import pandas as pd
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -26,24 +35,42 @@ TABLES = [
 def canon(v):
     if v is None:
         return "NULL"
+    # numpy scalars -> python scalars so int64/int32 compare equal
+    if hasattr(v, "item") and not isinstance(v, (bytes, str)):
+        try:
+            v = v.item()
+        except (ValueError, AttributeError):
+            pass
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == int(v) and abs(v) < 2**53:
+            # a float that came from HUGEINT/DECIMAL widening still
+            # mismatches a true int64 on the driver; keep the marker
+            return repr(v)
         return repr(v)
+    if isinstance(v, Decimal):
+        return f"dec:{v}"
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
 
 
-def table_key(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(canon(r[i]) for i in order))
-    out.sort()
-    return [cols[i] for i in order], out
+def frame_key(df, name, side):
+    cols = sorted(df.columns)
+    df = df[cols]
+    try:
+        df = df.sort_values(by=cols)
+    except TypeError as e:
+        raise RuntimeError(
+            f"{name} [{side}]: pandas sort_values crashed "
+            f"(driver harness would too): {e}")
+    rows = [tuple(canon(v) for v in r)
+            for r in df.itertuples(index=False, name=None)]
+    rows.sort()
+    return cols, rows, [str(df[c].dtype) for c in cols]
 
 
 def main():
@@ -57,29 +84,22 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            gcols = [d[0] for d in got.description]
-            grows = got.fetchall()
-            exp = con.execute(sql)
-            ecols = [d[0] for d in exp.description]
-            erows = exp.fetchall()
+            got = pd.read_parquet(f"{out_dir}/{name}")
+            exp = con.execute(sql).df()
+            gc, gr, gd = frame_key(got, name, "spark")
+            ec, er, ed = frame_key(exp, name, "oracle")
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
             continue
-        gc, gr = table_key(gcols, grows)
-        ec, er = table_key(ecols, erows)
         if gc != ec:
             print(f"FAIL {name}: schema {gc} != {ec}")
             n_fail += 1
         elif gr != er:
-            diffs = [
-                (a, b) for a, b in zip(gr, er) if a != b
-            ][:3]
+            diffs = [(a, b) for a, b in zip(gr, er) if a != b][:3]
             print(
                 f"FAIL {name}: rows spark={len(gr)} oracle={len(er)}; "
-                f"first diffs: {diffs}")
+                f"dtypes spark={gd} oracle={ed}; first diffs: {diffs}")
             if len(gr) != len(er):
                 only_g = set(gr) - set(er)
                 only_e = set(er) - set(gr)
@@ -87,6 +107,9 @@ def main():
                 print(f"  only-oracle: {list(only_e)[:2]}")
             n_fail += 1
         else:
+            if gd != ed:
+                print(f"WARN {name}: values match but pandas dtypes "
+                      f"differ: spark={gd} oracle={ed}")
             print(f"PASS {name} ({len(gr)} rows)")
             n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
