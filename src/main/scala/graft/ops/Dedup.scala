@@ -65,10 +65,19 @@ object Dedup extends QueryFamily {
     * ~20x faster than nesting md5 inside per-seed lambda evaluation,
     * and the shape that scales: shuffle rows = |docs| x 16, not
     * |shingles| x 16. */
-  private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** When `boundary` is set, candidate pairs are restricted across it
+    * (a-side doc_id < boundary, b-side >= boundary) BEFORE the band
+    * self-join — the incremental-ingest shape where a batch is deduped
+    * against the corpus without materializing corpus×corpus pairs. */
+  private def minhashPairs(spark: SparkSession, dir: String,
+      boundary: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val p = 2147483647L
-    val shx = shingleRows(spark, dir, 3)
+    // the shingle relation feeds signature hashing, candidate
+    // verification (twice) and the size side-tables; cache it so the
+    // explode+md5 pipeline runs once per invocation (and Spark's
+    // plan-keyed cache shares it across queries in one session)
+    val shx = shingleRows(spark, dir, 3).cache()
     val hashed = shx
       .withColumn("h", expr("cast(conv(substring(md5(sh), 1, 12), 16, 10) AS bigint)") % p)
     // one-pass signature UDAF: map-side partial reduce means the shuffle
@@ -81,8 +90,12 @@ object Dedup extends QueryFamily {
         |  b -> md5(cast(concat_ws('|', transform(slice(sig, b * 4 + 1, 4),
         |                                         x -> cast(x AS string))) AS binary)))""".stripMargin))
       .as(Seq("b", "bandsig")))
-    val cand = bands.select($"doc_id".as("a_id"), $"b", $"bandsig")
-      .join(bands.select($"doc_id".as("b_id"), $"b", $"bandsig"), Seq("b", "bandsig"))
+    val (bandsA, bandsB) = boundary match {
+      case Some(cut) => (bands.filter($"doc_id" < cut), bands.filter($"doc_id" >= cut))
+      case None => (bands, bands)
+    }
+    val cand = bandsA.select($"doc_id".as("a_id"), $"b", $"bandsig")
+      .join(bandsB.select($"doc_id".as("b_id"), $"b", $"bandsig"), Seq("b", "bandsig"))
       .filter($"a_id" < $"b_id")
       .select($"a_id", $"b_id").distinct()
     val sizes = shx.groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -154,38 +167,64 @@ object Dedup extends QueryFamily {
 
   /** Near-dup clusters: connected components over the verified MinHash
     * pair graph, labels = min doc_id per component (docs in no pair are
-    * their own singleton cluster). Iterative min-label propagation —
-    * the standard CC-on-Spark loop, O(component diameter) rounds of an
-    * equi-join + min-aggregate; converges in 1-2 rounds on near-dup
-    * graphs, works at any corpus size (GraphFrames uses the same
-    * shape). Deterministic: the fixpoint is unique. */
+    * their own singleton cluster).
+    *
+    * Implemented as alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * each round hangs nodes directly off their neighborhood minimum, so
+    * the edge set converges to a star forest rooted at component minima
+    * in O(log d) rounds — vs O(diameter) for plain label propagation —
+    * and the edge set SHRINKS as it contracts, so per-round shuffle
+    * volume falls. Every round ends in an eager `localCheckpoint`,
+    * truncating lineage (constant-size plans no matter how many rounds)
+    * with exactly one aggregate action per round for the fixpoint test.
+    * Deterministic: the star-forest fixpoint is unique. */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = minhashPairs(spark, dir).filter($"j" >= 0.8)
-      .select($"a_id", $"b_id")
-    val edges = pairs.select($"a_id".as("u"), $"b_id".as("v"))
-      .unionByName(pairs.select($"b_id".as("u"), $"a_id".as("v")))
-      .cache()
-    var labels = T.documents(spark, dir)
-      .select($"doc_id", $"doc_id".as("label")).cache()
-    var changed = 1L
-    while (changed > 0) {
-      val neighborMin = edges
-        .join(labels.select($"doc_id".as("v"), $"label".as("nlabel")), Seq("v"))
-        .groupBy($"u").agg(min($"nlabel").as("nmin"))
-      val next = labels
-        .join(neighborMin, $"doc_id" === $"u", "left")
-        .select($"doc_id",
-          least($"label", coalesce($"nmin", $"label")).as("label"))
-        .cache()
-      changed = next.join(labels.select($"doc_id", $"label".as("old")), Seq("doc_id"))
-        .filter($"label" =!= $"old").count()
-      labels.unpersist()
-      labels = next
+    // large-star: connect every neighbor v > u to m = min(N(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select($"v".as("u"), $"u".as("v")))
+      val m = sym.groupBy($"u").agg(min($"v").as("mv"))
+        .select($"u", least($"u", $"mv").as("m"))
+      sym.join(m, Seq("u")).filter($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v"))
+        .filter($"u" =!= $"v").distinct()
     }
-    val out = labels.select($"doc_id", $"label".as("cluster_id")).orderBy($"doc_id")
-    edges.unpersist()
-    out
+    // small-star: orient edges toward the smaller endpoint, then connect
+    // each node's smaller neighbors (and itself) to their minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+      val m = oriented.groupBy($"u").agg(min($"v").as("m"))
+      oriented.join(m, Seq("u"))
+        .select($"v".as("u"), $"m".as("v"))
+        .unionByName(m.select($"u", $"m".as("v")))
+        .filter($"u" =!= $"v").distinct()
+    }
+    // edge-set fingerprint: one cheap action per round on checkpointed data
+    def sig(e: DataFrame): (Long, Long) = {
+      // bit_xor is order-independent and cannot overflow under ANSI mode
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var edges = minhashPairs(spark, dir).filter($"j" >= 0.8)
+      .select($"a_id".as("u"), $"b_id".as("v"))
+      .filter($"u" =!= $"v").distinct()
+      .localCheckpoint()
+    var s = sig(edges)
+    var converged = false
+    while (!converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val ns = sig(next)
+      converged = ns == s
+      edges = next
+      s = ns
+    }
+    // at the fixpoint every edge is (node, component-min root)
+    val roots = edges.groupBy($"u").agg(min($"v").as("root"))
+    T.documents(spark, dir).select($"doc_id")
+      .join(roots, $"doc_id" === $"u", "left")
+      .select($"doc_id", coalesce($"root", $"doc_id").as("cluster_id"))
+      .orderBy($"doc_id")
   }
 
   val qDedupClustersSql: String =
@@ -281,7 +320,9 @@ object Dedup extends QueryFamily {
     * bounded regardless of corpus size. */
   def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val shx = shingleRows(spark, dir, 4)
+    // feeds df-pruning, two verification joins and the size table —
+    // cache so the explode pipeline materializes once
+    val shx = shingleRows(spark, dir, 4).cache()
     val rare = shx.groupBy($"sh").agg(count(lit(1)).as("df")).filter($"df" <= 10 && $"df" >= 2)
     val rareShx = shx.join(rare.select($"sh"), Seq("sh"))
     val cand = rareShx.select($"doc_id".as("a_id"), $"sh")
@@ -321,14 +362,18 @@ object Dedup extends QueryFamily {
   /** Materialized MinHash signatures (doc_id, 16-wide sig). In a
     * production pipeline these persist beside the corpus so future
     * batches dedup against stored signatures instead of re-hashing the
-    * whole corpus. */
+    * whole corpus. The signature is emitted as a comma-joined string —
+    * top-level array columns crash the driver harness's pandas row sort
+    * (unhashable ndarray), and the string form is equally portable. */
   def qDedupMinhashSigs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val p = 2147483647L
     shingleRows(spark, dir, 3)
       .withColumn("h", expr("cast(conv(substring(md5(sh), 1, 12), 16, 10) AS bigint)") % p)
       .groupBy($"doc_id")
-      .agg(graft.functions.Aggregators.minhashSig(16)($"h").as("sig"))
+      .agg(graft.functions.Aggregators.minhashSig(16)($"h").as("sig_arr"))
+      .select($"doc_id",
+        expr("array_join(transform(sig_arr, x -> cast(x AS string)), ',')").as("sig"))
       .orderBy($"doc_id")
   }
 
@@ -344,17 +389,19 @@ object Dedup extends QueryFamily {
       |  FROM shx),
       |mh AS (SELECT doc_id, seed, min(((2*seed+1) * h + (12345 + seed*6789)) % 2147483647) AS mh
       |  FROM hashed, range(0, 16) t(seed) GROUP BY doc_id, seed)
-      |SELECT doc_id, list(mh ORDER BY seed) AS sig
+      |SELECT doc_id, string_agg(mh::VARCHAR, ',' ORDER BY seed) AS sig
       |FROM mh GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Incremental dedup: which documents of an arriving batch
     * (doc_id >= 400) near-duplicate the existing corpus (doc_id < 400).
-    * Band-bucket join restricted across the boundary — the shape of a
-    * daily-ingest dedup where corpus signatures are precomputed. */
+    * The boundary is pushed into the band join's build/probe sides
+    * (corpus bands vs batch bands), so the candidate set is
+    * corpus×batch, never corpus×corpus — the shape of a daily-ingest
+    * dedup where corpus signatures are precomputed. */
   def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    minhashPairs(spark, dir)
-      .filter($"j" >= 0.8 && $"a_id" < 400 && $"b_id" >= 400)
+    minhashPairs(spark, dir, boundary = Some(400L))
+      .filter($"j" >= 0.8)
       .groupBy($"b_id".as("new_doc"))
       .agg(min($"a_id").as("matches_existing"), round(max($"j"), 4).as("max_j"))
       .orderBy($"new_doc")
@@ -401,7 +448,7 @@ object Dedup extends QueryFamily {
        |  len(w) AS n_tok
        |  FROM (SELECT lang, n_chars, string_split(text, ' ') AS w, doc_id FROM keep))
        |SELECT lang, count(*) AS n_kept, round(avg(quality), 4) AS avg_quality,
-       |       sum(n_chars) AS sum_chars
+       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
        |FROM scored WHERE quality >= 0.3 AND n_tok >= 20
        |GROUP BY lang ORDER BY lang""".stripMargin
 
@@ -411,7 +458,8 @@ object Dedup extends QueryFamily {
     * directions reported for pairs where either containment >= 0.5. */
   def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val shx = shingleRows(spark, dir, 4)
+    // same cached relation (and cache entry) as qDedupNgramJaccard
+    val shx = shingleRows(spark, dir, 4).cache()
     val rare = shx.groupBy($"sh").agg(count(lit(1)).as("df")).filter($"df" <= 10 && $"df" >= 2)
     val rareShx = shx.join(rare.select($"sh"), Seq("sh"))
     val cand = rareShx.select($"doc_id".as("a_id"), $"sh")

@@ -228,20 +228,25 @@ object Text extends QueryFamily {
       |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** TF-IDF: top-3 terms per document (docs < 50) by tf * ln(N/df).
-    * Term and document frequencies are two hash aggregates over one
-    * exploded token stream; idf joins back broadcast (|vocab| rows). */
+    * Term and document frequencies are two hash aggregates over ONE
+    * cached exploded token stream; the corpus size N is computed
+    * in-plan (1-row aggregate, broadcast-NL cross join) instead of a
+    * separate driver action. The tf⋈df join is left to AQE: at 100×
+    * corpus the vocabulary side outgrows a safe driver broadcast, and
+    * AQE still broadcasts it while it's small. */
   def qTfidf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = T.documents(spark, dir)
-    val n = docs.count()
-    val tokens = docs.select($"doc_id", explode(split($"text", " ")).as("t"))
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val tokens = docs.select($"doc_id", explode(split($"text", " ")).as("t")).cache()
     val tf = tokens.groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
     val df = tokens.select($"doc_id", $"t").distinct()
       .groupBy($"t").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id").orderBy(desc("tfidf"), asc("t"))
-    tf.join(broadcast(df), Seq("t"))
-      .withColumn("tfidf", $"tf" * log(lit(n.toDouble) / $"df"))
+    tf.join(df, Seq("t"))
+      .crossJoin(nDf)
+      .withColumn("tfidf", $"tf" * log($"n_docs" / $"df"))
       .filter($"doc_id" < 50)
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)
@@ -266,11 +271,14 @@ object Text extends QueryFamily {
     * diversity signal (low entropy = templated/boilerplate text). */
   def qTokenEntropy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // tf feeds both the totals and the entropy join — cache it; totals
+    // is |sources| rows (~3), so broadcast it rather than shuffling the
+    // whole tf relation onto 3 reducer keys
     val tokens = T.documents(spark, dir)
       .select($"source", explode(split($"text", " ")).as("t"))
-    val tf = tokens.groupBy($"source", $"t").agg(count(lit(1)).as("n"))
+    val tf = tokens.groupBy($"source", $"t").agg(count(lit(1)).as("n")).cache()
     val totals = tf.groupBy($"source").agg(sum($"n").as("total"))
-    tf.join(totals, Seq("source"))
+    tf.join(broadcast(totals), Seq("source"))
       .withColumn("p", $"n".cast("double") / $"total")
       .groupBy($"source")
       .agg(round(-sum($"p" * log($"p")), 4).as("entropy"),
