@@ -10,11 +10,18 @@ import org.apache.spark.sql.functions._
   * columns (xxhash64 over the row struct, consumed by an aggregate) —
   * a bare count() would let Catalyst prune expensive projections (e.g.
   * signature computations) and under-report their cost.
+  *
+  * Timing is min-of-N (SPARK_GRAFT_BENCH_RUNS, default 2): single-run
+  * wall times on a shared machine have shown 10-36x run-to-run noise,
+  * and the minimum is the standard low-noise estimator of the true
+  * cost. A query that throws is reported in "errors" with its message
+  * — never as a plausible-looking wall time.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,19 +33,36 @@ object Bench {
     // machinery) so the first measured query isn't charged JVM start-up
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try {
-        val df = fn(spark, sfDir)
-        df.select(xxhash64(struct(df.columns.map(col): _*)).as("__h"))
-          .agg(sum("__h"), count(lit(1))).collect()
-      } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val df = fn(spark, sfDir)
+      // bit_xor consumes every hash without ANSI-mode overflow (a long
+      // sum of xxhash64 values overflows and kills the job mid-agg)
+      df.select(xxhash64(struct(df.columns.map(col): _*)).as("__h"))
+        .agg(expr("bit_xor(__h)"), count(lit(1))).collect()
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        timings(name) = (1 to math.max(1, runs)).map(_ => once(fn)).min
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          errors(name) = msg.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+      }
+    }
+    def jmap(m: collection.Map[String, String]): String =
+      m.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = timings.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":${jmap(errors)},"n_errors":${errors.size},"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

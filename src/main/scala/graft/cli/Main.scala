@@ -100,7 +100,11 @@ object Main {
           val jdbcUrl = override_.getOrElse(cfg.jdbcUrl)
           val par = extras.getOrElse("export-parallelism", "1").toInt
           val catalog = new JdbcMetaCatalog(jdbcUrl)
-          val scn = None // SCN pinning requires an Oracle round-trip; see JdbcSource
+          // A15: one SCN fetched on the driver pins every table scan of
+          // the run to the same snapshot under SERIALIZABLE
+          val scn = JdbcSource.pinScn(cfg.isolationLevel, jdbcUrl,
+            () => JdbcSource.fetchCurrentScn(jdbcUrl, cfg.username, cfg.password))
+          scn.foreach(n => println(s"[export] pinned AS OF SCN $n for the run"))
           new Exporter(cfg, catalog,
             new JdbcSource(cfg, scn, urlOverride = override_), sink, par)
             .exportTables(spark)

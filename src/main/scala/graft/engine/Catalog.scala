@@ -17,7 +17,42 @@ import scala.util.matching.Regex
   * malformed — the clause is appended after ORDER BY (main.py:201,
   * 205-207); we generate the *intended* SQL (exclude before ORDER BY).
   */
-final case class ColumnMeta(name: String, dataType: String, position: Int)
+final case class ColumnMeta(name: String, dataType: String, position: Int,
+    precision: Option[Int] = None, scale: Option[Int] = None)
+
+/** Deterministic Oracle→Catalyst type mapping (SURVEY §1.2): the scan
+  * schema is pinned from the dictionary's (data_type, precision, scale)
+  * instead of inherited from whatever the driver infers off the first
+  * batch — the reference's first-batch fragility (main.py:165-170).
+  * Follows the NUMBER(p,s) table committed in the survey (integer
+  * narrowing for s=0 with small p, DecimalType otherwise — the same
+  * contract Spark's own OracleDialect applies to JDBC reads). */
+object OracleTypeMap {
+  import org.apache.spark.sql.types._
+
+  def toCatalyst(meta: ColumnMeta): Option[DataType] = {
+    meta.dataType.toUpperCase.trim match {
+      case "NUMBER" =>
+        val s = meta.scale.getOrElse(0)
+        Some(meta.precision.filter(_ > 0) match {
+          case None => DecimalType(38, 10) // unconstrained NUMBER
+          case Some(p) if s == 0 && p <= 9 => IntegerType
+          case Some(p) if s == 0 && p <= 18 => LongType
+          case Some(p) if s < 0 => // NUMBER(p,-s): rounded to 10^s
+            DecimalType(math.min(38, p - s), 0)
+          case Some(p) => // Oracle allows s > p (leading-zero decimals)
+            DecimalType(math.min(38, math.max(p, s)), math.min(38, s))
+        })
+      case "FLOAT" | "BINARY_DOUBLE" => Some(DoubleType)
+      case "BINARY_FLOAT" => Some(FloatType)
+      case "VARCHAR2" | "NVARCHAR2" | "CHAR" | "NCHAR" | "ROWID" => Some(StringType)
+      // Oracle DATE carries a time-of-day component
+      case "DATE" => Some(TimestampType)
+      case t if t.startsWith("TIMESTAMP") => Some(TimestampType)
+      case _ => None // not an Oracle dictionary type: leave to inference
+    }
+  }
+}
 
 trait TableCatalog {
   /** Exportable table names of a schema, filtered and sorted ASC. */
@@ -101,8 +136,13 @@ final class JdbcMetaCatalog(url: String) extends TableCatalog {
     withConn { c =>
       val rs = c.getMetaData.getColumns(null, schema, table, "%")
       Iterator.continually(rs).takeWhile(_.next()).map { r =>
+        def optInt(col: String): Option[Int] = {
+          val v = r.getInt(col)
+          if (r.wasNull()) None else Some(v)
+        }
         ColumnMeta(r.getString("COLUMN_NAME"), r.getString("TYPE_NAME"),
-          r.getInt("ORDINAL_POSITION"))
+          r.getInt("ORDINAL_POSITION"),
+          optInt("COLUMN_SIZE"), optInt("DECIMAL_DIGITS"))
       }.toList.sortBy(_.position)
     }
 }

@@ -69,14 +69,14 @@ final class Exporter(
     val cols = catalog.listColumns(schema, table)
       .filter(c => Catalog.isExportableType(c.dataType))
       .sortBy(_.position)
-      .map(_.name)
     if (cols.isEmpty) None
     else {
       val df = source.read(spark, schema, table, cols,
         cfg.lowercaseObjectNames, cfg.rowLimit)
+      // rows come from the sink's observe() metric on the write job —
+      // one scan per table, no re-read of the output
       val stats = sink.writeTable(df, schema, table)
-      val rows = spark.read.parquet(stats.outputDir).count()
-      Some(TableReport(schema, table, rows, stats.files,
+      Some(TableReport(schema, table, stats.rows, stats.files,
         (System.nanoTime() - t0) / 1e9))
     }
   }

@@ -20,20 +20,55 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 trait TableSource {
   def read(spark: SparkSession, schema: String, table: String,
-      cols: Seq[String], lowercase: Boolean, rowLimit: Long): DataFrame
+      cols: Seq[ColumnMeta], lowercase: Boolean, rowLimit: Long): DataFrame
 }
 
 final class ParquetSource(catalog: ParquetCatalog) extends TableSource {
   override def read(spark: SparkSession, schema: String, table: String,
-      cols: Seq[String], lowercase: Boolean, rowLimit: Long): DataFrame = {
+      cols: Seq[ColumnMeta], lowercase: Boolean, rowLimit: Long): DataFrame = {
     // TIMESTAMP(NANOS) columns are rejected by Spark's reader outright;
     // surface them as raw int64 nanoseconds instead — a lossless export
     // (the reference likewise emits whatever physical type the driver
     // hands it, main.py:156-170).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(catalog.tablePath(schema, table))
-    val projected = Projection(df, cols, lowercase)
+    val projected = Projection(df, cols.map(_.name), lowercase)
     if (rowLimit >= 0) projected.limit(rowLimit.toInt) else projected
+  }
+}
+
+object JdbcSource {
+
+  /** SQL that fetches the SCN to pin, issued once on the driver. */
+  val currentScnSql: String = "SELECT current_scn FROM v$database"
+
+  /** Driver-side pin decision (reference main.py:219-223,430-437): under
+    * SERIALIZABLE against Oracle, fetch ONE SCN for the whole run so
+    * every per-table scan (and every partition's connection) reads the
+    * same snapshot; under READ COMMITTED, no pin. A non-Oracle URL
+    * (offline tests, `--jdbc-url` overrides) has no flashback — that
+    * downgrade is reported loudly, never silent. */
+  def pinScn(isolation: IsolationLevel, url: String, fetchScn: () => Long,
+      log: String => Unit = println): Option[Long] = isolation match {
+    case IsolationLevel.ReadCommitted => None
+    case IsolationLevel.Serializable if url.startsWith("jdbc:oracle:") =>
+      Some(fetchScn())
+    case IsolationLevel.Serializable =>
+      log(s"[export] WARN: SERIALIZABLE requested but '$url' is not an " +
+        "Oracle URL; flashback SCN pinning unavailable, reading current data")
+      None
+  }
+
+  /** One driver-side round trip for the run's SCN. */
+  def fetchCurrentScn(url: String, user: String, password: String): Long = {
+    val c =
+      if (user.nonEmpty) java.sql.DriverManager.getConnection(url, user, password)
+      else java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(currentScnSql)
+      rs.next()
+      rs.getLong(1)
+    } finally c.close()
   }
 }
 
@@ -61,7 +96,7 @@ final class JdbcSource(
   }
 
   /** SQL that fetches the SCN to pin, issued once on the driver. */
-  def currentScnSql: String = "SELECT current_scn FROM v$database"
+  def currentScnSql: String = JdbcSource.currentScnSql
 
   /** Bounds query for intra-table parallel reads: min/max of the chosen
     * partition column at the SAME pinned SCN, so partition ranges and
@@ -71,14 +106,34 @@ final class JdbcSource(
     s"""SELECT MIN("$column"), MAX("$column") FROM "$schema"."$table"$flashback"""
   }
 
+  /** DDL spec pinning the Catalyst schema for the JDBC reader (Oracle
+    * URLs only — other engines' TYPE_NAMEs have different semantics,
+    * e.g. Derby DATE is date-only while Oracle DATE carries time).
+    * Columns the map doesn't cover fall back to driver inference. */
+  def customSchemaFor(cols: Seq[ColumnMeta], lowercase: Boolean): Option[String] = {
+    if (!url.startsWith("jdbc:oracle:")) None
+    else {
+      val specs = cols.flatMap { m =>
+        OracleTypeMap.toCatalyst(m).map { dt =>
+          val n = if (lowercase) m.name.toLowerCase else m.name
+          s"`$n` ${dt.sql}"
+        }
+      }
+      if (specs.isEmpty) None else Some(specs.mkString(", "))
+    }
+  }
+
   override def read(spark: SparkSession, schema: String, table: String,
-      cols: Seq[String], lowercase: Boolean, rowLimit: Long): DataFrame = {
+      cols: Seq[ColumnMeta], lowercase: Boolean, rowLimit: Long): DataFrame = {
     // the derived-table correlation name is required by ANSI engines
     // (Derby) and legal without AS in Oracle
     var reader = spark.read.format("jdbc")
       .option("url", url)
-      .option("dbtable", s"(${selectSql(schema, table, cols, lowercase)}) export_src")
+      .option("dbtable", s"(${selectSql(schema, table, cols.map(_.name), lowercase)}) export_src")
       .option("fetchsize", cfg.batchSize)
+    customSchemaFor(cols, lowercase).foreach { ddl =>
+      reader = reader.option("customSchema", ddl)
+    }
     if (cfg.username.nonEmpty)
       reader = reader.option("user", cfg.username).option("password", cfg.password)
     if (urlOverride.isEmpty)

@@ -96,13 +96,22 @@ final class ParquetSink(cfg: ExportConfig) {
   }
 
   /** Write one table under `{out}/{schema}/{table}/` (names lowercased
-    * when configured, like the reference's path casing main.py:245-253). */
+    * when configured, like the reference's path casing main.py:245-253).
+    *
+    * The row count piggybacks on the write job itself via `observe()` —
+    * re-reading the written output for a count would be a second full
+    * scan of the table (at 100 TB, another 100 TB of IO). The observe
+    * node is attached AFTER the records-per-file estimator, whose
+    * bounded sample action would otherwise latch the observation first. */
   def writeTable(df: DataFrame, schema: String, table: String): WriteStats = {
     val s = Projection.objectName(schema, cfg.lowercaseObjectNames)
     val t = Projection.objectName(table, cfg.lowercaseObjectNames)
     val dir = root.resolve(s).resolve(t)
     val recordsPerFile = estimateRecordsPerFile(df)
-    df.write
+    val obs = new org.apache.spark.sql.Observation(s"export_${s}_$t")
+    df.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .write
       .mode(SaveMode.Overwrite)
       .option("compression", cfg.compressionMethod.replace("none", "uncompressed"))
       .option("maxRecordsPerFile", recordsPerFile)
@@ -110,6 +119,7 @@ final class ParquetSink(cfg: ExportConfig) {
     val files = Files.list(dir).iterator()
     var n = 0
     files.forEachRemaining(p => if (p.getFileName.toString.endsWith(".parquet")) n += 1)
-    WriteStats(rows = -1L, files = n, outputDir = dir.toString)
+    WriteStats(rows = obs.get("rows").asInstanceOf[Long], files = n,
+      outputDir = dir.toString)
   }
 }

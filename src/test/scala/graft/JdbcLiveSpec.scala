@@ -4,7 +4,7 @@ import java.sql.DriverManager
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.engine.{ExportConfig, JdbcSource}
+import graft.engine.{ColumnMeta, ExportConfig, JdbcSource}
 
 /** Live JDBC scan path against embedded Derby (ships with Spark): the
   * same generated SELECT + Spark JDBC reader used for Oracle, minus the
@@ -28,7 +28,8 @@ class JdbcLiveSpec extends AnyFunSuite {
 
     val cfg = ExportConfig(batchSize = 10)
     val src = new JdbcSource(cfg, scn = None, urlOverride = Some(url))
-    val df = src.read(spark, "HR", "EMPLOYEES", Seq("ID", "Name"),
+    val df = src.read(spark, "HR", "EMPLOYEES",
+      Seq(ColumnMeta("ID", "INTEGER", 1), ColumnMeta("Name", "VARCHAR", 2)),
       lowercase = true, rowLimit = -1L)
     assert(df.columns.toSeq === Seq("id", "name"))
     assert(df.count() === 25)
