@@ -52,10 +52,53 @@ object Multimodal extends QueryFamily {
     StructField("height", IntegerType, nullable = false),
     StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
+  /** REAL image decode via `javax.imageio` (JDK-bundled PNG/BMP/GIF/
+    * JPEG readers — no external codecs needed): when the payload parses
+    * as an image this returns its actual format name, true dimensions
+    * and an 8-bin luminance histogram. Non-image payloads return None
+    * and take the deterministic stub path below (the parquet fixtures
+    * carry utf-8 text payloads, so they all fall back; MultimodalSpec
+    * drives real PNG bytes through the same pipeline). */
+  private def decodeImage(payload: Array[Byte]): Option[(String, Int, Int, Array[Double])] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val fmt = reader.getFormatName.toLowerCase
+          val img = reader.read(0)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val bins = new Array[Double](8)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              bins(lum * 8 / 256) += 1.0
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toDouble
+          Some((fmt, w, h, bins.map(b => math.rint(b / n * 10000) / 10000)))
+        } finally reader.dispose()
+      }
+    } catch {
+      case _: java.io.IOException => None
+    } finally if (iis != null) iis.close()
+  }
+
   /** STUB decoder: deterministic fake standing in for a real media
-    * decode. Maps the payload to fake dimensions and an 8-bin byte
-    * histogram "feature vector". A real deployment replaces ONLY this
-    * function body (bytes => decoded features); the batch shape stays. */
+    * decode of formats the JVM cannot read (audio/video). Maps the
+    * payload to fake dimensions and an 8-bin byte histogram "feature
+    * vector". A real deployment replaces ONLY this function body
+    * (bytes => decoded features); the batch shape stays. */
   private def decodeStub(payload: Array[Byte]): (Int, Int, Array[Double]) = {
     val w = 64 + (payload.length % 193)
     val h = 64 + ((payload.length * 31) % 149)
@@ -69,28 +112,42 @@ object Multimodal extends QueryFamily {
     (w, h, bins.map(b => math.rint(b / n * 10000) / 10000))
   }
 
-  /** Partition-wise decode + feature extraction over the binary column.
-    * `mapPartitions` so per-partition decoder setup cost (in a real
-    * pipeline: codec init, model load) is amortized across the batch —
-    * the Scala analogue of `mapInPandas`. Driver check is rows-only
-    * (no SQL oracle for the stubbed decode); MultimodalSpec pins the
-    * schema, determinism, and feature invariants. */
-  def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val src = T.documents(spark, dir)
-      .withColumn("blob", $"text".cast("binary"))
-      .select($"doc_id", $"blob")
+  /** Partition-wise decode + feature extraction over a (doc_id, blob)
+    * relation. `mapPartitions` so per-partition decoder setup cost (in
+    * a real pipeline: codec init, model load) is amortized across the
+    * batch — the Scala analogue of `mapInPandas`. Image payloads decode
+    * for real through the JDK's ImageIO; everything else takes the
+    * deterministic stub. */
+  def featuresOf(src: DataFrame): DataFrame = {
+    import src.sparkSession.implicits._
     val enc = RowEncoder.encoderFor(featureSchema)
     src.mapPartitions { rows =>
-      // per-partition init of the (stub) decoder happens here
+      // per-partition decoder init: no disk-backed ImageIO cache files
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val id = r.getAs[Long]("doc_id")
         val payload = r.getAs[Array[Byte]]("blob")
-        val fmt = Seq("jpeg", "png", "wav")(payload.length % 3)
-        val (w, h, feats) = decodeStub(payload)
-        Row(id, fmt, w, h, feats)
+        decodeImage(payload) match {
+          case Some((fmt, w, h, feats)) => Row(id, fmt, w, h, feats)
+          case None =>
+            val fmt = Seq("jpeg", "png", "wav")(payload.length % 3)
+            val (w, h, feats) = decodeStub(payload)
+            Row(id, fmt, w, h, feats)
+        }
       }
-    }(enc).orderBy($"doc_id")
+    }(enc)
+  }
+
+  /** Driver check is rows-only (no SQL oracle for the decode);
+    * MultimodalSpec pins the schema, determinism, feature invariants
+    * and the real-PNG decode path. */
+  def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    featuresOf(
+      T.documents(spark, dir)
+        .withColumn("blob", $"text".cast("binary"))
+        .select($"doc_id", $"blob"))
+      .orderBy($"doc_id")
   }
 
   /** Frame sampling: split each payload into fixed-size frames (the

@@ -59,8 +59,12 @@ object Relational extends QueryFamily {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  /** TPC-H Q3 shape: shipping priority. customer (broadcast) x orders x
-    * lineitem, date-banded, top-10 revenue order keys. */
+  /** TPC-H Q3 shape: shipping priority. customer x orders x lineitem,
+    * date-banded, top-10 revenue order keys. No broadcast hint on
+    * customer: it scales with the fact tables (SF x 150k rows), so a
+    * forced broadcast dies at cluster scale — AQE broadcasts it while
+    * its filtered side stays under the threshold and falls back to a
+    * shuffle join when it doesn't. */
   def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cutoff = lit("1998-01-01").cast("timestamp")
@@ -68,7 +72,7 @@ object Relational extends QueryFamily {
     val ord = T.orders(spark, dir).filter($"o_orderdate" < cutoff)
     val li = T.lineitem(spark, dir).filter($"l_shipdate" > cutoff)
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"))
       .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
       .orderBy(desc("revenue"), asc("l_orderkey"))
@@ -88,8 +92,11 @@ object Relational extends QueryFamily {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
-  /** TPC-H Q5 shape: local-supplier revenue per nation. 6-way join
-    * where every dim side is broadcast; only lineitem x orders shuffles. */
+  /** TPC-H Q5 shape: local-supplier revenue per nation. 6-way join:
+    * the fixed-cardinality dims (nation 25 rows, region 5) are
+    * explicitly broadcast; supplier/customer scale with SF, so their
+    * join strategy is left to AQE (broadcast while small, shuffle at
+    * cluster scale). */
   def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ord = T.orders(spark, dir)
@@ -98,8 +105,8 @@ object Relational extends QueryFamily {
     val region = T.region(spark, dir).filter($"r_name" === "ASIA")
     T.lineitem(spark, dir)
       .join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(T.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
-      .join(broadcast(T.customer(spark, dir)),
+      .join(T.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+      .join(T.customer(spark, dir),
         $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(T.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(region), $"n_regionkey" === $"r_regionkey")

@@ -219,11 +219,43 @@ object Similarity extends QueryFamily {
       | round(list_sort(list_transform(embedding, x -> x::DOUBLE))[32], 4) AS p50ish
       |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
 
+  /** Recall@3 of single-bucket sign-LSH against the exact brute-force
+    * top-3 — the metric that decides whether an ANN configuration (bits,
+    * multi-probe depth) is good enough to replace the exact scan. Both
+    * rankings reuse their broadcast-probe plans; the hit join is on
+    * (q_id, n_id), |probes|·k rows. */
+  def qSimLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = qSimBruteforce(spark, dir).filter($"rank" <= 3)
+      .select($"q_id", $"n_id")
+    val approx = qSimLsh(spark, dir).select($"q_id", $"n_id")
+    val hits = exact.join(approx, Seq("q_id", "n_id"), "left_semi")
+      .groupBy($"q_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy($"q_id").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("q_id"), "left")
+      .select($"q_id",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        round(coalesce($"n_hits", lit(0L)).cast("double") / $"n_true", 4).as("recall"))
+      .orderBy($"q_id")
+  }
+
+  val qSimLshRecallSql: String =
+    s"""WITH exact AS (SELECT q_id, n_id FROM ($qSimBruteforceSql) WHERE rank <= 3),
+       |approx AS (SELECT q_id, n_id FROM ($qSimLshSql)),
+       |hits AS (SELECT e.q_id, count(*) AS n_hits FROM exact e
+       |  JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+       |  GROUP BY e.q_id)
+       |SELECT e.q_id, coalesce(any_value(h.n_hits), 0) AS n_hits,
+       |  round(coalesce(any_value(h.n_hits), 0)::DOUBLE / count(*), 4) AS recall
+       |FROM exact e LEFT JOIN hits h ON h.q_id = e.q_id
+       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_array_funcs", qArrayFuncs, Some(qArrayFuncsSql)),
     QueryDef("q_sim_bruteforce", qSimBruteforce, Some(qSimBruteforceSql)),
     QueryDef("q_sim_lsh", qSimLsh, Some(qSimLshSql)),
     QueryDef("q_sim_lsh_multiprobe", qSimLshMultiprobe, Some(qSimLshMultiprobeSql)),
     QueryDef("q_sim_ivf", qSimIvf, Some(qSimIvfSql)),
+    QueryDef("q_sim_lsh_recall", qSimLshRecall, Some(qSimLshRecallSql)),
   )
 }

@@ -32,6 +32,36 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real PNG payloads decode through ImageIO with true dimensions") {
+    import java.awt.image.BufferedImage
+    import org.apache.spark.sql.functions._
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val session = spark
+    import session.implicits._
+    val blobs = Seq(
+      (1L, png(3, 2, 0xffffff)), // white: luminance 255 -> bin 7
+      (2L, png(5, 4, 0x000000)), // black: luminance 0 -> bin 0
+      (3L, "not an image at all".getBytes("UTF-8"))) // stub fallback
+      .toDF("doc_id", "blob")
+    val out = ops.Multimodal.featuresOf(blobs).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("format") === "png")
+    assert(out(0).getAs[Int]("width") === 3)
+    assert(out(0).getAs[Int]("height") === 2)
+    assert(out(0).getAs[scala.collection.Seq[Double]]("features")(7) === 1.0)
+    assert(out(1).getAs[String]("format") === "png")
+    assert(out(1).getAs[Int]("width") === 5)
+    assert(out(1).getAs[scala.collection.Seq[Double]]("features")(0) === 1.0)
+    // the non-image row takes the deterministic stub path
+    assert(Seq("jpeg", "png", "wav").contains(out(2).getAs[String]("format")))
+    assert(out(2).getAs[scala.collection.Seq[Double]]("features").sum > 0.99)
+  }
+
   test("metadata format tag agrees between meta query and feature pipeline") {
     import org.apache.spark.sql.functions._
     val meta = ops.Multimodal.qMultimodalMeta(spark, sf).select("doc_id", "format")
