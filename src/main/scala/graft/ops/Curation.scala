@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operator family for LLM-data pipelines (north-star
+  * scope, SURVEY.md §2 Tier B): the filtering / auditing / packing
+  * steps that sit between raw exported text and a training mix —
+  * repetition filtering (the Gopher-style quality gate), benchmark
+  * decontamination (n-gram overlap against a held-out eval set),
+  * source-mixing weights (temperature-scaled sampling), and sequence
+  * packing (concat-and-chunk into fixed context windows).
+  *
+  * Every query is keyed on doc_id or source, so each one is a
+  * constant number of hash shuffles regardless of corpus size; the
+  * packing prefix-sum is two-level (per-bucket scan + tiny bucket
+  * offset table) instead of a single-partition global window.
+  */
+object Curation extends QueryFamily {
+
+  /** Gopher-style repetition signals per document: duplicate-token
+    * ratio (1 - distinct/total) and the most-frequent-bigram fraction,
+    * with the keep/drop flag a real pipeline would gate on. Token
+    * stats come from codegen'd array functions (no explode); bigram
+    * stats explode once and aggregate twice on doc_id — map-side
+    * partial combine keeps the shuffle at |doc x distinct-bigram|. */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = T.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+    val tokStats = toks.select(
+      $"doc_id",
+      size($"w").as("n_tokens"),
+      round(lit(1.0) - size(array_distinct($"w")).cast("double") / size($"w"), 4)
+        .as("dup_token_ratio"))
+    val bigrams = toks
+      .select($"doc_id", $"w", explode(expr(
+        "CASE WHEN size(w) >= 2 THEN sequence(1, size(w) - 1) ELSE array() END")).as("i"))
+      .select($"doc_id",
+        concat_ws(" ", expr("element_at(w, i)"), expr("element_at(w, i + 1)")).as("g"))
+    val bigramStats = bigrams
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("n"))
+      .groupBy($"doc_id")
+      .agg(round(max($"n").cast("double") / sum($"n"), 4).as("top_bigram_frac"))
+    tokStats.join(bigramStats, Seq("doc_id"))
+      .withColumn("keep",
+        $"top_bigram_frac" <= 0.1 && $"dup_token_ratio" <= 0.7)
+      .select($"doc_id", $"n_tokens", $"dup_token_ratio", $"top_bigram_frac", $"keep")
+      .orderBy($"doc_id")
+  }
+
+  val qRepetitionSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |ts AS (SELECT doc_id, len(w) AS n_tokens,
+      |  round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 4) AS dup_token_ratio FROM tok),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+      |  FROM tok),
+      |bgc AS (SELECT doc_id, g, count(*) AS n FROM bg GROUP BY doc_id, g),
+      |bstat AS (SELECT doc_id, round(max(n)::DOUBLE / sum(n), 4) AS top_bigram_frac
+      |  FROM bgc GROUP BY doc_id)
+      |SELECT ts.doc_id, ts.n_tokens, ts.dup_token_ratio, b.top_bigram_frac,
+      |  (b.top_bigram_frac <= 0.1 AND ts.dup_token_ratio <= 0.7) AS keep
+      |FROM ts JOIN bstat b ON b.doc_id = ts.doc_id
+      |ORDER BY ts.doc_id""".stripMargin
+
+  /** Distinct 8-word shingles as (doc_id, g) rows — same codegen'd
+    * element_at construction as Dedup.shingleRows, wider n. */
+  private def gramRows(spark: SparkSession, dir: String, n: Int): DataFrame = {
+    import spark.implicits._
+    val parts = (0 until n).map(k => expr(s"element_at(w, i + $k)"))
+    T.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", $"w", explode(expr(
+        s"CASE WHEN size(w) >= $n THEN sequence(1, size(w) - ${n - 1}) ELSE array() END")).as("i"))
+      .select($"doc_id", concat_ws(" ", parts: _*).as("g"))
+      .distinct()
+  }
+
+  /** Benchmark decontamination: training docs sharing any 8-gram with
+    * the held-out eval split (here: doc_id % 20 == 0 stands in for the
+    * benchmark set). The eval gram set is |eval docs| x grams — tiny
+    * relative to the corpus — so the overlap probe is a semi-join the
+    * optimizer turns into a broadcast while eval stays small; per-doc
+    * hit counts then aggregate on doc_id. The standard 13-gram overlap
+    * check at 100 TB is exactly this plan with a bigger left side. */
+  def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = gramRows(spark, dir, 8)
+    val evalGrams = grams.filter($"doc_id" % 20 === 0).select($"g").distinct()
+    val train = grams.filter($"doc_id" % 20 =!= 0)
+    val perDoc = train.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = train.join(evalGrams, Seq("g"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+    hits.join(perDoc, Seq("doc_id"))
+      .select($"doc_id", $"n_grams", $"n_hits",
+        round($"n_hits".cast("double") / $"n_grams", 4).as("hit_rate"))
+      .orderBy($"doc_id")
+  }
+
+  val qContaminationSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 6), i ->
+      |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+      |    w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS g
+      |  FROM tok WHERE len(w) >= 8),
+      |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 0),
+      |tr AS (SELECT doc_id, g FROM sh WHERE doc_id % 20 <> 0),
+      |per_doc AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY doc_id),
+      |hits AS (SELECT doc_id, count(*) AS n_hits FROM tr
+      |  WHERE g IN (SELECT g FROM ev) GROUP BY doc_id)
+      |SELECT h.doc_id, p.n_grams, h.n_hits,
+      |  round(h.n_hits::DOUBLE / p.n_grams, 4) AS hit_rate
+      |FROM hits h JOIN per_doc p ON p.doc_id = h.doc_id
+      |ORDER BY h.doc_id""".stripMargin
+
+  /** Source-mixing weights: per-source token share and the
+    * temperature-scaled (tau = 0.7) sampling weight used to rebalance
+    * a training mix toward low-resource sources. One hash aggregate to
+    * |sources| rows; the share/weight normalizations run over that tiny
+    * aggregate, so the windows-without-partition are |sources|-row
+    * post-processing, not a data-scale scan. */
+  def qDomainMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy()
+    val bySource = T.documents(spark, dir)
+      .select($"source", split($"text", " ").as("tok"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum(size($"tok")).as("n_tokens"))
+    bySource
+      .withColumn("share", $"n_tokens".cast("double") / sum($"n_tokens").over(w))
+      .withColumn("weight_t07", pow($"share", 0.7) / sum(pow($"share", 0.7)).over(w))
+      .select($"source", $"n_docs", $"n_tokens",
+        round($"share", 4).as("share"), round($"weight_t07", 4).as("weight_t07"))
+      .orderBy($"source")
+  }
+
+  val qDomainMixSql: String =
+    """WITH s AS (SELECT source, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |sh AS (SELECT source, n_docs, n_tokens,
+      |  n_tokens::DOUBLE / sum(n_tokens) OVER () AS share FROM s)
+      |SELECT source, n_docs, n_tokens, round(share, 4) AS share,
+      |  round(pow(share, 0.7) / sum(pow(share, 0.7)) OVER (), 4) AS weight_t07
+      |FROM sh ORDER BY source""".stripMargin
+
+  /** Sequence packing: documents concatenated in doc_id order and
+    * chunked into fixed 512-token context windows (the pretraining
+    * packing layout); per doc, the first window it lands in and how
+    * many windows it spans. The prefix sum is two-level so it scales:
+    * a per-bucket running sum (buckets of 100 contiguous doc_ids —
+    * windows partition by bucket), plus a bucket-offset table that is
+    * |corpus|/100 rows, cumulated in its own tiny window and joined
+    * back. No single-partition scan over the full corpus anywhere. */
+  def qSeqPacking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wInBucket = Window.partitionBy($"bucket").orderBy($"doc_id")
+    val wBuckets = Window.partitionBy().orderBy($"bucket")
+    val toks = T.documents(spark, dir)
+      .select($"doc_id", size(split($"text", " ")).as("n_tokens"),
+        ($"doc_id" / 100).cast("long").as("bucket"))
+    val inBucket = toks.withColumn("cum_in_bucket",
+      sum($"n_tokens").over(wInBucket))
+    val offsets = toks.groupBy($"bucket").agg(sum($"n_tokens").as("bucket_total"))
+      .withColumn("offset", sum($"bucket_total").over(wBuckets) - $"bucket_total")
+      .select($"bucket", $"offset")
+    inBucket.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum", $"offset" + $"cum_in_bucket")
+      .select($"doc_id", $"n_tokens",
+        expr("(cum - n_tokens) div 512").as("window_start"),
+        expr("((cum - 1) div 512) - ((cum - n_tokens) div 512) + 1").as("n_windows"))
+      .orderBy($"doc_id")
+  }
+
+  val qSeqPackingSql: String =
+    """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |  CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM t)
+      |SELECT doc_id, n_tokens, (cum - n_tokens) // 512 AS window_start,
+      |  ((cum - 1) // 512) - ((cum - n_tokens) // 512) + 1 AS n_windows
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_repetition", qRepetition, Some(qRepetitionSql)),
+    QueryDef("q_contamination", qContamination, Some(qContaminationSql)),
+    QueryDef("q_domain_mix", qDomainMix, Some(qDomainMixSql)),
+    QueryDef("q_seq_packing", qSeqPacking, Some(qSeqPackingSql)),
+  )
+}

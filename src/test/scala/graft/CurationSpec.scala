@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("repetition signals are valid ratios and the keep flag matches them") {
+    val rows = ops.Curation.qRepetition(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dup = r.getAs[Double]("dup_token_ratio")
+      val top = r.getAs[Double]("top_bigram_frac")
+      assert(dup >= 0.0 && dup < 1.0)
+      assert(top > 0.0 && top <= 1.0)
+      assert(r.getAs[Boolean]("keep") === (top <= 0.1 && dup <= 0.7))
+    }
+  }
+
+  test("contamination only reports train docs with real eval overlap") {
+    val rows = ops.Curation.qContamination(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 20 != 0L, "eval docs must not self-report")
+      assert(r.getAs[Long]("n_hits") >= 1L)
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_grams"))
+      val rate = r.getAs[Double]("hit_rate")
+      assert(rate > 0.0 && rate <= 1.0)
+    }
+  }
+
+  test("domain mix shares and temperature weights each sum to 1") {
+    val rows = ops.Curation.qDomainMix(spark, sf).collect()
+    assert(rows.length > 1)
+    val shares = rows.map(_.getAs[Double]("share"))
+    val weights = rows.map(_.getAs[Double]("weight_t07"))
+    assert(math.abs(shares.sum - 1.0) < 0.01)
+    assert(math.abs(weights.sum - 1.0) < 0.01)
+    // tau < 1 flattens the distribution: the weight spread is no wider
+    // than the raw share spread
+    assert(weights.max - weights.min <= shares.max - shares.min + 1e-9)
+  }
+
+  test("two-level packing prefix sum equals the naive global scan") {
+    val rows = ops.Curation.qSeqPacking(spark, sf)
+      .orderBy("doc_id").collect()
+    assert(rows.nonEmpty)
+    var cum = 0L
+    rows.foreach { r =>
+      val n = r.getAs[Int]("n_tokens").toLong
+      assert(r.getAs[Long]("window_start") === cum / 512)
+      assert(r.getAs[Long]("n_windows") === (cum + n - 1) / 512 - cum / 512 + 1)
+      cum += n
+    }
+  }
+
+  test("packing windows cover each document at least once and stay contiguous") {
+    val rows = ops.Curation.qSeqPacking(spark, sf).orderBy("doc_id").collect()
+    assert(rows.head.getAs[Long]("window_start") === 0L)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("window_start") >= a.getAs[Long]("window_start"))
+      case _ =>
+    }
+    assert(rows.forall(_.getAs[Long]("n_windows") >= 1L))
+  }
+
+  test("cached hot paths keep their shared relations in memory") {
+    // the rework promises single-computation plans: the shared exploded
+    // token / shingle relations must appear as InMemoryRelation scans
+    for (q <- Seq(
+        ops.Text.qTfidf(spark, sf),
+        ops.Text.qTokenEntropy(spark, sf),
+        ops.Dedup.qDedupContainment(spark, sf))) {
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("InMemoryRelation"), s"expected cache in:\n$plan")
+    }
+  }
+}
