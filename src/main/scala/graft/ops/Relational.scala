@@ -439,6 +439,38 @@ object Relational extends QueryFamily {
       |   WHERE c.user_id = p.user_id AND c.c_ts <= p.p_ts) AS click_us
       |FROM p ORDER BY p.event_id""".stripMargin
 
+  /** As-of join through the native operator ([[graft.plans.AsOfJoin]]:
+    * custom logical plan + planner strategy + sort-merge physical exec)
+    * instead of the union + running-max window of [[qAsofJoin]]. The
+    * native path carries the WHOLE matched right row — here the prior
+    * click's id and value alongside its timestamp — which the window
+    * encoding cannot (a running max per column is not "the matching
+    * row"). Oracle: DuckDB's built-in ASOF LEFT JOIN. */
+  def qAsofNative(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = T.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("c_ts"),
+        $"event_id".as("click_id"), $"value".as("click_value"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts".as("p_ts"))
+    graft.plans.AsOfJoin.asof(purchases, clicks, Seq("user_id"), "p_ts", "c_ts")
+      .select($"event_id", unix_micros($"p_ts").as("p_us"),
+        $"click_id", unix_micros($"c_ts").as("click_us"), $"click_value")
+      .orderBy($"event_id")
+  }
+
+  val qAsofNativeSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type, value,
+      |             make_timestamp(epoch_ns(ts)//1000) AS ts FROM events),
+      | c AS (SELECT user_id, ts AS c_ts, event_id AS click_id, value AS click_value
+      |       FROM e WHERE event_type = 'click'),
+      | p AS (SELECT event_id, user_id, ts AS p_ts FROM e WHERE event_type = 'purchase')
+      |SELECT p.event_id, epoch_us(p.p_ts) AS p_us,
+      | c.click_id, epoch_us(c.c_ts) AS click_us, c.click_value
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.p_ts >= c.c_ts
+      |ORDER BY p.event_id""".stripMargin
+
   /** Range self-join, bucketized: for every event, how many events of
     * the same user happened in the preceding hour. Probe rows explode
     * into their own and the previous 1-hour bucket, so the join is
@@ -1059,6 +1091,7 @@ object Relational extends QueryFamily {
     QueryDef("q_distinct_counts", qDistinctCounts, Some(qDistinctCountsSql)),
     QueryDef("q_approx_distinct", qApproxDistinct, None),
     QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
+    QueryDef("q_asof_native", qAsofNative, Some(qAsofNativeSql)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
     QueryDef("q_json_extract", qJsonExtract, Some(qJsonExtractSql)),
     QueryDef("q_scalar_funcs", qScalarFuncs, Some(qScalarFuncsSql)),

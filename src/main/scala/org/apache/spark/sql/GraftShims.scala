@@ -11,6 +11,13 @@ object GraftShims {
   def toExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
 
+  /** DataFrame from a hand-built LogicalPlan (Dataset.ofRows is
+    * private[sql]); the seam that lets the library's custom logical
+    * operators enter the public Dataset API. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Temp-function registration on a live session (sessionState is
     * private[sql]); the SparkSessionExtensions path covers sessions the
     * library gets to construct itself. */
