@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PII detection / redaction operator family for LLM-data pipelines
+  * (north-star scope, SURVEY.md §2 Tier B): the safety-scrubbing pass
+  * a training corpus goes through before tokenization — find and mask
+  * email addresses, phone numbers, and IP addresses in free text.
+  *
+  * The detectors are plain regular expressions written to the
+  * RE2-compatible subset (no backreferences, no lookaround) so the
+  * DuckDB oracles run the byte-identical patterns. Both the counting
+  * (`regexp_extract_all`) and the masking (`regexp_replace`) are
+  * codegen'd per-row projections: the scrub pass over a 100 TB corpus
+  * is embarrassingly parallel with zero shuffles, and the stats query
+  * is one map-side-combined aggregation keyed on a low-cardinality
+  * column.
+  *
+  * The text fixtures are deliberately punctuation-free, so the
+  * oracle-checked queries synthesize a contact line per `customer` row
+  * from fixture columns — identically in Spark and DuckDB — and then
+  * exercise the scrub operator on it; the operator itself takes any
+  * string column.
+  */
+object Safety extends QueryFamily {
+
+  /** RE2- and java.util.regex-compatible detector patterns. */
+  val EmailPat = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
+  val IpPat = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  val PhonePat = "\\d{3}-\\d{4}"
+
+  /** Mask every email / IP / phone occurrence in `text`. Email first
+    * (its local part may contain digits and dots that the other
+    * patterns could nibble at), then IP (dotted digits), then phone
+    * (a bare digit run that matches inside neither placeholder). */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(EmailPat), lit("[EMAIL]")),
+        lit(IpPat), lit("[IP]")),
+      lit(PhonePat), lit("[PHONE]"))
+
+  /** Number of matches of `pat` in `text`, as a long. */
+  def piiCount(text: Column, pat: String): Column =
+    size(regexp_extract_all(text, lit(pat), lit(0))).cast("long")
+
+  /** One synthetic contact line per customer, derived only from
+    * fixture columns so the DuckDB twin builds the identical string:
+    * always an email; a phone for every third key; an IP for every
+    * second key. */
+  private def contactLine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.customer(spark, dir).select(
+      $"c_custkey",
+      $"c_mktsegment",
+      concat(
+        $"c_name", lit(" of segment "), $"c_mktsegment", lit(" writes from "),
+        lower(regexp_replace($"c_name", lit("#"), lit("."))), lit("@example.com"),
+        when($"c_custkey" % 3 === 0,
+          concat(lit(" calls 555-"),
+            lpad(($"c_custkey" % 10000).cast("string"), 4, "0"))).otherwise(""),
+        when($"c_custkey" % 2 === 0,
+          concat(lit(" connects via 10."), $"c_nationkey".cast("string"),
+            lit(".0."), ($"c_custkey" % 256).cast("string"))).otherwise(""))
+        .as("contact"))
+  }
+
+  /** Shared DuckDB twin of [[contactLine]]. Concatenation operators sit
+    * at line ends: this string is interpolated into query SQL that gets
+    * its own `stripMargin`, which would eat the first `|` of any line
+    * starting with `||`. */
+  private val contactSql: String =
+    """SELECT c_custkey, c_mktsegment,
+      | c_name || ' of segment ' || c_mktsegment || ' writes from ' ||
+      | lower(replace(c_name, '#', '.')) || '@example.com' ||
+      | CASE WHEN c_custkey % 3 = 0
+      |      THEN ' calls 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+      |      ELSE '' END ||
+      | CASE WHEN c_custkey % 2 = 0
+      |      THEN ' connects via 10.' || CAST(c_nationkey AS VARCHAR) ||
+      |           '.0.' || CAST(c_custkey % 256 AS VARCHAR)
+      |      ELSE '' END AS contact
+      |FROM customer""".stripMargin
+
+  /** Per-row scrub: masked text plus per-category match counts. A pure
+    * projection — no shuffle at any scale. */
+  def qPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    contactLine(spark, dir).select(
+      $"c_custkey",
+      piiCount($"contact", EmailPat).as("n_email"),
+      piiCount($"contact", PhonePat).as("n_phone"),
+      piiCount($"contact", IpPat).as("n_ip"),
+      scrub($"contact").as("clean"))
+      .orderBy($"c_custkey")
+  }
+
+  val qPiiScrubSql: String =
+    s"""WITH base AS ($contactSql)
+       |SELECT c_custkey,
+       | CAST(len(regexp_extract_all(contact, '$EmailPat')) AS BIGINT) AS n_email,
+       | CAST(len(regexp_extract_all(contact, '$PhonePat')) AS BIGINT) AS n_phone,
+       | CAST(len(regexp_extract_all(contact, '$IpPat')) AS BIGINT) AS n_ip,
+       | regexp_replace(regexp_replace(regexp_replace(contact,
+       |   '$EmailPat', '[EMAIL]', 'g'), '$IpPat', '[IP]', 'g'),
+       |   '$PhonePat', '[PHONE]', 'g') AS clean
+       |FROM base ORDER BY c_custkey""".stripMargin
+
+  /** Corpus-level PII exposure report by segment: detector totals and
+    * the share of rows carrying more than the baseline email. One
+    * hash aggregation on a 5-value key; partial aggregation does the
+    * heavy lifting map-side. */
+  def qPiiStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    contactLine(spark, dir).select(
+      $"c_mktsegment",
+      piiCount($"contact", EmailPat).as("e"),
+      piiCount($"contact", PhonePat).as("p"),
+      piiCount($"contact", IpPat).as("i"))
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).as("rows"),
+        sum($"e").as("emails"),
+        sum($"p").as("phones"),
+        sum($"i").as("ips"),
+        round(avg(when($"p" + $"i" > 0, 1.0).otherwise(0.0)), 4).as("exposed_frac"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val qPiiStatsSql: String =
+    s"""WITH base AS ($contactSql),
+       |x AS (SELECT c_mktsegment,
+       |  CAST(len(regexp_extract_all(contact, '$EmailPat')) AS BIGINT) AS e,
+       |  CAST(len(regexp_extract_all(contact, '$PhonePat')) AS BIGINT) AS p,
+       |  CAST(len(regexp_extract_all(contact, '$IpPat')) AS BIGINT) AS i
+       |  FROM base)
+       |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS rows,
+       | CAST(sum(e) AS BIGINT) AS emails, CAST(sum(p) AS BIGINT) AS phones,
+       | CAST(sum(i) AS BIGINT) AS ips,
+       | round(avg(CASE WHEN p + i > 0 THEN 1.0 ELSE 0.0 END), 4) AS exposed_frac
+       |FROM x GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_pii_scrub", qPiiScrub, Some(qPiiScrubSql)),
+    QueryDef("q_pii_stats", qPiiStats, Some(qPiiStatsSql)))
+}

@@ -85,9 +85,49 @@ object StreamingOps extends QueryFamily {
       |FROM sess GROUP BY user_id, sid
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** Stream-stream interval join: every purchase paired with the same
+    * user's clicks from the preceding hour. Column names are disjoint
+    * across the two sides (`p_*` vs `c_*`/`c_user`) so the transform
+    * runs unchanged on two live streams, where Spark tracks both sides
+    * in the state store and the event-time bound + watermarks let it
+    * evict state (batch mode plans the same condition as an ordinary
+    * equi-join on user with a residual time filter). The join shuffle
+    * is keyed on user_id — high cardinality, so it shards evenly at
+    * any scale; per-user pair counts are bounded by the 1-hour window.
+    * `StreamingSpec` drives it with two MemoryStreams + watermarks. */
+  def intervalJoin(purchases: DataFrame, clicks: DataFrame): DataFrame =
+    purchases.join(
+      clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+
+  def qStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    intervalJoin(p, c)
+      .select(col("p_id"), col("c_id"),
+        unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
+      .orderBy(col("p_id"), col("c_id"))
+  }
+
+  val qStreamJoinSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |             make_timestamp(epoch_ns(ts)//1000) AS ts FROM events),
+      | p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM e WHERE event_type = 'purchase'),
+      | c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts FROM e WHERE event_type = 'click')
+      |SELECT p_id, c_id, epoch_us(p_ts) AS p_us, epoch_us(c_ts) AS c_us
+      |FROM p JOIN c ON user_id = c_user
+      | AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts
+      |ORDER BY p_id, c_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_stream_tumbling", qStreamTumbling, Some(qStreamTumblingSql)),
     QueryDef("q_stream_sliding", qStreamSliding, Some(qStreamSlidingSql)),
     QueryDef("q_stream_sessions", qStreamSessions, Some(qStreamSessionsSql)),
+    QueryDef("q_stream_join", qStreamJoin, Some(qStreamJoinSql)),
   )
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Safety
+
+class SafetySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("scrub masks every detector category and leaves clean text alone") {
+    val session = spark
+    import session.implicits._
+    val rows = Seq(
+      "write a.b@x.com or ping 10.0.0.1 then call 555-1234 twice 555-9999",
+      "no personal data in this sentence at all")
+      .toDF("s")
+      .select(Safety.scrub($"s").as("clean"))
+      .collect().map(_.getString(0))
+    assert(rows(0) ===
+      "write [EMAIL] or ping [IP] then call [PHONE] twice [PHONE]")
+    assert(rows(1) === "no personal data in this sentence at all")
+  }
+
+  test("scrub is idempotent") {
+    val session = spark
+    import session.implicits._
+    val df = Seq("a.b@x.com 10.0.0.1 555-1234").toDF("s")
+    val once = df.select(Safety.scrub($"s").as("c")).collect()(0).getString(0)
+    val twice = df.select(Safety.scrub(Safety.scrub($"s")).as("c"))
+      .collect()(0).getString(0)
+    assert(once === twice)
+  }
+
+  test("piiCount agrees with the number of maskings") {
+    val session = spark
+    import session.implicits._
+    val df = Seq("x@y.com and z.w@q.org 555-1234 10.1.2.3 10.9.8.7 10.0.0.1")
+      .toDF("s")
+    val r = df.select(
+      Safety.piiCount($"s", Safety.EmailPat).as("e"),
+      Safety.piiCount($"s", Safety.PhonePat).as("p"),
+      Safety.piiCount($"s", Safety.IpPat).as("i")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 1L, 3L)))
+  }
+
+  test("q_pii_scrub leaves no detectable PII and counts deterministically") {
+    val session = spark
+    import session.implicits._
+    val out = ops.Safety.qPiiScrub(spark, sf).cache()
+    try {
+      // nothing the detectors recognize survives the scrub
+      assert(out.filter(
+        Safety.piiCount($"clean", Safety.EmailPat) +
+          Safety.piiCount($"clean", Safety.PhonePat) +
+          Safety.piiCount($"clean", Safety.IpPat) > 0).count() === 0L)
+      // every contact line carries exactly one email; phones on every
+      // third key, IPs on every second
+      assert(out.filter($"n_email" =!= 1).count() === 0L)
+      assert(out.filter($"n_phone" =!= when($"c_custkey" % 3 === 0, 1L).otherwise(0L))
+        .count() === 0L)
+      assert(out.filter($"n_ip" =!= when($"c_custkey" % 2 === 0, 1L).otherwise(0L))
+        .count() === 0L)
+    } finally out.unpersist()
+  }
+
+  test("q_pii_stats fractions are consistent with the key modulus") {
+    val session = spark
+    import session.implicits._
+    val stats = ops.Safety.qPiiStats(spark, sf).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      val rows = r.getAs[Long]("rows")
+      val exposed = r.getAs[Double]("exposed_frac")
+      assert(rows > 0)
+      // phone (k%3) or ip (k%2) → 2 of every 3 keys exposed on average
+      assert(exposed > 0.4 && exposed < 0.9, s"exposed_frac=$exposed")
+      assert(r.getAs[Long]("emails") === rows)
+    }
+  }
+}

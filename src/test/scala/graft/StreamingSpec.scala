@@ -7,6 +7,8 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
+case class Pur(p_id: Long, user_id: Long, p_ts: Timestamp)
+case class Clk(c_id: Long, c_user: Long, c_ts: Timestamp)
 
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -65,6 +67,42 @@ class StreamingSpec extends AnyFunSuite {
         .filter($"ws" === 1704067200000000L).collect() // 2024-01-01 00:00 UTC
       assert(finalRows.length === 1 && finalRows(0).getAs[Long]("n") === 1L,
         "late event leaked into a closed window")
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs purchases with prior-hour clicks") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val msP = MemoryStream[Pur]
+    val msC = MemoryStream[Clk]
+    val joined = ops.StreamingOps.intervalJoin(
+      msP.toDF().withWatermark("p_ts", "2 hours"),
+      msC.toDF().withWatermark("c_ts", "2 hours"))
+      .select($"p_id", $"c_id")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").start()
+    try {
+      msC.addData(
+        Clk(10L, 1L, t("2024-01-01 00:30:00")), // within p1's hour
+        Clk(11L, 1L, t("2024-01-01 02:30:00")), // after p1 -> no match
+        Clk(12L, 2L, t("2024-01-01 00:40:00"))) // >1h before p2 -> no match
+      msP.addData(
+        Pur(1L, 1L, t("2024-01-01 01:00:00")),
+        Pur(2L, 2L, t("2024-01-01 03:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_out").orderBy("p_id", "c_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(streamed === Seq((1L, 10L)))
+      // same transform over the same rows in batch mode agrees
+      val batch = ops.StreamingOps.intervalJoin(
+        Seq(Pur(1L, 1L, t("2024-01-01 01:00:00")),
+          Pur(2L, 2L, t("2024-01-01 03:00:00"))).toDF(),
+        Seq(Clk(10L, 1L, t("2024-01-01 00:30:00")),
+          Clk(11L, 1L, t("2024-01-01 02:30:00")),
+          Clk(12L, 2L, t("2024-01-01 00:40:00"))).toDF())
+        .select($"p_id", $"c_id").orderBy("p_id", "c_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(batch === streamed)
     } finally q.stop()
   }
 
