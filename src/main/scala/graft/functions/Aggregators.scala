@@ -81,6 +81,46 @@ object Aggregators {
     override def outputEncoder: Encoder[String] = Encoders.STRING
   }
 
+  /** Bloom-filter sketch over pre-hashed values (xxhash64 longs):
+    * buffer = bitset words, insert sets k double-hashed bits, merge is
+    * word-wise OR. The finished sketch is an `array<bigint>` column a
+    * probe side tests with [[graft.functions.BloomMightContain]] —
+    * the 100 TB decontamination shape: aggregate the (small) eval set
+    * into a ~2 MB sketch once, broadcast it, and probe the corpus with
+    * a zero-shuffle codegen'd filter instead of a corpus-wide join.
+    * Bit positions use double hashing `h1 + i*h2` (Kirsch-Mitzenmacher,
+    * public-knowledge construction) so insert and probe agree. */
+  final class BloomSketch(mBits: Int, k: Int)
+    extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(mBits % 64 == 0, "mBits must be a multiple of 64")
+
+    override def zero: Array[Long] = new Array[Long](mBits / 64)
+
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      val h1 = h
+      val h2 = (h >>> 32) | 1L
+      var i = 0
+      while (i < k) {
+        val pos = ((h1 + i * h2) & Long.MaxValue) % mBits
+        buf((pos >>> 6).toInt) |= 1L << (pos & 63L)
+        i += 1
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
   /** Geometric mean: buffer = (sum of logs, count). */
   final class GeoMean extends Aggregator[Double, (Double, Long), Double] {
     override def zero: (Double, Long) = (0.0, 0L)
@@ -97,6 +137,8 @@ object Aggregators {
 
   /** Column-API forms (untyped usage inside groupBy().agg). */
   def minhashSig(k: Int)(col: Column): Column = udaf(new MinHashSig(k), Encoders.scalaLong).apply(col)
+  def bloomSketch(mBits: Int, k: Int)(col: Column): Column =
+    udaf(new BloomSketch(mBits, k), Encoders.scalaLong).apply(col)
   def simhashSig(col: Column): Column = udaf(new SimHashSig, Encoders.scalaLong).apply(col)
   def geoMean(col: Column): Column = udaf(new GeoMean, Encoders.scalaDouble).apply(col)
 }

@@ -92,6 +92,53 @@ case class HammingDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** mightContain(bloomWords, hash): test k double-hashed bit positions
+  * of a [[graft.functions.Aggregators.BloomSketch]] bitset. Probe-side
+  * twin of the sketch aggregator — bit positions are the identical
+  * `h1 + i*h2` double-hash, m derived from the word-array length. The
+  * codegen'd form keeps a 100 TB decontamination probe inside
+  * whole-stage codegen: one array-read + mask per hash function. */
+case class BloomMightContain(left: Expression, right: Expression, k: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+
+  override def nullSafeEval(words: Any, hash: Any): Any = {
+    val arr = words.asInstanceOf[ArrayData]
+    val mBits = arr.numElements().toLong * 64L
+    val h1 = hash.asInstanceOf[Long]
+    val h2 = (h1 >>> 32) | 1L
+    var i = 0
+    var all = true
+    while (i < k && all) {
+      val pos = ((h1 + i * h2) & Long.MaxValue) % mBits
+      all = ((arr.getLong((pos >>> 6).toInt) >>> (pos & 63L)) & 1L) == 1L
+      i += 1
+    }
+    all
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, h) => {
+      s"""
+         |long mBits = (long) $w.numElements() * 64L;
+         |long h1 = $h;
+         |long h2 = (h1 >>> 32) | 1L;
+         |boolean all = true;
+         |for (int i = 0; i < $k && all; i++) {
+         |  long pos = ((h1 + i * h2) & Long.MAX_VALUE) % mBits;
+         |  all = (($w.getLong((int) (pos >>> 6)) >>> (pos & 63L)) & 1L) == 1L;
+         |}
+         |${ev.value} = all;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomMightContain =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points; array inputs are cast to array<double>
   * so callers can pass float embeddings directly. */
 object F {
@@ -104,4 +151,8 @@ object F {
   def hammingDistance(a: Column, b: Column): Column =
     GraftShims.toColumn(HammingDistance(
       e(a.cast("string")), e(b.cast("string"))))
+
+  def bloomMightContain(words: Column, hash: Column, k: Int): Column =
+    GraftShims.toColumn(BloomMightContain(
+      e(words.cast("array<bigint>")), e(hash.cast("bigint")), k))
 }

@@ -114,6 +114,33 @@ object Curation extends QueryFamily {
       |FROM hits h JOIN per_doc p ON p.doc_id = h.doc_id
       |ORDER BY h.doc_id""".stripMargin
 
+  /** Bloom-sketch decontamination: the same overlap statistics as
+    * [[qContamination]], but the eval gram set is aggregated into a
+    * 2 MB Bloom bitset ([[graft.functions.Aggregators.BloomSketch]],
+    * m=2^24, k=5) and the corpus is probed with the codegen'd
+    * [[graft.functions.BloomMightContain]] after a 1-row broadcast —
+    * at 100 TB the probe is a zero-shuffle map over the corpus instead
+    * of a corpus x eval join. m is sized so the false-positive odds at
+    * the tested scales are ~1e-11 per probe; the oracle is the EXACT
+    * overlap (same SQL as q_contamination), which doubles as a
+    * false-positive audit — any FP breaks the hash equality. */
+  def qContaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = gramRows(spark, dir, 8)
+    val bloom = grams.filter($"doc_id" % 20 === 0)
+      .select(xxhash64($"g").as("h"))
+      .agg(graft.functions.Aggregators.bloomSketch(1 << 24, 5)($"h").as("bloom"))
+    val train = grams.filter($"doc_id" % 20 =!= 0)
+    val perDoc = train.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = train.crossJoin(broadcast(bloom))
+      .filter(graft.functions.F.bloomMightContain($"bloom", xxhash64($"g"), 5))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+    hits.join(perDoc, Seq("doc_id"))
+      .select($"doc_id", $"n_grams", $"n_hits",
+        round($"n_hits".cast("double") / $"n_grams", 4).as("hit_rate"))
+      .orderBy($"doc_id")
+  }
+
   /** Source-mixing weights: per-source token share and the
     * temperature-scaled (tau = 0.7) sampling weight used to rebalance
     * a training mix toward low-resource sources. One hash aggregate to
@@ -184,6 +211,7 @@ object Curation extends QueryFamily {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_repetition", qRepetition, Some(qRepetitionSql)),
     QueryDef("q_contamination", qContamination, Some(qContaminationSql)),
+    QueryDef("q_contamination_bloom", qContaminationBloom, Some(qContaminationSql)),
     QueryDef("q_domain_mix", qDomainMix, Some(qDomainMixSql)),
     QueryDef("q_seq_packing", qSeqPacking, Some(qSeqPackingSql)),
   )

@@ -29,6 +29,35 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom decontamination reproduces the exact overlap (zero false positives)") {
+    val exact = ops.Curation.qContamination(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"), r.getAs[Long]("n_hits")))
+    val bloom = ops.Curation.qContaminationBloom(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"), r.getAs[Long]("n_hits")))
+    assert(bloom.nonEmpty)
+    assert(bloom.toSeq === exact.toSeq)
+  }
+
+  test("bloom sketch + mightContain: inserted values hit, absent values miss") {
+    import spark.implicits._
+    val inserted = spark.range(0, 1000).select(xxhash64(concat(lit("v"), $"id")).as("h"))
+    val sketch = inserted
+      .agg(functions.Aggregators.bloomSketch(1 << 16, 5)($"h").as("bloom"))
+    val probes = spark.range(0, 2000)
+      .select($"id", xxhash64(concat(lit("v"), $"id")).as("h"))
+      .crossJoin(broadcast(sketch))
+      .select($"id", functions.F.bloomMightContain($"bloom", $"h", 5).as("hit"))
+      .collect()
+    probes.foreach { r =>
+      val id = r.getAs[Long]("id")
+      if (id < 1000) assert(r.getAs[Boolean]("hit"), s"inserted $id must hit")
+    }
+    // absent values may false-positive in principle; at n=1000, m=2^16,
+    // k=5 the expected FP count over 1000 probes is << 1
+    val fps = probes.count(r => r.getAs[Long]("id") >= 1000 && r.getAs[Boolean]("hit"))
+    assert(fps === 0, s"unexpected false positives: $fps")
+  }
+
   test("domain mix shares and temperature weights each sum to 1") {
     val rows = ops.Curation.qDomainMix(spark, sf).collect()
     assert(rows.length > 1)
