@@ -17,6 +17,58 @@ object Stateful {
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class SessionState(startUs: Long, lastUs: Long, n: Long)
+  case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Custom event-time sessionization via flatMapGroupsWithState: a
+    * session closes when the user is idle for `gap`, enforced two ways —
+    * in-batch (gap between consecutive events inside one trigger) and
+    * across triggers (EventTimeTimeout fires once the watermark passes
+    * lastSeen + gap, which is what `session_window` cannot customize:
+    * here the close emits a summary row only, and the gap rule could be
+    * any per-key predicate). State per key is three longs; eviction is
+    * watermark-driven, so the store is bounded by |users idle < gap|.
+    *
+    * Input must carry a watermark on `ts` (the caller sets it; the
+    * timeout needs it to fire). */
+  def sessionize(events: Dataset[SessionEvent], gapSec: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSec * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, s.startUs, s.lastUs, s.n))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+            val closed = Seq.newBuilder[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000L
+              cur match {
+                case Some(s) if us - s.lastUs > gapUs =>
+                  closed += ClosedSession(uid, s.startUs, s.lastUs, s.n)
+                  cur = Some(SessionState(us, us, 1L))
+                case Some(s) =>
+                  cur = Some(SessionState(s.startUs, math.max(s.lastUs, us), s.n + 1L))
+                case None =>
+                  cur = Some(SessionState(us, us, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastUs / 1000L + gapSec * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Running per-user totals, updated every trigger. */
   def runningTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
     import events.sparkSession.implicits._

@@ -192,6 +192,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions on gap and timeout") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Stateful.{SessionEvent, sessionize}
+    val ms = MemoryStream[SessionEvent]
+    val withWm = ms.toDS()
+      .withWatermark("ts", "0 seconds")
+      .as[SessionEvent]
+    val q = sessionize(withWm, gapSec = 600L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    try {
+      // two events 5 min apart (one session), then an in-batch gap > 10 min
+      // closes it and opens a second session within the same trigger
+      ms.addData(
+        SessionEvent(1L, t("2024-01-01 00:00:00"), "click"),
+        SessionEvent(1L, t("2024-01-01 00:05:00"), "view"),
+        SessionEvent(1L, t("2024-01-01 00:30:00"), "click"))
+      q.processAllAvailable()
+      val afterBatch = spark.table("sess_out").as[graft.streaming.Stateful.ClosedSession].collect()
+      assert(afterBatch.length === 1)
+      assert(afterBatch(0).n_events === 2L)
+      assert(afterBatch(0).end_us - afterBatch(0).start_us === 300L * 1000000L)
+      // advancing the watermark past lastSeen+gap times the open session out
+      ms.addData(SessionEvent(2L, t("2024-01-01 02:00:00"), "click"))
+      q.processAllAvailable()
+      val afterTimeout = spark.table("sess_out").as[graft.streaming.Stateful.ClosedSession].collect()
+      assert(afterTimeout.length === 2)
+      val timedOut = afterTimeout.filter(_.start_us != afterBatch(0).start_us)
+      assert(timedOut.length === 1)
+      assert(timedOut(0).n_events === 1L)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running totals across triggers") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
