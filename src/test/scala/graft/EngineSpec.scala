@@ -194,6 +194,26 @@ class CliSpec extends AnyFunSuite {
     assert(extras("source-format") === "parquet")
   }
 
+  test("column profile: one row per column, consistent bounds, single scan") {
+    import SparkTestSession._
+    val df = ops.ExportOps.qColumnProfile(spark, sf)
+    val rows = df.collect()
+    assert(rows.map(_.getAs[String]("col_name")).toSeq ===
+      Seq("l_discount", "l_extendedprice", "l_quantity"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_nulls") >= 0L)
+      assert(r.getAs[Long]("ndv") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Double]("min_v") <= r.getAs[Double]("avg_v"))
+      assert(r.getAs[Double]("avg_v") <= r.getAs[Double]("max_v"))
+    }
+    // single-pass shape: exactly one relation leaf (one lineitem scan)
+    // in the optimized plan — profiling N columns must not scan N times
+    val leaves = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LeafNode => l
+    }
+    assert(leaves.length === 1)
+  }
+
   test("version short-circuits; unknown flag rejected; password redacted") {
     assert(graft.cli.Main.parseArgs(Seq("--version")).isLeft)
     assert(graft.cli.Main.parseArgs(Seq("--nope")).isLeft)
