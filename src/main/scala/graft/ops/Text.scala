@@ -296,7 +296,64 @@ object Text extends QueryFamily {
       |FROM tf JOIN tot USING (source)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** TF-IDF-weighted sparse cosine similarity join over 3-gram shingle
+    * terms — the weighted complement to the Jaccard dedup family: rare
+    * shared phrasing counts for more than boilerplate. Candidates come
+    * only from the df-pruned inverted index (terms in > maxDf docs are
+    * dropped: near-zero idf signal AND unbounded join degree — the cap
+    * is what keeps the self-join linear in corpus size), dot products
+    * aggregate per candidate pair, norms join in at |docs| scale. */
+  def qTfidfSim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = 3
+    val maxDf = 50
+    val parts = (0 until n).map(k => expr(s"element_at(w, i + $k)"))
+    val sh = T.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", $"w", explode(expr(
+        s"CASE WHEN size(w) >= $n THEN sequence(1, size(w) - ${n - 1}) ELSE array() END")).as("i"))
+      .select($"doc_id", concat_ws(" ", parts: _*).as("g"))
+    val tf = sh.groupBy($"doc_id", $"g").agg(count(lit(1)).as("tf"))
+    val nDocs = T.documents(spark, dir).agg(count(lit(1)).cast("double").as("n_docs"))
+    val dfG = tf.groupBy($"g").agg(count(lit(1)).as("df"))
+    val w = tf.join(dfG.filter($"df" <= maxDf), "g")
+      .crossJoin(broadcast(nDocs))
+      .select($"g", $"doc_id", ($"tf" * log($"n_docs" / $"df")).as("wt"))
+      .cache()
+    val norms = w.groupBy($"doc_id").agg(sqrt(sum($"wt" * $"wt")).as("nrm"))
+    val a = w.select($"g", $"doc_id".as("a_id"), $"wt".as("wa"))
+    val b = w.select($"g", $"doc_id".as("b_id"), $"wt".as("wb"))
+    a.join(b, "g").filter($"a_id" < $"b_id")
+      .groupBy($"a_id", $"b_id").agg(sum($"wa" * $"wb").as("dot"))
+      .join(norms.select($"doc_id".as("a_id"), $"nrm".as("na")), "a_id")
+      .join(norms.select($"doc_id".as("b_id"), $"nrm".as("nb")), "b_id")
+      .select($"a_id", $"b_id", round($"dot" / ($"na" * $"nb"), 4).as("cos"))
+      .filter($"cos" >= 0.5)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val qTfidfSimSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i ->
+      |    w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+      |  FROM tok WHERE len(w) >= 3),
+      |tf AS (SELECT doc_id, g, count(*) AS tf FROM sh GROUP BY doc_id, g),
+      |nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+      |dfg AS (SELECT g, count(*) AS df FROM tf GROUP BY g HAVING count(*) <= 50),
+      |w AS (SELECT tf.g, tf.doc_id, tf.tf * ln((SELECT n_docs FROM nd) / df) AS wt
+      |      FROM tf JOIN dfg ON dfg.g = tf.g),
+      |norms AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY doc_id),
+      |dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, sum(a.wt * b.wt) AS dot
+      |  FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT a_id, b_id, round(dot / (na.nrm * nb.nrm), 4) AS cos
+      |FROM dots JOIN norms na ON na.doc_id = a_id
+      |          JOIN norms nb ON nb.doc_id = b_id
+      |WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_tfidf_sim", qTfidfSim, Some(qTfidfSimSql)),
     QueryDef("q_sample_hash", qSampleHash, Some(qSampleHashSql)),
     QueryDef("q_tfidf", qTfidf, Some(qTfidfSql)),
     QueryDef("q_token_entropy", qTokenEntropy, Some(qTokenEntropySql)),

@@ -45,4 +45,20 @@ class DedupTextSpec extends AnyFunSuite {
       .agg(sum("n")).collect()(0).getLong(0)
     assert(byFreq > 0)
   }
+
+  test("tfidf similarity finds the planted near-dup pairs with high cosine") {
+    val pairs = ops.Text.qTfidfSim(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("cos"))
+      .toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case ((a, b), c) =>
+      assert(a < b)
+      assert(c >= 0.5 && c <= 1.0)
+    }
+    // the MinHash near-dup pairs (jaccard-planted) must also score high here
+    val minhash = ops.Dedup.qDedupMinhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(minhash.nonEmpty)
+    minhash.foreach { p => assert(pairs.contains(p), s"planted pair $p missed") }
+  }
 }
