@@ -38,20 +38,27 @@ object Graph extends QueryFamily {
     val p = edges.join(outw, "u")
       .select($"u", $"v", ($"n".cast("double") / $"w").as("p"))
       .cache()
+    // dangling membership is iteration-invariant: compute it once and
+    // carry the flag inside the rank relation, so each iteration's
+    // dangling mass is a filter+agg, not another anti-join shuffle
     val sources = edges.select($"u").distinct()
+    val nodeMeta = nodes
+      .join(sources.select($"u".as("t"), lit(true).as("has_out")), Seq("t"), "left_outer")
+      .select($"t", coalesce($"has_out", lit(false)).as("has_out"))
+      .cache()
 
-    var ranks = nodes.crossJoin(broadcast(nDf))
-      .select($"t", (lit(1.0) / $"n_nodes").as("r"))
+    var ranks = nodeMeta.crossJoin(broadcast(nDf))
+      .select($"t", $"has_out", (lit(1.0) / $"n_nodes").as("r"))
     for (_ <- 1 to 3) {
-      val dangling = ranks.join(sources, ranks("t") === sources("u"), "left_anti")
+      val dangling = ranks.filter(!$"has_out")
         .agg(coalesce(sum($"r"), lit(0.0)).as("dang"))
       val contrib = p.join(ranks, p("u") === ranks("t"))
         .groupBy($"v").agg(sum($"r" * $"p").as("c"))
-      ranks = nodes
-        .join(contrib, nodes("t") === contrib("v"), "left_outer")
+      ranks = nodeMeta
+        .join(contrib, nodeMeta("t") === contrib("v"), "left_outer")
         .crossJoin(broadcast(dangling))
         .crossJoin(broadcast(nDf))
-        .select($"t",
+        .select($"t", $"has_out",
           (lit(1.0 - D) / $"n_nodes"
             + lit(D) * (coalesce($"c", lit(0.0)) + $"dang" / $"n_nodes")).as("r"))
     }
