@@ -557,6 +557,45 @@ object Relational extends QueryFamily {
       | count(*) AS n, round(sum(o_totalprice), 2) AS total
       |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin
 
+  /** Time-series gap fill: dense month spine x priority grid with
+    * zero-filled missing buckets — the resampling step before rate /
+    * trend analysis, where absent groups must surface as zeros rather
+    * than silently missing rows. The spine derives from a 1-row
+    * min/max aggregate and is exploded in-plan (always tiny: bounded
+    * by the time range, not the data volume), the dimension grid is a
+    * distinct over one column, and only the per-bucket aggregate
+    * touches the fact table — one scan, one shuffle. */
+  def qGapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = T.orders(spark, dir)
+    val spine = orders
+      .agg(min(trunc($"o_orderdate", "MM")).as("lo"), max(trunc($"o_orderdate", "MM")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 month)")).as("mon"))
+    val grid = spine.crossJoin(orders.select($"o_orderpriority".as("prio")).distinct())
+    val actual = orders
+      .groupBy(trunc($"o_orderdate", "MM").as("mon"), $"o_orderpriority".as("prio"))
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+    grid.join(actual, Seq("mon", "prio"), "left_outer")
+      .select(date_format($"mon", "yyyy-MM-dd").as("mon"), $"prio",
+        coalesce($"n", lit(0L)).as("n"),
+        coalesce($"total", lit(0.0)).as("total"))
+      .orderBy($"mon", $"prio")
+  }
+
+  val qGapFillSql: String =
+    """WITH b AS (SELECT date_trunc('month', min(o_orderdate)) AS lo,
+      |                  date_trunc('month', max(o_orderdate)) AS hi FROM orders),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS mon FROM b),
+      |grid AS (SELECT mon, prio FROM spine
+      |         CROSS JOIN (SELECT DISTINCT o_orderpriority AS prio FROM orders)),
+      |actual AS (SELECT date_trunc('month', o_orderdate) AS mon,
+      |    o_orderpriority AS prio, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT strftime(g.mon, '%Y-%m-%d') AS mon, g.prio AS prio,
+      |  coalesce(a.n, 0) AS n, coalesce(a.total, 0.0) AS total
+      |FROM grid g LEFT JOIN actual a ON a.mon = g.mon AND a.prio = g.prio
+      |ORDER BY 1, 2""".stripMargin
+
   /** Global sort + limit (top-n by price). */
   def qGlobalSort(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1096,6 +1135,7 @@ object Relational extends QueryFamily {
     QueryDef("q_json_extract", qJsonExtract, Some(qJsonExtractSql)),
     QueryDef("q_scalar_funcs", qScalarFuncs, Some(qScalarFuncsSql)),
     QueryDef("q_date_agg", qDateAgg, Some(qDateAggSql)),
+    QueryDef("q_gapfill", qGapFill, Some(qGapFillSql)),
     QueryDef("q_global_sort", qGlobalSort, Some(qGlobalSortSql)),
     QueryDef("q_regex_filter", qRegexFilter, Some(qRegexFilterSql)),
     QueryDef("q_pivot", qPivot, Some(qPivotSql)),

@@ -52,6 +52,16 @@ class InvariantsSpec extends AnyFunSuite {
     assert(total === custNations)
   }
 
+  test("gap fill: dense grid, zero-filled buckets sum to the raw totals") {
+    val rows = ops.Relational.qGapFill(spark, sf).collect()
+    val months = rows.map(_.getAs[String]("mon")).distinct.length
+    val prios = rows.map(_.getAs[String]("prio")).distinct.length
+    assert(rows.length === months * prios, "grid must be dense")
+    assert(rows.exists(_.getAs[Long]("n") === 0L), "expect real gaps zero-filled")
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total === ops.T.orders(spark, sf).count())
+  }
+
   test("retention never exceeds active count") {
     val bad = ops.Relational.qRetention(spark, sf)
       .filter(col("retained") > col("active")).count()
