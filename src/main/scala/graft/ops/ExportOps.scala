@@ -71,8 +71,103 @@ object ExportOps extends QueryFamily {
          |  round(avg($c), 4) AS avg_v FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  /** Table reconciliation — the audit run after re-exporting or
+    * migrating a table: full outer join ON KEY between the source and
+    * a drifted copy (here derived deterministically in-plan: dropped
+    * keys, modified rows), classifying every key as only_left /
+    * only_right / changed / same by comparing row fingerprints. One
+    * shuffle on the key at any scale (zero with both sides bucketed);
+    * row width never survives the compare — only (key, md5) rows flow. */
+  def qTableDiff(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def fp(pref: String) = md5(concat_ws("|",
+      col("o_orderstatus"), col("o_orderpriority"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd"),
+      col(pref)).cast("binary"))
+    val left = T.orders(spark, dir)
+      .select($"o_orderkey".as("k"), fp("o_custkey").as("h"))
+    // drifted copy: every 97th key deleted, every 101st re-keyed to a
+    // different customer (content change), rest identical
+    val right = T.orders(spark, dir)
+      .filter($"o_orderkey" % 97 =!= 0)
+      .withColumn("o_custkey",
+        when($"o_orderkey" % 101 === 0, $"o_custkey" + 1).otherwise($"o_custkey"))
+      .select($"o_orderkey".as("k"), fp("o_custkey").as("h"))
+    left.select($"k", $"h".as("hl")).join(
+        right.select($"k", $"h".as("hr")), Seq("k"), "full_outer")
+      .select(when($"hl".isNull, "only_right")
+        .when($"hr".isNull, "only_left")
+        .when($"hl" === $"hr", "same")
+        .otherwise("changed").as("change_type"))
+      .groupBy($"change_type").agg(count(lit(1)).as("n"))
+      .orderBy($"change_type")
+  }
+
+  val qTableDiffSql: String =
+    """WITH l AS (SELECT o_orderkey AS k,
+      |    md5(o_orderstatus || '|' || o_orderpriority || '|' ||
+      |        strftime(o_orderdate, '%Y-%m-%d') || '|' || o_custkey) AS h
+      |  FROM orders),
+      |r AS (SELECT o_orderkey AS k,
+      |    md5(o_orderstatus || '|' || o_orderpriority || '|' ||
+      |        strftime(o_orderdate, '%Y-%m-%d') || '|' ||
+      |        (CASE WHEN o_orderkey % 101 = 0 THEN o_custkey + 1 ELSE o_custkey END)) AS h
+      |  FROM orders WHERE o_orderkey % 97 <> 0)
+      |SELECT CASE WHEN l.h IS NULL THEN 'only_right'
+      |            WHEN r.h IS NULL THEN 'only_left'
+      |            WHEN l.h = r.h THEN 'same' ELSE 'changed' END AS change_type,
+      |  count(*) AS n
+      |FROM l FULL OUTER JOIN r ON r.k = l.k
+      |GROUP BY 1 ORDER BY change_type""".stripMargin
+
+  /** Order-invariant table checksum: bit_xor of a per-row 48-bit
+    * md5-derived fingerprint plus the row count, per table — equality
+    * of (n, checksum) across systems validates an export without any
+    * global sort. XOR is commutative/associative, so the aggregate is
+    * map-side combinable and insensitive to partitioning and row
+    * order — the only checksum shape that works on 100 TB. */
+  def qTableChecksum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def sum48(df: DataFrame, name: String, rowStr: org.apache.spark.sql.Column) =
+      df.select(conv(substring(md5(rowStr.cast("binary")), 1, 12), 16, 10)
+          .cast("long").as("fp"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(fp)").as("checksum"))
+        .select(lit(name).as("table_name"), $"n_rows", $"checksum")
+    val orders = sum48(T.orders(spark, dir), "orders",
+      concat_ws("|", col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd"), col("o_orderpriority")))
+    val customer = sum48(T.customer(spark, dir), "customer",
+      concat_ws("|", col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment")))
+    val nation = sum48(T.nation(spark, dir), "nation",
+      concat_ws("|", col("n_nationkey"), col("n_name"), col("n_regionkey")))
+    orders.unionByName(customer).unionByName(nation).orderBy($"table_name")
+  }
+
+  val qTableChecksumSql: String = {
+    // md5-prefix-to-int48 (established oracle idiom): positional nibble
+    // sum over the first 12 hex chars, exact <= 2^48
+    def fp(rowStr: String) =
+      s"""list_sum(list_transform(range(1, 13),
+         |    i -> (strpos('0123456789abcdef', substr(md5($rowStr), i, 1)) - 1)
+         |         * pow(16.0, 12 - i)))::BIGINT""".stripMargin
+    s"""WITH cfp AS (SELECT ${fp("c_custkey || '|' || c_name || '|' || c_nationkey || '|' || c_mktsegment")} AS fp FROM customer),
+       |nfp AS (SELECT ${fp("n_nationkey || '|' || n_name || '|' || n_regionkey")} AS fp FROM nation),
+       |ofp AS (SELECT ${fp("o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' || strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderpriority")} AS fp FROM orders)
+       |SELECT 'customer' AS table_name, count(*) AS n_rows, bit_xor(fp) AS checksum FROM cfp
+       |UNION ALL
+       |SELECT 'nation', count(*), bit_xor(fp) FROM nfp
+       |UNION ALL
+       |SELECT 'orders', count(*), bit_xor(fp) FROM ofp
+       |ORDER BY table_name""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_export_roundtrip", qExportRoundtrip, Some(qExportRoundtripSql)),
     QueryDef("q_column_profile", qColumnProfile, Some(qColumnProfileSql)),
+    QueryDef("q_table_diff", qTableDiff, Some(qTableDiffSql)),
+    QueryDef("q_table_checksum", qTableChecksum, Some(qTableChecksumSql)),
   )
 }

@@ -62,6 +62,20 @@ class InvariantsSpec extends AnyFunSuite {
     assert(total === ops.T.orders(spark, sf).count())
   }
 
+  test("table diff partitions the key universe; checksum detects the drift") {
+    val diff = ops.ExportOps.qTableDiff(spark, sf).collect()
+      .map(r => r.getAs[String]("change_type") -> r.getAs[Long]("n")).toMap
+    val nOrders = ops.T.orders(spark, sf).count()
+    // left side = all orders; every key is only_left, changed, or same
+    assert(diff.getOrElse("only_left", 0L)
+      + diff.getOrElse("changed", 0L) + diff.getOrElse("same", 0L) === nOrders)
+    assert(diff.getOrElse("only_right", 0L) === 0L)
+    assert(diff.getOrElse("only_left", 0L) > 0L)
+    val sums = ops.ExportOps.qTableChecksum(spark, sf).collect()
+    assert(sums.length === 3)
+    assert(sums.map(_.getAs[Long]("checksum")).distinct.length === 3)
+  }
+
   test("retention never exceeds active count") {
     val bad = ops.Relational.qRetention(spark, sf)
       .filter(col("retained") > col("active")).count()
