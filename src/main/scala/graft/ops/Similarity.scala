@@ -250,6 +250,35 @@ object Similarity extends QueryFamily {
        |FROM exact e LEFT JOIN hits h ON h.q_id = e.q_id
        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
 
+  /** Recall@3 of nprobe=1 IVF against the exact brute-force top-3 —
+    * same audit as [[qSimLshRecall]] for the cluster-blocked path:
+    * quantifies what searching only the probe's own cell loses. */
+  def qSimIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = qSimBruteforce(spark, dir).filter($"rank" <= 3)
+      .select($"q_id", $"n_id")
+    val approx = qSimIvf(spark, dir).select($"q_id", $"n_id")
+    val hits = exact.join(approx, Seq("q_id", "n_id"), "left_semi")
+      .groupBy($"q_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy($"q_id").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("q_id"), "left")
+      .select($"q_id",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        round(coalesce($"n_hits", lit(0L)).cast("double") / $"n_true", 4).as("recall"))
+      .orderBy($"q_id")
+  }
+
+  val qSimIvfRecallSql: String =
+    s"""WITH exact AS (SELECT q_id, n_id FROM ($qSimBruteforceSql) WHERE rank <= 3),
+       |approx AS (SELECT q_id, n_id FROM ($qSimIvfSql)),
+       |hits AS (SELECT e.q_id, count(*) AS n_hits FROM exact e
+       |  JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+       |  GROUP BY e.q_id)
+       |SELECT e.q_id, coalesce(any_value(h.n_hits), 0) AS n_hits,
+       |  round(coalesce(any_value(h.n_hits), 0)::DOUBLE / count(*), 4) AS recall
+       |FROM exact e LEFT JOIN hits h ON h.q_id = e.q_id
+       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_array_funcs", qArrayFuncs, Some(qArrayFuncsSql)),
     QueryDef("q_sim_bruteforce", qSimBruteforce, Some(qSimBruteforceSql)),
@@ -257,5 +286,6 @@ object Similarity extends QueryFamily {
     QueryDef("q_sim_lsh_multiprobe", qSimLshMultiprobe, Some(qSimLshMultiprobeSql)),
     QueryDef("q_sim_ivf", qSimIvf, Some(qSimIvfSql)),
     QueryDef("q_sim_lsh_recall", qSimLshRecall, Some(qSimLshRecallSql)),
+    QueryDef("q_sim_ivf_recall", qSimIvfRecall, Some(qSimIvfRecallSql)),
   )
 }
