@@ -208,7 +208,37 @@ object Curation extends QueryFamily {
       |  ((cum - 1) // 512) - ((cum - n_tokens) // 512) + 1 AS n_windows
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Deterministic train/val/test split assignment: the first two md5
+    * nibbles of the document CONTENT (not the id — re-keyed corpora
+    * keep their assignment) bucket into 256 cells, carved 90/5/5.
+    * Content-hash splits are reproducible across engines, runs, and
+    * cluster layouts, and docs duplicated across sources land in the
+    * same split — no eval leakage through near-identical copies with
+    * different ids. Zero-shuffle assignment; one aggregate for audit. */
+  def qSplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cell = conv(substring(md5($"text".cast("binary")), 1, 2), 16, 10).cast("int")
+    T.documents(spark, dir)
+      .withColumn("split",
+        when(cell < 230, "train").when(cell < 243, "val").otherwise("test"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"))
+      .orderBy($"split")
+  }
+
+  val qSplitAssignSql: String =
+    """WITH a AS (SELECT n_chars,
+      |  (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+      |    + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS cell
+      |  FROM documents)
+      |SELECT CASE WHEN cell < 230 THEN 'train'
+      |            WHEN cell < 243 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM a GROUP BY 1 ORDER BY split""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_split_assign", qSplitAssign, Some(qSplitAssignSql)),
     QueryDef("q_repetition", qRepetition, Some(qRepetitionSql)),
     QueryDef("q_contamination", qContamination, Some(qContaminationSql)),
     QueryDef("q_contamination_bloom", qContaminationBloom, Some(qContaminationSql)),

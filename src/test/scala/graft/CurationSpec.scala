@@ -58,6 +58,28 @@ class CurationSpec extends AnyFunSuite {
     assert(fps === 0, s"unexpected false positives: $fps")
   }
 
+  test("split assignment partitions all docs near the 90/5/5 carve") {
+    val rows = ops.Curation.qSplitAssign(spark, sf).collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    val total = rows.values.sum
+    assert(total === ops.T.documents(spark, sf).count())
+    assert(rows.keySet === Set("train", "val", "test"))
+    val trainFrac = rows("train").toDouble / total
+    assert(trainFrac > 0.8 && trainFrac < 0.98, s"train frac $trainFrac")
+  }
+
+  test("similarity recall metrics stay within [0, 1]") {
+    Seq(ops.Similarity.qSimLshRecall(spark, sf),
+        ops.Similarity.qSimIvfRecall(spark, sf)).foreach { df =>
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val rec = r.getAs[Double]("recall")
+        assert(rec >= 0.0 && rec <= 1.0)
+      }
+    }
+  }
+
   test("domain mix shares and temperature weights each sum to 1") {
     val rows = ops.Curation.qDomainMix(spark, sf).collect()
     assert(rows.length > 1)
