@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, HammingDistance}
+import graft.functions.{BloomMightContain, CosineSimilarity, HammingDistance}
 
 /** SparkSessionExtensions entry point: registers the native expressions
   * as SQL functions, so `spark.sql("SELECT graft_cosine(a, b) ...")`
@@ -34,7 +34,12 @@ object GraftExtensions {
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
     ("graft_hamming",
       new ExpressionInfo(classOf[HammingDistance].getName, "graft_hamming"),
-      (es: Seq[Expression]) => HammingDistance(es(0), es(1))))
+      (es: Seq[Expression]) => HammingDistance(es(0), es(1))),
+    // third arg k is a foldable int literal; default 5 when omitted
+    ("graft_bloom_contains",
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
+      (es: Seq[Expression]) => BloomMightContain(es(0), es(1),
+        if (es.length > 2) es(2).eval().asInstanceOf[Int] else 5)))
 
   /** Register the functions on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -38,15 +38,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names: may inline into scopes that already declare n/i/...
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, nx = 0.0, ny = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = $a.getDouble(i); double yi = $b.getDouble(i);
-         |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getDouble($i); double $yi = $b.getDouble($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
-         |if (nx == 0.0 || ny == 0.0) { ${ev.isNull} = true; }
-         |else { ${ev.value} = dot / Math.sqrt(nx * ny); }
+         |if ($nx == 0.0 || $ny == 0.0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $dot / Math.sqrt($nx * $ny); }
        """.stripMargin
     })
 
@@ -76,13 +81,15 @@ case class HammingDistance(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xb = ctx.freshName("xb"); val yb = ctx.freshName("yb")
+      val d = ctx.freshName("d"); val i = ctx.freshName("i")
       s"""
-         |byte[] xb = $a.getBytes(); byte[] yb = $b.getBytes();
-         |if (xb.length != yb.length) { ${ev.isNull} = true; }
+         |byte[] $xb = $a.getBytes(); byte[] $yb = $b.getBytes();
+         |if ($xb.length != $yb.length) { ${ev.isNull} = true; }
          |else {
-         |  int d = 0;
-         |  for (int i = 0; i < xb.length; i++) if (xb[i] != yb[i]) d++;
-         |  ${ev.value} = d;
+         |  int $d = 0;
+         |  for (int $i = 0; $i < $xb.length; $i++) if ($xb[$i] != $yb[$i]) $d++;
+         |  ${ev.value} = $d;
          |}
        """.stripMargin
     })
@@ -121,16 +128,21 @@ case class BloomMightContain(left: Expression, right: Expression, k: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (w, h) => {
+      // fresh names: this code may inline into scopes (e.g. inside a
+      // higher-order-function lambda) that already declare i/pos/etc.
+      val m = ctx.freshName("mBits"); val h1 = ctx.freshName("h1")
+      val h2 = ctx.freshName("h2"); val all = ctx.freshName("all")
+      val i = ctx.freshName("i"); val pos = ctx.freshName("pos")
       s"""
-         |long mBits = (long) $w.numElements() * 64L;
-         |long h1 = $h;
-         |long h2 = (h1 >>> 32) | 1L;
-         |boolean all = true;
-         |for (int i = 0; i < $k && all; i++) {
-         |  long pos = ((h1 + i * h2) & Long.MAX_VALUE) % mBits;
-         |  all = (($w.getLong((int) (pos >>> 6)) >>> (pos & 63L)) & 1L) == 1L;
+         |long $m = (long) $w.numElements() * 64L;
+         |long $h1 = $h;
+         |long $h2 = ($h1 >>> 32) | 1L;
+         |boolean $all = true;
+         |for (int $i = 0; $i < $k && $all; $i++) {
+         |  long $pos = (($h1 + $i * $h2) & Long.MAX_VALUE) % $m;
+         |  $all = (($w.getLong((int) ($pos >>> 6)) >>> ($pos & 63L)) & 1L) == 1L;
          |}
-         |${ev.value} = all;
+         |${ev.value} = $all;
        """.stripMargin
     })
 

@@ -12,6 +12,12 @@ class ExtensionsSpec extends AnyFunSuite {
         |       graft_hamming('0101', '0001') AS h""".stripMargin).collect()(0)
     assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-12)
     assert(r.getAs[Int]("h") === 1)
+    // bloom probe end-to-end in SQL: sketch one value, hit it, miss another
+    val b = spark.sql(
+      """WITH s AS (SELECT array(-1L) AS bloom)
+        |SELECT graft_bloom_contains(transform(bloom, x -> x), xxhash64('v'), 5) AS hit
+        |FROM s""".stripMargin).collect()(0)
+    assert(b.getAs[Boolean]("hit"), "all-ones bitset must report contained")
   }
 
   test("extensions class injects the same functions into a fresh session") {
