@@ -352,7 +352,56 @@ object Text extends QueryFamily {
       |WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Perplexity-proxy quality gate: per-document bigram cross-entropy
+    * against the corpus's own bigram LM with Laplace smoothing —
+    * P(w2|w1) = (c(w1 w2)+1)/(c(w1)+V). The LM-score filter of a
+    * curation pipeline, computed exactly in-engine: the LM "tables"
+    * are two aggregates over the corpus (|vocab^2| and |vocab| rows),
+    * each doc bigram does two equi-key lookups against them, and the
+    * per-doc score is one aggregation — every join is a key lookup
+    * with degree 1, so the whole pass is linear in corpus tokens. */
+  def qPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = T.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+    val big = toks
+      .select($"doc_id", explode(expr(
+        "CASE WHEN size(w) >= 2 THEN sequence(1, size(w) - 1) ELSE array() END")).as("i"), $"w")
+      .select($"doc_id", expr("element_at(w, i)").as("w1"),
+        expr("element_at(w, i + 1)").as("w2"))
+      .cache()
+    val c12 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val c1 = big.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val v = big.select($"w1").union(big.select($"w2")).distinct()
+      .agg(count(lit(1)).cast("double").as("v"))
+    big.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select($"doc_id",
+        log(($"c12" + lit(1.0)) / ($"c1" + $"v")).as("lp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum($"lp") / count(lit(1)), 4).as("cross_entropy"))
+      .orderBy($"doc_id")
+  }
+
+  val qPerplexitySql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |big AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM tok WHERE len(w) >= 2)),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+      |v AS (SELECT count(*)::DOUBLE AS v FROM
+      |  (SELECT DISTINCT t FROM (SELECT w1 AS t FROM big UNION SELECT w2 FROM big))),
+      |lp AS (SELECT b.doc_id, ln((c12.c12 + 1.0) / (c1.c1 + (SELECT v FROM v))) AS lp
+      |  FROM big b JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+      |             JOIN c1 ON c1.w1 = b.w1)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  round(-sum(lp) / count(*), 4) AS cross_entropy
+      |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_perplexity", qPerplexity, Some(qPerplexitySql)),
     QueryDef("q_tfidf_sim", qTfidfSim, Some(qTfidfSimSql)),
     QueryDef("q_sample_hash", qSampleHash, Some(qSampleHashSql)),
     QueryDef("q_tfidf", qTfidf, Some(qTfidfSql)),

@@ -46,6 +46,20 @@ class DedupTextSpec extends AnyFunSuite {
     assert(byFreq > 0)
   }
 
+  test("perplexity proxy: positive, bounded by the smoothed-LM ceiling") {
+    val rows = ops.Text.qPerplexity(spark, sf).collect()
+    val nDocs = ops.T.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(rows.length === nDocs, "every doc with >= 2 tokens is scored")
+    rows.foreach { r =>
+      val ce = r.getAs[Double]("cross_entropy")
+      assert(r.getAs[Long]("n_bigrams") >= 1L)
+      // smoothed probability is always > 1/(c1+V) and < 1, so the
+      // per-bigram -ln lies in (0, ln(max_c1 + V))
+      assert(ce > 0.0 && ce < 20.0, s"cross-entropy $ce out of range")
+    }
+  }
+
   test("tfidf similarity finds the planted near-dup pairs with high cosine") {
     val pairs = ops.Text.qTfidfSim(spark, sf).collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("cos"))
