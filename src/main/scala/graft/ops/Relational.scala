@@ -170,14 +170,18 @@ object Relational extends QueryFamily {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
-  /** Per-group top-k via ranking window (row_number <= k). */
+  /** Per-group top-k. `l_returnflag` has 3 distinct values, so a naive
+    * ranking window funnels all of lineitem into 3 tasks; instead this
+    * runs [[Skew.twoPhaseTopK]] — salted local top-3, then the final
+    * window over the few survivors. Identical rows to the single-window
+    * form (same DuckDB oracle). */
   def qTopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"l_returnflag")
-      .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
-    T.lineitem(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= 3)
+    val base = T.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+    Skew.twoPhaseTopK(base, Seq($"l_returnflag"),
+        Seq(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber")),
+        k = 3, rankName = "rn")
       .select($"l_returnflag", $"rn", $"l_orderkey", $"l_linenumber",
         round($"l_extendedprice", 2).as("price"))
       .orderBy($"l_returnflag", $"rn")

@@ -32,7 +32,12 @@ object Similarity extends QueryFamily {
   private def cos = graft.functions.F.cosineSimilarity(col("qv"), col("v"))
 
   /** Exact brute-force top-5 cosine neighbors for probe vectors
-    * (vec_id < 10) against the whole corpus. */
+    * (vec_id < 10) against the whole corpus. The probe set is tiny, so
+    * a plain per-probe ranking window would drag every scored corpus row
+    * into |probes| tasks; instead the scored stream (pruned to 3 narrow
+    * columns — the vectors never shuffle) goes through
+    * [[Skew.twoPhaseTopK]]: local top-5 per input split, final window
+    * over <= 5 x splits survivors per probe. */
   def qSimBruteforce(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = T.embeddings(spark, dir)
@@ -40,10 +45,9 @@ object Similarity extends QueryFamily {
       .select($"vec_id".as("q_id"), $"embedding".as("qv"))
     val corpus = e.select($"vec_id".as("n_id"), $"embedding".as("v"))
     val scored = corpus.join(broadcast(probes), $"q_id" =!= $"n_id")
-      .withColumn("cos", cos)
-    val w = Window.partitionBy($"q_id").orderBy(desc("cos"), asc("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 5)
+      .select($"q_id", $"n_id", cos.as("cos"))
+    Skew.twoPhaseTopK(scored, Seq($"q_id"),
+        Seq(desc("cos"), asc("n_id")), k = 5, rankName = "rank")
       .select($"q_id", $"rank", $"n_id", round($"cos", 4).as("cos"))
       .orderBy($"q_id", $"rank")
   }
@@ -76,9 +80,11 @@ object Similarity extends QueryFamily {
     val probes = e.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"bucket")
     val corpus = e.select($"vec_id".as("n_id"), $"embedding".as("v"), $"bucket")
+    // candidate set is bucket-bounded; prune the vectors so only
+    // (q_id, n_id, cos) ever reaches the ranking window's shuffle
     val scored = corpus.join(broadcast(probes), Seq("bucket"))
       .filter($"q_id" =!= $"n_id")
-      .withColumn("cos", cos)
+      .select($"q_id", $"n_id", cos.as("cos"))
     val w = Window.partitionBy($"q_id").orderBy(desc("cos"), asc("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)
@@ -127,7 +133,7 @@ object Similarity extends QueryFamily {
       $"bucket".as("probe_bucket"))
     val scored = corpus.join(broadcast(probes), Seq("probe_bucket"))
       .filter($"q_id" =!= $"n_id")
-      .withColumn("cos", cos)
+      .select($"q_id", $"n_id", cos.as("cos"))
     val w = Window.partitionBy($"q_id").orderBy(desc("cos"), asc("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)
@@ -170,7 +176,7 @@ object Similarity extends QueryFamily {
     val corpus = e.select($"vec_id".as("n_id"), $"embedding".as("v"), $"label")
     val scored = corpus.join(broadcast(probes), Seq("label"))
       .filter($"q_id" =!= $"n_id")
-      .withColumn("cos", cos)
+      .select($"q_id", $"n_id", cos.as("cos"))
     val w = Window.partitionBy($"q_id").orderBy(desc("cos"), asc("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation (SURVEY §2 / builder scale mandate): salted join for
@@ -29,6 +30,30 @@ object Skew {
       .join(replicated, salted("__salt") === replicated("__salt") &&
         salted(bigKey) === replicated(smallKey))
       .drop("__salt").drop(smallKey)
+  }
+
+  /** Two-phase per-group top-k: a ranking window partitioned by a
+    * low-cardinality key funnels the whole input into |groups| tasks —
+    * correct at any size, a straggler at 100 TB. Phase 1 salts the
+    * partition key with the input partition id and takes a *local*
+    * top-k (the global top-k of a group is contained in the union of
+    * its per-salt top-k's, for any salt assignment), so the big shuffle
+    * spreads over groups x input-splits reducers. Phase 2 runs the
+    * original window over the <= k x splits survivors per group —
+    * by then a trivially small relation. Same rows, same ordering,
+    * same oracle as the single-window form. */
+  def twoPhaseTopK(df: DataFrame, groupCols: Seq[Column],
+      order: Seq[Column], k: Int, rankName: String): DataFrame = {
+    val wLocal = Window.partitionBy(groupCols :+ col("__tpk_salt"): _*)
+      .orderBy(order: _*)
+    val survivors = df
+      .withColumn("__tpk_salt", spark_partition_id())
+      .withColumn("__tpk_rn", row_number().over(wLocal))
+      .filter(col("__tpk_rn") <= k)
+      .drop("__tpk_salt", "__tpk_rn")
+    val wGlobal = Window.partitionBy(groupCols: _*).orderBy(order: _*)
+    survivors.withColumn(rankName, row_number().over(wGlobal))
+      .filter(col(rankName) <= k)
   }
 
   /** Top-n heaviest join keys with their frequencies — the diagnostic

@@ -245,7 +245,7 @@ object Text extends QueryFamily {
       .groupBy($"t").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id").orderBy(desc("tfidf"), asc("t"))
     tf.join(df, Seq("t"))
-      .crossJoin(nDf)
+      .crossJoin(broadcast(nDf))
       .withColumn("tfidf", $"tf" * log($"n_docs" / $"df"))
       .filter($"doc_id" < 50)
       .withColumn("rank", row_number().over(w))

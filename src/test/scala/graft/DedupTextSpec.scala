@@ -60,6 +60,12 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("tfidf broadcasts the 1-row corpus count (no shuffled cross join)") {
+    val plan = ops.Text.qTfidf(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the 1-row n_docs side broadcast, got:\n$plan")
+  }
+
   test("tfidf similarity finds the planted near-dup pairs with high cosine") {
     val pairs = ops.Text.qTfidfSim(spark, sf).collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("cos"))

@@ -73,6 +73,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("two-phase top-k salts the big shuffle and matches the plain window") {
+    import org.apache.spark.sql.expressions.Window
+    val base = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+    val order = Seq(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+    val twoPhase = ops.Skew.twoPhaseTopK(base, Seq(col("l_returnflag")),
+      order, k = 3, rankName = "rn")
+    // the wide input must shuffle on (group, salt), never on the bare
+    // 3-value group key — that's the 100 TB straggler this kills
+    val plan = twoPhase.queryExecution.executedPlan.toString
+    assert(plan.contains("__tpk_salt"), s"expected salted exchange, got:\n$plan")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    val bare = exchanges.filter(l =>
+      l.contains("l_returnflag") && !l.contains("__tpk_salt"))
+    // only the phase-2 window (over <= 3 x splits survivors) may
+    // partition on the bare group key
+    assert(bare.size <= 1, s"big shuffle not salted:\n${exchanges.mkString("\n")}")
+    // identical result to the single-window formulation
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(order: _*)
+    val plain = base.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    assert(twoPhase.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(twoPhase).count() === 0)
+  }
+
   test("key histogram surfaces the heaviest keys in order") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val hist = ops.Skew.keyHistogram(li, col("l_suppkey"), topN = 5).collect()
