@@ -47,6 +47,8 @@ object Main {
             cfg = cfg.copy(isolationLevel = IsolationLevel.parse(next()))
           case "--lowercase-object-names" => cfg = cfg.copy(lowercaseObjectNames = true)
           case "--parquet-max-file-size" => cfg = cfg.copy(parquetMaxFileSize = next().toLong)
+          case "--parquet-row-group-size" =>
+            cfg = cfg.copy(parquetRowGroupSize = Some(next().toLong))
           case "--log-level" => cfg = cfg.copy(logLevel = next())
           case "--source-format" => extras += "source-format" -> next()
           case "--source-root" => extras += "source-root" -> next()

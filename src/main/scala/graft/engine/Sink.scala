@@ -68,6 +68,7 @@ final class ParquetSink(cfg: ExportConfig) {
     df.write
       .mode(SaveMode.Overwrite)
       .option("compression", cfg.compressionMethod.replace("none", "uncompressed"))
+      .options(rowGroupOpts)
       .partitionBy(partitionCols: _*)
       .parquet(dir.toString)
     WriteStats(rows = -1L, files = -1, outputDir = dir.toString)
@@ -87,6 +88,7 @@ final class ParquetSink(cfg: ExportConfig) {
     df.write
       .mode(SaveMode.Overwrite)
       .option("compression", cfg.compressionMethod.replace("none", "uncompressed"))
+      .options(rowGroupOpts)
       .option("path", dir.toString)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
@@ -103,6 +105,15 @@ final class ParquetSink(cfg: ExportConfig) {
     * scan of the table (at 100 TB, another 100 TB of IO). The observe
     * node is attached AFTER the records-per-file estimator, whose
     * bounded sample action would otherwise latch the observation first. */
+  /** Row-group size control (reference A12: one row group per fetch
+    * batch, main.py:172 with the batch-size flag at main.py:414-421).
+    * Spark's writer options land in the task-side Hadoop conf, so
+    * `parquet.block.size` is the native counterpart knob (SURVEY §4.2):
+    * parquet-mr flushes a row group whenever buffered bytes reach it. */
+  private def rowGroupOpts: Map[String, String] =
+    cfg.parquetRowGroupSize
+      .map(b => Map("parquet.block.size" -> b.toString)).getOrElse(Map.empty)
+
   def writeTable(df: DataFrame, schema: String, table: String): WriteStats = {
     val s = Projection.objectName(schema, cfg.lowercaseObjectNames)
     val t = Projection.objectName(table, cfg.lowercaseObjectNames)
@@ -115,6 +126,7 @@ final class ParquetSink(cfg: ExportConfig) {
       .mode(SaveMode.Overwrite)
       .option("compression", cfg.compressionMethod.replace("none", "uncompressed"))
       .option("maxRecordsPerFile", recordsPerFile)
+      .options(rowGroupOpts)
       .parquet(dir.toString)
     val files = Files.list(dir).iterator()
     var n = 0

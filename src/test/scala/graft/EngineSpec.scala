@@ -105,6 +105,53 @@ class SinkExporterSpec extends AnyFunSuite {
     assert(back.count() === df.count())
   }
 
+  test("row-group size knob controls parquet footer block count (A12 parity)") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    def rowGroups(dir: String): Int = {
+      val conf = spark.sessionState.newHadoopConf()
+      val parts = Files.list(Paths.get(dir)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet"))
+      parts.map { f =>
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), conf))
+        try r.getFooter.getBlocks.size finally r.close()
+      }.sum
+    }
+    val df = spark.read.parquet(s"$sf/lineitem.parquet").coalesce(1)
+    // default: parquet-mr's 128 MB block => one row group for sf0.001
+    val outDefault = freshDir()
+    val statsDefault = new ParquetSink(ExportConfig(outputDirectory = outDefault,
+      overwrite = true)).writeTable(df, "m", "li")
+    assert(rowGroups(statsDefault.outputDir) === statsDefault.files)
+    // 64 KB target => parquet-mr must roll many row groups in one file
+    val outSmall = freshDir()
+    val statsSmall = new ParquetSink(ExportConfig(outputDirectory = outSmall,
+      overwrite = true, parquetRowGroupSize = Some(65536L)))
+      .writeTable(df, "m", "li")
+    assert(rowGroups(statsSmall.outputDir) > statsSmall.files,
+      "expected multiple row groups per file under the 64 KB target")
+  }
+
+  test("dotenv file backfills config under env precedence (A19 parity)") {
+    val dir = Files.createTempDirectory("graft-dotenv")
+    val f = dir.resolve(".env")
+    Files.writeString(f,
+      """# comment
+        |export DATABASE_USERNAME=dotenvuser
+        |BATCH_SIZE="123"
+        |DATABASE_HOSTNAME=dotenvhost
+        |not a kv line
+        |""".stripMargin)
+    val cfg = ExportConfig.fromEnv(Map("DATABASE_HOSTNAME" -> "envhost"), f)
+    assert(cfg.username === "dotenvuser") // .env fills the gap
+    assert(cfg.batchSize === 123)         // quotes stripped, export prefix ok
+    assert(cfg.hostname === "envhost")    // process env beats .env
+    // missing file degrades to pure env (the common case)
+    val none = ExportConfig.fromEnv(Map.empty, dir.resolve("absent.env"))
+    assert(none === ExportConfig())
+  }
+
   test("exporter end-to-end from parquet catalog: layout, rows, lowercase") {
     val out = freshDir()
     val cfg = ExportConfig(outputDirectory = out, overwrite = true,
