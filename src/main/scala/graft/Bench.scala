@@ -60,8 +60,14 @@ object Bench {
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""errors":${jmap(errors)},"n_errors":${errors.size},"runs":$runs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":${jmap(errors)},"n_errors":${errors.size},"runs":$runs,"sf":"$sfDir"}"""
+    println(json)
+    // the driver's stdout capture truncates long lines; persist the full
+    // per-query map so every round's numbers are diffable from the file
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

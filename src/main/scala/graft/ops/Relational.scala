@@ -1116,6 +1116,33 @@ object Relational extends QueryFamily {
       | count(CASE WHEN maybe IS NULL THEN 1 END) AS n_null
       |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Salted skewed-key join, registered end-to-end: every `orders` row
+    * joins a 5-row priority dimension, so each key carries ~20% of the
+    * fact table — the hot-key profile where a plain shuffle join piles
+    * one key's rows onto one reducer. [[Skew.saltedJoin]] spreads each
+    * key over 8 salt values (the dim is replicated 8x, still tiny) and
+    * the post-join aggregate partial-combines map-side, so no single
+    * task ever holds a whole hot key. Same rows as the plain join;
+    * ScaleSpec asserts both the equality and the salt-explode plan. */
+  def qSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = T.orders(spark, dir)
+    val dim = orders.select($"o_orderpriority".as("d_priority")).distinct()
+      .withColumn("d_urgency", substring($"d_priority", 1, 1).cast("int"))
+    Skew.saltedJoin(orders, dim, "o_orderpriority", "d_priority", salts = 8)
+      .groupBy($"d_urgency", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("sum_price"))
+      .orderBy($"d_urgency")
+  }
+
+  val qSkewJoinSql: String =
+    """WITH d AS (SELECT DISTINCT o_orderpriority AS d_priority,
+      |  substr(o_orderpriority, 1, 1)::INT AS d_urgency FROM orders)
+      |SELECT d_urgency, o_orderpriority, count(*) AS n,
+      | round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders JOIN d ON o_orderpriority = d_priority
+      |GROUP BY 1, 2 ORDER BY d_urgency""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1PricingSummarySql)),
     QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3ShippingPrioritySql)),
@@ -1164,6 +1191,7 @@ object Relational extends QueryFamily {
     QueryDef("q_string_shape", qStringShape, Some(qStringShapeSql)),
     QueryDef("q_window_firstlast", qWindowFirstLast, Some(qWindowFirstLastSql)),
     QueryDef("q_transitions", qTransitions, Some(qTransitionsSql)),
+    QueryDef("q_skew_join", qSkewJoin, Some(qSkewJoinSql)),
     QueryDef("q_skew_diag",
       (s: SparkSession, d: String) =>
         Skew.keyHistogram(T.lineitem(s, d), org.apache.spark.sql.functions.col("l_suppkey"), 20),

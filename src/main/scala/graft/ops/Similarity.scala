@@ -201,6 +201,98 @@ object Similarity extends QueryFamily {
       |SELECT q_id, rank, n_id, round(cos, 4) AS cos FROM ranked
       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  /** Multi-probe IVF top-3 (nprobe=2): centroids are the per-`label`
+    * element-wise mean vectors — a tiny (labels x dim) relation that
+    * broadcasts everywhere. Each probe ranks cells by squared L2
+    * distance to the centroid and searches its 2 nearest cells, so a
+    * probe sitting on a cluster boundary recovers neighbors the
+    * nprobe=1 plan misses. Candidate generation stays an equi-key join
+    * on `label`; at 100 TB only the (probes x nprobe) cell list and the
+    * centroid table move, never the corpus. */
+  def qSimIvfProbe2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = T.embeddings(spark, dir)
+    val cent = e.select($"label", posexplode($"embedding").as(Seq("i", "x")))
+      .groupBy($"label", $"i").agg(avg($"x".cast("double")).as("c"))
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val probeDims = probes.select($"q_id", posexplode($"qv").as(Seq("i", "qx")))
+    val d2 = $"qx".cast("double") - $"c"
+    val cells = probeDims.join(broadcast(cent), Seq("i"))
+      .groupBy($"q_id", $"label").agg(sum(d2 * d2).as("d2"))
+    val wCell = Window.partitionBy($"q_id").orderBy(asc("d2"), asc("label"))
+    val probeCells = cells.withColumn("cell_rank", row_number().over(wCell))
+      .filter($"cell_rank" <= 2).select($"q_id", $"label")
+      .join(probes, Seq("q_id"))
+    val corpus = e.select($"vec_id".as("n_id"), $"embedding".as("v"), $"label")
+    val scored = corpus.join(broadcast(probeCells), Seq("label"))
+      .filter($"q_id" =!= $"n_id")
+      .select($"q_id", $"n_id", cos.as("cos"))
+    val w = Window.partitionBy($"q_id").orderBy(desc("cos"), asc("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"n_id", round($"cos", 4).as("cos"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val qSimIvfProbe2Sql: String =
+    """WITH e AS (SELECT vec_id, label, embedding,
+      |  (SELECT sum(x::DOUBLE * x::DOUBLE) FROM unnest(embedding) t(x)) AS n2
+      |  FROM embeddings),
+      |ex AS (SELECT label, unnest(embedding) AS x,
+      |  unnest(range(1, len(embedding) + 1)) AS i FROM embeddings),
+      |cent AS (SELECT label, i, avg(x::DOUBLE) AS c FROM ex GROUP BY label, i),
+      |p AS (SELECT vec_id AS q_id, embedding AS qe, n2 AS qn2 FROM e WHERE vec_id < 10),
+      |pd AS (SELECT q_id, unnest(qe) AS qx,
+      |  unnest(range(1, len(qe) + 1)) AS i FROM p),
+      |cells AS (SELECT q_id, label,
+      |    sum((qx::DOUBLE - c) * (qx::DOUBLE - c)) AS d2
+      |  FROM pd JOIN cent USING (i) GROUP BY q_id, label),
+      |pc AS (SELECT q_id, label FROM (SELECT q_id, label,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY d2, label) AS cr FROM cells)
+      |  WHERE cr <= 2),
+      |pairs AS (SELECT p.q_id, e.vec_id AS n_id, p.qn2, e.n2, p.qe, e.embedding AS ne
+      |  FROM pc JOIN p USING (q_id) JOIN e USING (label) WHERE e.vec_id <> p.q_id),
+      |u AS (SELECT q_id, n_id, qn2, n2, unnest(qe) AS qx, unnest(ne) AS nx FROM pairs),
+      |scored AS (SELECT q_id, n_id,
+      |    sum(qx::DOUBLE * nx::DOUBLE) / sqrt(any_value(qn2) * any_value(n2)) AS cos
+      |  FROM u GROUP BY q_id, n_id),
+      |ranked AS (SELECT q_id, n_id, cos,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, n_id, round(cos, 4) AS cos FROM ranked
+      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  /** Recall@3 of nprobe=2 IVF against the exact top-3 — paired with
+    * [[qSimIvfRecall]] it quantifies what the second probe cell buys
+    * (recall here must dominate the nprobe=1 audit; SimilaritySpec
+    * asserts it). */
+  def qSimIvfProbe2Recall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = qSimBruteforce(spark, dir).filter($"rank" <= 3)
+      .select($"q_id", $"n_id")
+    val approx = qSimIvfProbe2(spark, dir).select($"q_id", $"n_id")
+    val hits = exact.join(approx, Seq("q_id", "n_id"), "left_semi")
+      .groupBy($"q_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy($"q_id").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("q_id"), "left")
+      .select($"q_id",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        round(coalesce($"n_hits", lit(0L)).cast("double") / $"n_true", 4).as("recall"))
+      .orderBy($"q_id")
+  }
+
+  val qSimIvfProbe2RecallSql: String =
+    s"""WITH exact AS (SELECT q_id, n_id FROM ($qSimBruteforceSql) WHERE rank <= 3),
+       |approx AS (SELECT q_id, n_id FROM ($qSimIvfProbe2Sql)),
+       |hits AS (SELECT e.q_id, count(*) AS n_hits FROM exact e
+       |  JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+       |  GROUP BY e.q_id)
+       |SELECT e.q_id, coalesce(any_value(h.n_hits), 0) AS n_hits,
+       |  round(coalesce(any_value(h.n_hits), 0)::DOUBLE / count(*), 4) AS recall
+       |FROM exact e LEFT JOIN hits h ON h.q_id = e.q_id
+       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+
   /** Array/higher-order function surface over the embedding vectors:
     * per-vector stats via array_max/min, filter, slice, sort. */
   def qArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
@@ -291,6 +383,8 @@ object Similarity extends QueryFamily {
     QueryDef("q_sim_lsh", qSimLsh, Some(qSimLshSql)),
     QueryDef("q_sim_lsh_multiprobe", qSimLshMultiprobe, Some(qSimLshMultiprobeSql)),
     QueryDef("q_sim_ivf", qSimIvf, Some(qSimIvfSql)),
+    QueryDef("q_sim_ivf_probe2", qSimIvfProbe2, Some(qSimIvfProbe2Sql)),
+    QueryDef("q_sim_ivf_probe2_recall", qSimIvfProbe2Recall, Some(qSimIvfProbe2RecallSql)),
     QueryDef("q_sim_lsh_recall", qSimLshRecall, Some(qSimLshRecallSql)),
     QueryDef("q_sim_ivf_recall", qSimIvfRecall, Some(qSimIvfRecallSql)),
   )

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Streaming operator family over `events` (SURVEY.md §2 Tier B).
@@ -124,10 +125,71 @@ object StreamingOps extends QueryFamily {
       | AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts
       |ORDER BY p_id, c_id""".stripMargin
 
+  /** Rows a 10-minute watermark would drop, replayed in batch.
+    *
+    * The fixture events are perfectly time-ordered, so genuine arrival
+    * disorder is modeled the way it arises in production: per-source
+    * ingestion lag. Each user shard trails by a deterministic offset
+    * (`(user_id % 7) * 5min`), so arrival time = ts + shard lag, and
+    * punctual shards advance the watermark past the laggards' event
+    * times. With one event per trigger in arrival order, Spark's
+    * watermark before a row is `max(event time of strictly earlier
+    * arrivals) - delay`, and a stateful operator keyed on the event
+    * time (e.g. `dropDuplicates` after `withWatermark`) discards the
+    * row when `ts < watermark`. This transform computes exactly that
+    * predicate; `StreamingSpec` asserts the engine's own
+    * `numRowsDroppedByWatermark` equals it on the same feed.
+    *
+    * Scale shape: the strict-prefix running max over arrival order is
+    * two-level — a per-chunk window (arrival time bucketed by hour)
+    * plus a chunk-summary window over the tiny chunk relation
+    * broadcast back — the same distributed prefix-scan as sequence
+    * packing (ops/Curation.scala), never a single global-ORDER-BY
+    * partition over the full stream history. */
+  def lateDropped(events: DataFrame, delayUs: Long = 600000000L): DataFrame = {
+    val e = events.select(col("event_id"), unix_micros(col("ts")).as("us"),
+        (unix_micros(col("ts")) + (col("user_id") % 7) * lit(300000000L))
+          .as("arr_us"))
+      .withColumn("chunk", expr("arr_us div 3600000000"))
+    val wLocal = Window.partitionBy(col("chunk"))
+      .orderBy(col("arr_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wChunks = Window.orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunkHw = e.groupBy(col("chunk")).agg(max(col("us")).as("cmax"))
+      .withColumn("prev_hw", max(col("cmax")).over(wChunks))
+      .select(col("chunk"), col("prev_hw"))
+    e.withColumn("local_hw", max(col("us")).over(wLocal))
+      .join(broadcast(chunkHw), Seq("chunk"))
+      .withColumn("hw", greatest(
+        coalesce(col("local_hw"), lit(Long.MinValue)),
+        coalesce(col("prev_hw"), lit(Long.MinValue))))
+      .filter(col("local_hw").isNotNull || col("prev_hw").isNotNull)
+      .filter(col("us") < col("hw") - lit(delayUs))
+      .select(col("event_id"), col("us"),
+        (col("hw") - lit(delayUs)).as("wm_us"),
+        (col("hw") - lit(delayUs) - col("us")).as("late_by_us"))
+  }
+
+  def qStreamLate(spark: SparkSession, dir: String): DataFrame =
+    lateDropped(T.events(spark, dir)).orderBy(col("event_id"))
+
+  val qStreamLateSql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS us FROM events),
+      |a AS (SELECT event_id, us, us + (user_id % 7) * 300000000 AS arr_us FROM e),
+      |w AS (SELECT event_id, us,
+      |  max(us) OVER (ORDER BY arr_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw
+      |  FROM a)
+      |SELECT event_id, us, hw - 600000000 AS wm_us,
+      |  hw - 600000000 - us AS late_by_us
+      |FROM w WHERE us < hw - 600000000 ORDER BY event_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_stream_tumbling", qStreamTumbling, Some(qStreamTumblingSql)),
     QueryDef("q_stream_sliding", qStreamSliding, Some(qStreamSlidingSql)),
     QueryDef("q_stream_sessions", qStreamSessions, Some(qStreamSessionsSql)),
     QueryDef("q_stream_join", qStreamJoin, Some(qStreamJoinSql)),
+    QueryDef("q_stream_late", qStreamLate, Some(qStreamLateSql)),
   )
 }

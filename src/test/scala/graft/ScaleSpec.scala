@@ -98,6 +98,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(plain.exceptAll(twoPhase).count() === 0)
   }
 
+  test("q_skew_join runs the salted plan and matches the plain join") {
+    val skewed = ops.Relational.qSkewJoin(spark, sf)
+    // the salt must survive into the physical plan: the dim side is
+    // exploded across salt values and the join key includes __salt
+    val plan = skewed.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"expected salted join, got:\n$plan")
+    assert(plan.toLowerCase.contains("explode"),
+      s"expected dim-side salt explode, got:\n$plan")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val plain = orders.groupBy(
+        substring(col("o_orderpriority"), 1, 1).cast("int").as("d_urgency"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+    assert(skewed.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(skewed).count() === 0)
+  }
+
   test("key histogram surfaces the heaviest keys in order") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val hist = ops.Skew.keyHistogram(li, col("l_suppkey"), topN = 5).collect()

@@ -19,6 +19,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rMulti >= rSingle, "multi-probe must not lose recall")
   }
 
+  test("nprobe=2 IVF recall dominates nprobe=1") {
+    val exact = pairs(ops.Similarity.qSimBruteforce(spark, sf), 3)
+    val one = pairs(ops.Similarity.qSimIvf(spark, sf), 3)
+    val two = pairs(ops.Similarity.qSimIvfProbe2(spark, sf), 3)
+    val rOne = (one & exact).size.toDouble / exact.size
+    val rTwo = (two & exact).size.toDouble / exact.size
+    info(f"recall@3: nprobe1=$rOne%.2f nprobe2=$rTwo%.2f")
+    assert(rTwo >= rOne, "a second probe cell must not lose recall")
+  }
+
   test("every ANN result is a genuine corpus vector with valid cosine") {
     val rows = ops.Similarity.qSimLshMultiprobe(spark, sf).collect()
     rows.foreach { r =>

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
+case class LEv(event_id: Long, ts: Timestamp, user_id: Long)
 case class Pur(p_id: Long, user_id: Long, p_ts: Timestamp)
 case class Clk(c_id: Long, c_user: Long, c_ts: Timestamp)
 
@@ -35,6 +36,36 @@ class StreamingSpec extends AnyFunSuite {
       val batch = ops.StreamingOps.tumbling(data.toDF())
         .orderBy("win_start_us", "event_type").collect().toSeq
       assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("engine watermark drops equal the batch late-drop transform per event") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // one event per trigger, fed in ARRIVAL order (ts + shard lag:
+    // user 0 punctual, user 3 trails 15min), so Spark's watermark
+    // before a row is max(ts of earlier arrivals) - 10min — exactly
+    // the strict-prefix max lateDropped() replays in batch
+    val data = Seq(
+      LEv(0L, t("2024-01-01 00:00:00"), 0L), // arr 00:00
+      LEv(1L, t("2024-01-01 00:05:00"), 3L), // arr 00:20, wm -00:10 -> kept
+      LEv(2L, t("2024-01-01 00:20:00"), 0L), // arr 00:20, wm -00:05 -> kept
+      LEv(3L, t("2024-01-01 00:08:00"), 3L), // arr 00:23, wm 00:10 -> dropped
+      LEv(4L, t("2024-01-01 00:40:00"), 0L), // arr 00:40, wm 00:10 -> kept
+      LEv(5L, t("2024-01-01 00:25:00"), 3L)) // arr 00:40, wm 00:30 -> dropped
+    val ms = MemoryStream[LEv]
+    val q = ms.toDF().withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id", "ts")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("late_out").start()
+    try {
+      data.foreach { ev => ms.addData(ev); q.processAllAvailable() }
+      val droppedStreaming = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      val predicted = ops.StreamingOps.lateDropped(data.toDF())
+      assert(predicted.select("event_id").collect().map(_.getLong(0)).sorted
+        === Array(3L, 5L))
+      assert(droppedStreaming === predicted.count())
     } finally q.stop()
   }
 
