@@ -164,8 +164,48 @@ object ExportOps extends QueryFamily {
        |ORDER BY table_name""".stripMargin
   }
 
+  /** CDC upsert merge — lakehouse `MERGE INTO` semantics in pure
+    * Spark: the base snapshot unions a simulated delta (every 10th key
+    * re-priced at version 2) and the latest version per key wins via
+    * `max_by`. One hash aggregate keyed on the high-cardinality
+    * primary key: partial-combines map-side, no window, no skew —
+    * the shape that absorbs a 100 TB changelog. */
+  def qUpsertLatest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val orders = T.orders(spark, dir)
+    val base = orders.select($"o_orderkey", $"o_orderstatus",
+      $"o_totalprice", lit(1).as("version"))
+    // the delta re-price is +100.0 (FP-exact) rather than *1.1: a
+    // multiply lands some values on a .xx5 rounding boundary where
+    // Spark (half-up) and DuckDB disagree by one cent
+    val delta = orders.filter($"o_orderkey" % 10 === 0)
+      .select($"o_orderkey", lit("U").as("o_orderstatus"),
+        ($"o_totalprice" + 100.0).as("o_totalprice"), lit(2).as("version"))
+    base.unionByName(delta)
+      .groupBy($"o_orderkey")
+      .agg(
+        max($"version").as("version"),
+        max_by($"o_orderstatus", $"version").as("o_orderstatus"),
+        round(max_by($"o_totalprice", $"version"), 2).as("o_totalprice"))
+      .orderBy($"o_orderkey")
+  }
+
+  val qUpsertLatestSql: String =
+    """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  1 AS version FROM orders),
+      |delta AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+      |  o_totalprice + 100.0 AS o_totalprice, 2 AS version
+      |  FROM orders WHERE o_orderkey % 10 = 0),
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+      |SELECT o_orderkey, max(version) AS version,
+      | arg_max(o_orderstatus, version) AS o_orderstatus,
+      | round(arg_max(o_totalprice, version), 2) AS o_totalprice
+      |FROM u GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_export_roundtrip", qExportRoundtrip, Some(qExportRoundtripSql)),
+    QueryDef("q_upsert_latest", qUpsertLatest, Some(qUpsertLatestSql)),
     QueryDef("q_column_profile", qColumnProfile, Some(qColumnProfileSql)),
     QueryDef("q_table_diff", qTableDiff, Some(qTableDiffSql)),
     QueryDef("q_table_checksum", qTableChecksum, Some(qTableChecksumSql)),

@@ -1116,6 +1116,94 @@ object Relational extends QueryFamily {
       | count(CASE WHEN maybe IS NULL THEN 1 END) AS n_null
       |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Z-score outlier detection: per-event-type mean/stddev, then flag
+    * events more than 3 sigma from their group mean. The group stats
+    * are a 1-row-per-type aggregate broadcast back onto the stream —
+    * the fact table is scanned twice but never shuffled on a skewed
+    * key, so the plan is a map-side join at any scale. */
+  def qAnomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = T.events(spark, dir)
+    val stats = e.groupBy($"event_type")
+      .agg(avg($"value").as("m"), stddev($"value").as("sd"))
+    val z = ($"value" - $"m") / $"sd"
+    e.join(broadcast(stats), Seq("event_type"))
+      .filter(abs(z) > 3)
+      .select($"event_id", $"event_type", round($"value", 2).as("value"),
+        round(z, 4).as("z"))
+      .orderBy($"event_id")
+  }
+
+  val qAnomalyZscoreSql: String =
+    """WITH e AS (SELECT event_id, event_type, value FROM events),
+      |s AS (SELECT event_type, avg(value) AS m, stddev(value) AS sd
+      |  FROM e GROUP BY event_type)
+      |SELECT event_id, event_type, round(value, 2) AS value,
+      | round((value - m) / sd, 4) AS z
+      |FROM e JOIN s USING (event_type)
+      |WHERE abs((value - m) / sd) > 3 ORDER BY event_id""".stripMargin
+
+  /** 7-day rolling revenue per order priority. The scale trick is
+    * grain reduction BEFORE the window: the fact table collapses to
+    * one row per (priority, day) with an ordinary partial-combined
+    * aggregate, and the range-frame window then runs over that tiny
+    * relation — never over raw fact rows. */
+  def qRolling7d(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = T.orders(spark, dir)
+      .groupBy($"o_orderpriority",
+        datediff(to_date($"o_orderdate"), lit("1970-01-01")).as("day_num"))
+      .agg(sum($"o_totalprice").as("day_total"), count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day_num")
+      .rangeBetween(-6, 0)
+    daily
+      .select($"o_orderpriority", $"day_num",
+        round($"day_total", 2).as("day_total"), $"n_orders",
+        round(sum($"day_total").over(w), 2).as("roll_7d_total"),
+        sum($"n_orders").over(w).as("roll_7d_orders"))
+      .orderBy($"o_orderpriority", $"day_num")
+  }
+
+  val qRolling7dSql: String =
+    """WITH daily AS (SELECT o_orderpriority,
+      |  date_diff('day', DATE '1970-01-01', o_orderdate::DATE) AS day_num,
+      |  sum(o_totalprice) AS day_total, count(*) AS n_orders
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_orderpriority, day_num, round(day_total, 2) AS day_total,
+      | n_orders,
+      | round(sum(day_total) OVER w, 2) AS roll_7d_total,
+      | (sum(n_orders) OVER w)::BIGINT AS roll_7d_orders
+      |FROM daily
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day_num
+      |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderpriority, day_num""".stripMargin
+
+  /** Full quantile profile (p25/p50/p75/p90/p99) of extended price per
+    * return flag, computed with the exact interpolating percentile
+    * aggregate and exploded to one row per (flag, quantile). */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.9D, 0.99D))")
+        .as("qs"))
+      .select($"l_returnflag",
+        posexplode(expr("transform(qs, x -> round(x, 2))")).as(Seq("i", "q_value")))
+      .select($"l_returnflag",
+        element_at(lit(Array(0.25, 0.5, 0.75, 0.9, 0.99)), $"i" + 1).as("q"),
+        $"q_value")
+      .orderBy($"l_returnflag", $"q")
+  }
+
+  val qPercentilesSql: String =
+    """WITH agg AS (SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.9, 0.99]) AS qs
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, p AS q, round(qs[i], 2) AS q_value
+      |FROM agg, (SELECT unnest([1,2,3,4,5]) AS i,
+      |           unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS p)
+      |ORDER BY l_returnflag, q""".stripMargin
+
   /** Salted skewed-key join, registered end-to-end: every `orders` row
     * joins a 5-row priority dimension, so each key carries ~20% of the
     * fact table — the hot-key profile where a plain shuffle join piles
@@ -1191,6 +1279,9 @@ object Relational extends QueryFamily {
     QueryDef("q_string_shape", qStringShape, Some(qStringShapeSql)),
     QueryDef("q_window_firstlast", qWindowFirstLast, Some(qWindowFirstLastSql)),
     QueryDef("q_transitions", qTransitions, Some(qTransitionsSql)),
+    QueryDef("q_anomaly_zscore", qAnomalyZscore, Some(qAnomalyZscoreSql)),
+    QueryDef("q_rolling_7d", qRolling7d, Some(qRolling7dSql)),
+    QueryDef("q_percentiles", qPercentiles, Some(qPercentilesSql)),
     QueryDef("q_skew_join", qSkewJoin, Some(qSkewJoinSql)),
     QueryDef("q_skew_diag",
       (s: SparkSession, d: String) =>

@@ -293,6 +293,44 @@ object Similarity extends QueryFamily {
        |FROM exact e LEFT JOIN hits h ON h.q_id = e.q_id
        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
 
+  /** Single k-means assignment step: every corpus vector is assigned
+    * to its nearest per-label mean centroid (squared L2), and the
+    * output is the label-vs-assigned confusion matrix — the standard
+    * audit of whether a coarse quantizer still matches its data. The
+    * centroid relation is labels x dim rows — broadcast — so the
+    * corpus is scanned once; the distance aggregate shuffles only
+    * (vec, cell) partials and the confusion matrix is k^2 rows. */
+  def qKmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = T.embeddings(spark, dir)
+    val cent = e.select($"label".as("c_label"), posexplode($"embedding").as(Seq("i", "x")))
+      .groupBy($"c_label", $"i").agg(avg($"x".cast("double")).as("c"))
+    val dims = e.select($"vec_id", $"label", posexplode($"embedding").as(Seq("i", "vx")))
+    val dv = $"vx".cast("double") - $"c"
+    val d2 = dims.join(broadcast(cent), Seq("i"))
+      .groupBy($"vec_id", $"label", $"c_label").agg(sum(dv * dv).as("d2"))
+    val w = Window.partitionBy($"vec_id").orderBy(asc("d2"), asc("c_label"))
+    d2.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .groupBy($"label", $"c_label".as("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"label", $"assigned")
+  }
+
+  val qKmeansAssignSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+      |ex AS (SELECT vec_id, label, unnest(embedding) AS vx,
+      |  unnest(range(1, len(embedding) + 1)) AS i FROM e),
+      |cx AS (SELECT label AS c_label, unnest(embedding) AS x,
+      |  unnest(range(1, len(embedding) + 1)) AS i FROM e),
+      |cent AS (SELECT c_label, i, avg(x::DOUBLE) AS c FROM cx GROUP BY 1, 2),
+      |d AS (SELECT vec_id, label, c_label,
+      |    sum((vx::DOUBLE - c) * (vx::DOUBLE - c)) AS d2
+      |  FROM ex JOIN cent USING (i) GROUP BY 1, 2, 3),
+      |a AS (SELECT vec_id, label, c_label,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn FROM d)
+      |SELECT label, c_label AS assigned, count(*) AS n
+      |FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY label, assigned""".stripMargin
+
   /** Array/higher-order function surface over the embedding vectors:
     * per-vector stats via array_max/min, filter, slice, sort. */
   def qArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
@@ -385,6 +423,7 @@ object Similarity extends QueryFamily {
     QueryDef("q_sim_ivf", qSimIvf, Some(qSimIvfSql)),
     QueryDef("q_sim_ivf_probe2", qSimIvfProbe2, Some(qSimIvfProbe2Sql)),
     QueryDef("q_sim_ivf_probe2_recall", qSimIvfProbe2Recall, Some(qSimIvfProbe2RecallSql)),
+    QueryDef("q_kmeans_assign", qKmeansAssign, Some(qKmeansAssignSql)),
     QueryDef("q_sim_lsh_recall", qSimLshRecall, Some(qSimLshRecallSql)),
     QueryDef("q_sim_ivf_recall", qSimIvfRecall, Some(qSimIvfRecallSql)),
   )
