@@ -164,6 +164,35 @@ object ExportOps extends QueryFamily {
        |ORDER BY table_name""".stripMargin
   }
 
+  /** JSONL export/ingest roundtrip: `documents` goes out as
+    * line-delimited JSON (the interchange format of most LLM-corpus
+    * tooling) and is read back with an explicit schema — schema
+    * inference would mean a second full scan at 100 TB. Equality with
+    * the oracle over the ORIGINAL table proves the JSON sink+source
+    * pair is lossless for the text payload. */
+  def qJsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-jsonl-rt").toString
+    T.documents(spark, dir)
+      .select($"doc_id", $"text", $"lang", $"source")
+      .write.mode("overwrite").json(out)
+    spark.read
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING")
+      .json(out)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length($"text")).as("sum_chars"),
+        countDistinct($"source").as("n_sources"))
+      .orderBy($"lang")
+  }
+
+  val qJsonlRoundtripSql: String =
+    """SELECT lang, count(*) AS n_docs, sum(len(text))::BIGINT AS sum_chars,
+      | count(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** CDC upsert merge — lakehouse `MERGE INTO` semantics in pure
     * Spark: the base snapshot unions a simulated delta (every 10th key
     * re-priced at version 2) and the latest version per key wins via
@@ -206,6 +235,7 @@ object ExportOps extends QueryFamily {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_export_roundtrip", qExportRoundtrip, Some(qExportRoundtripSql)),
     QueryDef("q_upsert_latest", qUpsertLatest, Some(qUpsertLatestSql)),
+    QueryDef("q_jsonl_roundtrip", qJsonlRoundtrip, Some(qJsonlRoundtripSql)),
     QueryDef("q_column_profile", qColumnProfile, Some(qColumnProfileSql)),
     QueryDef("q_table_diff", qTableDiff, Some(qTableDiffSql)),
     QueryDef("q_table_checksum", qTableChecksum, Some(qTableChecksumSql)),

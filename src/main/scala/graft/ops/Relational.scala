@@ -1180,7 +1180,15 @@ object Relational extends QueryFamily {
 
   /** Full quantile profile (p25/p50/p75/p90/p99) of extended price per
     * return flag, computed with the exact interpolating percentile
-    * aggregate and exploded to one row per (flag, quantile). */
+    * aggregate and exploded to one row per (flag, quantile).
+    *
+    * Scale note: exact `percentile` buffers each group's value
+    * multiset, so its memory is O(group size) — fine at bench SFs,
+    * deliberate here because the oracle must hash-match. The 100 TB
+    * path is `percentile_approx` (KLL-style sketch, bounded memory);
+    * `q_approx_quantile_audit` verifies that sketch's rank-error
+    * guarantee so the swap is evidence-backed, mirroring the ANN
+    * recall audits. */
   def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     T.lineitem(spark, dir)
@@ -1202,6 +1210,39 @@ object Relational extends QueryFamily {
       |SELECT l_returnflag, p AS q, round(qs[i], 2) AS q_value
       |FROM agg, (SELECT unnest([1,2,3,4,5]) AS i,
       |           unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS p)
+      |ORDER BY l_returnflag, q""".stripMargin
+
+  /** Self-verifying audit of the `percentile_approx` sketch — the
+    * bounded-memory quantile path that replaces exact `percentile` at
+    * 100 TB. For each (return flag, q) the sketch value's TRUE rank is
+    * recomputed exactly, and the row reports whether it honors the
+    * sketch's rank-error contract (|rank - q*n| <= 2n/accuracy). The
+    * oracle is the expected constant relation — the same
+    * verification trick as the Bloom decontamination false-positive
+    * audit: a hash match IS the proof the sketch met its guarantee. */
+  def qApproxQuantileAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val acc = 1000
+    val li = T.lineitem(spark, dir).select($"l_returnflag", $"l_extendedprice")
+    val approx = li.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        percentile_approx($"l_extendedprice",
+          array(lit(0.5), lit(0.9)), lit(acc)).as("vs"))
+      .select($"l_returnflag", $"n", posexplode($"vs").as(Seq("i", "v")))
+      .withColumn("q", element_at(lit(Array(0.5, 0.9)), $"i" + 1))
+      .drop("i")
+    li.join(broadcast(approx), Seq("l_returnflag"))
+      .groupBy($"l_returnflag", $"q", $"n")
+      .agg(sum(when($"l_extendedprice" <= $"v", 1L).otherwise(0L)).as("rank"))
+      .select($"l_returnflag", $"q",
+        (abs($"rank" - $"q" * $"n") <= lit(2.0) * $"n" / acc).as("within_bound"))
+      .orderBy($"l_returnflag", $"q")
+  }
+
+  val qApproxQuantileAuditSql: String =
+    """SELECT l_returnflag, q, true AS within_bound
+      |FROM (SELECT DISTINCT l_returnflag FROM lineitem),
+      |     (SELECT unnest([0.5, 0.9]) AS q)
       |ORDER BY l_returnflag, q""".stripMargin
 
   /** Salted skewed-key join, registered end-to-end: every `orders` row
@@ -1282,6 +1323,7 @@ object Relational extends QueryFamily {
     QueryDef("q_anomaly_zscore", qAnomalyZscore, Some(qAnomalyZscoreSql)),
     QueryDef("q_rolling_7d", qRolling7d, Some(qRolling7dSql)),
     QueryDef("q_percentiles", qPercentiles, Some(qPercentilesSql)),
+    QueryDef("q_approx_quantile_audit", qApproxQuantileAudit, Some(qApproxQuantileAuditSql)),
     QueryDef("q_skew_join", qSkewJoin, Some(qSkewJoinSql)),
     QueryDef("q_skew_diag",
       (s: SparkSession, d: String) =>

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operator family for LLM-data pipelines (north-star
@@ -400,7 +401,87 @@ object Text extends QueryFamily {
       |  round(-sum(lp) / count(*), 4) AS cross_entropy
       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed 3-term query
+    * — the ranking function behind classic search and a standard
+    * quality-retrieval gate in corpus curation. Shapes that scale:
+    * per-(doc, term) tf is one token-stream aggregate filtered to the
+    * query terms BEFORE the shuffle; df and avgdl are 1-row/3-row
+    * aggregates broadcast back; the final top-20 is a
+    * TakeOrderedAndProject, never a global sort. Ranking ties are cut
+    * on the 4-dp rounded score so the oracle ranks identically. */
+  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Seq("spark", "window", "hash")
+    val k1 = 1.2; val b = 0.75
+    val docs = T.documents(spark, dir)
+    val tokens = docs.select($"doc_id", explode(split($"text", " ")).as("t"))
+    val dl = docs.select($"doc_id", size(split($"text", " ")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg($"dl").as("avgdl"))
+    val tf = tokens.filter($"t".isin(terms: _*))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy($"t").agg(count(lit(1)).cast("double").as("df"))
+    val contrib = tf
+      .join(broadcast(df), Seq("t"))
+      .join(broadcast(dl), Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0))
+      .withColumn("c", $"idf" * ($"tf" * (k1 + 1)) /
+        ($"tf" + lit(k1) * (lit(1 - b) + lit(b) * $"dl" / $"avgdl")))
+    contrib.groupBy($"doc_id")
+      .agg(round(sum($"c"), 4).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(20)
+  }
+
+  val qBm25Sql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |dl AS (SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS dl FROM documents),
+      |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM tok
+      |  WHERE t IN ('spark', 'window', 'hash') GROUP BY doc_id, t),
+      |df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+      |c AS (SELECT tf.doc_id,
+      |    ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+      |    (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS c
+      |  FROM tf JOIN df USING (t) JOIN dl ON dl.doc_id = tf.doc_id, stats s)
+      |SELECT doc_id, round(sum(c), 4) AS score, count(*) AS n_terms
+      |FROM c GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Zipf's-law fit over the corpus vocabulary: regress log(freq) on
+    * log(rank) with the built-in `regr_slope`/`regr_r2` aggregates.
+    * The global ranking window runs over the VOCABULARY (already
+    * aggregated, orders of magnitude smaller than the corpus), so the
+    * single-partition window is bounded by distinct-token count, not
+    * data size. */
+  def qZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = T.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("t"))
+      .groupBy($"t").agg(count(lit(1)).cast("double").as("freq"))
+    val w = Window.orderBy(desc("freq"), asc("t"))
+    vocab.withColumn("rank", row_number().over(w).cast("double"))
+      .agg(
+        count(lit(1)).as("n_vocab"),
+        round(expr("regr_slope(ln(freq), ln(rank))"), 4).as("zipf_slope"),
+        round(expr("regr_r2(ln(freq), ln(rank))"), 4).as("r2"))
+  }
+
+  val qZipfFitSql: String =
+    """WITH vocab AS (SELECT t, count(*)::DOUBLE AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      |  GROUP BY t),
+      |ranked AS (SELECT freq,
+      |  row_number() OVER (ORDER BY freq DESC, t)::DOUBLE AS rank FROM vocab)
+      |SELECT count(*) AS n_vocab,
+      | round(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope,
+      | round(regr_r2(ln(freq), ln(rank)), 4) AS r2
+      |FROM ranked""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_bm25", qBm25, Some(qBm25Sql)),
+    QueryDef("q_zipf_fit", qZipfFit, Some(qZipfFitSql)),
     QueryDef("q_perplexity", qPerplexity, Some(qPerplexitySql)),
     QueryDef("q_tfidf_sim", qTfidfSim, Some(qTfidfSimSql)),
     QueryDef("q_sample_hash", qSampleHash, Some(qSampleHashSql)),
