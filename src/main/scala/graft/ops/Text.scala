@@ -421,9 +421,12 @@ object Text extends QueryFamily {
     val tf = tokens.filter($"t".isin(terms: _*))
       .groupBy($"doc_id", $"t").agg(count(lit(1)).cast("double").as("tf"))
     val df = tf.groupBy($"t").agg(count(lit(1)).cast("double").as("df"))
+    // dl is corpus-sized (a row per doc) — never broadcast it; the
+    // doc_id equi-join shards evenly and AQE may flip it to broadcast
+    // only when the term-filtered tf side is genuinely small
     val contrib = tf
       .join(broadcast(df), Seq("t"))
-      .join(broadcast(dl), Seq("doc_id"))
+      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("idf", log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0))
       .withColumn("c", $"idf" * ($"tf" * (k1 + 1)) /
