@@ -1195,8 +1195,11 @@ object Relational extends QueryFamily {
       .groupBy($"l_returnflag")
       .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.9D, 0.99D))")
         .as("qs"))
+      // 4-dp rounding, not 2: an even-count quantile interpolates to an
+      // exact half-cent (.xx5) — a 2-dp round midpoint where a last-ulp
+      // difference between engines flips the cent (seen at sf0.001)
       .select($"l_returnflag",
-        posexplode(expr("transform(qs, x -> round(x, 2))")).as(Seq("i", "q_value")))
+        posexplode(expr("transform(qs, x -> round(x, 4))")).as(Seq("i", "q_value")))
       .select($"l_returnflag",
         element_at(lit(Array(0.25, 0.5, 0.75, 0.9, 0.99)), $"i" + 1).as("q"),
         $"q_value")
@@ -1207,7 +1210,7 @@ object Relational extends QueryFamily {
     """WITH agg AS (SELECT l_returnflag,
       |  quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.9, 0.99]) AS qs
       |  FROM lineitem GROUP BY l_returnflag)
-      |SELECT l_returnflag, p AS q, round(qs[i], 2) AS q_value
+      |SELECT l_returnflag, p AS q, round(qs[i], 4) AS q_value
       |FROM agg, (SELECT unnest([1,2,3,4,5]) AS i,
       |           unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS p)
       |ORDER BY l_returnflag, q""".stripMargin
