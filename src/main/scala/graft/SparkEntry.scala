@@ -17,7 +17,7 @@ object SparkEntry {
 
   private val families: Seq[QueryFamily] = Seq(
     Relational, Text, Dedup, Similarity, Multimodal, StreamingOps, ExportOps,
-    Curation, Safety, Graph
+    Curation, Safety, Graph, Analytics
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,332 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-analytics operator family: reshaping (unpivot), null-safe
+  * keys, batch sessionization, SCD2 history rebuild, decile/lift
+  * profiling, time-series autocorrelation, robust dispersion (MAD) and
+  * exponentially weighted smoothing. All are classic downstream-
+  * analytics shapes a user of the exported Parquet runs daily; none
+  * exist in the reference (its only operator surface is the export
+  * pipeline itself, reference: src/oracle_parquet_exporter/
+  * main.py:129-189), so like the rest of Tier B they are north-star
+  * engine surface, each with a DuckDB oracle twin.
+  */
+object Analytics extends QueryFamily {
+
+  /** Wide-to-long reshape via native `unpivot` (Spark's melt): a
+    * per-status metrics table (count / revenue / avg price) becomes
+    * (status, metric, val) rows. Unpivot is a zero-shuffle projection
+    * — each input row expands to k output rows map-side — so it
+    * composes freely at any scale; the only cost is the upstream
+    * aggregate. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wide = T.orders(spark, dir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).cast("double").as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("revenue"),
+        round(avg($"o_totalprice"), 4).as("avg_price"))
+    wide.unpivot(
+        Array($"o_orderstatus"),
+        Array($"n_orders", $"revenue", $"avg_price"),
+        "metric", "val")
+      .orderBy($"o_orderstatus", $"metric")
+  }
+
+  val qUnpivotSql: String =
+    """WITH wide AS (
+      |  SELECT o_orderstatus, count(*)::DOUBLE AS n_orders,
+      |         round(sum(o_totalprice), 2) AS revenue,
+      |         round(avg(o_totalprice), 4) AS avg_price
+      |  FROM orders GROUP BY o_orderstatus)
+      |SELECT o_orderstatus, metric, val FROM (
+      |  SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS val FROM wide
+      |  UNION ALL
+      |  SELECT o_orderstatus, 'revenue', revenue FROM wide
+      |  UNION ALL
+      |  SELECT o_orderstatus, 'avg_price', avg_price FROM wide)
+      |ORDER BY o_orderstatus, metric""".stripMargin
+
+  /** Null-safe equi-join (`<=>`): both sides bucket orders by a
+    * derived key that is NULL for urgent orders, and the join must
+    * match the NULL buckets to each other — the semantic SQL `=` can
+    * never express (NULL = NULL is NULL). Spark plans `<=>` as a
+    * regular hash join with a null-safe comparator, so the shape keeps
+    * every scale property of a plain equi-join. */
+  def qNullsafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def side(parity: Int, outName: String): DataFrame =
+      T.orders(spark, dir)
+        .filter($"o_orderkey" % 2 === parity)
+        .withColumn("k",
+          when($"o_orderpriority" === "1-URGENT", lit(null).cast("string"))
+            .otherwise($"o_orderpriority"))
+        .groupBy($"k").agg(count(lit(1)).as(outName))
+    val even = side(0, "n_even")
+    val odd = side(1, "n_odd").withColumnRenamed("k", "k2")
+    even.join(odd, $"k" <=> $"k2")
+      .select($"k".as("priority_key"), $"n_even", $"n_odd")
+      .orderBy($"priority_key".asc_nulls_first)
+  }
+
+  val qNullsafeJoinSql: String =
+    """WITH e AS (
+      |  SELECT nullif(o_orderpriority, '1-URGENT') AS k, count(*) AS n_even
+      |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+      |o AS (
+      |  SELECT nullif(o_orderpriority, '1-URGENT') AS k, count(*) AS n_odd
+      |  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1)
+      |SELECT e.k AS priority_key, n_even, n_odd
+      |FROM e JOIN o ON e.k IS NOT DISTINCT FROM o.k
+      |ORDER BY priority_key NULLS FIRST""".stripMargin
+
+  /** Batch gap-based sessionization: a new session starts after a
+    * > 30 min silence in a user's event stream. One window pass keyed
+    * on user_id computes the new-session flags and their running sum
+    * (the session id), then a hash aggregate rolls sessions up. The
+    * partition key is the user — millions of small partitions, never
+    * one big one — which is exactly how this shape stays healthy at
+    * 100 TB (contrast a global ORDER BY sessionizer). Durations stay
+    * in integer microseconds: exact in both engines, no FP rounding
+    * boundary. */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val gapUs = 1800000000L // 30 min
+    T.events(spark, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("flag",
+        when(coalesce($"us" - lag($"us", 1).over(w), lit(gapUs + 1)) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum($"flag").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"), (max($"us") - min($"us")).as("dur_us"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val qSessionizeSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS us FROM events),
+      |f AS (SELECT user_id, us,
+      |  CASE WHEN coalesce(us - lag(us, 1) OVER
+      |         (PARTITION BY user_id ORDER BY us, event_id), 1800000001)
+      |       > 1800000000 THEN 1 ELSE 0 END AS flag,
+      |  event_id FROM e),
+      |s AS (SELECT user_id, us,
+      |  CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM f)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  max(us) - min(us) AS dur_us
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** SCD Type-2 history rebuild: treat each customer's order stream as
+    * a priority change log and reconstruct versioned validity
+    * intervals — keep only rows where the priority differs from the
+    * previous one, then close each version with the next version's
+    * start (lead). Two window passes over the same per-customer
+    * partitioning, so the second reuses the first's shuffle (one
+    * exchange in the plan). The canonical lakehouse dimension-history
+    * shape. */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val changes = T.orders(spark, dir)
+      .select($"o_custkey", $"o_orderpriority", $"o_orderdate", $"o_orderkey")
+      .withColumn("prev", lag($"o_orderpriority", 1).over(w))
+      .filter($"prev".isNull || $"prev" =!= $"o_orderpriority")
+    val w2 = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    changes
+      .withColumn("next_from", lead($"o_orderdate", 1).over(w2))
+      .select(
+        $"o_custkey",
+        $"o_orderpriority",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("valid_from"),
+        date_format($"next_from", "yyyy-MM-dd").as("valid_to"),
+        when($"next_from".isNull, 1).otherwise(0).as("is_current"))
+      .orderBy($"o_custkey", $"valid_from")
+  }
+
+  val qScd2Sql: String =
+    """WITH chg AS (
+      |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+      |    lag(o_orderpriority, 1) OVER
+      |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders),
+      |vers AS (
+      |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+      |    lead(o_orderdate, 1) OVER
+      |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_from
+      |  FROM chg WHERE prev IS NULL OR prev <> o_orderpriority)
+      |SELECT o_custkey, o_orderpriority,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+      |  strftime(next_from, '%Y-%m-%d') AS valid_to,
+      |  CASE WHEN next_from IS NULL THEN 1 ELSE 0 END AS is_current
+      |FROM vers ORDER BY o_custkey, valid_from""".stripMargin
+
+  /** Decile/lift profile: rank (nation, segment) cohorts by average
+    * account balance into ntile(10) deciles, then aggregate customers
+    * and balance per decile. ntile needs a total order — a global
+    * window — so the input is GRAIN-REDUCED first: the window runs over
+    * the ~|nations|x|segments| aggregate, never the raw customer table
+    * (the same discipline as q_rolling_7d). Money flows through the
+    * whole query as integer CENTS: FP summation order (which varies
+    * with DuckDB's own thread scheduling, not just across engines)
+    * once flipped a 4dp-rounded average sitting exactly on a rounding
+    * boundary — integer sums have no boundary to sit on. The ordering
+    * key is the one double (a single IEEE division of two exact
+    * integers, deterministic), tie-broken by the group keys. */
+  def qDecileLift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cohorts = T.customer(spark, dir)
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(
+        sum(round($"c_acctbal" * 100).cast("long")).as("bal_cents"),
+        count(lit(1)).as("n_cust"))
+    val w = Window.orderBy(
+      ($"bal_cents".cast("double") / $"n_cust").asc,
+      $"c_nationkey", $"c_mktsegment")
+    cohorts
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy($"decile")
+      .agg(
+        count(lit(1)).as("n_cohorts"),
+        sum($"n_cust").as("n_cust"),
+        sum($"bal_cents").as("bal_cents"))
+      .orderBy($"decile")
+  }
+
+  val qDecileLiftSql: String =
+    """WITH cohorts AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents,
+      |         count(*) AS n_cust
+      |  FROM customer GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, ntile(10) OVER (ORDER BY bal_cents::DOUBLE / n_cust,
+      |                            c_nationkey, c_mktsegment) AS decile
+      |  FROM cohorts)
+      |SELECT decile, count(*) AS n_cohorts, sum(n_cust)::BIGINT AS n_cust,
+      |  CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+      |FROM ranked GROUP BY decile ORDER BY decile""".stripMargin
+
+  /** Lag-1 autocorrelation of the daily revenue series: is today's
+    * revenue predictive of tomorrow's? Grain-reduced like the decile
+    * profile — the fact table collapses to one row per day FIRST (hash
+    * aggregate, scales), and only the tiny daily series flows through
+    * the global lag window and the corr aggregate. Pearson correlation
+    * is normalization-invariant, so sample-vs-population conventions
+    * cannot diverge between engines. */
+  def qAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = T.orders(spark, dir)
+      .groupBy(date_format(date_trunc("day", $"o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum($"o_totalprice").as("rev"))
+    val w = Window.orderBy($"day")
+    daily
+      .withColumn("prev", lag($"rev", 1).over(w))
+      .agg(
+        count($"prev").as("n_pairs"),
+        round(corr($"rev", $"prev"), 4).as("autocorr_lag1"))
+  }
+
+  val qAutocorrSql: String =
+    """WITH daily AS (
+      |  SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+      |         sum(o_totalprice) AS rev
+      |  FROM orders GROUP BY 1),
+      |paired AS (
+      |  SELECT rev, lag(rev, 1) OVER (ORDER BY day) AS prev FROM daily)
+      |SELECT count(prev) AS n_pairs, round(corr(rev, prev), 4) AS autocorr_lag1
+      |FROM paired""".stripMargin
+
+  /** Median absolute deviation per return flag — the robust dispersion
+    * statistic outlier gates use where stddev is poisoned by the very
+    * outliers being hunted. Two-phase: exact interpolating median per
+    * group, broadcast back (3 rows), then the median of absolute
+    * deviations. Scale note mirrors q_percentiles: exact `percentile`
+    * buffers each group's values; the sketch path (percentile_approx)
+    * is the swap-in at unbounded group width. */
+  def qMad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val med = T.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+    T.lineitem(spark, dir)
+      .join(broadcast(med), Seq("l_returnflag"))
+      .groupBy($"l_returnflag")
+      .agg(
+        round(max($"med"), 4).as("median_price"),
+        round(expr("percentile(abs(l_extendedprice - med), 0.5)"), 4).as("mad"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qMadSql: String =
+    """WITH med AS (
+      |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l.l_returnflag, round(max(med), 4) AS median_price,
+      |  round(quantile_cont(abs(l_extendedprice - med), 0.5), 4) AS mad
+      |FROM lineitem l JOIN med ON med.l_returnflag = l.l_returnflag
+      |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
+
+  /** Exponentially weighted moving average (alpha = 1/2) of each
+    * user's event values over the trailing 8 events, renormalized over
+    * the terms that exist near the sequence start. EWMA's recursive
+    * definition doesn't window; the bounded-depth expansion does — 8
+    * explicit lag terms inside ONE user-keyed window pass, all weights
+    * exact powers of two so the scaling itself never rounds. Identical
+    * left-to-right association on both engines keeps the FP result
+    * bit-equal before the final display rounding. */
+  def qEwma(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val terms = 8
+    def weight(k: Int): Double = math.pow(0.5, k)
+    def termCol(k: Int): Column =
+      if (k == 0) $"value" else lag($"value", k).over(w)
+    val num: Column = (0 until terms)
+      .map(k => coalesce(termCol(k) * lit(weight(k)), lit(0.0)))
+      .reduce(_ + _)
+    val den: Column = (0 until terms)
+      .map(k => when(termCol(k).isNotNull, lit(weight(k))).otherwise(lit(0.0)))
+      .reduce(_ + _)
+    T.events(spark, dir)
+      .select($"user_id", $"event_id", $"value", unix_micros($"ts").as("us"))
+      .withColumn("ewma", round(num / den, 4))
+      .select($"user_id", $"event_id", $"ewma")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val qEwmaSql: String = {
+    val terms = 8
+    def w = "PARTITION BY user_id ORDER BY us, event_id"
+    def weight(k: Int): String = s"${math.pow(0.5, k)}"
+    def term(k: Int): String =
+      if (k == 0) "value" else s"lag(value, $k) OVER ($w)"
+    val num = (0 until terms)
+      .map(k => s"coalesce(${term(k)} * ${weight(k)}, 0.0)")
+      .mkString(" + ")
+    val den = (0 until terms)
+      .map(k => s"CASE WHEN ${term(k)} IS NOT NULL THEN ${weight(k)} ELSE 0.0 END")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT user_id, event_id, value, epoch_ns(ts)//1000 AS us FROM events)
+       |SELECT user_id, event_id, round(($num) / ($den), 4) AS ewma
+       |FROM e ORDER BY user_id, event_id""".stripMargin
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_unpivot", qUnpivot, Some(qUnpivotSql)),
+    QueryDef("q_nullsafe_join", qNullsafeJoin, Some(qNullsafeJoinSql)),
+    QueryDef("q_sessionize", qSessionize, Some(qSessionizeSql)),
+    QueryDef("q_scd2", qScd2, Some(qScd2Sql)),
+    QueryDef("q_decile_lift", qDecileLift, Some(qDecileLiftSql)),
+    QueryDef("q_autocorr", qAutocorr, Some(qAutocorrSql)),
+    QueryDef("q_mad", qMad, Some(qMadSql)),
+    QueryDef("q_ewma", qEwma, Some(qEwmaSql)))
+}

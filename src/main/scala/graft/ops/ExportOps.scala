@@ -193,6 +193,38 @@ object ExportOps extends QueryFamily {
       | count(DISTINCT source) AS n_sources
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** CSV export/ingest roundtrip — the other interchange format a
+    * warehouse hand-off still demands. Orders go out with a header and
+    * come back under an EXPLICIT schema (inference = a second full
+    * scan at 100 TB); Spark prints doubles as their shortest
+    * round-trippable decimal, so the numeric payload survives the text
+    * hop losslessly and equality against the oracle over the ORIGINAL
+    * table proves it. */
+  def qCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-csv-rt").toString
+    T.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"o_orderpriority")
+      .write.mode("overwrite").option("header", "true").csv(out)
+    spark.read
+      .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE, o_orderpriority STRING")
+      .option("header", "true")
+      .csv(out)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("revenue"),
+        countDistinct($"o_orderpriority").as("n_prios"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val qCsvRoundtripSql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      | round(sum(o_totalprice), 2) AS revenue,
+      | count(DISTINCT o_orderpriority) AS n_prios
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** CDC upsert merge — lakehouse `MERGE INTO` semantics in pure
     * Spark: the base snapshot unions a simulated delta (every 10th key
     * re-priced at version 2) and the latest version per key wins via
@@ -236,6 +268,7 @@ object ExportOps extends QueryFamily {
     QueryDef("q_export_roundtrip", qExportRoundtrip, Some(qExportRoundtripSql)),
     QueryDef("q_upsert_latest", qUpsertLatest, Some(qUpsertLatestSql)),
     QueryDef("q_jsonl_roundtrip", qJsonlRoundtrip, Some(qJsonlRoundtripSql)),
+    QueryDef("q_csv_roundtrip", qCsvRoundtrip, Some(qCsvRoundtripSql)),
     QueryDef("q_column_profile", qColumnProfile, Some(qColumnProfileSql)),
     QueryDef("q_table_diff", qTableDiff, Some(qTableDiffSql)),
     QueryDef("q_table_checksum", qTableChecksum, Some(qTableChecksumSql)),

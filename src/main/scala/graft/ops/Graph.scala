@@ -50,9 +50,16 @@ object Graph extends QueryFamily {
     var ranks = nodeMeta.crossJoin(broadcast(nDf))
       .select($"t", $"has_out", (lit(1.0) / $"n_nodes").as("r"))
     for (_ <- 1 to 3) {
-      val dangling = ranks.filter(!$"has_out")
+      // each iteration consumes `ranks` TWICE (dangling mass + edge
+      // contributions); without truncation the final plan would contain
+      // 2^k copies of the base subtree and re-execute every one of
+      // them. One eager localCheckpoint per round keeps the lineage —
+      // and the executed stage count — linear in k (same discipline as
+      // the q_dedup_clusters fixpoint loop).
+      val r = ranks.localCheckpoint(true)
+      val dangling = r.filter(!$"has_out")
         .agg(coalesce(sum($"r"), lit(0.0)).as("dang"))
-      val contrib = p.join(ranks, p("u") === ranks("t"))
+      val contrib = p.join(r, p("u") === r("t"))
         .groupBy($"v").agg(sum($"r" * $"p").as("c"))
       ranks = nodeMeta
         .join(contrib, nodeMeta("t") === contrib("v"), "left_outer")
@@ -130,7 +137,111 @@ object Graph extends QueryFamily {
       |FROM o FULL OUTER JOIN i ON i.t = o.t
       |ORDER BY t""".stripMargin
 
+  /** Shared edge list for the traversal operators: the distinct
+    * directed (u, v) pairs of the transition graph. */
+  private def edgeList(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Relational.qTransitions(spark, dir)
+      .select($"from_type".as("u"), $"to_type".as("v"))
+  }
+
+  /** BFS hop distance from a deterministic seed (the lexicographically
+    * smallest node) via k=4 rounds of Bellman-Ford relaxation:
+    * dist(v) := min(dist(v), min over in-edges (dist(u) + 1)). Each
+    * round is one edge-join shuffle keyed on the source plus one min
+    * aggregation keyed on the destination — the Pregel frontier shape
+    * that scales to web-graph edge counts. The distance relation is
+    * localCheckpoint-ed per round because each round reads it twice
+    * (relaxation + carry-forward); unreached nodes keep a NULL
+    * distance. The oracle unrolls the identical four relaxations, so
+    * the comparison is exact whether or not 4 rounds reach a fixpoint. */
+  def qGraphBfs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = edgeList(spark, dir).cache()
+    val nodes = edges.select($"u".as("t"))
+      .union(edges.select($"v".as("t"))).distinct().cache()
+    val seed = nodes.agg(min($"t").as("seed"))
+
+    var dist = nodes.crossJoin(broadcast(seed))
+      .select($"t",
+        when($"t" === $"seed", lit(0L)).otherwise(lit(null).cast("long")).as("d"))
+    for (_ <- 1 to 4) {
+      val cur = dist.localCheckpoint(true)
+      val relaxed = edges.join(cur, edges("u") === cur("t"))
+        .filter($"d".isNotNull)
+        .groupBy($"v").agg(min($"d" + 1L).as("cand"))
+      dist = cur.join(relaxed, cur("t") === relaxed("v"), "left_outer")
+        .select(cur("t"),
+          when($"d".isNull, $"cand")
+            .when($"cand".isNull, $"d")
+            .otherwise(least($"d", $"cand")).as("d"))
+    }
+    dist.orderBy($"t")
+  }
+
+  val qGraphBfsSql: String = {
+    def iter(prev: String): String =
+      s"""SELECT $prev.t,
+         |  CASE WHEN $prev.d IS NULL THEN c.cand
+         |       WHEN c.cand IS NULL THEN $prev.d
+         |       ELSE least($prev.d, c.cand) END AS d
+         |FROM $prev
+         |LEFT JOIN (SELECT e.v, min(p.d + 1) AS cand
+         |           FROM e JOIN $prev p ON p.t = e.u AND p.d IS NOT NULL
+         |           GROUP BY e.v) c ON c.v = $prev.t""".stripMargin
+    s"""WITH ev AS (SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+       |seq AS (SELECT event_type,
+       |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_type
+       |  FROM ev),
+       |e AS (SELECT DISTINCT event_type AS u, next_type AS v
+       |      FROM seq WHERE next_type IS NOT NULL),
+       |nodes AS (SELECT DISTINCT t FROM (SELECT u AS t FROM e UNION SELECT v FROM e)),
+       |d0 AS (SELECT t, CASE WHEN t = (SELECT min(t) FROM nodes)
+       |                      THEN CAST(0 AS BIGINT) END AS d FROM nodes),
+       |d1 AS (${iter("d0")}),
+       |d2 AS (${iter("d1")}),
+       |d3 AS (${iter("d2")}),
+       |d4 AS (${iter("d3")})
+       |SELECT t, d FROM d4 ORDER BY t""".stripMargin
+  }
+
+  /** Global triangle count over the undirected transition graph.
+    * Edges are canonicalized to u < v (each undirected edge once), then
+    * two equi-joins enumerate ordered wedges (a,b),(b,c) and close them
+    * against (a,c) — every triangle a<b<c counted exactly once. Both
+    * joins are hash-keyed equi-joins; at web scale the standard
+    * degree-ordering refinement (orient edges low-degree -> high-degree
+    * instead of by id) bounds the wedge count, and drops in here by
+    * swapping the canonicalization key. */
+  def qGraphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = edgeList(spark, dir)
+      .filter($"u" =!= $"v")
+      .select(least($"u", $"v").as("a"), greatest($"u", $"v").as("b"))
+      .distinct()
+      .cache()
+    val wedges = e.as("e1")
+      .join(e.as("e2"), $"e1.b" === $"e2.a")
+      .select($"e1.a".as("x"), $"e1.b".as("y"), $"e2.b".as("z"))
+    wedges.join(e.as("e3"), $"x" === $"e3.a" && $"z" === $"e3.b")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  val qGraphTrianglesSql: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+      |seq AS (SELECT event_type,
+      |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_type
+      |  FROM ev),
+      |de AS (SELECT DISTINCT event_type AS u, next_type AS v
+      |       FROM seq WHERE next_type IS NOT NULL AND event_type <> next_type),
+      |e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM de)
+      |SELECT count(*) AS n_triangles
+      |FROM e e1 JOIN e e2 ON e2.a = e1.b
+      |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_pagerank", qPagerank, Some(qPagerankSql)),
-    QueryDef("q_graph_degrees", qGraphDegrees, Some(qGraphDegreesSql)))
+    QueryDef("q_graph_degrees", qGraphDegrees, Some(qGraphDegreesSql)),
+    QueryDef("q_graph_bfs", qGraphBfs, Some(qGraphBfsSql)),
+    QueryDef("q_graph_triangles", qGraphTriangles, Some(qGraphTrianglesSql)))
 }

@@ -78,6 +78,87 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r2 >= 0 && r2 <= 1)
   }
 
+  test("sessionize partitions every event into exactly one session") {
+    val rows = ops.Analytics.qSessionize(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total === ops.T.events(spark, sf).count())
+    rows.foreach(r => assert(r.getAs[Long]("dur_us") >= 0))
+    // session ids are contiguous 1..k per user
+    rows.groupBy(_.getAs[Long]("user_id")).values.foreach { ss =>
+      val ids = ss.map(_.getAs[Long]("session_id")).sorted
+      assert(ids === (1L to ids.length.toLong))
+    }
+  }
+
+  test("scd2 versions chain: one open interval per customer") {
+    val rows = ops.Analytics.qScd2(spark, sf).collect()
+    val byCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    byCust.values.foreach { vs =>
+      assert(vs.count(_.getAs[Int]("is_current") == 1) === 1)
+      vs.foreach { v =>
+        val open = v.isNullAt(v.fieldIndex("valid_to"))
+        assert(open === (v.getAs[Int]("is_current") == 1))
+        if (!open)
+          assert(v.getAs[String]("valid_from") <= v.getAs[String]("valid_to"))
+      }
+    }
+  }
+
+  test("decile profile covers all cohorts with balanced deciles") {
+    val rows = ops.Analytics.qDecileLift(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("decile")).toSeq.sorted === (1 to 10))
+    val nCohorts = rows.map(_.getAs[Long]("n_cohorts")).sum
+    val direct = ops.T.customer(spark, sf)
+      .select("c_nationkey", "c_mktsegment").distinct().count()
+    assert(nCohorts === direct)
+    // ntile balance: cohort counts differ by at most 1 across deciles
+    val sizes = rows.map(_.getAs[Long]("n_cohorts"))
+    assert(sizes.max - sizes.min <= 1)
+  }
+
+  test("autocorrelation is a valid correlation coefficient") {
+    val r = ops.Analytics.qAutocorr(spark, sf).collect().head
+    val ac = r.getAs[Double]("autocorr_lag1")
+    assert(ac >= -1.0 && ac <= 1.0)
+    assert(r.getAs[Long]("n_pairs") > 0)
+  }
+
+  test("MAD is non-negative and below the group's median") {
+    val rows = ops.Analytics.qMad(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mad = r.getAs[Double]("mad")
+      assert(mad >= 0)
+      assert(mad <= r.getAs[Double]("median_price"))
+    }
+  }
+
+  test("ewma stays inside the global value envelope") {
+    val vals = ops.T.events(spark, sf).select("value").collect()
+      .map(_.getAs[Double]("value"))
+    val (lo, hi) = (vals.min, vals.max)
+    ops.Analytics.qEwma(spark, sf).collect().foreach { r =>
+      val e = r.getAs[Double]("ewma")
+      assert(e >= lo - 1e-4 && e <= hi + 1e-4)
+    }
+  }
+
+  test("unpivot emits each metric once per status") {
+    val rows = ops.Analytics.qUnpivot(spark, sf).collect()
+    val byStatus = rows.groupBy(_.getAs[String]("o_orderstatus"))
+    byStatus.values.foreach { ms =>
+      assert(ms.map(_.getAs[String]("metric")).sorted
+        === Seq("avg_price", "n_orders", "revenue"))
+    }
+  }
+
+  test("null-safe join matches the NULL buckets to each other") {
+    val rows = ops.Analytics.qNullsafeJoin(spark, sf).collect()
+    assert(rows.count(_.isNullAt(0)) === 1)
+    val total = rows.map(r => r.getAs[Long]("n_even") + r.getAs[Long]("n_odd")).sum
+    assert(total === ops.T.orders(spark, sf).count())
+  }
+
   test("jsonl roundtrip preserves per-lang doc counts") {
     val rt = ops.ExportOps.qJsonlRoundtrip(spark, sf).collect()
     val direct = ops.T.documents(spark, sf).groupBy("lang").count().collect()

@@ -29,4 +29,42 @@ class GraphSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("out_deg")).sum === edges.length.toLong)
     assert(rows.map(_.getAs[Long]("in_deg")).sum === edges.length.toLong)
   }
+
+  test("bfs distances satisfy the shortest-path relaxation invariant") {
+    val rows = ops.Graph.qGraphBfs(spark, sf).collect()
+    val dist = rows.map { r =>
+      val d = if (r.isNullAt(r.fieldIndex("d"))) None else Some(r.getAs[Long]("d"))
+      r.getAs[String]("t") -> d
+    }.toMap
+    // exactly one seed at distance 0, and it is the min node id
+    val zeros = dist.filter(_._2.contains(0L)).keys.toSeq
+    assert(zeros === Seq(dist.keys.min))
+    // the fixture graph's diameter is far below the 4 relaxation
+    // rounds, so the result is the fixpoint: every edge is relaxed
+    val edges = ops.Relational.qTransitions(spark, sf).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")))
+    edges.foreach { case (u, v) =>
+      (dist(u), dist(v)) match {
+        case (Some(du), dv) =>
+          assert(dv.exists(_ <= du + 1), s"edge $u->$v not relaxed")
+        case _ => // unreached source constrains nothing
+      }
+    }
+  }
+
+  test("triangle count matches an in-memory brute force") {
+    val e = ops.Relational.qTransitions(spark, sf).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")))
+      .filter { case (u, v) => u != v }
+      .map { case (u, v) => if (u < v) (u, v) else (v, u) }
+      .toSet
+    val nodes = e.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val expected = (for {
+      a <- nodes; b <- nodes if a < b && e((a, b))
+      c <- nodes if b < c && e((b, c)) && e((a, c))
+    } yield 1).size.toLong
+    val got = ops.Graph.qGraphTriangles(spark, sf).collect().head
+      .getAs[Long]("n_triangles")
+    assert(got === expected)
+  }
 }
