@@ -320,6 +320,81 @@ object Analytics extends QueryFamily {
        |FROM e ORDER BY user_id, event_id""".stripMargin
   }
 
+  /** Month-over-month revenue growth: the fact table grain-reduces to
+    * one row per month (hash aggregate), then one lag window over the
+    * tiny series computes the percent change. Revenue rides as integer
+    * cents (exact, order-independent sums); the growth ratio is a
+    * single division of two exact integers, so both engines see the
+    * identical double before display rounding. */
+  def qPctChange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val monthly = T.orders(spark, dir)
+      .groupBy(date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("rev_cents"))
+    val w = Window.orderBy($"month")
+    monthly
+      .withColumn("prev", lag($"rev_cents", 1).over(w))
+      .select($"month", $"rev_cents",
+        round(($"rev_cents" - $"prev").cast("double") / $"prev" * 100, 4)
+          .as("pct_change"))
+      .orderBy($"month")
+  }
+
+  val qPctChangeSql: String =
+    """WITH m AS (
+      |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |p AS (SELECT month, rev_cents,
+      |        lag(rev_cents, 1) OVER (ORDER BY month) AS prev FROM m)
+      |SELECT month, rev_cents,
+      |  round((rev_cents - prev)::DOUBLE / prev * 100, 4) AS pct_change
+      |FROM p ORDER BY month""".stripMargin
+
+  /** Chi-square test of independence between market segment and order
+    * priority: contingency counts (one join + one hash aggregate),
+    * marginals re-aggregated from the cell counts, expected
+    * frequencies by broadcast-joining the two tiny marginal relations,
+    * chi2 summed over the ~25 cells. Everything after the first
+    * aggregate runs over bounded-cardinality relations — the raw fact
+    * table is only touched once. */
+  def qChisq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = T.orders(spark, dir)
+      .join(T.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("seg"), $"o_orderpriority".as("prio"))
+      .agg(count(lit(1)).as("n"))
+      .cache()
+    val rowT = cells.groupBy($"seg").agg(sum($"n").as("row_n"))
+    val colT = cells.groupBy($"prio").agg(sum($"n").as("col_n"))
+    val tot = cells.agg(sum($"n").as("total"),
+      countDistinct($"seg").as("n_seg"), countDistinct($"prio").as("n_prio"))
+    cells
+      .join(broadcast(rowT), "seg")
+      .join(broadcast(colT), "prio")
+      .crossJoin(broadcast(tot))
+      .select($"n", $"n_seg", $"n_prio",
+        ($"row_n" * $"col_n" / $"total".cast("double")).as("e"))
+      .groupBy($"n_seg", $"n_prio")
+      .agg(round(sum(($"n" - $"e") * ($"n" - $"e") / $"e"), 4).as("chi2"))
+      .select((($"n_seg" - 1) * ($"n_prio" - 1)).as("dof"), $"chi2")
+  }
+
+  val qChisqSql: String =
+    """WITH cells AS (
+      |  SELECT c_mktsegment AS seg, o_orderpriority AS prio, count(*) AS n
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |rt AS (SELECT seg, CAST(sum(n) AS BIGINT) AS row_n FROM cells GROUP BY seg),
+      |ct AS (SELECT prio, CAST(sum(n) AS BIGINT) AS col_n FROM cells GROUP BY prio),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+      |        count(DISTINCT seg) AS n_seg, count(DISTINCT prio) AS n_prio FROM cells),
+      |ex AS (SELECT n, n_seg, n_prio, row_n * col_n / total::DOUBLE AS e
+      |       FROM cells JOIN rt USING (seg) JOIN ct USING (prio) CROSS JOIN tot)
+      |SELECT (n_seg - 1) * (n_prio - 1) AS dof,
+      |  round(sum((n - e) * (n - e) / e), 4) AS chi2
+      |FROM ex GROUP BY n_seg, n_prio""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_unpivot", qUnpivot, Some(qUnpivotSql)),
     QueryDef("q_nullsafe_join", qNullsafeJoin, Some(qNullsafeJoinSql)),
@@ -328,5 +403,7 @@ object Analytics extends QueryFamily {
     QueryDef("q_decile_lift", qDecileLift, Some(qDecileLiftSql)),
     QueryDef("q_autocorr", qAutocorr, Some(qAutocorrSql)),
     QueryDef("q_mad", qMad, Some(qMadSql)),
-    QueryDef("q_ewma", qEwma, Some(qEwmaSql)))
+    QueryDef("q_ewma", qEwma, Some(qEwmaSql)),
+    QueryDef("q_pct_change", qPctChange, Some(qPctChangeSql)),
+    QueryDef("q_chisq", qChisq, Some(qChisqSql)))
 }

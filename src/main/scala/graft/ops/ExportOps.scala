@@ -225,6 +225,35 @@ object ExportOps extends QueryFamily {
       | count(DISTINCT o_orderpriority) AS n_prios
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** ORC export/ingest roundtrip — the other columnar table format a
+    * lakehouse migration meets. Types survive natively (no text hop),
+    * so this also covers timestamp fidelity: the read-back aggregate
+    * groups by order month. Schema is pinned explicitly on re-read,
+    * same single-scan discipline as the JSONL/CSV twins. */
+  def qOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-orc-rt").toString
+    T.orders(spark, dir)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+      .write.mode("overwrite").option("compression", "snappy").orc(out)
+    spark.read
+      .schema("o_orderkey LONG, o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ")
+      .orc(out)
+      .groupBy(date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("revenue"),
+        count_distinct($"o_orderkey").as("n_keys"))
+      .orderBy($"month")
+  }
+
+  val qOrcRoundtripSql: String =
+    """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+      | count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue,
+      | count(DISTINCT o_orderkey) AS n_keys
+      |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
+
   /** CDC upsert merge — lakehouse `MERGE INTO` semantics in pure
     * Spark: the base snapshot unions a simulated delta (every 10th key
     * re-priced at version 2) and the latest version per key wins via
@@ -269,6 +298,7 @@ object ExportOps extends QueryFamily {
     QueryDef("q_upsert_latest", qUpsertLatest, Some(qUpsertLatestSql)),
     QueryDef("q_jsonl_roundtrip", qJsonlRoundtrip, Some(qJsonlRoundtripSql)),
     QueryDef("q_csv_roundtrip", qCsvRoundtrip, Some(qCsvRoundtripSql)),
+    QueryDef("q_orc_roundtrip", qOrcRoundtrip, Some(qOrcRoundtripSql)),
     QueryDef("q_column_profile", qColumnProfile, Some(qColumnProfileSql)),
     QueryDef("q_table_diff", qTableDiff, Some(qTableDiffSql)),
     QueryDef("q_table_checksum", qTableChecksum, Some(qTableChecksumSql)),

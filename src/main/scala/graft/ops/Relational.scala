@@ -406,6 +406,34 @@ object Relational extends QueryFamily {
       .orderBy($"l_returnflag")
   }
 
+  /** Self-verifying audit of Datasketches-HLL partial-sketch merge —
+    * the distributed distinct-count shape at 100 TB: each supplier
+    * shard builds its own sketch INDEPENDENTLY (hll_sketch_agg, a
+    * partial-combining hash aggregate), the shards' sketches merge
+    * without touching the data again (hll_union_agg), and the merged
+    * estimate is checked against the exact distinct computed from the
+    * same scan. The emitted row is (exact count, within-2%-bound
+    * boolean); the oracle reproduces the exact count and pins the
+    * boolean at true — same verification trick as the approx-quantile
+    * and Bloom audits, so a hash match proves the sketch-merge met its
+    * accuracy contract. */
+  def qHllUnionAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = T.lineitem(spark, dir).select($"l_suppkey", $"l_partkey")
+    val shardSketches = li.groupBy($"l_suppkey")
+      .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+    val merged = shardSketches
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    li.agg(countDistinct($"l_partkey").as("n_exact"))
+      .crossJoin(broadcast(merged))
+      .select($"n_exact",
+        (abs($"est" - $"n_exact") <= lit(0.02) * $"n_exact").as("within_bound"))
+  }
+
+  val qHllUnionAuditSql: String =
+    """SELECT count(DISTINCT l_partkey) AS n_exact, true AS within_bound
+      |FROM lineitem""".stripMargin
+
   /** As-of join: each purchase event matched to the latest prior click
     * of the same user. Implemented as union + running-max window — one
     * shuffle on user_id, no point-in-time cross join (merge-asof at any
@@ -1292,6 +1320,7 @@ object Relational extends QueryFamily {
     QueryDef("q_union_drift", qUnionDrift, Some(qUnionDriftSql)),
     QueryDef("q_distinct_counts", qDistinctCounts, Some(qDistinctCountsSql)),
     QueryDef("q_approx_distinct", qApproxDistinct, None),
+    QueryDef("q_hll_union_audit", qHllUnionAudit, Some(qHllUnionAuditSql)),
     QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
     QueryDef("q_asof_native", qAsofNative, Some(qAsofNativeSql)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),

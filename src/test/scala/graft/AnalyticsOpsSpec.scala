@@ -159,6 +159,34 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(total === ops.T.orders(spark, sf).count())
   }
 
+  test("merged HLL shard sketches honor the 2% accuracy contract") {
+    val r = ops.Relational.qHllUnionAudit(spark, sf).collect().head
+    assert(r.getAs[Boolean]("within_bound"))
+    assert(r.getAs[Long]("n_exact") > 0)
+  }
+
+  test("chi-square statistic is non-negative with the right dof") {
+    val r = ops.Analytics.qChisq(spark, sf).collect().head
+    assert(r.getAs[Double]("chi2") >= 0)
+    val nSeg = ops.T.customer(spark, sf).select("c_mktsegment").distinct().count()
+    val nPrio = ops.T.orders(spark, sf).select("o_orderpriority").distinct().count()
+    assert(r.getAs[Long]("dof") === (nSeg - 1) * (nPrio - 1))
+  }
+
+  test("pct change is null only for the first month and cents-consistent") {
+    val rows = ops.Analytics.qPctChange(spark, sf).collect()
+      .sortBy(_.getAs[String]("month"))
+    assert(rows.head.isNullAt(rows.head.fieldIndex("pct_change")))
+    assert(rows.tail.forall(r => !r.isNullAt(r.fieldIndex("pct_change"))))
+    val totalCents = rows.map(_.getAs[Long]("rev_cents")).sum
+    val direct = ops.T.orders(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("o_totalprice") * 100).cast("long")))
+      .collect().head.getLong(0)
+    assert(totalCents === direct)
+  }
+
   test("jsonl roundtrip preserves per-lang doc counts") {
     val rt = ops.ExportOps.qJsonlRoundtrip(spark, sf).collect()
     val direct = ops.T.documents(spark, sf).groupBy("lang").count().collect()

@@ -35,7 +35,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_sim_ivf_probe2_recall", "q_funnel", "q_integrity_audit",
     "q_pagerank", "q_tfidf", "q_tfidf_sim", "q_bm25", "q_perplexity",
     "q_contamination_bloom", "q_gapfill", "q_table_diff",
-    "q_approx_quantile_audit", "q_domain_mix", "q_clean_corpus")
+    "q_approx_quantile_audit", "q_domain_mix", "q_clean_corpus",
+    // 1-row global-aggregate builds: merged-HLL estimate, chi-square
+    // totals, BFS seed
+    "q_hll_union_audit", "q_chisq", "q_graph_bfs")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
