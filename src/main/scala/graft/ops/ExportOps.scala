@@ -254,6 +254,42 @@ object ExportOps extends QueryFamily {
       | count(DISTINCT o_orderkey) AS n_keys
       |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
 
+  /** Hive-style partition pruning end-to-end: orders land partitioned
+    * by month directory (`om=YYYY-MM/`), and the read back filters one
+    * year — Catalyst turns the filter into PartitionFilters, so the
+    * scan LISTS only the 12 matching directories and never opens the
+    * rest. At 100 TB this is the difference between reading 1% and
+    * reading everything; ScaleSpec pins the pruned-plan shape
+    * (PartitionFilters present, non-matching partitions skipped). */
+  def qPartitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    prunedScan(spark, dir)
+      .groupBy(col("om"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy("om")
+  }
+
+  /** The pruned scan itself, exposed so ScaleSpec can assert its plan. */
+  def prunedScan(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-part-prune").toString
+    T.orders(spark, dir)
+      .withColumn("om", date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("om").parquet(out)
+    spark.read.parquet(out)
+      .filter($"om" >= "1996-01" && $"om" <= "1996-12")
+  }
+
+  val qPartitionPruneSql: String =
+    """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS om,
+      | count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |WHERE strftime(date_trunc('month', o_orderdate), '%Y-%m') BETWEEN '1996-01' AND '1996-12'
+      |GROUP BY 1 ORDER BY om""".stripMargin
+
   /** CDC upsert merge — lakehouse `MERGE INTO` semantics in pure
     * Spark: the base snapshot unions a simulated delta (every 10th key
     * re-priced at version 2) and the latest version per key wins via
@@ -299,6 +335,7 @@ object ExportOps extends QueryFamily {
     QueryDef("q_jsonl_roundtrip", qJsonlRoundtrip, Some(qJsonlRoundtripSql)),
     QueryDef("q_csv_roundtrip", qCsvRoundtrip, Some(qCsvRoundtripSql)),
     QueryDef("q_orc_roundtrip", qOrcRoundtrip, Some(qOrcRoundtripSql)),
+    QueryDef("q_partition_prune", qPartitionPrune, Some(qPartitionPruneSql)),
     QueryDef("q_column_profile", qColumnProfile, Some(qColumnProfileSql)),
     QueryDef("q_table_diff", qTableDiff, Some(qTableDiffSql)),
     QueryDef("q_table_checksum", qTableChecksum, Some(qTableChecksumSql)),

@@ -59,6 +59,13 @@ class ScaleSpec extends AnyFunSuite {
     assert(Files.exists(java.nio.file.Paths.get(stats.outputDir, "order_year=1996")))
   }
 
+  test("q_partition_prune's scan carries partition filters") {
+    val plan = ops.ExportOps.prunedScan(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(om"),
+      s"expected om partition filters in scan, got:\n$plan")
+  }
+
   test("salted join equals the plain join") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_quantity")
