@@ -641,6 +641,27 @@ object Relational extends QueryFamily {
     """SELECT o_orderkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
 
+  /** Global row numbering WITHOUT the single-partition window: every
+    * order ranked by price via [[Skew.globalRowNumber]] — range
+    * repartition, local rank, broadcast prefix-sum offsets. Same
+    * answer as `row_number() OVER (ORDER BY ...)` (the oracle), but
+    * the widest task ever holds 1/parts of the data; ScaleSpec pins
+    * both the equality and the no-SinglePartition-exchange plan
+    * shape. The (price, key) composite is a total order, so ranks are
+    * boundary-independent. */
+  def qGlobalRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Skew.globalRowNumber(
+        T.orders(spark, dir).select($"o_orderkey", $"o_totalprice"),
+        Seq(desc("o_totalprice"), asc("o_orderkey")))
+      .orderBy($"rn")
+  }
+
+  val qGlobalRankSql: String =
+    """SELECT o_orderkey, o_totalprice,
+      | row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |FROM orders ORDER BY rn""".stripMargin
+
   /** Regex predicate on data (reference's REGEXP_LIKE generalized,
     * SURVEY.md A3/A4): parts whose type matches a pattern. */
   def qRegexFilter(spark: SparkSession, dir: String): DataFrame = {
@@ -1329,6 +1350,7 @@ object Relational extends QueryFamily {
     QueryDef("q_date_agg", qDateAgg, Some(qDateAggSql)),
     QueryDef("q_gapfill", qGapFill, Some(qGapFillSql)),
     QueryDef("q_global_sort", qGlobalSort, Some(qGlobalSortSql)),
+    QueryDef("q_global_rank", qGlobalRank, Some(qGlobalRankSql)),
     QueryDef("q_regex_filter", qRegexFilter, Some(qRegexFilterSql)),
     QueryDef("q_pivot", qPivot, Some(qPivotSql)),
     QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),

@@ -56,6 +56,38 @@ object Skew {
       .filter(col(rankName) <= k)
   }
 
+  /** Distributed global row numbering — the scalable replacement for
+    * `row_number() OVER (ORDER BY ...)`, whose single-partition window
+    * funnels the entire input through one task. Three phases, all
+    * distributed: (1) range-repartition on the sort key, so partition i
+    * holds keys strictly below partition i+1 (boundaries come from
+    * Spark's range sampler; with a unique composite key the final ranks
+    * are identical for ANY boundary choice); (2) rank locally inside
+    * each range partition; (3) add each partition's global offset — the
+    * prefix sum of per-partition counts, a |parts|-row relation
+    * broadcast back. The input is computed twice (counts + join); at
+    * scale that second scan is the price of never materializing N rows
+    * in one task, and it reuses the same range exchange.
+    *
+    * `order` must be a total order (include a unique tiebreaker) or
+    * ranks of tied rows become boundary-dependent. */
+  def globalRowNumber(df: DataFrame, order: Seq[Column], parts: Int = 32,
+      rankName: String = "rn"): DataFrame = {
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("__grp", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__grp")).orderBy(order: _*)
+    val local = ranged.withColumn("__lrn", row_number().over(wLocal))
+    val counts = ranged.groupBy(col("__grp")).agg(count(lit(1)).as("__n"))
+    val wOff = Window.orderBy(col("__grp"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("__grp"), col("__off"))
+    local.join(broadcast(offsets), Seq("__grp"))
+      .withColumn(rankName, col("__off") + col("__lrn"))
+      .drop("__grp", "__lrn", "__off")
+  }
+
   /** Top-n heaviest join keys with their frequencies — the diagnostic
     * used to decide which keys need salting / AQE skew hints. */
   def keyHistogram(df: DataFrame, key: Column, topN: Int = 20): DataFrame =

@@ -59,6 +59,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(Files.exists(java.nio.file.Paths.get(stats.outputDir, "order_year=1996")))
   }
 
+  test("distributed global rank equals the single-window row_number without SinglePartition") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val dist = ops.Skew.globalRowNumber(orders,
+      Seq(desc("o_totalprice"), asc("o_orderkey")), parts = 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val single = orders.withColumn("rn", row_number().over(w))
+    assert(dist.exceptAll(single).count() === 0)
+    assert(single.exceptAll(dist).count() === 0)
+    // the whole point: no full-data single-partition exchange. The only
+    // SinglePartition allowed is the 8-row offsets window, which sits
+    // under a BroadcastExchange — assert the big side never collapses.
+    val plan = dist.queryExecution.executedPlan.toString
+    val offending = plan.linesIterator.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .filterNot { case (_, i) =>
+        // offsets subtree: within a few lines of the per-partition count agg
+        plan.linesIterator.slice(i, i + 8).mkString.contains("count(1)")
+      }
+    assert(offending.isEmpty,
+      s"full-data SinglePartition exchange in distributed rank:\n$plan")
+  }
+
   test("q_partition_prune's scan carries partition filters") {
     val plan = ops.ExportOps.prunedScan(spark, sf)
       .queryExecution.executedPlan.toString
