@@ -185,11 +185,45 @@ object StreamingOps extends QueryFamily {
       |  hw - 600000000 - us AS late_by_us
       |FROM w WHERE us < hw - 600000000 ORDER BY event_id""".stripMargin
 
+  /** Streaming dedup replayed in batch: what `dropDuplicates(user_id,
+    * event_type)` emits on the arrival-ordered feed — the FIRST ARRIVAL
+    * per key (at-least-once delivery collapses to exactly-once), under
+    * the same per-source ingestion-lag arrival model as
+    * [[lateDropped]]. The batch twin is a keyed window (min arrival per
+    * key), distributed across keys; StreamingSpec replays the identical
+    * feed through the real streaming operator and asserts the same
+    * survivor set. */
+  def dedupFirstArrival(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"),
+      (unix_micros(col("ts")) + (col("user_id") % 7) * lit(300000000L))
+        .as("arr_us"))
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("arr_us"), col("event_id"))
+    e.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("us"))
+  }
+
+  def qStreamDedup(spark: SparkSession, dir: String): DataFrame =
+    dedupFirstArrival(T.events(spark, dir))
+      .orderBy(col("user_id"), col("event_type"))
+
+  val qStreamDedupSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+      |a AS (SELECT *, us + (user_id % 7) * 300000000 AS arr_us FROM e),
+      |r AS (SELECT user_id, event_type, event_id, us,
+      |  row_number() OVER (PARTITION BY user_id, event_type
+      |                     ORDER BY arr_us, event_id) AS rn
+      |  FROM a)
+      |SELECT user_id, event_type, event_id, us FROM r WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_stream_tumbling", qStreamTumbling, Some(qStreamTumblingSql)),
     QueryDef("q_stream_sliding", qStreamSliding, Some(qStreamSlidingSql)),
     QueryDef("q_stream_sessions", qStreamSessions, Some(qStreamSessionsSql)),
     QueryDef("q_stream_join", qStreamJoin, Some(qStreamJoinSql)),
     QueryDef("q_stream_late", qStreamLate, Some(qStreamLateSql)),
+    QueryDef("q_stream_dedup", qStreamDedup, Some(qStreamDedupSql)),
   )
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
+case class DEv(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
 case class LEv(event_id: Long, ts: Timestamp, user_id: Long)
 case class Pur(p_id: Long, user_id: Long, p_ts: Timestamp)
 case class Clk(c_id: Long, c_user: Long, c_ts: Timestamp)
@@ -220,6 +221,36 @@ class StreamingSpec extends AnyFunSuite {
       ms.addData(Ev(t("2024-01-01 00:20:00"), "click", 1.0, 1L)) // distinct ts
       q.processAllAvailable()
       assert(spark.table("dedup_out").count() === 2)
+    } finally q.stop()
+  }
+
+  test("engine first-arrival dedup equals the batch dedup transform") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // users 0 (punctual) and 3 (15min lag); feed in ARRIVAL order —
+    // for the (3, click) key the LATER event time arrives first and
+    // must be the survivor dropDuplicates keeps
+    val data = Seq(
+      DEv(0L, t("2024-01-01 00:00:00"), 0L, "click"),  // arr 00:00
+      DEv(1L, t("2024-01-01 00:02:00"), 3L, "click"),  // arr 00:17
+      DEv(2L, t("2024-01-01 00:01:00"), 3L, "click"),  // arr 00:16 < 00:17
+      DEv(3L, t("2024-01-01 00:30:00"), 0L, "click"),  // dup key, arr 00:30
+      DEv(4L, t("2024-01-01 00:20:00"), 0L, "view"))   // arr 00:20
+    val arrival = data.sortBy(d =>
+      (d.ts.getTime + (d.user_id % 7) * 300000L, d.event_id))
+    val ms = MemoryStream[DEv]
+    val q = ms.toDF()
+      .dropDuplicates(Seq("user_id", "event_type"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("fa_dedup_out").start()
+    try {
+      arrival.foreach { ev => ms.addData(ev); q.processAllAvailable() }
+      val engine = spark.table("fa_dedup_out")
+        .select("event_id").collect().map(_.getLong(0)).sorted
+      val predicted = ops.StreamingOps.dedupFirstArrival(data.toDF())
+        .select("event_id").collect().map(_.getLong(0)).sorted
+      assert(predicted === Array(0L, 2L, 4L))
+      assert(engine === predicted)
     } finally q.stop()
   }
 
