@@ -278,6 +278,11 @@ object ExportOps extends QueryFamily {
     val out = Files.createTempDirectory("graft-part-prune").toString
     T.orders(spark, dir)
       .withColumn("om", date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM"))
+      // repartition ON the partition column first: without it every
+      // write task emits a file into every month directory (tasks x
+      // partitions small files — the classic small-files failure at
+      // scale); with it each month is written by one task
+      .repartition(col("om"))
       .write.mode("overwrite").partitionBy("om").parquet(out)
     spark.read.parquet(out)
       .filter($"om" >= "1996-01" && $"om" <= "1996-12")

@@ -82,6 +82,25 @@ class ScaleSpec extends AnyFunSuite {
       s"full-data SinglePartition exchange in distributed rank:\n$plan")
   }
 
+  test("global rank property: equals single-window row_number on random data") {
+    import spark.implicits._
+    // duplicate-heavy sort values force the tiebreaker to matter; the
+    // (v, id) composite is the required total order
+    val prop = org.scalacheck.Prop.forAll(
+      org.scalacheck.Gen.listOfN(60,
+        org.scalacheck.Gen.choose(0, 9))) { vs: List[Int] =>
+      val df = vs.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+        .toDF("v", "id")
+      val dist = ops.Skew.globalRowNumber(df, Seq(col("v"), col("id")), parts = 4)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"), col("id"))
+      val single = df.withColumn("rn", row_number().over(w))
+      dist.exceptAll(single).isEmpty && single.exceptAll(dist).isEmpty
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("q_partition_prune's scan carries partition filters") {
     val plan = ops.ExportOps.prunedScan(spark, sf)
       .queryExecution.executedPlan.toString
