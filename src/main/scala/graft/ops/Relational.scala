@@ -130,6 +130,58 @@ object Relational extends QueryFamily {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** TPC-H Q8-shaped market share: of all MEDIUM-part revenue bought by
+    * ASIA customers, the fraction supplied from NATION_7, by order
+    * year. The deepest join tree in the suite — seven relations with
+    * `nation` playing TWO roles (customer side filters the market,
+    * supplier side tags the origin). Only the fixed-size dimensions
+    * (nation x2, region) carry broadcast hints; the SF-scaled sides
+    * (part, supplier, customer) are left to AQE, per the round-2
+    * lesson. The share divides two unrounded co-grouped sums, so
+    * cross-engine FP noise cancels to ~1e-12 before the 4dp display
+    * rounding. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val part = T.part(spark, dir).filter($"p_type" === "MEDIUM")
+    val region = T.region(spark, dir).filter($"r_name" === "ASIA")
+    val nationC = T.nation(spark, dir)
+      .select($"n_nationkey".as("cn_key"), $"n_regionkey".as("cn_region"))
+    val nationS = T.nation(spark, dir)
+      .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+    T.lineitem(spark, dir)
+      .join(part, $"l_partkey" === $"p_partkey")
+      .join(T.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(T.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nationC), $"c_nationkey" === $"cn_key")
+      .join(broadcast(region), $"cn_region" === $"r_regionkey")
+      .join(T.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(nationS), $"s_nationkey" === $"sn_key")
+      .select(year($"o_orderdate").as("o_year"),
+        ($"l_extendedprice" * (lit(1) - $"l_discount")).as("vol"),
+        $"supp_nation")
+      .groupBy($"o_year")
+      .agg(round(
+        sum(when($"supp_nation" === "NATION_7", $"vol").otherwise(0.0))
+          / sum($"vol"), 4).as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  val q8MarketShareSql: String =
+    """SELECT year(o_orderdate) AS o_year,
+      | round(sum(CASE WHEN ns.n_name = 'NATION_7'
+      |               THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+      |       / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+      |FROM lineitem
+      |JOIN part     ON l_partkey = p_partkey
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation nc ON c_nationkey = nc.n_nationkey
+      |JOIN region   ON nc.n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ns ON s_nationkey = ns.n_nationkey
+      |WHERE p_type = 'MEDIUM' AND r_name = 'ASIA'
+      |GROUP BY 1 ORDER BY o_year""".stripMargin
+
   /** Left-semi join (EXISTS): orders having at least one heavy lineitem. */
   def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1328,6 +1380,7 @@ object Relational extends QueryFamily {
     QueryDef("q1_pricing_summary", q1PricingSummary, Some(q1PricingSummarySql)),
     QueryDef("q3_shipping_priority", q3ShippingPriority, Some(q3ShippingPrioritySql)),
     QueryDef("q5_local_supplier", q5LocalSupplier, Some(q5LocalSupplierSql)),
+    QueryDef("q8_market_share", q8MarketShare, Some(q8MarketShareSql)),
     QueryDef("q_semi_join", qSemiJoin, Some(qSemiJoinSql)),
     QueryDef("q_anti_join", qAntiJoin, Some(qAntiJoinSql)),
     QueryDef("q_topk_per_group", qTopkPerGroup, Some(qTopkPerGroupSql)),
