@@ -16,8 +16,8 @@ import graft.ops._
 object SparkEntry {
 
   private val families: Seq[QueryFamily] = Seq(
-    Relational, Text, Dedup, Similarity, Multimodal, StreamingOps, ExportOps,
-    Curation, Safety, Graph, Analytics
+    Relational, Tpch, Text, Dedup, Similarity, Multimodal, StreamingOps,
+    ExportOps, Curation, Safety, Graph, Analytics
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

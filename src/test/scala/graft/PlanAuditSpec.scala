@@ -38,7 +38,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_approx_quantile_audit", "q_domain_mix", "q_clean_corpus",
     // 1-row global-aggregate builds: merged-HLL estimate, chi-square
     // totals, BFS seed
-    "q_hll_union_audit", "q_chisq", "q_graph_bfs")
+    "q_hll_union_audit", "q_chisq", "q_graph_bfs",
+    // 1-row scalar-subquery builds in the TPC-H shapes: Q11 group total,
+    // Q15 max revenue, Q22 global average balance
+    "q11_important_value", "q15_top_supplier", "q22_idle_balance")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
