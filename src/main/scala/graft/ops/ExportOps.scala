@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, count, lit, log, round, substring, floor}
 
 /** Export-pipeline roundtrip registered as a t2 query: runs the Tier-A
   * Exporter (catalog discovery -> projection -> scan -> rolling sink)
@@ -334,7 +335,36 @@ object ExportOps extends QueryFamily {
       | round(arg_max(o_totalprice, version), 2) AS o_totalprice
       |FROM u GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
 
+  /** Benford leading-digit audit on exported money amounts: observed
+    * first-digit shares next to the Benford expectation log10(1+1/d).
+    * A cheap whole-table fraud/corruption screen on an export —
+    * synthetic uniform prices visibly DON'T follow Benford, which is
+    * exactly what the side-by-side shows. One scan, 9-row output. */
+  def qBenford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = T.orders(spark, dir)
+      .select(substring(floor($"o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+    val tot = d.agg(count(lit(1)).as("n"))
+    d.groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+      .crossJoin(broadcast(tot))
+      .select($"digit", $"n_obs",
+        round($"n_obs".cast("double") / $"n", 4).as("pct_obs"),
+        round(log(10.0, lit(1.0) + lit(1.0) / $"digit"), 4).as("pct_benford"))
+      .orderBy($"digit")
+  }
+
+  val qBenfordSql: String =
+    """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM orders),
+      |tot AS (SELECT count(*) AS n FROM d)
+      |SELECT digit, count(*) AS n_obs,
+      |  round(count(*)::DOUBLE / any_value(n), 4) AS pct_obs,
+      |  round(log10(1.0 + 1.0 / digit), 4) AS pct_benford
+      |FROM d, tot GROUP BY digit ORDER BY digit""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_benford", qBenford, Some(qBenfordSql)),
     QueryDef("q_export_roundtrip", qExportRoundtrip, Some(qExportRoundtripSql)),
     QueryDef("q_upsert_latest", qUpsertLatest, Some(qUpsertLatestSql)),
     QueryDef("q_jsonl_roundtrip", qJsonlRoundtrip, Some(qJsonlRoundtripSql)),

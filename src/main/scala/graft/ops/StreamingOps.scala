@@ -218,7 +218,36 @@ object StreamingOps extends QueryFamily {
       |SELECT user_id, event_type, event_id, us FROM r WHERE rn = 1
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Stream-static enrichment: the event stream joined to a broadcast
+    * dimension (customer segment), then window-aggregated per segment.
+    * In streaming mode the static side is planned as a broadcast hash
+    * join rebuilt per trigger — no stream-side state, no shuffle of
+    * the stream beyond the windowed aggregation itself. Works on batch
+    * or stream input (StreamingSpec runs the stream side). */
+  def staticEnrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(broadcast(dim), events("user_id") === dim("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_micros(col("win.start")).as("win_start_us"),
+        col("segment"), col("n"), col("sum_value"))
+
+  def qStreamStatic(spark: SparkSession, dir: String): DataFrame =
+    staticEnrich(T.events(spark, dir),
+      T.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")))
+      .orderBy(col("win_start_us"), col("segment"))
+
+  val qStreamStaticSql: String =
+    """WITH e AS (SELECT user_id, value,
+      |             make_timestamp(epoch_ns(ts)//1000) AS ts FROM events),
+      |j AS (SELECT c_mktsegment AS segment, date_trunc('hour', ts) AS win, value
+      |      FROM e JOIN customer ON user_id = c_custkey)
+      |SELECT epoch_us(win) AS win_start_us, segment, count(*) AS n,
+      |  round(sum(value), 2) AS sum_value
+      |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_stream_static", qStreamStatic, Some(qStreamStaticSql)),
     QueryDef("q_stream_tumbling", qStreamTumbling, Some(qStreamTumblingSql)),
     QueryDef("q_stream_sliding", qStreamSliding, Some(qStreamSlidingSql)),
     QueryDef("q_stream_sessions", qStreamSessions, Some(qStreamSessionsSql)),

@@ -482,7 +482,44 @@ object Text extends QueryFamily {
       | round(regr_r2(ln(freq), ln(rank)), 4) AS r2
       |FROM ranked""".stripMargin
 
+  /** Per-source distribution drift: KL(source ‖ corpus) over unigram
+    * distributions. The corpus-total is a 1-row broadcast; everything
+    * else is hash aggregates and a vocabulary-keyed equi-join — the
+    * domain-shift monitor a training-data pipeline runs per ingest
+    * batch. All inputs are integer counts, so the per-term doubles are
+    * engine-identical before the final rounded sum. */
+  def qSourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = T.documents(spark, dir)
+      .select($"source", explode(split($"text", " ")).as("tok"))
+    val src = toks.groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+    val srcTot = src.groupBy($"source").agg(sum($"c").as("n"))
+    val corp = toks.groupBy($"tok").agg(count(lit(1)).as("cc"))
+    val corpTot = corp.agg(sum($"cc").as("nn"))
+    val p = $"c".cast("double") / $"n"
+    val q = $"cc".cast("double") / $"nn"
+    src.join(srcTot, Seq("source"))
+      .join(corp, Seq("tok"))
+      .crossJoin(broadcast(corpTot))
+      .groupBy($"source")
+      .agg(round(sum(p * log(p / q)), 4).as("kl_div"))
+      .orderBy($"source")
+  }
+
+  val qSourceDivergenceSql: String =
+    """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |src AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+      |srctot AS (SELECT source, sum(c) AS n FROM src GROUP BY 1),
+      |corp AS (SELECT tok, count(*) AS cc FROM toks GROUP BY 1),
+      |corptot AS (SELECT sum(cc) AS nn FROM corp)
+      |SELECT source,
+      |  round(sum((c::DOUBLE / n) * ln((c::DOUBLE / n) / (cc::DOUBLE / nn))), 4) AS kl_div
+      |FROM src JOIN srctot USING (source) JOIN corp USING (tok), corptot
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_source_divergence", qSourceDivergence, Some(qSourceDivergenceSql)),
     QueryDef("q_bm25", qBm25, Some(qBm25Sql)),
     QueryDef("q_zipf_fit", qZipfFit, Some(qZipfFitSql)),
     QueryDef("q_perplexity", qPerplexity, Some(qPerplexitySql)),

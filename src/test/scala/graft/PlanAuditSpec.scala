@@ -44,7 +44,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q11_important_value", "q15_top_supplier", "q22_idle_balance",
     // 1-row builds in the mining family: decile cut points, PMI corpus
     // totals
-    "q_doc_deciles", "q_pmi_bigrams")
+    "q_doc_deciles", "q_pmi_bigrams",
+    // 1-row builds: KL corpus total, Benford row count
+    "q_source_divergence", "q_benford")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>

@@ -308,4 +308,30 @@ class StreamingSpec extends AnyFunSuite {
       assert(latest(0).getAs[Double]("v") === 5.0)
     } finally q.stop()
   }
+
+  test("stream-static enrichment join matches the batch transform") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"), (3L, "AUTOMOBILE"))
+      .toDF("c_custkey", "c_mktsegment")
+    val data = Seq(
+      Ev(t("2024-01-01 00:10:00"), "click", 1.5, 1L),
+      Ev(t("2024-01-01 00:20:00"), "view", 2.5, 2L),
+      Ev(t("2024-01-01 01:10:00"), "click", 3.5, 1L),
+      Ev(t("2024-01-01 01:30:00"), "purchase", 4.5, 3L))
+    val ms = MemoryStream[Ev]
+    ms.addData(data: _*)
+    val q = ops.StreamingOps.staticEnrich(ms.toDF(), dim)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("static_enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("static_enrich_out")
+        .orderBy("win_start_us", "segment").collect().toSeq
+      val batch = ops.StreamingOps.staticEnrich(data.toDF(), dim)
+        .orderBy("win_start_us", "segment").collect().toSeq
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
