@@ -97,6 +97,39 @@ final class ParquetSink(cfg: ExportConfig) {
     dir.toString
   }
 
+  /** Z-order clustered write: sorts the table along a Morton curve over
+    * two numeric columns before writing, so per-file min/max footers
+    * stay narrow on BOTH columns and scans filtered on either dimension
+    * prune files. The complement to [[writeBucketed]]: bucketing
+    * co-locates equi-joins, z-ordering co-locates range predicates.
+    * One bounded aggregate fetches the two global ranges (4 scalars to
+    * the driver); the sort is a range repartition on the z-value —
+    * fully distributed, no single-partition funnel. */
+  def writeZOrdered(df: DataFrame, schema: String, table: String,
+      zCols: (String, String), files: Int): WriteStats = {
+    import org.apache.spark.sql.functions._
+    val s = Projection.objectName(schema, cfg.lowercaseObjectNames)
+    val t = Projection.objectName(table, cfg.lowercaseObjectNames)
+    val dir = root.resolve(s).resolve(t)
+    val (cx, cy) = zCols
+    val r = df.agg(
+      min(col(cx).cast("double")), max(col(cx).cast("double")),
+      min(col(cy).cast("double")), max(col(cy).cast("double"))).head()
+    val z = graft.functions.ZOrder.zValue(
+      col(cx), r.getDouble(0), r.getDouble(1),
+      col(cy), r.getDouble(2), r.getDouble(3))
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .select(df.columns.map(col): _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("compression", cfg.compressionMethod.replace("none", "uncompressed"))
+      .options(rowGroupOpts)
+      .parquet(dir.toString)
+    WriteStats(rows = -1L, files = files, outputDir = dir.toString)
+  }
+
   /** Write one table under `{out}/{schema}/{table}/` (names lowercased
     * when configured, like the reference's path casing main.py:245-253).
     *
