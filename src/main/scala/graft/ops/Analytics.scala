@@ -395,7 +395,114 @@ object Analytics extends QueryFamily {
       |  round(sum((n - e) * (n - e) / e), 4) AS chi2
       |FROM ex GROUP BY n_seg, n_prio""".stripMargin
 
+  /** RFM customer segmentation: per-customer recency/frequency/monetary
+    * rollup, quartile scores from ONE broadcast row of exact percentile
+    * cuts (no per-customer ntile window), segment counts + value.
+    * Money is integer cents end-to-end. */
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rfm = T.orders(spark, dir)
+      .groupBy($"o_custkey".as("custkey"))
+      .agg(
+        datediff(lit("2001-09-01").cast("timestamp"), max($"o_orderdate")).as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("monetary_cents"))
+    val cuts = rfm.agg(
+      expr("percentile(recency_days, array(0.25, 0.5, 0.75))").as("rq"),
+      expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("fq"),
+      expr("percentile(monetary_cents, array(0.25, 0.5, 0.75))").as("mq"))
+    def score(c: Column, q: Column): Column =
+      (1 to 3).map(i => when(c > element_at(q, i), 1).otherwise(0)).reduce(_ + _) + 1
+    rfm.crossJoin(broadcast(cuts))
+      .select($"monetary_cents",
+        (lit(5) - score($"recency_days", $"rq")).as("r_score"),
+        score($"frequency", $"fq").as("f_score"),
+        score($"monetary_cents", $"mq").as("m_score"))
+      .groupBy($"r_score", $"f_score", $"m_score")
+      .agg(count(lit(1)).as("n_cust"), sum($"monetary_cents").as("seg_cents"))
+      .orderBy($"r_score", $"f_score", $"m_score")
+  }
+
+  val qRfmSql: String =
+    """WITH rfm AS (
+      |  SELECT o_custkey AS custkey,
+      |    date_diff('day', max(o_orderdate), TIMESTAMP '2001-09-01 00:00:00') AS recency_days,
+      |    count(*) AS frequency,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+      |  FROM orders GROUP BY 1),
+      |cuts AS (
+      |  SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rq,
+      |         quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fq,
+      |         quantile_cont(monetary_cents, [0.25, 0.5, 0.75]) AS mq
+      |  FROM rfm)
+      |SELECT r_score, f_score, m_score, count(*) AS n_cust,
+      |  CAST(sum(monetary_cents) AS BIGINT) AS seg_cents
+      |FROM (
+      |  SELECT monetary_cents,
+      |    4 - ((recency_days > rq[1])::int + (recency_days > rq[2])::int + (recency_days > rq[3])::int) AS r_score,
+      |    1 + (frequency > fq[1])::int + (frequency > fq[2])::int + (frequency > fq[3])::int AS f_score,
+      |    1 + (monetary_cents > mq[1])::int + (monetary_cents > mq[2])::int + (monetary_cents > mq[3])::int AS m_score
+      |  FROM rfm, cuts)
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Gaps-and-islands: maximal runs of consecutive active days per
+    * user via the classic day - row_number() grouping key. The window
+    * keys on user_id (unbounded cardinality — scales out), and the
+    * distinct day grain bounds rows per key at 366/year. */
+  def qGapsIslands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = T.events(spark, dir)
+      .select($"user_id", to_date(date_trunc("day", $"ts")).as("day")).distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    d.withColumn("grp", date_sub($"day", row_number().over(w)))
+      .groupBy($"user_id", $"grp")
+      .agg(min($"day").as("start"), count(lit(1)).as("len"))
+      .filter($"len" >= 3)
+      .select($"user_id", date_format($"start", "yyyy-MM-dd").as("start_day"), $"len")
+      .orderBy($"user_id", $"start_day")
+      .limit(40)
+  }
+
+  val qGapsIslandsSql: String =
+    """WITH e AS (SELECT user_id, make_timestamp(epoch_ns(ts)//1000) AS ts FROM events),
+      |d AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM e),
+      |r AS (SELECT user_id, day,
+      |  CAST(day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS DATE) AS grp
+      |  FROM d),
+      |isl AS (SELECT user_id, min(day) AS start_day, count(*) AS len
+      |  FROM r GROUP BY user_id, grp)
+      |SELECT user_id, strftime(start_day, '%Y-%m-%d') AS start_day, len
+      |FROM isl WHERE len >= 3 ORDER BY user_id, start_day LIMIT 40""".stripMargin
+
+  /** Semi-additive measure: daily average of each user's LAST reading
+    * (max_by over event time — deterministic here, (user, ts) is
+    * verified tie-free in the fixtures). The balance-style aggregate:
+    * additive across users, last-value across time. */
+  def qSemiAdditive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.events(spark, dir).filter($"event_type" === "view")
+      .groupBy($"user_id", to_date(date_trunc("day", $"ts")).as("day"))
+      .agg(max_by($"value", $"ts").as("last_value"))
+      .groupBy(date_format($"day", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_users"), round(avg($"last_value"), 4).as("avg_last_value"))
+      .orderBy($"day")
+  }
+
+  val qSemiAdditiveSql: String =
+    """WITH e AS (SELECT user_id, value, event_type,
+      |             make_timestamp(epoch_ns(ts)//1000) AS ts FROM events),
+      |latest AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    arg_max(value, ts) AS last_value
+      |  FROM e WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, count(*) AS n_users,
+      |  round(avg(last_value), 4) AS avg_last_value
+      |FROM latest GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_rfm", qRfm, Some(qRfmSql)),
+    QueryDef("q_gaps_islands", qGapsIslands, Some(qGapsIslandsSql)),
+    QueryDef("q_semi_additive", qSemiAdditive, Some(qSemiAdditiveSql)),
     QueryDef("q_unpivot", qUnpivot, Some(qUnpivotSql)),
     QueryDef("q_nullsafe_join", qNullsafeJoin, Some(qNullsafeJoinSql)),
     QueryDef("q_sessionize", qSessionize, Some(qSessionizeSql)),

@@ -45,8 +45,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row builds in the mining family: decile cut points, PMI corpus
     // totals
     "q_doc_deciles", "q_pmi_bigrams",
-    // 1-row builds: KL corpus total, Benford row count
-    "q_source_divergence", "q_benford")
+    // 1-row builds: KL corpus total, Benford row count, RFM quartile
+    // cuts
+    "q_source_divergence", "q_benford", "q_rfm")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
