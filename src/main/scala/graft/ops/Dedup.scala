@@ -526,7 +526,37 @@ object Dedup extends QueryFamily {
       |SELECT a_id, b_id, round(dot / sqrt(na * nb), 4) AS cos FROM c
       |WHERE dot / sqrt(na * nb) >= 0.4 ORDER BY a_id, b_id""".stripMargin
 
+  /** Fuzzy identifier join: all name pairs within edit distance 1 via
+    * FastSS deletion-neighborhood blocking. Each name emits itself plus
+    * its length single-character deletions; dist<=1 pairs MUST share a
+    * variant, so a variant equi-join yields a candidate set linear in
+    * names x length that a codegen'd levenshtein pass then verifies.
+    * The oracle brute-forces the O(n^2) comparison — tractable only at
+    * oracle scale, which is exactly the point: the blocked join is the
+    * same answer with an equi-shuffle instead of a cross product. */
+  def qFuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val names = T.customer(spark, dir).select($"c_name".as("name")).distinct()
+    val dels = expr(
+      "transform(sequence(1, length(name)), i -> concat(substring(name, 1, i - 1), substring(name, i + 1)))")
+    val vars = names.select($"name", explode(array_union(array($"name"), dels)).as("v"))
+    vars.select($"name".as("name_a"), $"v")
+      .join(vars.select($"name".as("name_b"), $"v"), Seq("v"))
+      .filter($"name_a" < $"name_b")
+      .select($"name_a", $"name_b").distinct()
+      .filter(levenshtein($"name_a", $"name_b") <= 1)
+      .orderBy($"name_a", $"name_b")
+      .limit(100)
+  }
+
+  val qFuzzyJoinSql: String =
+    """SELECT a.c_name AS name_a, b.c_name AS name_b
+      |FROM customer a JOIN customer b ON a.c_name < b.c_name
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY name_a, name_b LIMIT 100""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_fuzzy_join", qFuzzyJoin, Some(qFuzzyJoinSql)),
     QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactSql)),
     QueryDef("q_dedup_minhash", qDedupMinhash, Some(qDedupMinhashSql)),
     QueryDef("q_dedup_survivors", qDedupSurvivors, Some(qDedupSurvivorsSql)),
