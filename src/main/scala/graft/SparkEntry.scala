@@ -17,7 +17,7 @@ object SparkEntry {
 
   private val families: Seq[QueryFamily] = Seq(
     Relational, Tpch, Text, Dedup, Similarity, Multimodal, StreamingOps,
-    ExportOps, Curation, Safety, Graph, Analytics, Mining
+    ExportOps, Curation, Safety, Graph, Analytics, Mining, Timeseries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

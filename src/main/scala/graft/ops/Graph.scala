@@ -239,9 +239,64 @@ object Graph extends QueryFamily {
       |FROM e e1 JOIN e e2 ON e2.a = e1.b
       |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin
 
+  /** Structural node similarity: Jaccard over undirected neighbor
+    * sets, for every node pair sharing ≥ 1 neighbor. Enumeration goes
+    * THROUGH the common neighbor (self-join of the adjacency relation
+    * on the neighbor key), so work is Σ deg(w)² over wedges — linear
+    * in the wedge count and one equi-join shuffle, never the node-pair
+    * cross product. Degrees join in as two bounded per-node aggregates
+    * and |A∪B| = deg(a)+deg(b)−common closes the measure without ever
+    * materializing the union set. The same degree-capping refinement
+    * as `q_graph_triangles` bounds hub fan-out at web scale. */
+  def qGraphJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val adj = edgeList(spark, dir)
+      .filter($"u" =!= $"v")
+      .select(least($"u", $"v").as("a"), greatest($"u", $"v").as("b"))
+      .distinct()
+      .cache()
+    // undirected adjacency: (node, neighbor) both directions
+    val nbr = adj.select($"a".as("node"), $"b".as("w"))
+      .union(adj.select($"b".as("node"), $"a".as("w")))
+    val deg = nbr.groupBy($"node").agg(count(lit(1)).as("deg"))
+    val common = nbr.as("n1")
+      .join(nbr.as("n2"), $"n1.w" === $"n2.w" && $"n1.node" < $"n2.node")
+      .groupBy($"n1.node".as("x"), $"n2.node".as("y"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(deg.withColumnRenamed("node", "x").withColumnRenamed("deg", "dx"), Seq("x"))
+      .join(deg.withColumnRenamed("node", "y").withColumnRenamed("deg", "dy"), Seq("y"))
+      .select($"x", $"y", $"common",
+        round($"common" / ($"dx" + $"dy" - $"common"), 4).as("jaccard"))
+      .orderBy(desc("jaccard"), asc("x"), asc("y"))
+  }
+
+  val qGraphJaccardSql: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+      |seq AS (SELECT event_type,
+      |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_type
+      |  FROM ev),
+      |de AS (SELECT DISTINCT event_type AS u, next_type AS v
+      |       FROM seq WHERE next_type IS NOT NULL AND event_type <> next_type),
+      |adj AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM de),
+      |nbr AS (SELECT a AS node, b AS w FROM adj
+      |        UNION ALL SELECT b, a FROM adj),
+      |deg AS (SELECT node, count(*) AS deg FROM nbr GROUP BY 1),
+      |common AS (
+      |  SELECT n1.node AS x, n2.node AS y, count(*) AS common
+      |  FROM nbr n1 JOIN nbr n2 ON n1.w = n2.w AND n1.node < n2.node
+      |  GROUP BY 1, 2)
+      |SELECT x, y, common,
+      |  round(common / (dx.deg + dy.deg - common), 4) AS jaccard
+      |FROM common
+      |JOIN deg dx ON dx.node = x
+      |JOIN deg dy ON dy.node = y
+      |ORDER BY jaccard DESC, x, y""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_pagerank", qPagerank, Some(qPagerankSql)),
     QueryDef("q_graph_degrees", qGraphDegrees, Some(qGraphDegreesSql)),
     QueryDef("q_graph_bfs", qGraphBfs, Some(qGraphBfsSql)),
+    QueryDef("q_graph_jaccard", qGraphJaccard, Some(qGraphJaccardSql)),
     QueryDef("q_graph_triangles", qGraphTriangles, Some(qGraphTrianglesSql)))
 }

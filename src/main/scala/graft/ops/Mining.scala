@@ -228,11 +228,221 @@ object Mining extends QueryFamily {
       |FROM matched WHERE channel IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Exact heavy hitters (tokens with count ≥ 0.2% of the corpus) via
+    * a guaranteed-superset two-phase plan. Phase 1 counts per (source
+    * partition, token) — effectively a SALTED aggregate, so a single
+    * hot token spreads over P reducers instead of melting one. Phase 2
+    * prunes by pigeonhole: a token with global count ≥ T must have
+    * local count ≥ T/P in at least one of P partitions, so the filter
+    * `max(local) * P ≥ T` keeps a strict superset of the true heavy
+    * hitters. Only the surviving partials re-shuffle on the token key
+    * for the exact total — the long-tail vocabulary (the bulk of a
+    * 100 TB corpus) never reaches the final aggregate. The result is
+    * EXACT, so the DuckDB oracle is the plain HAVING query. */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = T.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("token"))
+      .select(spark_partition_id().as("pid"), $"token")
+    val partials = tok.groupBy($"pid", $"token").agg(count(lit(1)).as("cnt"))
+    // corpus totals roll up from the partials — the token stream is
+    // scanned exactly once
+    val totals = partials.agg(
+      sum($"cnt").as("n_tok"),
+      countDistinct($"pid").as("n_parts"))
+    val candidates = partials.groupBy($"token")
+      .agg(max($"cnt").as("mx"), sum($"cnt").as("cnt"))
+      .crossJoin(broadcast(totals))
+      .filter($"mx" * $"n_parts" >= $"n_tok" * 0.002)
+    candidates
+      .filter($"cnt" >= $"n_tok" * 0.002)
+      .select($"token", $"cnt")
+      .orderBy(desc("cnt"), asc("token"))
+  }
+
+  val qHeavyHittersSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |tot AS (SELECT count(*) AS n_tok FROM tok)
+      |SELECT token, count(*) AS cnt
+      |FROM tok, tot GROUP BY token, n_tok
+      |HAVING count(*) >= n_tok * 0.002
+      |ORDER BY cnt DESC, token""".stripMargin
+
+  /** Join-cardinality estimation by KEY-CORRELATED sampling, with the
+    * exact figure as an in-query audit. The self-join size of
+    * `lineitem` on `l_partkey` is Σ c_k² (c_k = rows per key); hashing
+    * the JOIN KEY (not the row) keeps or drops both sides of every
+    * potential pair together, so pairs survive at exactly rate 1/64
+    * and `sample_pairs × 64` is unbiased — row-Bernoulli sampling
+    * would square the rate and be useless. The exact side never
+    * materializes the join either: it is sum(c²) over a groupBy count.
+    * At 100 TB this is how a planner prices a join before running it:
+    * the sampled scan touches 1/64 of keys and the estimate's cost is
+    * independent of the join's output size. */
+  def qJoinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keys = T.lineitem(spark, dir).select($"l_partkey")
+    val sampled = keys.filter(($"l_partkey" * 2654435761L) % 64 === 0)
+      .groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+      .agg((sum($"c" * $"c") * 64L).as("est_pairs"))
+    val exact = keys.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+      .agg(sum($"c" * $"c").as("exact_pairs"))
+    sampled.crossJoin(broadcast(exact))
+      .select($"est_pairs", $"exact_pairs",
+        round(abs($"est_pairs" - $"exact_pairs") / $"exact_pairs", 4).as("rel_err"))
+  }
+
+  val qJoinCardinalitySql: String =
+    """WITH est AS (
+      |  SELECT (sum(c * c) * 64)::BIGINT AS est_pairs FROM (
+      |    SELECT l_partkey, count(*) AS c FROM lineitem
+      |    WHERE (l_partkey * 2654435761) % 64 = 0 GROUP BY 1)),
+      |ex AS (
+      |  SELECT sum(c * c)::BIGINT AS exact_pairs FROM (
+      |    SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1))
+      |SELECT est_pairs, exact_pairs,
+      |  round(abs(est_pairs - exact_pairs) / exact_pairs, 4) AS rel_err
+      |FROM est, ex""".stripMargin
+
+  /** Multinomial Naive Bayes language classifier, trained and scored
+    * in one query (resubstitution confusion matrix). Laplace-smoothed
+    * log-likelihoods decompose as
+    *   score(d,l) = prior(l) − n_d·ln(c_l + V) + Σ_t cnt_dt·ln(c_tl + 1)
+    * so unseen (token, lang) pairs contribute ln(1) = 0 and the hit
+    * term is a plain INNER join — no dense doc×vocab×lang relation
+    * ever exists. The model (vocab × langs) broadcasts; the only
+    * fact-sized shuffles are the doc-token count and the (doc, lang)
+    * score aggregate. Output is integer counts (argmax per doc), so
+    * float summation order cannot perturb the hash. */
+  def qNaiveBayes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docTok = T.documents(spark, dir)
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("t"))
+    val dt = docTok.groupBy($"doc_id", $"lang", $"t").agg(count(lit(1)).as("n_dt"))
+    val docLen = dt.groupBy($"doc_id", $"lang".as("true_lang"))
+      .agg(sum($"n_dt").as("n_d"))
+    val tl = docTok.groupBy($"t", $"lang".as("m_lang")).agg(count(lit(1)).as("c_tl"))
+    val vocab = tl.agg(countDistinct($"t").as("v"))
+    val langStats = docTok.groupBy($"lang".as("m_lang")).agg(
+      count(lit(1)).as("c_l"), countDistinct($"doc_id").as("n_docs_l"))
+    val nDocs = docLen.agg(count(lit(1)).as("n_docs"))
+    val model = langStats.crossJoin(vocab).crossJoin(nDocs)
+      .select($"m_lang",
+        (log($"n_docs_l".cast("double")) - log($"n_docs".cast("double"))).as("prior"),
+        log($"c_l".cast("double") + $"v").as("ln_denom"))
+    // Hit term per (doc, lang): join doc-token counts with every
+    // lang's model row for that token (inner — misses contribute 0).
+    val hitAll = dt.join(tl, dt("t") === tl("t"))
+      .groupBy($"doc_id", $"m_lang")
+      .agg(sum($"n_dt" * log($"c_tl".cast("double") + 1.0)).as("hit"))
+    val scored = docLen.crossJoin(broadcast(model))
+      .join(hitAll, Seq("doc_id", "m_lang"), "left")
+      .select($"doc_id", $"true_lang", $"m_lang",
+        ($"prior" - $"n_d" * $"ln_denom" + coalesce($"hit", lit(0.0))).as("score"))
+    val w = Window.partitionBy($"doc_id").orderBy(desc("score"), asc("m_lang"))
+    scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .groupBy($"true_lang", $"m_lang".as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"true_lang", $"pred_lang")
+  }
+
+  val qNaiveBayesSql: String =
+    """WITH doc_tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |dt AS (SELECT doc_id, lang, t, count(*) AS n_dt
+      |  FROM doc_tok GROUP BY 1, 2, 3),
+      |doc_len AS (SELECT doc_id, lang AS true_lang, sum(n_dt) AS n_d
+      |  FROM dt GROUP BY 1, 2),
+      |tl AS (SELECT t, lang AS m_lang, count(*) AS c_tl
+      |  FROM doc_tok GROUP BY 1, 2),
+      |vocab AS (SELECT count(DISTINCT t) AS v FROM tl),
+      |lang_stats AS (SELECT lang AS m_lang, count(*) AS c_l,
+      |    count(DISTINCT doc_id) AS n_docs_l
+      |  FROM doc_tok GROUP BY 1),
+      |n_docs AS (SELECT count(*) AS n_docs FROM doc_len),
+      |model AS (
+      |  SELECT m_lang,
+      |    ln(n_docs_l::DOUBLE) - ln(n_docs::DOUBLE) AS prior,
+      |    ln(c_l::DOUBLE + v) AS ln_denom
+      |  FROM lang_stats, vocab, n_docs),
+      |hit_all AS (
+      |  SELECT dt.doc_id, tl.m_lang,
+      |    sum(dt.n_dt * ln(tl.c_tl::DOUBLE + 1.0)) AS hit
+      |  FROM dt JOIN tl ON dt.t = tl.t GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT d.doc_id, d.true_lang, m.m_lang,
+      |    m.prior - d.n_d * m.ln_denom + coalesce(h.hit, 0.0) AS score
+      |  FROM doc_len d CROSS JOIN model m
+      |  LEFT JOIN hit_all h ON h.doc_id = d.doc_id AND h.m_lang = m.m_lang),
+      |pred AS (
+      |  SELECT doc_id, true_lang, m_lang,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, m_lang) AS rn
+      |  FROM scored)
+      |SELECT true_lang, m_lang AS pred_lang, count(*) AS n
+      |FROM pred WHERE rn = 1
+      |GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin
+
+  /** Two-proportion A/B z-test on purchase share, arms split by event
+    * parity (the experiment unit is the event — per-user flags
+    * saturate on this fixture where every user eventually purchases).
+    * Arm totals are ONE map-side-combined 2-group aggregate over the
+    * fact table; the z statistic is pooled-variance arithmetic on
+    * that 2-row relation. Full-data cost: a single hash aggregate
+    * regardless of event volume. */
+  def qAbTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val arms = T.events(spark, dir)
+      .groupBy(($"event_id" % 2).as("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("conv"))
+    val wide = arms.agg(
+      max(when($"arm" === 0, $"n")).as("n_a"),
+      max(when($"arm" === 0, $"conv")).as("conv_a"),
+      max(when($"arm" === 1, $"n")).as("n_b"),
+      max(when($"arm" === 1, $"conv")).as("conv_b"))
+    val p = ($"conv_a" + $"conv_b").cast("double") / ($"n_a" + $"n_b")
+    val rA = $"conv_a".cast("double") / $"n_a"
+    val rB = $"conv_b".cast("double") / $"n_b"
+    wide.select(
+      $"n_a", $"conv_a", round(rA, 4).as("rate_a"),
+      $"n_b", $"conv_b", round(rB, 4).as("rate_b"),
+      round((rB - rA) /
+        sqrt(p * (lit(1.0) - p) * (lit(1.0) / $"n_a" + lit(1.0) / $"n_b")), 4)
+        .as("z_score"))
+  }
+
+  val qAbTestSql: String =
+    """WITH arms AS (
+      |  SELECT event_id % 2 AS arm, count(*) AS n,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS conv
+      |  FROM events GROUP BY 1),
+      |wide AS (
+      |  SELECT
+      |    max(CASE WHEN arm = 0 THEN n END) AS n_a,
+      |    max(CASE WHEN arm = 0 THEN conv END) AS conv_a,
+      |    max(CASE WHEN arm = 1 THEN n END) AS n_b,
+      |    max(CASE WHEN arm = 1 THEN conv END) AS conv_b
+      |  FROM arms)
+      |SELECT n_a, conv_a, round(conv_a::DOUBLE / n_a, 4) AS rate_a,
+      |  n_b, conv_b, round(conv_b::DOUBLE / n_b, 4) AS rate_b,
+      |  round((conv_b::DOUBLE / n_b - conv_a::DOUBLE / n_a) /
+      |    sqrt((conv_a + conv_b)::DOUBLE / (n_a + n_b)
+      |      * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b))
+      |      * (1.0 / n_a + 1.0 / n_b)), 4) AS z_score
+      |FROM wide""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_ab_test", qAbTest, Some(qAbTestSql)),
     QueryDef("q_basket_pairs", qBasketPairs, Some(qBasketPairsSql)),
     QueryDef("q_regr_fit", qRegrFit, Some(qRegrFitSql)),
     QueryDef("q_corr_matrix", qCorrMatrix, Some(qCorrMatrixSql)),
     QueryDef("q_doc_deciles", qDocDeciles, Some(qDocDecilesSql)),
     QueryDef("q_pmi_bigrams", qPmiBigrams, Some(qPmiBigramsSql)),
-    QueryDef("q_attribution", qAttribution, Some(qAttributionSql)))
+    QueryDef("q_attribution", qAttribution, Some(qAttributionSql)),
+    QueryDef("q_heavy_hitters", qHeavyHitters, Some(qHeavyHittersSql)),
+    QueryDef("q_join_cardinality", qJoinCardinality, Some(qJoinCardinalitySql)),
+    QueryDef("q_naive_bayes", qNaiveBayes, Some(qNaiveBayesSql)))
 }

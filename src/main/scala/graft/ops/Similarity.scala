@@ -415,8 +415,98 @@ object Similarity extends QueryFamily {
        |FROM exact e LEFT JOIN hits h ON h.q_id = e.q_id
        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
 
+  /** One Lloyd iteration of k-means: assign every vector to its
+    * nearest label-mean centroid (the `q_kmeans_assign` step), then
+    * recompute each cluster's centroid as the member mean, emitting
+    * (cluster, dim, coordinate, member count). The distributed shape
+    * is the canonical one: centroids are a k×d broadcast, assignment
+    * is a map-side join + per-vector argmin, and the update is ONE
+    * hash aggregate keyed on (cluster, dim) with map-side combine —
+    * per iteration the fact table shuffles only k×d partial sums per
+    * task, never vectors. Dim index is emitted 1-based to match the
+    * oracle's `unnest(range(1, d+1))` convention (Spark's posexplode
+    * is 0-based). */
+  def qKmeansUpdate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = T.embeddings(spark, dir)
+    val cent = e.select($"label".as("c_label"), posexplode($"embedding").as(Seq("i", "x")))
+      .groupBy($"c_label", $"i").agg(avg($"x".cast("double")).as("c"))
+    val dims = e.select($"vec_id", posexplode($"embedding").as(Seq("i", "vx")))
+    val dv = $"vx".cast("double") - $"c"
+    val d2 = dims.join(broadcast(cent), Seq("i"))
+      .groupBy($"vec_id", $"c_label").agg(sum(dv * dv).as("d2"))
+    val w = Window.partitionBy($"vec_id").orderBy(asc("d2"), asc("c_label"))
+    val assigned = d2.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"vec_id", $"c_label".as("cluster"))
+    dims.join(assigned, Seq("vec_id"))
+      .groupBy($"cluster", ($"i" + 1).cast("long").as("dim"))
+      // + 0.0 folds IEEE negative zero into positive zero, matching
+      // the oracle's identical normalization
+      .agg((round(avg($"vx".cast("double")), 4) + 0.0).as("coord"),
+        count(lit(1)).as("n_members"))
+      .orderBy($"cluster", $"dim")
+  }
+
+  val qKmeansUpdateSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+      |ex AS (SELECT vec_id, unnest(embedding) AS vx,
+      |  unnest(range(1, len(embedding) + 1)) AS i FROM e),
+      |cx AS (SELECT label AS c_label, unnest(embedding) AS x,
+      |  unnest(range(1, len(embedding) + 1)) AS i FROM e),
+      |cent AS (SELECT c_label, i, avg(x::DOUBLE) AS c FROM cx GROUP BY 1, 2),
+      |d AS (SELECT vec_id, c_label,
+      |    sum((vx::DOUBLE - c) * (vx::DOUBLE - c)) AS d2
+      |  FROM ex JOIN cent USING (i) GROUP BY 1, 2),
+      |a AS (SELECT vec_id, c_label AS cluster,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn FROM d)
+      |SELECT cluster, i AS dim, round(avg(vx::DOUBLE), 4) + 0.0 AS coord,
+      |  count(*) AS n_members
+      |FROM ex JOIN a USING (vec_id)
+      |WHERE rn = 1 GROUP BY 1, 2 ORDER BY cluster, dim""".stripMargin
+
+  /** NDCG@3 of the single-bucket sign-LSH ranking against the exact
+    * top-5 (graded relevance 6−exact_rank) — the position-sensitive
+    * companion to the recall audits: recall says WHETHER the true
+    * neighbors surface, NDCG says whether they surface in the right
+    * ORDER. Join is |probes|·k rows on (q_id, n_id); the ideal-DCG
+    * normalizer is the same closed-form literal on both engines. */
+  def qSimNdcg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = qSimBruteforce(spark, dir)
+      .select($"q_id", $"n_id", (lit(6) - $"rank").cast("double").as("rel"))
+    val approx = qSimLsh(spark, dir).select($"q_id", $"rank".as("pos"), $"n_id")
+    val dcg = approx.join(exact, Seq("q_id", "n_id"), "left")
+      .groupBy($"q_id")
+      .agg(sum(coalesce($"rel", lit(0.0)) / log2($"pos" + 1)).as("dcg"))
+    val idcg = lit(5.0) / log2(lit(2.0)) + lit(4.0) / log2(lit(3.0)) +
+      lit(3.0) / log2(lit(4.0))
+    exact.select($"q_id").distinct()
+      .join(dcg, Seq("q_id"), "left")
+      .select($"q_id",
+        round(coalesce($"dcg", lit(0.0)) / idcg, 4).as("ndcg"))
+      .orderBy($"q_id")
+  }
+
+  val qSimNdcgSql: String =
+    s"""WITH exact AS (SELECT q_id, n_id, (6 - rank)::DOUBLE AS rel
+       |  FROM ($qSimBruteforceSql)),
+       |approx AS (SELECT q_id, rank AS pos, n_id FROM ($qSimLshSql)),
+       |dcg AS (
+       |  SELECT a.q_id, sum(coalesce(e.rel, 0.0) / log2(a.pos + 1)) AS dcg
+       |  FROM approx a LEFT JOIN exact e
+       |    ON e.q_id = a.q_id AND e.n_id = a.n_id
+       |  GROUP BY a.q_id)
+       |SELECT q.q_id,
+       |  round(coalesce(d.dcg, 0.0) /
+       |    (5.0 / log2(2.0) + 4.0 / log2(3.0) + 3.0 / log2(4.0)), 4) AS ndcg
+       |FROM (SELECT DISTINCT q_id FROM exact) q
+       |LEFT JOIN dcg d ON d.q_id = q.q_id
+       |ORDER BY q.q_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_array_funcs", qArrayFuncs, Some(qArrayFuncsSql)),
+    QueryDef("q_kmeans_update", qKmeansUpdate, Some(qKmeansUpdateSql)),
+    QueryDef("q_sim_ndcg", qSimNdcg, Some(qSimNdcgSql)),
     QueryDef("q_sim_bruteforce", qSimBruteforce, Some(qSimBruteforceSql)),
     QueryDef("q_sim_lsh", qSimLsh, Some(qSimLshSql)),
     QueryDef("q_sim_lsh_multiprobe", qSimLshMultiprobe, Some(qSimLshMultiprobeSql)),

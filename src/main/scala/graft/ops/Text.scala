@@ -518,7 +518,40 @@ object Text extends QueryFamily {
       |FROM src JOIN srctot USING (source) JOIN corp USING (tok), corptot
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Subword-style token counting with a GPT-2-ish pre-tokenizer
+    * regex (` ?letters | ?digits | ?punct-run | whitespace-run`) next
+    * to the plain whitespace count — the "fertility" audit (chars per
+    * token) an LLM-data pipeline runs before committing a tokenizer
+    * budget. Pure map-side projection: `regexp_extract_all` + a
+    * higher-order `filter`, no shuffle at any scale. The pattern uses
+    * only syntax Java regex (Spark) and RE2 (DuckDB) match
+    * identically: no lookaround, leftmost-first alternation. */
+  def qTokenBpe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.documents(spark, dir)
+      .select($"doc_id", $"n_chars",
+        size(split($"text", " ")).cast("long").as("n_ws"),
+        expr("size(filter(regexp_extract_all(text, ' ?\\\\p{L}+| ?\\\\p{N}+| ?[^\\\\s\\\\p{L}\\\\p{N}]+|\\\\s+', 0), x -> x NOT RLIKE '^\\\\s+$'))")
+          .cast("long").as("n_bpe"))
+      .select($"doc_id", $"n_ws", $"n_bpe",
+        round($"n_chars" / $"n_bpe", 4).as("chars_per_token"))
+      .orderBy($"doc_id")
+  }
+
+  val qTokenBpeSql: String =
+    """SELECT doc_id, n_ws, n_bpe,
+      |  round(n_chars / n_bpe, 4) AS chars_per_token
+      |FROM (
+      |  SELECT doc_id, n_chars,
+      |    len(string_split(text, ' '))::BIGINT AS n_ws,
+      |    len(list_filter(
+      |      regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
+      |      x -> NOT regexp_matches(x, '^\s+$')))::BIGINT AS n_bpe
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_token_bpe", qTokenBpe, Some(qTokenBpeSql)),
     QueryDef("q_source_divergence", qSourceDivergence, Some(qSourceDivergenceSql)),
     QueryDef("q_bm25", qBm25, Some(qBm25Sql)),
     QueryDef("q_zipf_fit", qZipfFit, Some(qZipfFitSql)),

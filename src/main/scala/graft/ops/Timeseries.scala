@@ -1,0 +1,382 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operator family: changepoint detection, seasonal
+  * decomposition, cumulative-distinct via first-touch, sweep-line
+  * concurrency, and changelog (CDC) merge with delete semantics.
+  *
+  * None of these exist in the reference (its entire operator surface
+  * is the export pipeline, reference: src/oracle_parquet_exporter/
+  * main.py:129-189); they are Tier-B north-star engine surface a
+  * downstream analytics user runs over the exported Parquet daily.
+  *
+  * Every operator here reduces the fact table to a per-key daily (or
+  * per-instant) aggregate FIRST, then runs windows over that reduced
+  * relation — the pattern that survives 100 TB: the windows see
+  * O(days) or O(distinct instants) rows, never O(fact rows), so the
+  * only full-data pass is one map-side-combined hash aggregate.
+  */
+object Timeseries extends QueryFamily {
+
+  /** Daily revenue from `orders`, the shared reduced series. Unrounded:
+    * consumers round at the output edge only, so Spark and DuckDB run
+    * the same arithmetic on the same frames. */
+  private def dailyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.orders(spark, dir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum($"o_totalprice").as("rev"))
+  }
+
+  /** Changepoint detection on daily revenue: for each day with a full
+    * 7-day history and 7-day future, score the absolute shift between
+    * the trailing-7 mean (rows -7..-1) and the leading-7 mean (rows
+    * 0..+6); report the 5 largest shifts. The window runs over the
+    * ~O(days) reduced series, so frame evaluation is microscopic next
+    * to the single hash-agg pass over the fact table. Ranking happens
+    * AFTER rounding with a day tiebreak, so the top-5 cut is
+    * deterministic across engines. */
+  def qChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"day")
+    val before = w.rowsBetween(-7, -1)
+    val after = w.rowsBetween(0, 6)
+    val scored = dailyRevenue(spark, dir)
+      .withColumn("n_before", count(lit(1)).over(before))
+      .withColumn("n_after", count(lit(1)).over(after))
+      .withColumn("avg_before", avg($"rev").over(before))
+      .withColumn("avg_after", avg($"rev").over(after))
+      .filter($"n_before" === 7 && $"n_after" === 7)
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+        round($"avg_before", 2).as("avg_before"),
+        round($"avg_after", 2).as("avg_after"),
+        round(abs($"avg_after" - $"avg_before"), 2).as("shift"))
+    scored
+      .withColumn("rn", row_number().over(Window.orderBy(desc("shift"), asc("day"))))
+      .filter($"rn" <= 5)
+      .select($"rn", $"day", $"avg_before", $"avg_after", $"shift")
+      .orderBy($"rn")
+  }
+
+  val qChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderdate::DATE AS day, sum(o_totalprice) AS rev
+      |  FROM orders GROUP BY 1),
+      |scored AS (
+      |  SELECT day,
+      |    count(*) OVER b AS n_before, count(*) OVER a AS n_after,
+      |    avg(rev) OVER b AS avg_before, avg(rev) OVER a AS avg_after
+      |  FROM daily
+      |  WINDOW b AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),
+      |         a AS (ORDER BY day ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)),
+      |r AS (
+      |  SELECT strftime(day, '%Y-%m-%d') AS day,
+      |    round(avg_before, 2) AS avg_before,
+      |    round(avg_after, 2) AS avg_after,
+      |    round(abs(avg_after - avg_before), 2) AS shift
+      |  FROM scored WHERE n_before = 7 AND n_after = 7)
+      |SELECT rn, day, avg_before, avg_after, shift FROM (
+      |  SELECT *, row_number() OVER (ORDER BY shift DESC, day) AS rn FROM r)
+      |WHERE rn <= 5 ORDER BY rn""".stripMargin
+
+  /** Classical additive decomposition of daily revenue: trend =
+    * centered 7-day mean (full frames only), seasonal = day-of-week
+    * mean of the detrended series, residual = the rest. Two windows
+    * and one 7-row broadcast join over the reduced daily series.
+    * Day-of-week convention: Spark `dayofweek` is 1=Sunday, DuckDB's
+    * is 0=Sunday — the Spark side subtracts 1 so both emit 0..6. */
+  def qSeasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val centered = Window.orderBy($"day").rowsBetween(-3, 3)
+    val det = dailyRevenue(spark, dir)
+      .withColumn("n_win", count(lit(1)).over(centered))
+      .withColumn("trend", avg($"rev").over(centered))
+      .filter($"n_win" === 7)
+      .withColumn("dow", (dayofweek($"day") - 1).cast("long"))
+      .withColumn("detrended", $"rev" - $"trend")
+    val seasonal = det.groupBy($"dow").agg(avg($"detrended").as("seasonal"))
+    det.join(broadcast(seasonal), Seq("dow"))
+      .select(date_format($"day", "yyyy-MM-dd").as("day"), $"dow",
+        round($"rev", 2).as("rev"),
+        round($"trend", 2).as("trend"),
+        round($"seasonal", 2).as("seasonal"),
+        round($"detrended" - $"seasonal", 2).as("resid"))
+      .orderBy($"day")
+  }
+
+  val qSeasonalDecomposeSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderdate::DATE AS day, sum(o_totalprice) AS rev
+      |  FROM orders GROUP BY 1),
+      |det AS (
+      |  SELECT day, rev, trend, dayofweek(day) AS dow, rev - trend AS detrended
+      |  FROM (
+      |    SELECT day, rev,
+      |      count(*) OVER c AS n_win, avg(rev) OVER c AS trend
+      |    FROM daily
+      |    WINDOW c AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+      |  WHERE n_win = 7),
+      |seasonal AS (SELECT dow, avg(detrended) AS seasonal FROM det GROUP BY 1)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, dow,
+      |  round(rev, 2) AS rev, round(trend, 2) AS trend,
+      |  round(seasonal, 2) AS seasonal,
+      |  round(detrended - seasonal, 2) AS resid
+      |FROM det JOIN seasonal USING (dow) ORDER BY day""".stripMargin
+
+  /** Cumulative distinct users per event type by day — computed the
+    * way that survives 100 TB: no `collect_set` over a window (state
+    * linear in users) and no `count(distinct)` re-scan per day.
+    * Instead each (type, user) pair contributes one first-touch row
+    * (min day), new-user counts roll up per day, and a running sum
+    * over the tiny per-day relation yields the cumulative distinct
+    * count. Two map-side-combined hash aggs + one O(days) window. */
+  def qRunningDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val first = T.events(spark, dir)
+      .groupBy($"event_type", $"user_id")
+      .agg(min(to_date($"ts")).as("day"))
+    val perDay = first.groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay
+      .withColumn("cum_users", sum($"n_new").over(w))
+      .select($"event_type", date_format($"day", "yyyy-MM-dd").as("day"),
+        $"n_new", $"cum_users")
+      .orderBy($"event_type", $"day")
+  }
+
+  val qRunningDistinctSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, user_id,
+      |    make_timestamp(epoch_ns(ts) // 1000)::DATE AS day
+      |  FROM events),
+      |first_touch AS (
+      |  SELECT event_type, user_id, min(day) AS day FROM ev GROUP BY 1, 2),
+      |per_day AS (
+      |  SELECT event_type, day, count(*) AS n_new
+      |  FROM first_touch GROUP BY 1, 2)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_new,
+      |  (sum(n_new) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_users
+      |FROM per_day ORDER BY event_type, day""".stripMargin
+
+  /** Peak concurrency per event type via sweep-line: each event holds
+    * a [ts, ts+5min) interval; +1/-1 deltas are NETTED PER INSTANT
+    * first (so the running sum never orders between window peers —
+    * the determinism requirement), then a running sum over distinct
+    * instants gives the concurrency curve; report its max and the
+    * earliest instant attaining it. The sweep relation is O(distinct
+    * instants), the netting agg is the only full-data shuffle, and
+    * the per-type running sum parallelizes across types. */
+  def qConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = T.events(spark, dir)
+    val starts = e.select($"event_type", $"ts".as("t"), lit(1L).as("delta"))
+    val ends = e.select($"event_type",
+      ($"ts" + expr("INTERVAL 5 MINUTES")).as("t"), lit(-1L).as("delta"))
+    val net = starts.unionByName(ends)
+      .groupBy($"event_type", $"t").agg(sum($"delta").as("net"))
+    val w = Window.partitionBy($"event_type").orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = net.withColumn("cur", sum($"net").over(w))
+    val peak = curve.groupBy($"event_type").agg(max($"cur").as("peak"))
+    curve.join(broadcast(peak), Seq("event_type"))
+      .filter($"cur" === $"peak")
+      .groupBy($"event_type", $"peak")
+      .agg(min($"t").as("peak_at"))
+      .select($"event_type", $"peak", $"peak_at")
+      .orderBy($"event_type")
+  }
+
+  val qConcurrencySql: String =
+    """WITH ev AS (
+      |  SELECT event_type, make_timestamp(epoch_ns(ts) // 1000) AS ts
+      |  FROM events),
+      |pts AS (
+      |  SELECT event_type, ts AS t, 1 AS delta FROM ev
+      |  UNION ALL
+      |  SELECT event_type, ts + INTERVAL 5 MINUTE, -1 FROM ev),
+      |net AS (
+      |  SELECT event_type, t, sum(delta)::BIGINT AS net FROM pts GROUP BY 1, 2),
+      |curve AS (
+      |  SELECT event_type, t,
+      |    (sum(net) OVER (PARTITION BY event_type ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cur
+      |  FROM net),
+      |peak AS (SELECT event_type, max(cur) AS peak FROM curve GROUP BY 1)
+      |SELECT event_type, peak, min(t) AS peak_at
+      |FROM curve JOIN peak USING (event_type)
+      |WHERE cur = peak GROUP BY 1, 2 ORDER BY event_type""".stripMargin
+
+  /** Changelog (CDC) merge: the event stream is read as a keyed
+    * changelog over users — every 17th event id is a DELETE, the rest
+    * are UPSERTs — and the final table state materializes by taking
+    * the latest op per key ((ts, event_id) total order) and dropping
+    * keys whose last op is a delete. This is SQL MERGE re-expressed
+    * as one window over the key partition: a single shuffle on the
+    * merge key regardless of changelog length, with `n_changes`
+    * doubling as an audit of how much history each key carried.
+    * Distinct from `q_upsert_latest` (ExportOps), which is max_by
+    * versioning without tombstones. */
+  def qCdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val log = T.events(spark, dir).select(
+      $"user_id", $"ts", $"event_id", $"value",
+      when($"event_id" % 17 === 0, lit("D")).otherwise(lit("U")).as("op"))
+    val w = Window.partitionBy($"user_id").orderBy(desc("ts"), desc("event_id"))
+    log
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_changes", count(lit(1)).over(Window.partitionBy($"user_id")))
+      .filter($"rn" === 1 && $"op" === "U")
+      .select($"user_id", $"ts".as("last_ts"),
+        round($"value", 4).as("last_value"), $"n_changes")
+      .orderBy($"user_id")
+  }
+
+  val qCdcMergeSql: String =
+    """WITH log AS (
+      |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |    event_id, value,
+      |    CASE WHEN event_id % 17 = 0 THEN 'D' ELSE 'U' END AS op
+      |  FROM events),
+      |ranked AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n_changes
+      |  FROM log)
+      |SELECT user_id, ts AS last_ts, round(value, 4) AS last_value, n_changes
+      |FROM ranked WHERE rn = 1 AND op = 'U' ORDER BY user_id""".stripMargin
+
+  /** Monthly OHLC bars over order prices: open/close are the first/
+    * last order in (date, key) order inside the month, high/low/volume
+    * close out the bar. Expressed as ONE window pass computing forward
+    * and reverse row numbers per month partition plus a hash agg — the
+    * candle relation is O(months), and the month partitions bound
+    * window state so no single task ever sorts more than a month. The
+    * same shape works per-symbol at tick scale by adding the symbol to
+    * the partition key. */
+  def qOhlc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = T.orders(spark, dir)
+      .select(date_format($"o_orderdate", "yyyy-MM").as("mon"),
+        $"o_orderdate", $"o_orderkey", $"o_totalprice")
+    val fwd = Window.partitionBy($"mon").orderBy($"o_orderdate", $"o_orderkey")
+    val rev = Window.partitionBy($"mon").orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    o.withColumn("rn_f", row_number().over(fwd))
+      .withColumn("rn_r", row_number().over(rev))
+      .groupBy($"mon")
+      .agg(
+        max(when($"rn_f" === 1, $"o_totalprice")).as("open"),
+        round(max($"o_totalprice"), 2).as("high"),
+        round(min($"o_totalprice"), 2).as("low"),
+        max(when($"rn_r" === 1, $"o_totalprice")).as("close"),
+        count(lit(1)).as("volume"))
+      .orderBy($"mon")
+  }
+
+  val qOhlcSql: String =
+    """WITH o AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS mon, o_orderdate,
+      |    o_orderkey, o_totalprice
+      |  FROM orders),
+      |r AS (
+      |  SELECT mon, o_totalprice,
+      |    row_number() OVER (PARTITION BY mon
+      |      ORDER BY o_orderdate, o_orderkey) AS rn_f,
+      |    row_number() OVER (PARTITION BY mon
+      |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_r
+      |  FROM o)
+      |SELECT mon,
+      |  max(CASE WHEN rn_f = 1 THEN o_totalprice END) AS open,
+      |  round(max(o_totalprice), 2) AS high,
+      |  round(min(o_totalprice), 2) AS low,
+      |  max(CASE WHEN rn_r = 1 THEN o_totalprice END) AS close,
+      |  count(*) AS volume
+      |FROM r GROUP BY mon ORDER BY mon""".stripMargin
+
+  /** Rolling 14-day correlation between daily revenue and daily order
+    * count, computed from explicit window sums (n, Σx, Σy, Σxy, Σx²,
+    * Σy²) rather than a one-pass `corr` kernel, so both engines run
+    * bit-identical arithmetic. Five sums over one O(days) window —
+    * at tick scale the same frame rides a (symbol, day) partition. */
+  def qRollingCorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = T.orders(spark, dir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum($"o_totalprice").as("x"), count(lit(1)).cast("double").as("y"))
+    val w = Window.orderBy($"day").rowsBetween(-13, 0)
+    daily
+      .withColumn("n", count(lit(1)).over(w).cast("double"))
+      .withColumn("sx", sum($"x").over(w))
+      .withColumn("sy", sum($"y").over(w))
+      .withColumn("sxy", sum($"x" * $"y").over(w))
+      .withColumn("sx2", sum($"x" * $"x").over(w))
+      .withColumn("sy2", sum($"y" * $"y").over(w))
+      .filter($"n" === 14.0)
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          sqrt(($"n" * $"sx2" - $"sx" * $"sx") * ($"n" * $"sy2" - $"sy" * $"sy")), 4)
+          .as("corr14"))
+      .orderBy($"day")
+  }
+
+  val qRollingCorrSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderdate::DATE AS day, sum(o_totalprice) AS x,
+      |    count(*)::DOUBLE AS y
+      |  FROM orders GROUP BY 1),
+      |s AS (
+      |  SELECT day,
+      |    (count(*) OVER w)::DOUBLE AS n,
+      |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+      |    sum(x * y) OVER w AS sxy,
+      |    sum(x * x) OVER w AS sx2, sum(y * y) OVER w AS sy2
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  round((n * sxy - sx * sy) /
+      |    sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 4) AS corr14
+      |FROM s WHERE n = 14 ORDER BY day""".stripMargin
+
+  /** Time-decayed customer value: Σ price · e^(−age_days/365), ages
+    * measured against the corpus max date (a 1-row broadcast). The
+    * decay weight is a map-side scalar, so the whole feature is one
+    * map-side-combined hash aggregate on the customer key — the
+    * standard recency-weighted feature-store shape at any scale. */
+  def qDecaySum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = T.orders(spark, dir)
+    val maxDay = o.agg(max(to_date($"o_orderdate")).as("maxd"))
+    o.crossJoin(broadcast(maxDay))
+      .select($"o_custkey",
+        ($"o_totalprice" *
+          exp(-datediff($"maxd", to_date($"o_orderdate")) / lit(365.0))).as("wv"))
+      .groupBy($"o_custkey")
+      .agg(round(sum($"wv"), 2).as("decayed_value"), count(lit(1)).as("n_orders"))
+      .orderBy($"o_custkey")
+  }
+
+  val qDecaySumSql: String =
+    """WITH maxd AS (SELECT max(o_orderdate::DATE) AS maxd FROM orders)
+      |SELECT o_custkey,
+      |  round(sum(o_totalprice *
+      |    exp(-date_diff('day', o_orderdate::DATE, maxd) / 365.0)), 2)
+      |    AS decayed_value,
+      |  count(*) AS n_orders
+      |FROM orders, maxd GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_ohlc", qOhlc, Some(qOhlcSql)),
+    QueryDef("q_rolling_corr", qRollingCorr, Some(qRollingCorrSql)),
+    QueryDef("q_decay_sum", qDecaySum, Some(qDecaySumSql)),
+    QueryDef("q_changepoint", qChangepoint, Some(qChangepointSql)),
+    QueryDef("q_seasonal_decompose", qSeasonalDecompose, Some(qSeasonalDecomposeSql)),
+    QueryDef("q_running_distinct", qRunningDistinct, Some(qRunningDistinctSql)),
+    QueryDef("q_concurrency", qConcurrency, Some(qConcurrencySql)),
+    QueryDef("q_cdc_merge", qCdcMerge, Some(qCdcMergeSql)))
+}

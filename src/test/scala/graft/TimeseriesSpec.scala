@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algebraic invariants for the round-5 operator batch (Timeseries
+  * family + Mining/Graph/Similarity additions) — a second net besides
+  * the DuckDB differential: each test states a property that must hold
+  * on ANY dataset, not a golden value. */
+class TimeseriesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("changepoint: exactly 5 ranked rows, shift = |after - before|") {
+    val rows = ops.Timeseries.qChangepoint(spark, sf).collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getAs[Int]("rn")).toSeq === Seq(1, 2, 3, 4, 5))
+    rows.foreach { r =>
+      val d = math.abs(r.getAs[Double]("avg_after") - r.getAs[Double]("avg_before"))
+      assert(math.abs(d - r.getAs[Double]("shift")) < 0.02)
+    }
+    // ranked descending by shift
+    val shifts = rows.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("shift"))
+    assert(shifts.zip(shifts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("seasonal decomposition recomposes: rev = trend + seasonal + resid") {
+    val rows = ops.Timeseries.qSeasonalDecompose(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val recomposed = r.getAs[Double]("trend") +
+        r.getAs[Double]("seasonal") + r.getAs[Double]("resid")
+      assert(math.abs(recomposed - r.getAs[Double]("rev")) < 0.05)
+    }
+    // seasonal component must be a pure function of day-of-week
+    val perDow = rows.groupBy(_.getAs[Long]("dow"))
+      .view.mapValues(_.map(_.getAs[Double]("seasonal")).distinct.length)
+    assert(perDow.values.forall(_ === 1))
+  }
+
+  test("running distinct: final cumulative equals exact distinct users") {
+    val cum = ops.Timeseries.qRunningDistinct(spark, sf)
+      .groupBy("event_type").agg(max("cum_users").as("total"))
+    val exact = ops.T.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("total"))
+    assert(cum.except(exact).count() === 0 && exact.except(cum).count() === 0)
+  }
+
+  test("concurrency: peak within [1, events of that type]") {
+    val byType = ops.T.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = ops.Timeseries.qConcurrency(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet === byType.keySet)
+    rows.foreach { r =>
+      val peak = r.getAs[Long]("peak")
+      assert(peak >= 1L && peak <= byType(r.getString(0)))
+    }
+  }
+
+  test("cdc merge: keys partition into survivors + tombstoned") {
+    val out = ops.Timeseries.qCdcMerge(spark, sf)
+    val users = ops.T.events(spark, sf).select("user_id").distinct().count()
+    val survivors = out.count()
+    assert(survivors <= users)
+    // every survivor's last op is an upsert: its event_id % 17 != 0 by
+    // construction, and n_changes counts the full history
+    val total = ops.T.events(spark, sf).count()
+    val historySum = out.agg(sum("n_changes")).collect()(0).getLong(0)
+    assert(historySum <= total)
+  }
+
+  test("heavy hitters: exactly the tokens above the 0.2% threshold") {
+    val tok = ops.T.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val n = tok.count()
+    val exact = tok.groupBy("token").count()
+      .filter(col("count") >= n * 0.002)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = ops.Mining.qHeavyHitters(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("cnt")).toMap
+    assert(got === exact, "two-phase pruning must be lossless")
+  }
+
+  test("join cardinality: exact side equals the materialized self-join") {
+    val r = ops.Mining.qJoinCardinality(spark, sf).collect()(0)
+    val li = ops.T.lineitem(spark, sf).select("l_partkey")
+    val joined = li.as("a").join(li.as("b"), "l_partkey").count()
+    assert(r.getAs[Long]("exact_pairs") === joined)
+    assert(r.getAs[Long]("est_pairs") > 0)
+  }
+
+  test("naive bayes: confusion matrix covers every doc exactly once") {
+    val m = ops.Mining.qNaiveBayes(spark, sf)
+    val nDocs = ops.T.documents(spark, sf).count()
+    assert(m.agg(sum("n")).collect()(0).getLong(0) === nDocs)
+    // resubstitution accuracy on separable synthetic langs should
+    // beat a majority-class guess
+    val correct = m.filter(col("true_lang") === col("pred_lang"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    val majority = ops.T.documents(spark, sf).groupBy("lang").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(correct >= majority)
+  }
+
+  test("graph jaccard: similarity bounded, symmetric pair key") {
+    val rows = ops.Graph.qGraphJaccard(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0)
+      assert(r.getAs[String]("x") < r.getAs[String]("y"))
+    }
+  }
+
+  test("ohlc: low <= open/close <= high, volumes sum to order count") {
+    val rows = ops.Timeseries.qOhlc(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(l <= h && o >= l - 0.01 && o <= h + 0.01 && c >= l - 0.01 && c <= h + 0.01)
+    }
+    assert(rows.map(_.getAs[Long]("volume")).sum ===
+      ops.T.orders(spark, sf).count())
+  }
+
+  test("rolling corr: bounded in [-1, 1], only full 14-day frames") {
+    val rows = ops.Timeseries.qRollingCorr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("corr14")
+      assert(c >= -1.0001 && c <= 1.0001)
+    }
+    val days = ops.T.orders(spark, sf)
+      .select(to_date(col("o_orderdate"))).distinct().count()
+    assert(rows.length === days - 13)
+  }
+
+  test("decay sum: decayed value <= raw customer total, decreasing with age") {
+    val decayed = ops.Timeseries.qDecaySum(spark, sf)
+    val raw = ops.T.orders(spark, sf).groupBy("o_custkey")
+      .agg(sum("o_totalprice").as("total"))
+    val joined = decayed.join(raw, "o_custkey").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Double]("decayed_value") <= r.getAs[Double]("total") + 0.01)
+      assert(r.getAs[Double]("decayed_value") > 0.0)
+    }
+  }
+
+  test("ab test: arm totals partition the event table") {
+    val r = ops.Mining.qAbTest(spark, sf).collect()(0)
+    val events = ops.T.events(spark, sf).count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === events)
+    assert(r.getAs[Double]("rate_a") > 0 && r.getAs[Double]("rate_a") < 1)
+    assert(!r.getAs[Double]("z_score").isNaN)
+  }
+
+  test("bpe tokens: at least as many subword tokens as whitespace tokens") {
+    val rows = ops.Text.qTokenBpe(spark, sf).collect()
+    assert(rows.length === ops.T.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bpe") >= r.getAs[Long]("n_ws"),
+        "the GPT-2-ish pre-tokenizer splits punctuation off words")
+      assert(r.getAs[Double]("chars_per_token") > 0)
+    }
+  }
+
+  test("ndcg: bounded by [0,1] and consistent with recall") {
+    val ndcg = ops.Similarity.qSimNdcg(spark, sf).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("ndcg")).toMap
+    val recall = ops.Similarity.qSimLshRecall(spark, sf).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("recall")).toMap
+    assert(ndcg.keySet === recall.keySet)
+    ndcg.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    // zero ndcg (no exact-top-5 overlap at all) forces zero recall@3;
+    // the converse is false — a rank-4/5 neighbor scores ndcg > 0
+    ndcg.filter(_._2 == 0.0).keys.foreach(q => assert(recall(q) === 0.0))
+  }
+
+  test("kmeans update: every cluster centroid has full dimension set") {
+    val rows = ops.Similarity.qKmeansUpdate(spark, sf).collect()
+    val dims = rows.groupBy(_.getAs[Int]("cluster"))
+      .view.mapValues(_.map(_.getAs[Long]("dim")).sorted).toMap
+    val d = dims.values.head
+    assert(dims.values.forall(_ === d), "all clusters span identical dims")
+    assert(d === (1L to d.length).toSeq)
+    // members sum to the corpus size
+    val n = rows.map(r => (r.getAs[Int]("cluster"), r.getAs[Long]("n_members")))
+      .distinct.map(_._2).sum
+    assert(n === ops.T.embeddings(spark, sf).count())
+  }
+}
