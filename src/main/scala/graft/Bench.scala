@@ -46,7 +46,13 @@ object Bench {
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // Local-iteration subset, mirroring Verify: SPARK_GRAFT_ONLY=q_a,q_b
+    // times just those queries. Unset for driver runs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1)))
+      .foreach { case (name, fn) =>
       try {
         timings(name) = (1 to math.max(1, runs)).map(_ => once(fn)).min
       } catch {

@@ -69,4 +69,35 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(pairs.filter($"native" =!= $"hofd").count() === 0,
       "native kernel must be bit-identical to the HOF formulation")
   }
+
+  test("editWithin1 agrees with levenshtein <= 1 on random ASCII pairs") {
+    import spark.implicits._
+    // deterministic generator: base strings plus single-edit mutants
+    // and a spread of >1-edit controls
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdef#0123456789"
+    def rstr(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val cases = (1 to 400).flatMap { _ =>
+      val s = rstr(3 + rnd.nextInt(15))
+      val i = rnd.nextInt(s.length)
+      val sub = s.updated(i, alpha(rnd.nextInt(alpha.length)))
+      val del = s.take(i) + s.drop(i + 1)
+      val ins = s.take(i) + alpha(rnd.nextInt(alpha.length)) + s.drop(i)
+      val far = rstr(3 + rnd.nextInt(15))
+      Seq((s, s), (s, sub), (s, del), (s, ins), (s, far))
+    }
+    val df = cases.toDF("a", "b")
+      .withColumn("fast", F.editWithin1($"a", $"b"))
+      .withColumn("slow", levenshtein($"a", $"b") <= 1)
+    assert(df.filter($"fast" =!= $"slow").count() === 0,
+      "bounded two-pointer kernel must agree with full levenshtein")
+    // interpreted path must agree with codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val df2 = cases.toDF("a", "b")
+        .withColumn("fast", F.editWithin1($"a", $"b"))
+        .withColumn("slow", levenshtein($"a", $"b") <= 1)
+      assert(df2.filter($"fast" =!= $"slow").count() === 0)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
 }
