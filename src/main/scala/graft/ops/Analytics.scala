@@ -169,6 +169,71 @@ object Analytics extends QueryFamily {
       |  CASE WHEN next_from IS NULL THEN 1 ELSE 0 END AS is_current
       |FROM vers ORDER BY o_custkey, valid_from""".stripMargin
 
+  /** Point-in-time (temporal validity) join: every lineitem resolves
+    * the customer's priority version that was valid AT ITS SHIP DATE
+    * against the [[qScd2]] interval dimension — the lakehouse question
+    * "what did the dimension say when the fact happened", answered
+    * without materializing a day-grain snapshot table. The join is
+    * equi-keyed on the customer with the interval containment as a
+    * residual, so candidates are bounded by versions-per-customer
+    * (not days), and ISO-formatted dates compare lexicographically so
+    * the residual stays a plain string comparison on both engines.
+    * Each key's FIRST version opens at -infinity ('0000-01-01') — the
+    * standard SCD2 clamp, so facts predating recorded history (the
+    * fixture ships 47% of items before their order date) still
+    * resolve and the intervals PARTITION the timeline: every fact
+    * matches exactly one version, spec-asserted. */
+  def qTemporalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val firstW = Window.partitionBy($"o_custkey").orderBy($"valid_from")
+    val dim = qScd2(spark, dir)
+      .withColumn("vn", row_number().over(firstW))
+      .select($"o_custkey".as("d_custkey"), $"o_orderpriority".as("prio_at_ship"),
+        when($"vn" === 1, lit("0000-01-01")).otherwise($"valid_from").as("valid_from"),
+        $"valid_to")
+    val fact = T.lineitem(spark, dir)
+      .join(T.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey",
+        date_format($"l_shipdate", "yyyy-MM-dd").as("ship"),
+        $"l_extendedprice")
+    fact.join(dim,
+        $"o_custkey" === $"d_custkey" && $"ship" >= $"valid_from" &&
+          ($"valid_to".isNull || $"ship" < $"valid_to"))
+      .groupBy($"prio_at_ship")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"l_extendedprice"), 2).as("revenue"))
+      .orderBy($"prio_at_ship")
+  }
+
+  val qTemporalJoinSql: String =
+    """WITH chg AS (
+      |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+      |    lag(o_orderpriority, 1) OVER
+      |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders),
+      |vers AS (
+      |  SELECT o_custkey, o_orderpriority, o_orderdate,
+      |    lead(o_orderdate, 1) OVER
+      |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_from
+      |  FROM chg WHERE prev IS NULL OR prev <> o_orderpriority),
+      |dim AS (
+      |  SELECT o_custkey AS d_custkey, o_orderpriority AS prio_at_ship,
+      |    CASE WHEN row_number() OVER (PARTITION BY o_custkey
+      |           ORDER BY o_orderdate) = 1
+      |      THEN '0000-01-01' ELSE strftime(o_orderdate, '%Y-%m-%d') END
+      |      AS valid_from,
+      |    strftime(next_from, '%Y-%m-%d') AS valid_to
+      |  FROM vers),
+      |fact AS (
+      |  SELECT o.o_custkey, strftime(l.l_shipdate, '%Y-%m-%d') AS ship,
+      |    l.l_extendedprice
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |SELECT prio_at_ship, count(*) AS n_items,
+      |  round(sum(l_extendedprice), 2) AS revenue
+      |FROM fact JOIN dim ON o_custkey = d_custkey
+      |  AND ship >= valid_from AND (valid_to IS NULL OR ship < valid_to)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Decile/lift profile: rank (nation, segment) cohorts by average
     * account balance into ntile(10) deciles, then aggregate customers
     * and balance per decile. ntile needs a total order — a global
@@ -507,6 +572,7 @@ object Analytics extends QueryFamily {
     QueryDef("q_nullsafe_join", qNullsafeJoin, Some(qNullsafeJoinSql)),
     QueryDef("q_sessionize", qSessionize, Some(qSessionizeSql)),
     QueryDef("q_scd2", qScd2, Some(qScd2Sql)),
+    QueryDef("q_temporal_join", qTemporalJoin, Some(qTemporalJoinSql)),
     QueryDef("q_decile_lift", qDecileLift, Some(qDecileLiftSql)),
     QueryDef("q_autocorr", qAutocorr, Some(qAutocorrSql)),
     QueryDef("q_mad", qMad, Some(qMadSql)),

@@ -394,7 +394,57 @@ object ExportOps extends QueryFamily {
       |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
       |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Small-file compaction planner: the maintenance pass every parquet
+    * lake runs against the files a per-partition export sprays out
+    * (the planner-level twin of the sink's byte-targeted rolling,
+    * reference: src/oracle_parquet_exporter/main.py:150-187). The
+    * per-(priority, month) partition extents — size-estimated from
+    * row counts like the sink's width sampling — are laid out in
+    * partition-key order and cut into target-sized bins by NEXT-FIT
+    * over a running byte sum: `bin = floor((cumsum - size) / target)`.
+    * Key-ordered next-fit keeps each bin a contiguous key range (so
+    * compacted files stay partition-prunable) and needs ONE window
+    * over the O(partitions) extent list — no driver-side loop, no
+    * quadratic best-fit. */
+  def qCompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{concat_ws, date_format, max, min, sum}
+    val target = 50000L
+    val extents = T.orders(spark, dir)
+      .groupBy($"o_orderpriority".as("prio"),
+        date_format($"o_orderdate", "yyyy-MM").as("mon"))
+      .agg((count(lit(1)) * 128L).as("bytes"))
+    val w = Window.orderBy($"prio", $"mon")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    extents
+      .withColumn("cum", sum($"bytes").over(w))
+      .withColumn("bin", floor(($"cum" - $"bytes") / target))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_files"), sum($"bytes").as("bin_bytes"),
+        min(concat_ws("/", $"prio", $"mon")).as("first_part"),
+        max(concat_ws("/", $"prio", $"mon")).as("last_part"))
+      .orderBy($"bin")
+  }
+
+  val qCompactionPlanSql: String =
+    """WITH extents AS (
+      |  SELECT o_orderpriority AS prio, strftime(o_orderdate, '%Y-%m') AS mon,
+      |    count(*) * 128 AS bytes
+      |  FROM orders GROUP BY 1, 2),
+      |planned AS (
+      |  SELECT prio, mon, bytes,
+      |    sum(bytes) OVER (ORDER BY prio, mon
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM extents)
+      |SELECT ((cum - bytes) // 50000)::BIGINT AS bin, count(*) AS n_files,
+      |  sum(bytes)::BIGINT AS bin_bytes,
+      |  min(prio || '/' || mon) AS first_part,
+      |  max(prio || '/' || mon) AS last_part
+      |FROM planned GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_compaction_plan", qCompactionPlan, Some(qCompactionPlanSql)),
     QueryDef("q_incremental_agg", qIncrementalAgg, Some(qIncrementalAggSql)),
     QueryDef("q_benford", qBenford, Some(qBenfordSql)),
     QueryDef("q_export_roundtrip", qExportRoundtrip, Some(qExportRoundtripSql)),

@@ -103,6 +103,46 @@ object StreamingOps extends QueryFamily {
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
         col("c_ts") <= col("p_ts"))
 
+  /** Left-outer variant of [[intervalJoin]]: purchases with NO click
+    * in the trailing hour still emit, with null click columns. In
+    * streaming mode the time bounds + both-side watermarks let the
+    * engine know when a purchase can no longer match (watermark past
+    * p_ts), so the outer row emits exactly once at state eviction —
+    * the append-mode outer-join contract. Same user-keyed shuffle and
+    * bounded state as the inner form. */
+  def intervalJoinOuter(purchases: DataFrame, clicks: DataFrame): DataFrame =
+    purchases.join(
+      clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+
+  /** Batch replay of the outer join over the fixture events — the
+    * attribution question "which purchases had NO prior-hour click"
+    * answered by the same transform the stream runs. */
+  def qStreamOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    intervalJoinOuter(p, c)
+      .select(col("p_id"), col("c_id"),
+        unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
+      .orderBy(col("p_id"), col("c_id"))
+  }
+
+  val qStreamOuterSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |             make_timestamp(epoch_ns(ts)//1000) AS ts FROM events),
+      | p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM e WHERE event_type = 'purchase'),
+      | c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts FROM e WHERE event_type = 'click')
+      |SELECT p_id, c_id, epoch_us(p_ts) AS p_us, epoch_us(c_ts) AS c_us
+      |FROM p LEFT JOIN c ON user_id = c_user
+      | AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts
+      |ORDER BY p_id, c_id""".stripMargin
+
   def qStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = T.events(spark, dir)
     val p = ev.filter(col("event_type") === "purchase")
@@ -252,6 +292,7 @@ object StreamingOps extends QueryFamily {
     QueryDef("q_stream_sliding", qStreamSliding, Some(qStreamSlidingSql)),
     QueryDef("q_stream_sessions", qStreamSessions, Some(qStreamSessionsSql)),
     QueryDef("q_stream_join", qStreamJoin, Some(qStreamJoinSql)),
+    QueryDef("q_stream_outer", qStreamOuter, Some(qStreamOuterSql)),
     QueryDef("q_stream_late", qStreamLate, Some(qStreamLateSql)),
     QueryDef("q_stream_dedup", qStreamDedup, Some(qStreamDedupSql)),
   )

@@ -47,7 +47,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_doc_deciles", "q_pmi_bigrams",
     // 1-row builds: KL corpus total, Benford row count, RFM quartile
     // cuts
-    "q_source_divergence", "q_benford", "q_rfm")
+    "q_source_divergence", "q_benford", "q_rfm",
+    // 1-row builds in the round-5 batch: heavy-hitter corpus totals,
+    // join-cardinality exact audit, decay-sum max date, NB model
+    // normalizers (vocab size / doc count)
+    "q_heavy_hitters", "q_join_cardinality", "q_decay_sum",
+    // inherits the brute-force probe-side non-equi join of its exact
+    // ranking input
+    "q_naive_bayes", "q_sim_ndcg")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>

@@ -138,6 +138,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("outer stream-stream join emits unmatched purchases at watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val msP = MemoryStream[Pur]
+    val msC = MemoryStream[Clk]
+    val joined = ops.StreamingOps.intervalJoinOuter(
+      msP.toDF().withWatermark("p_ts", "10 minutes"),
+      msC.toDF().withWatermark("c_ts", "10 minutes"))
+      .select($"p_id", $"c_id")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssoj_out").start()
+    try {
+      msC.addData(Clk(10L, 1L, t("2024-01-01 00:30:00")))
+      msP.addData(
+        Pur(1L, 1L, t("2024-01-01 01:00:00")), // matches click 10
+        Pur(2L, 2L, t("2024-01-01 01:00:00"))) // no click ever
+      q.processAllAvailable()
+      // advance both watermarks far past p2's eviction bound so the
+      // engine proves no future click can match it
+      msC.addData(Clk(99L, 9L, t("2024-01-01 09:00:00")))
+      msP.addData(Pur(98L, 9L, t("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.table("ssoj_out")
+        .filter($"p_id" < 90).orderBy("p_id")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+      assert(rows === Seq((1L, Some(10L)), (2L, None)),
+        "matched pair plus exactly-once outer emission")
+      // batch replay of the same transform agrees on the outer row
+      val batch = ops.StreamingOps.intervalJoinOuter(
+        Seq(Pur(1L, 1L, t("2024-01-01 01:00:00")),
+          Pur(2L, 2L, t("2024-01-01 01:00:00"))).toDF(),
+        Seq(Clk(10L, 1L, t("2024-01-01 00:30:00"))).toDF())
+        .select($"p_id", $"c_id").orderBy("p_id")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+      assert(batch === rows)
+    } finally q.stop()
+  }
+
   test("session windows on a stream merge events within the gap") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -177,6 +177,40 @@ class TimeseriesSpec extends AnyFunSuite {
     ndcg.filter(_._2 == 0.0).keys.foreach(q => assert(recall(q) === 0.0))
   }
 
+  test("temporal join: every lineitem resolves exactly one dimension version") {
+    val total = ops.Analytics.qTemporalJoin(spark, sf)
+      .agg(sum("n_items")).collect()(0).getLong(0)
+    assert(total === ops.T.lineitem(spark, sf).count(),
+      "point-in-time intervals must partition the fact timeline")
+  }
+
+  test("compaction plan: bins are contiguous key ranges covering all extents") {
+    val bins = ops.ExportOps.qCompactionPlan(spark, sf).collect()
+    assert(bins.nonEmpty)
+    val nParts = ops.T.orders(spark, sf)
+      .select(col("o_orderpriority"), date_format(col("o_orderdate"), "yyyy-MM"))
+      .distinct().count()
+    assert(bins.map(_.getAs[Long]("n_files")).sum === nParts,
+      "every partition extent lands in exactly one bin")
+    // key-ordered next-fit: bin boundaries never interleave
+    val sorted = bins.sortBy(_.getAs[Long]("bin"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[String]("last_part") <= b.getAs[String]("first_part"))
+      case _ =>
+    }
+  }
+
+  test("stream outer join: inner pairs plus null rows cover all purchases") {
+    val out = ops.StreamingOps.qStreamOuter(spark, sf)
+    val purchases = ops.T.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(out.select("p_id").distinct().count() === purchases,
+      "left-outer must preserve every purchase")
+    assert(out.filter(col("c_id").isNull).count() > 0,
+      "fixture has purchases with no prior-hour click")
+  }
+
   test("kmeans update: every cluster centroid has full dimension set") {
     val rows = ops.Similarity.qKmeansUpdate(spark, sf).collect()
     val dims = rows.groupBy(_.getAs[Int]("cluster"))
