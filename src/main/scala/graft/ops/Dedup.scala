@@ -147,6 +147,44 @@ object Dedup extends QueryFamily {
        |SELECT a_id, b_id, round(j, 4) AS jaccard FROM verified
        |WHERE j >= 0.8 ORDER BY a_id, b_id""".stripMargin
 
+  /** MinHash estimator audit: for every banded candidate pair, the
+    * signature-agreement estimate (matching components / 16) against
+    * the exact shingle Jaccard — the audit that justifies trusting
+    * 16 longs per doc instead of the shingle sets at 100 TB. One
+    * |pairs|-sized join of the signature relation against itself plus
+    * the existing exact-verify; output is the error profile (n, mean,
+    * max) a pipeline owner reads before raising the LSH threshold. */
+  def qMinhashEstAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = 2147483647L
+    val sigs = shingleRows(spark, dir, 3)
+      .withColumn("h", expr("cast(conv(substring(md5(sh), 1, 12), 16, 10) AS bigint)") % p)
+      .groupBy($"doc_id")
+      .agg(graft.functions.Aggregators.minhashSig(16)($"h").as("sig"))
+    val est = minhashPairs(spark, dir)
+      .join(sigs.select($"doc_id".as("a_id"), $"sig".as("sa")), Seq("a_id"))
+      .join(sigs.select($"doc_id".as("b_id"), $"sig".as("sb")), Seq("b_id"))
+      .withColumn("est_j",
+        expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))") / 16.0)
+    est.agg(
+      count(lit(1)).as("n_pairs"),
+      round(avg(abs($"est_j" - $"j")), 4).as("mean_abs_err"),
+      round(max(abs($"est_j" - $"j")), 4).as("max_abs_err"))
+  }
+
+  val qMinhashEstAuditSql: String =
+    s"""$minhashCte,
+       |est AS (SELECT c.a_id, c.b_id,
+       |    (sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END))::DOUBLE / 16 AS est_j
+       |  FROM cand c
+       |  JOIN mh ma ON ma.doc_id = c.a_id
+       |  JOIN mh mb ON mb.doc_id = c.b_id AND mb.seed = ma.seed
+       |  GROUP BY 1, 2)
+       |SELECT count(*) AS n_pairs,
+       |  round(avg(abs(est_j - j)), 4) AS mean_abs_err,
+       |  round(max(abs(est_j - j)), 4) AS max_abs_err
+       |FROM est JOIN verified USING (a_id, b_id)""".stripMargin
+
   /** Near-dup dedup survivors: drop every doc that near-duplicates
     * (j >= 0.8) a doc with a smaller id — the standard one-pass keep
     * rule over the LSH pair list. */
@@ -577,6 +615,7 @@ object Dedup extends QueryFamily {
     QueryDef("q_dedup_ngram_jaccard", qDedupNgramJaccard, Some(qDedupNgramJaccardSql)),
     QueryDef("q_dedup_containment", qDedupContainment, Some(qDedupContainmentSql)),
     QueryDef("q_dedup_minhash_sigs", qDedupMinhashSigs, Some(qDedupMinhashSigsSql)),
+    QueryDef("q_minhash_est_audit", qMinhashEstAudit, Some(qMinhashEstAuditSql)),
     QueryDef("q_dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)),
     QueryDef("q_clean_corpus", qCleanCorpus, Some(qCleanCorpusSql)),
     QueryDef("q_dedup_embedding", qDedupEmbedding, Some(qDedupEmbeddingSql)),

@@ -503,10 +503,150 @@ object Similarity extends QueryFamily {
        |LEFT JOIN dcg d ON d.q_id = q.q_id
        |ORDER BY q.q_id""".stripMargin
 
+  /** Product-quantization ANN: vectors split into 4 subspaces of 16
+    * dims; per-subspace codebooks (label-mean centroids, 10 codes,
+    * mirroring the IVF/k-means seeding convention) encode every corpus
+    * vector as FOUR SMALL CODES — the memory shape of billion-vector
+    * search, where corpus vectors never load at query time. Query cost
+    * is asymmetric distance: each probe precomputes a 10x4 table of
+    * subspace distances to the codebook (a broadcast), and corpus
+    * distance is 4 table lookups summed — an equi-join on (subspace,
+    * code) plus one (probe, neighbor) aggregate, no full-vector
+    * arithmetic against the corpus at all. A coarse codebook ties
+    * whole clusters on one code tuple, so the final answer follows the
+    * FAISS IVF-PQ discipline: ADC SHORTLIST (top-64) first, exact L2
+    * re-rank of only the shortlist second — full vectors are touched
+    * for 64 candidates per probe, never the corpus. */
+  def qSimPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = T.embeddings(spark, dir)
+      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("i", "xf")))
+      .select($"vec_id", $"label", $"i", ($"i" / 16).cast("int").as("sub"),
+        $"xf".cast("double").as("x"))
+    val cent = d.groupBy($"label".as("c"), $"sub", $"i").agg(avg($"x").as("cx"))
+    val dv = $"x" - $"cx"
+    val enc = d.join(broadcast(cent), Seq("sub", "i"))
+      .groupBy($"vec_id", $"sub", $"c").agg(sum(dv * dv).as("d2"))
+    val wEnc = Window.partitionBy($"vec_id", $"sub").orderBy(asc("d2"), asc("c"))
+    val codes = enc.withColumn("rn", row_number().over(wEnc)).filter($"rn" === 1)
+      .select($"vec_id".as("n_id"), $"sub", $"c".as("code"))
+    val qtab = d.filter($"vec_id" < 10)
+      .join(broadcast(cent), Seq("sub", "i"))
+      .groupBy($"vec_id".as("q_id"), $"sub", $"c").agg(sum(dv * dv).as("qd2"))
+    val qt = qtab.withColumnRenamed("sub", "q_sub")
+    val adc = codes.join(broadcast(qt),
+        $"sub" === $"q_sub" && $"code" === $"c" && $"n_id" =!= $"q_id")
+      .groupBy($"q_id", $"n_id").agg(sum($"qd2").as("ad2"))
+    val wAdc = Window.partitionBy($"q_id").orderBy(asc("ad2"), asc("n_id"))
+    val shortlist = adc.withColumn("srank", row_number().over(wAdc))
+      .filter($"srank" <= 64)
+      .select($"q_id", $"n_id", $"ad2")
+    // exact re-rank of the shortlist only: 64 candidates per probe
+    val nv = d.select($"vec_id".as("n_id"), $"i", $"x".as("nx"))
+    val qv = d.filter($"vec_id" < 10).select($"vec_id".as("q_id"), $"i", $"x".as("qx"))
+    val ed = $"qx" - $"nx"
+    val exact = shortlist.join(nv, Seq("n_id")).join(broadcast(qv), Seq("q_id", "i"))
+      .groupBy($"q_id", $"n_id").agg(sum(ed * ed).as("d2"), max($"ad2").as("ad2"))
+    val w = Window.partitionBy($"q_id").orderBy(asc("d2"), asc("n_id"))
+    exact.withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"n_id",
+        round($"d2", 4).as("d2"), round($"ad2", 4).as("pq_d2"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  private val pqCte: String =
+    """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+      |ex AS (SELECT vec_id, label, unnest(embedding) AS xf,
+      |  unnest(range(1, len(embedding) + 1)) AS i FROM e),
+      |d AS (SELECT vec_id, label, i, (i - 1) // 16 AS sub, xf::DOUBLE AS x
+      |  FROM ex),
+      |cent AS (SELECT label AS c, sub, i, avg(x) AS cx FROM d GROUP BY 1, 2, 3),
+      |enc AS (SELECT d.vec_id, d.sub, c, sum((x - cx) * (x - cx)) AS d2
+      |  FROM d JOIN cent ON cent.i = d.i AND cent.sub = d.sub GROUP BY 1, 2, 3),
+      |codes AS (SELECT vec_id AS n_id, sub, c AS code FROM (
+      |  SELECT vec_id, sub, c,
+      |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, c) AS rn
+      |  FROM enc) WHERE rn = 1),
+      |qtab AS (SELECT d.vec_id AS q_id, d.sub, c, sum((x - cx) * (x - cx)) AS qd2
+      |  FROM d JOIN cent ON cent.i = d.i AND cent.sub = d.sub
+      |  WHERE d.vec_id < 10 GROUP BY 1, 2, 3),
+      |adc AS (SELECT q_id, n_id, sum(qd2) AS ad2
+      |  FROM codes JOIN qtab ON qtab.sub = codes.sub AND qtab.c = codes.code
+      |  WHERE n_id <> q_id GROUP BY 1, 2),
+      |shortlist AS (SELECT q_id, n_id, ad2 FROM (
+      |  SELECT q_id, n_id, ad2,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY ad2, n_id) AS srank
+      |  FROM adc) WHERE srank <= 64),
+      |rerank AS (SELECT s.q_id, s.n_id,
+      |    sum((qv.x - nv.x) * (qv.x - nv.x)) AS d2, max(s.ad2) AS ad2
+      |  FROM shortlist s
+      |  JOIN d nv ON nv.vec_id = s.n_id
+      |  JOIN d qv ON qv.vec_id = s.q_id AND qv.i = nv.i
+      |  GROUP BY 1, 2),
+      |pq_ranked AS (SELECT q_id, n_id, d2, ad2,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rank
+      |  FROM rerank)""".stripMargin
+
+  val qSimPqSql: String =
+    s"""$pqCte
+       |SELECT q_id, rank, n_id, round(d2, 4) AS d2, round(ad2, 4) AS pq_d2
+       |FROM pq_ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  /** Recall@3 of the PQ ranking against the exact L2 top-3 (same
+    * metric as the code distances approximate) — closes the audit
+    * loop: codebook coarseness is a measured recall cost, set against
+    * the corpus-memory win. */
+  def qSimPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = T.embeddings(spark, dir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("i", "xf")))
+      .select($"vec_id", $"i", $"xf".cast("double").as("x"))
+    val probes = d.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"i", $"x".as("qx"))
+    val dd = $"qx" - $"x"
+    val exact = d.join(broadcast(probes), Seq("i"))
+      .filter($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id".as("n_id")).agg(sum(dd * dd).as("d2"))
+    val w = Window.partitionBy($"q_id").orderBy(asc("d2"), asc("n_id"))
+    val exactTop = exact.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+      .select($"q_id", $"n_id")
+    val approx = qSimPq(spark, dir).select($"q_id", $"n_id")
+    val hits = exactTop.join(approx, Seq("q_id", "n_id"), "left_semi")
+      .groupBy($"q_id").agg(count(lit(1)).as("n_hits"))
+    exactTop.groupBy($"q_id").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("q_id"), "left")
+      .select($"q_id",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        round(coalesce($"n_hits", lit(0L)).cast("double") / $"n_true", 4).as("recall"))
+      .orderBy($"q_id")
+  }
+
+  val qSimPqRecallSql: String =
+    s"""$pqCte,
+       |qx AS (SELECT vec_id AS q_id, i, x AS qxv FROM d WHERE vec_id < 10),
+       |exact AS (SELECT q_id, d.vec_id AS n_id,
+       |    sum((qxv - x) * (qxv - x)) AS d2
+       |  FROM d JOIN qx ON qx.i = d.i AND d.vec_id <> qx.q_id
+       |  GROUP BY 1, 2),
+       |exact_top AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rn
+       |  FROM exact) WHERE rn <= 3),
+       |pq_top AS (SELECT q_id, n_id FROM pq_ranked WHERE rank <= 3),
+       |hits AS (SELECT e.q_id, count(*) AS n_hits FROM exact_top e
+       |  JOIN pq_top a ON a.q_id = e.q_id AND a.n_id = e.n_id
+       |  GROUP BY e.q_id)
+       |SELECT e.q_id, coalesce(any_value(h.n_hits), 0) AS n_hits,
+       |  round(coalesce(any_value(h.n_hits), 0)::DOUBLE / count(*), 4) AS recall
+       |FROM exact_top e LEFT JOIN hits h ON h.q_id = e.q_id
+       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_array_funcs", qArrayFuncs, Some(qArrayFuncsSql)),
     QueryDef("q_kmeans_update", qKmeansUpdate, Some(qKmeansUpdateSql)),
     QueryDef("q_sim_ndcg", qSimNdcg, Some(qSimNdcgSql)),
+    QueryDef("q_sim_pq", qSimPq, Some(qSimPqSql)),
+    QueryDef("q_sim_pq_recall", qSimPqRecall, Some(qSimPqRecallSql)),
     QueryDef("q_sim_bruteforce", qSimBruteforce, Some(qSimBruteforceSql)),
     QueryDef("q_sim_lsh", qSimLsh, Some(qSimLshSql)),
     QueryDef("q_sim_lsh_multiprobe", qSimLshMultiprobe, Some(qSimLshMultiprobeSql)),
