@@ -434,8 +434,114 @@ object Mining extends QueryFamily {
       |      * (1.0 / n_a + 1.0 / n_b)), 4) AS z_score
       |FROM wide""".stripMargin
 
-  val defs: Seq[QueryDef] = Seq(
+  /** Association rules over the co-occurrence pairs: support,
+    * confidence (both directions) and lift for part pairs bought
+    * together in ≥ 2 orders. The rule metrics need only three
+    * aggregates — pair counts (the bounded self-join of
+    * [[qBasketPairs]]), per-item order counts, and the 1-row basket
+    * total — joined on the item keys; nothing rescans pairs per rule.
+    * Confidence/lift are the metrics that turn raw co-occurrence into
+    * a recommendation decision. */
+  def qBasketRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val items = T.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val nOrders = items.select($"l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemCnt = items.groupBy($"l_partkey").agg(count(lit(1)).as("n_item"))
+    val a = items.select($"l_orderkey".as("o"), $"l_partkey".as("part_a"))
+    val b = items.select($"l_orderkey".as("o2"), $"l_partkey".as("part_b"))
+    val pairs = a.join(b, $"o" === $"o2" && $"part_a" < $"part_b")
+      .groupBy($"part_a", $"part_b")
+      .agg(count(lit(1)).as("n_both"))
+      .filter($"n_both" >= 2)
+    pairs
+      .join(itemCnt.select($"l_partkey".as("part_a"), $"n_item".as("n_a")), Seq("part_a"))
+      .join(itemCnt.select($"l_partkey".as("part_b"), $"n_item".as("n_b")), Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .select($"part_a", $"part_b", $"n_both",
+        round($"n_both".cast("double") / $"n_baskets", 6).as("support"),
+        round($"n_both".cast("double") / $"n_a", 4).as("conf_a_b"),
+        round($"n_both".cast("double") / $"n_b", 4).as("conf_b_a"),
+        round($"n_both".cast("double") * $"n_baskets" / ($"n_a" * $"n_b"), 4).as("lift"))
+      .orderBy(desc("lift"), asc("part_a"), asc("part_b"))
+      .limit(50)
+  }
+
+  val qBasketRulesSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |tot AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items),
+      |item_cnt AS (SELECT l_partkey, count(*) AS n_item FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_both
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT part_a, part_b, n_both,
+      |  round(n_both::DOUBLE / n_baskets, 6) AS support,
+      |  round(n_both::DOUBLE / ca.n_item, 4) AS conf_a_b,
+      |  round(n_both::DOUBLE / cb.n_item, 4) AS conf_b_a,
+      |  round(n_both::DOUBLE * n_baskets / (ca.n_item * cb.n_item), 4) AS lift
+      |FROM pairs
+      |JOIN item_cnt ca ON ca.l_partkey = part_a
+      |JOIN item_cnt cb ON cb.l_partkey = part_b
+      |CROSS JOIN tot
+      |ORDER BY lift DESC, part_a, part_b LIMIT 50""".stripMargin
+
+  /** ABC / Pareto classification: parts ranked by revenue, classified
+    * A (top 80% of cumulative revenue), B (next 15%), C (tail). The
+    * running share needs a total order over parts — so the window runs
+    * over the per-part AGGREGATE (grain-reduced, |parts| rows), and the
+    * revenue total is a 1-row broadcast; the fact table contributes
+    * exactly one map-side-combined hash aggregate. Output is the class
+    * summary (n_parts, revenue share), not the 20k-row ranking. Money
+    * flows as integer CENTS (the q_decile_lift discipline): the
+    * cumulative sum and the 80/95 threshold comparisons are exact
+    * integer arithmetic, so no class boundary can flip on FP
+    * summation order. */
+  def qAbcPareto(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perPart = T.lineitem(spark, dir)
+      .groupBy($"l_partkey")
+      .agg(sum(round($"l_extendedprice" * 100).cast("long")).as("rev_c"))
+    val total = perPart.agg(sum($"rev_c").as("tot_c"))
+    val w = Window.orderBy(desc("rev_c"), asc("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perPart
+      .crossJoin(broadcast(total))
+      .withColumn("cum_c", sum($"rev_c").over(w))
+      // integer threshold tests: cum/tot <= 0.8  <=>  5*cum <= 4*tot
+      .withColumn("abc",
+        when($"cum_c" * 5 <= $"tot_c" * 4, "A")
+          .when($"cum_c" * 20 <= $"tot_c" * 19, "B")
+          .otherwise("C"))
+      .groupBy($"abc")
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum($"rev_c").cast("double") / max($"tot_c"), 4).as("rev_share"))
+      .orderBy($"abc")
+  }
+
+  val qAbcParetoSql: String =
+    """WITH per_part AS (
+      |  SELECT l_partkey,
+      |    sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS rev_c
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT sum(rev_c)::BIGINT AS tot_c FROM per_part),
+      |ranked AS (
+      |  SELECT l_partkey, rev_c, tot_c,
+      |    (sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_c
+      |  FROM per_part, tot)
+      |SELECT CASE WHEN cum_c * 5 <= tot_c * 4 THEN 'A'
+      |            WHEN cum_c * 20 <= tot_c * 19 THEN 'B' ELSE 'C' END AS abc,
+      |  count(*) AS n_parts,
+      |  round(sum(rev_c)::DOUBLE / max(tot_c), 4) AS rev_share
+      |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
     QueryDef("q_ab_test", qAbTest, Some(qAbTestSql)),
+    QueryDef("q_basket_rules", qBasketRules, Some(qBasketRulesSql)),
+    QueryDef("q_abc_pareto", qAbcPareto, Some(qAbcParetoSql)),
     QueryDef("q_basket_pairs", qBasketPairs, Some(qBasketPairsSql)),
     QueryDef("q_regr_fit", qRegrFit, Some(qRegrFitSql)),
     QueryDef("q_corr_matrix", qCorrMatrix, Some(qCorrMatrixSql)),

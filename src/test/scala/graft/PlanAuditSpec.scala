@@ -54,7 +54,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_heavy_hitters", "q_join_cardinality", "q_decay_sum",
     // inherits the brute-force probe-side non-equi join of its exact
     // ranking input
-    "q_naive_bayes", "q_sim_ndcg")
+    "q_naive_bayes", "q_sim_ndcg",
+    // 1-row builds: basket total, revenue grand total (integer cents)
+    "q_basket_rules", "q_abc_pareto")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>

@@ -240,6 +240,33 @@ class TimeseriesSpec extends AnyFunSuite {
       "shortlist + exact re-rank must surface some true neighbors")
   }
 
+  test("abc pareto: classes partition parts, shares sum to one") {
+    val rows = ops.Mining.qAbcPareto(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("abc")).toSeq.sorted ===
+      rows.map(_.getAs[String]("abc")).toSeq, "classes come ordered")
+    val nParts = ops.T.lineitem(spark, sf)
+      .select("l_partkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_parts")).sum === nParts)
+    val share = rows.map(_.getAs[Double]("rev_share")).sum
+    assert(math.abs(share - 1.0) < 0.001)
+    // Pareto shape: the A class has fewer parts than C but more revenue
+    val byClass = rows.map(r => r.getAs[String]("abc") ->
+      (r.getAs[Long]("n_parts"), r.getAs[Double]("rev_share"))).toMap
+    for (a <- byClass.get("A"); c <- byClass.get("C"))
+      assert(a._2 > c._2, "A must carry more revenue than the tail")
+  }
+
+  test("basket rules: confidence and lift consistent with raw counts") {
+    val rows = ops.Mining.qBasketRules(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      val (cab, cba) = (r.getAs[Double]("conf_a_b"), r.getAs[Double]("conf_b_a"))
+      assert(cab > 0.0 && cab <= 1.0 && cba > 0.0 && cba <= 1.0)
+      assert(r.getAs[Double]("lift") > 0.0)
+      assert(r.getAs[Double]("support") > 0.0)
+    }
+  }
+
   test("kmeans update: every cluster centroid has full dimension set") {
     val rows = ops.Similarity.qKmeansUpdate(spark, sf).collect()
     val dims = rows.groupBy(_.getAs[Int]("cluster"))
