@@ -184,6 +184,99 @@ object Multimodal extends QueryFamily {
       |WHERE f % 4 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Nearest-neighbor resize of a decoded image to a w×h grayscale
+    * thumbnail: source pixel (x·W/w, y·H/h), luminance via the same
+    * integer 299/587/114 weights as the feature path. Real images go
+    * through ImageIO; stub payloads synthesize a byte-grid pseudo-
+    * image of the stub's dimensions, so the kernel is exercised on
+    * every row either way. */
+  private def resizeStub(payload: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+    val (w, h, _) = decodeStub(payload)
+    val out = new Array[Byte](tw * th)
+    val n = math.max(1, payload.length)
+    var y = 0
+    while (y < th) {
+      var x = 0
+      while (x < tw) {
+        val sx = x * w / tw; val sy = y * h / th
+        out(y * tw + x) = payload((sy * w + sx) % n)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def resizeImage(payload: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val img = reader.read(0)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val out = new Array[Byte](tw * th)
+          var y = 0
+          while (y < th) {
+            var x = 0
+            while (x < tw) {
+              val rgb = img.getRGB(x * w / tw, y * h / th)
+              val lum = ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              out(y * tw + x) = lum.toByte
+              x += 1
+            }
+            y += 1
+          }
+          Some(out)
+        } finally reader.dispose()
+      }
+    } finally if (iis != null) iis.close()
+  }
+
+  private val thumbSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("thumb",
+      org.apache.spark.sql.types.BinaryType, nullable = false)))
+
+  /** Partition-wise resize to a 16×16 grayscale thumbnail — the batch
+    * normalization step in front of any vision encoder. Same
+    * `mapPartitions` amortization contract as [[featuresOf]]; the
+    * 256-byte thumbnails are the columnar shape downstream training
+    * shards actually store. */
+  def resizeOf(src: DataFrame, tw: Int = 16, th: Int = 16): DataFrame = {
+    val enc = RowEncoder.encoderFor(thumbSchema)
+    src.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getAs[Long]("doc_id")
+        val payload = r.getAs[Array[Byte]]("blob")
+        val thumb = resizeImage(payload, tw, th)
+          .getOrElse(resizeStub(payload, tw, th))
+        Row(id, thumb)
+      }
+    }(enc)
+  }
+
+  /** Rows-only driver check (decoder output has no SQL twin);
+    * MultimodalSpec pins exact nearest-neighbor pixels on a real PNG,
+    * determinism, and the 256-byte contract. */
+  def qMultimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    resizeOf(
+      T.documents(spark, dir)
+        .withColumn("blob", $"text".cast("binary"))
+        .select($"doc_id", $"blob"))
+      .select($"doc_id", md5($"thumb").as("thumb_md5"),
+        octet_length($"thumb").as("thumb_bytes"))
+      .orderBy($"doc_id")
+  }
+
   /** Driver-facing variant of [[qMultimodalFeatures]]: the feature
     * vector is comma-joined to a string because top-level array columns
     * crash the driver harness's pandas row sort (unhashable ndarray).
@@ -196,5 +289,6 @@ object Multimodal extends QueryFamily {
     QueryDef("q_multimodal_meta", qMultimodalMeta, Some(qMultimodalMetaSql)),
     QueryDef("q_multimodal_features", qMultimodalFeaturesFlat, None),
     QueryDef("q_multimodal_frames", qMultimodalFrames, Some(qMultimodalFramesSql)),
+    QueryDef("q_multimodal_resize", qMultimodalResize, None),
   )
 }

@@ -70,4 +70,35 @@ class MultimodalSpec extends AnyFunSuite {
     val joined = meta.join(feat, "doc_id")
     assert(joined.filter(col("format") =!= col("f2")).count() === 0)
   }
+
+  test("resize: exact nearest-neighbor pixels on a real PNG, 256-byte contract") {
+    import java.awt.image.BufferedImage
+    def png2x2: Array[Byte] = {
+      // quadrants: white | black in the top row, black | white below
+      val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xffffff); img.setRGB(1, 0, 0x000000)
+      img.setRGB(0, 1, 0x000000); img.setRGB(1, 1, 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val session = spark
+    import session.implicits._
+    val blobs = Seq(
+      (1L, png2x2),
+      (2L, "definitely not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "blob")
+    val out = ops.Multimodal.resizeOf(blobs, 4, 4).orderBy("doc_id").collect()
+    val thumb = out(0).getAs[Array[Byte]]("thumb")
+    assert(thumb.length === 16)
+    // nearest-neighbor of the 2x2 checkerboard at 4x4: each source
+    // pixel becomes a 2x2 block; luminance 255 (white) = -1 as byte
+    val w = -1.toByte; val b = 0.toByte
+    assert(thumb.toSeq === Seq(w, w, b, b, w, w, b, b, b, b, w, w, b, b, w, w))
+    // stub path: deterministic and sized to contract
+    val stubThumb = out(1).getAs[Array[Byte]]("thumb")
+    assert(stubThumb.length === 16)
+    val again = ops.Multimodal.resizeOf(blobs, 4, 4).orderBy("doc_id").collect()
+    assert(again(1).getAs[Array[Byte]]("thumb").toSeq === stubThumb.toSeq)
+  }
 }
