@@ -370,7 +370,58 @@ object Timeseries extends QueryFamily {
       |  count(*) AS n_orders
       |FROM orders, maxd GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** Linear trend forecast of monthly revenue: least-squares fit of
+    * rev ~ month_index from explicit sums (n, Σt, Σy, Σty, Σt²) so
+    * both engines run bit-identical arithmetic (the q_rolling_corr
+    * discipline), projected one month past the observed range. The
+    * fit consumes the O(months) series — one 1-row aggregate after
+    * the usual map-side-combined daily/monthly reduction; at any
+    * scale the regression itself is constant work. */
+  def qForecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val monthly = T.orders(spark, dir)
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("mon"))
+      .agg(sum($"o_totalprice").as("y"))
+    val idx = Window.orderBy($"mon")
+    val series = monthly.withColumn("t", row_number().over(idx).cast("double"))
+    val fit = series.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum($"t").as("st"), sum($"y").as("sy"),
+      sum($"t" * $"y").as("sty"), sum($"t" * $"t").as("st2"))
+    fit.select(
+        $"n".cast("long").as("n_months"),
+        (($"n" * $"sty" - $"st" * $"sy") /
+          ($"n" * $"st2" - $"st" * $"st")).as("slope"),
+        (($"sy" - ($"n" * $"sty" - $"st" * $"sy") /
+          ($"n" * $"st2" - $"st" * $"st") * $"st") / $"n").as("intercept"))
+      .select($"n_months",
+        round($"slope", 2).as("slope"),
+        round($"intercept", 2).as("intercept"),
+        round($"intercept" + $"slope" * ($"n_months" + 1), 2).as("forecast_next"))
+  }
+
+  val qForecastSql: String =
+    """WITH monthly AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS mon, sum(o_totalprice) AS y
+      |  FROM orders GROUP BY 1),
+      |series AS (
+      |  SELECT y, (row_number() OVER (ORDER BY mon))::DOUBLE AS t FROM monthly),
+      |fit AS (
+      |  SELECT count(*)::DOUBLE AS n, sum(t) AS st, sum(y) AS sy,
+      |    sum(t * y) AS sty, sum(t * t) AS st2
+      |  FROM series),
+      |coef AS (
+      |  SELECT n::BIGINT AS n_months,
+      |    (n * sty - st * sy) / (n * st2 - st * st) AS slope,
+      |    (sy - (n * sty - st * sy) / (n * st2 - st * st) * st) / n AS intercept
+      |  FROM fit)
+      |SELECT n_months, round(slope, 2) AS slope,
+      |  round(intercept, 2) AS intercept,
+      |  round(intercept + slope * (n_months + 1), 2) AS forecast_next
+      |FROM coef""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_forecast", qForecast, Some(qForecastSql)),
     QueryDef("q_ohlc", qOhlc, Some(qOhlcSql)),
     QueryDef("q_rolling_corr", qRollingCorr, Some(qRollingCorrSql)),
     QueryDef("q_decay_sum", qDecaySum, Some(qDecaySumSql)),

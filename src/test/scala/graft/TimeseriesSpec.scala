@@ -267,6 +267,19 @@ class TimeseriesSpec extends AnyFunSuite {
     }
   }
 
+  test("forecast: fit spans all months, projection follows the trend line") {
+    val r = ops.Timeseries.qForecast(spark, sf).collect()(0)
+    val months = ops.T.orders(spark, sf)
+      .select(date_format(col("o_orderdate"), "yyyy-MM")).distinct().count()
+    assert(r.getAs[Long]("n_months") === months)
+    val expected = r.getAs[Double]("intercept") +
+      r.getAs[Double]("slope") * (months + 1)
+    // slope/intercept are display-rounded to 2dp; recomposition error
+    // grows with the projection horizon (0.005 * (months + 2) bound)
+    assert(math.abs(expected - r.getAs[Double]("forecast_next")) <=
+      0.005 * (months + 2) + 0.01)
+  }
+
   test("kmeans update: every cluster centroid has full dimension set") {
     val rows = ops.Similarity.qKmeansUpdate(spark, sf).collect()
     val dims = rows.groupBy(_.getAs[Int]("cluster"))
