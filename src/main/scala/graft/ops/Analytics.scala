@@ -314,20 +314,66 @@ object Analytics extends QueryFamily {
     * statistic outlier gates use where stddev is poisoned by the very
     * outliers being hunted. Two-phase: exact interpolating median per
     * group, broadcast back (3 rows), then the median of absolute
-    * deviations. Scale note mirrors q_percentiles: exact `percentile`
-    * buffers each group's values; the sketch path (percentile_approx)
-    * is the swap-in at unbounded group width. */
+    * deviations.
+    *
+    * Both medians use BUCKETED RANK LOCATION — the exact-quantile
+    * plan that survives wide groups: (1) per-group min/max/count and
+    * the two middle target ranks; (2) a 4096-bucket histogram (one
+    * map-side-combined hash agg, bounded size); (3) a cumulative-count
+    * window over the tiny histogram locates each target's bucket and
+    * within-bucket rank; (4) a row_number window sorts ONLY the one
+    * located bucket per group (~n/4096 rows) to pull the middle
+    * value(s). The average of the selected values is exactly
+    * `quantile_cont(0.5)` interpolation. No per-group value buffer
+    * (the exact-`percentile` ObjectHashAggregate failure mode) and no
+    * full-group sort window (the 3-partition skew failure mode) —
+    * deeper groups just recurse the same bucketing one level. */
   def qMad(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val med = T.lineitem(spark, dir)
-      .groupBy($"l_returnflag")
-      .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
-    T.lineitem(spark, dir)
+    val buckets = 4096L
+    def exactMedian(src0: DataFrame, key: String, outName: String): DataFrame = {
+      val src = src0.cache()
+      val stats = src.groupBy(col(key)).agg(
+          min($"v").as("vmin"), max($"v").as("vmax"), count(lit(1)).as("n"))
+        .withColumn("r1", expr("(n + 1) div 2"))
+        .withColumn("r2", expr("(n + 2) div 2"))
+        .withColumn("width",
+          greatest(($"vmax" - $"vmin") / buckets, lit(1e-12)))
+      val bucketed = src.join(broadcast(stats), Seq(key))
+        .withColumn("b",
+          least(floor(($"v" - $"vmin") / $"width"), lit(buckets - 1)))
+      val hist = bucketed.groupBy(col(key), $"b").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col(key)).orderBy($"b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum_end", sum($"c").over(w))
+        .withColumn("cum_start", $"cum_end" - $"c")
+      val targets = cum
+        .join(broadcast(stats.select(col(key), $"r1", $"r2")), Seq(key))
+        .select(col(key), $"b", $"cum_start", $"c",
+          explode(array($"r1", $"r2")).as("r"))
+        .filter($"r" > $"cum_start" && $"r" <= $"cum_start" + $"c")
+        .select(col(key), $"b", ($"r" - $"cum_start").as("k"))
+      val wanted = targets.select(col(key), $"b").distinct()
+      val wv = Window.partitionBy(col(key), $"b").orderBy($"v")
+      bucketed.join(broadcast(wanted), Seq(key, "b"), "left_semi")
+        .withColumn("rn", row_number().over(wv))
+        .join(broadcast(targets), Seq(key, "b"))
+        .filter($"rn" === $"k")
+        .groupBy(col(key))
+        .agg((sum($"v") / count(lit(1))).as(outName))
+    }
+    val li = T.lineitem(spark, dir)
+    val med = exactMedian(
+      li.select($"l_returnflag", $"l_extendedprice".as("v")),
+      "l_returnflag", "med")
+    val dev = li.join(broadcast(med), Seq("l_returnflag"))
+      .select($"l_returnflag", abs($"l_extendedprice" - $"med").as("v"))
+    exactMedian(dev, "l_returnflag", "mad")
       .join(broadcast(med), Seq("l_returnflag"))
-      .groupBy($"l_returnflag")
-      .agg(
-        round(max($"med"), 4).as("median_price"),
-        round(expr("percentile(abs(l_extendedprice - med), 0.5)"), 4).as("mad"))
+      .select($"l_returnflag",
+        round($"med", 4).as("median_price"),
+        round($"mad", 4).as("mad"))
       .orderBy($"l_returnflag")
   }
 
