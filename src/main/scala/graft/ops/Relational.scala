@@ -486,6 +486,45 @@ object Relational extends QueryFamily {
     """SELECT count(DISTINCT l_partkey) AS n_exact, true AS within_bound
       |FROM lineitem""".stripMargin
 
+  /** Mergeable-quantile-sketch audit (the KLL twin of
+    * [[qHllUnionAudit]]): per-shard KLL sketches built map-side
+    * (shards = supplier mod 16), merged with `kll_merge_agg_double` —
+    * the associative path a 1000-executor quantile computation takes —
+    * then each merged quartile estimate is audited by computing its
+    * EXACT rank (count of values ≤ estimate / n) and checking it
+    * lies within the sketch's rank-error bound of the target
+    * quantile. The oracle emits the exact row count and literal
+    * `true`s, so the hash comparison IS the bound check — the
+    * q_hll_union_audit self-verification design. */
+  def qKllQuantileAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = T.lineitem(spark, dir)
+      .select(($"l_suppkey" % 16).as("shard"), $"l_extendedprice".as("v"))
+    val shardSketches = li.groupBy($"shard")
+      .agg(expr("kll_sketch_agg_double(v)").as("sk"))
+    val merged = shardSketches.agg(
+      expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.25)").as("e25"),
+      expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5)").as("e50"),
+      expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.75)").as("e75"))
+    // default k=200 KLL: single-sided rank error <= ~1.65% at 99%
+    // confidence; 3% absorbs the merge
+    val eps = 0.03
+    li.crossJoin(broadcast(merged))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(when($"v" <= $"e25", 1L).otherwise(0L)) / count(lit(1))).as("r25"),
+        (sum(when($"v" <= $"e50", 1L).otherwise(0L)) / count(lit(1))).as("r50"),
+        (sum(when($"v" <= $"e75", 1L).otherwise(0L)) / count(lit(1))).as("r75"))
+      .select($"n",
+        (abs($"r25" - 0.25) <= eps).as("ok_q25"),
+        (abs($"r50" - 0.5) <= eps).as("ok_q50"),
+        (abs($"r75" - 0.75) <= eps).as("ok_q75"))
+  }
+
+  val qKllQuantileAuditSql: String =
+    """SELECT count(*) AS n, true AS ok_q25, true AS ok_q50, true AS ok_q75
+      |FROM lineitem""".stripMargin
+
   /** As-of join: each purchase event matched to the latest prior click
     * of the same user. Implemented as union + running-max window — one
     * shuffle on user_id, no point-in-time cross join (merge-asof at any
@@ -1395,6 +1434,7 @@ object Relational extends QueryFamily {
     QueryDef("q_distinct_counts", qDistinctCounts, Some(qDistinctCountsSql)),
     QueryDef("q_approx_distinct", qApproxDistinct, None),
     QueryDef("q_hll_union_audit", qHllUnionAudit, Some(qHllUnionAuditSql)),
+    QueryDef("q_kll_quantile_audit", qKllQuantileAudit, Some(qKllQuantileAuditSql)),
     QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
     QueryDef("q_asof_native", qAsofNative, Some(qAsofNativeSql)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),

@@ -55,8 +55,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // inherits the brute-force probe-side non-equi join of its exact
     // ranking input
     "q_naive_bayes", "q_sim_ndcg",
-    // 1-row builds: basket total, revenue grand total (integer cents)
-    "q_basket_rules", "q_abc_pareto")
+    // 1-row builds: basket total, revenue grand total (integer cents),
+    // merged KLL quantile estimates
+    "q_basket_rules", "q_abc_pareto", "q_kll_quantile_audit")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>

@@ -280,6 +280,14 @@ class TimeseriesSpec extends AnyFunSuite {
       0.005 * (months + 2) + 0.01)
   }
 
+  test("kll audit: merged sketch quartiles pass their rank-error gate") {
+    val r = ops.Relational.qKllQuantileAudit(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n") === ops.T.lineitem(spark, sf).count())
+    assert(r.getAs[Boolean]("ok_q25") && r.getAs[Boolean]("ok_q50") &&
+      r.getAs[Boolean]("ok_q75"),
+      "merged KLL estimates must sit within the rank-error bound")
+  }
+
   test("kmeans update: every cluster centroid has full dimension set") {
     val rows = ops.Similarity.qKmeansUpdate(spark, sf).collect()
     val dims = rows.groupBy(_.getAs[Int]("cluster"))
