@@ -69,6 +69,48 @@ object Stateful {
       }
   }
 
+  /** Idempotent foreachBatch sink: merges each micro-batch's keyed
+    * rows into a store, recording the batch id per key. Spark's
+    * foreachBatch contract is AT-LEAST-ONCE — after a failure the same
+    * (batchId, data) pair replays — so the sink must make re-applying
+    * a batch a no-op: a key ignores writes whose batchId is <= the one
+    * already applied. With update-mode aggregates (absolute values,
+    * not deltas), replay then converges to exactly-once table state —
+    * the standard recipe for a transactional upsert target. The
+    * in-memory TrieMap stands in for the external table; a real
+    * deployment swaps `merge` for a MERGE INTO. */
+  final class IdempotentUpsertStore extends Serializable {
+    private val rows =
+      scala.collection.concurrent.TrieMap.empty[Long, (Long, Double)]
+    def merge(batchId: Long, batch: Iterable[(Long, Double)]): Unit =
+      batch.foreach { case (k, v) =>
+        rows.updateWith(k) {
+          case Some((bid, old)) if bid >= batchId => Some((bid, old))
+          case _ => Some((batchId, v))
+        }
+      }
+    def snapshot: Map[Long, Double] =
+      rows.readOnlySnapshot().map { case (k, (_, v)) => k -> v }.toMap
+  }
+
+  /** Wire an update-mode per-user total aggregation into the
+    * idempotent store via foreachBatch. Returns the started query. */
+  def upsertTotals(events: DataFrame, store: IdempotentUpsertStore)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    events
+      .groupBy(col("user_id"))
+      .agg(sum(col("value")).as("total"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val rows = batch.collect()
+          .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("total"))
+        store.merge(batchId, rows.toSeq)
+      }
+      .start()
+  }
+
   /** Running per-user totals, updated every trigger. */
   def runningTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
     import events.sparkSession.implicits._

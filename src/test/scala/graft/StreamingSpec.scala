@@ -11,6 +11,7 @@ case class DEv(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
 case class LEv(event_id: Long, ts: Timestamp, user_id: Long)
 case class Pur(p_id: Long, user_id: Long, p_ts: Timestamp)
 case class Clk(c_id: Long, c_user: Long, c_ts: Timestamp)
+case class UserRow(user_id: Long, value: Double)
 
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -174,6 +175,31 @@ class StreamingSpec extends AnyFunSuite {
         .select($"p_id", $"c_id").orderBy("p_id")
         .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
       assert(batch === rows)
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert sink is idempotent under batch replay") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[UserRow]
+    val store = new graft.streaming.Stateful.IdempotentUpsertStore
+    val q = graft.streaming.Stateful.upsertTotals(ms.toDF(), store)
+    try {
+      ms.addData(UserRow(1L, 10.0), UserRow(2L, 5.0))
+      q.processAllAvailable()
+      ms.addData(UserRow(1L, 2.5))
+      q.processAllAvailable()
+      val settled = store.snapshot
+      assert(settled === Map(1L -> 12.5, 2L -> 5.0),
+        "update-mode totals upserted per key")
+      // simulate the at-least-once replay foreachBatch can deliver:
+      // re-merging any already-applied batch must change nothing
+      store.merge(0L, Seq(1L -> 10.0, 2L -> 5.0))
+      store.merge(1L, Seq(1L -> 12.5))
+      assert(store.snapshot === settled, "replay must be a no-op")
+      // a genuinely new batch still applies
+      store.merge(99L, Seq(3L -> 7.0))
+      assert(store.snapshot(3L) === 7.0)
     } finally q.stop()
   }
 
