@@ -420,7 +420,156 @@ object Timeseries extends QueryFamily {
       |  round(intercept + slope * (n_months + 1), 2) AS forecast_next
       |FROM coef""".stripMargin
 
+  /** Conversion-window funnel: view → click within 30 min → purchase
+    * within 60 min of that click. Unlike the unbounded q_funnel, each
+    * stage's join carries a time bound, so the funnel measures a
+    * realistic conversion SLA; the per-stage plan is still min-per-user
+    * hash aggregates chained by equi-joins on the user key — no window
+    * over raw events, no cross join. */
+  def qFunnelWindowed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = T.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("v_us"))
+    val c = e.filter($"event_type" === "click")
+      .join(v, Seq("user_id"))
+      .filter($"us" >= $"v_us" && $"us" <= $"v_us" + 1800000000L)
+      .groupBy($"user_id").agg(min($"us").as("c_us"))
+    val p = e.filter($"event_type" === "purchase")
+      .join(c, Seq("user_id"))
+      .filter($"us" >= $"c_us" && $"us" <= $"c_us" + 3600000000L)
+      .groupBy($"user_id").agg(min($"us").as("p_us"))
+    v.agg(count(lit(1)).as("n_view")).crossJoin(
+      c.agg(count(lit(1)).as("n_click_30m"))).crossJoin(
+      p.agg(count(lit(1)).as("n_purchase_60m")))
+  }
+
+  val qFunnelWindowedSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+      |v AS (SELECT user_id, min(us) AS v_us FROM e
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(us) AS c_us FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND us >= v_us
+      |        AND us <= v_us + 1800000000 GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(us) AS p_us FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND us >= c_us
+      |        AND us <= c_us + 3600000000 GROUP BY e.user_id)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |       (SELECT count(*) FROM c) AS n_click_30m,
+      |       (SELECT count(*) FROM p) AS n_purchase_60m""".stripMargin
+
+  /** Daily active users split new vs returning by first-touch: one
+    * (user, day) distinct pass, a per-user min-day aggregate, and the
+    * split falls out of comparing the two — no day-by-day rescans of
+    * history, which is what makes it viable when "history" is years of
+    * 100 TB events. */
+  def qNewReturning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val userDays = T.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val firstDay = userDays.groupBy($"user_id").agg(min($"day").as("first_day"))
+    userDays.join(firstDay, Seq("user_id"))
+      .groupBy(date_format($"day", "yyyy-MM-dd").as("day"))
+      .agg(
+        count(lit(1)).as("active"),
+        sum(when($"day" === $"first_day", 1L).otherwise(0L)).as("n_new"))
+      .withColumn("n_returning", $"active" - $"n_new")
+      .orderBy($"day")
+  }
+
+  val qNewReturningSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    make_timestamp(epoch_ns(ts) // 1000)::DATE AS day
+      |  FROM events),
+      |fd AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, count(*) AS active,
+      |  sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)::BIGINT AS n_new,
+      |  (count(*) - sum(CASE WHEN day = first_day THEN 1 ELSE 0 END))::BIGINT
+      |    AS n_returning
+      |FROM ud JOIN fd USING (user_id)
+      |GROUP BY day ORDER BY day""".stripMargin
+
+  /** Clickstream path analysis: each user's first three event types in
+    * (time, id) order become a path signature ('view>click>purchase'),
+    * counted across users. The per-user window stops at rank 3, the
+    * path string builds from a SORTED collect (rank-keyed structs, so
+    * aggregation order cannot perturb it), and the top-10 cut ranks on
+    * the final counts — the standard entry-path report at any scale. */
+  def qPathTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val first3 = T.events(spark, dir)
+      .select($"user_id", $"event_type", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+    first3
+      .groupBy($"user_id")
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(rn, event_type))), s -> s.event_type), '>')")
+        .as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n_users"))
+      .orderBy(desc("n_users"), asc("path"))
+      .limit(10)
+  }
+
+  val qPathTrigramsSql: String =
+    """WITH e AS (SELECT user_id, event_type, event_id,
+      |    epoch_ns(ts)//1000 AS us FROM events),
+      |r AS (SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+      |  FROM e),
+      |paths AS (
+      |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM r WHERE rn <= 3 GROUP BY user_id)
+      |SELECT path, count(*) AS n_users FROM paths
+      |GROUP BY path ORDER BY n_users DESC, path LIMIT 10""".stripMargin
+
+  /** Robust anomaly detection: modified z-score (Iglewicz-Hoban,
+    * 0.6745·(v − median)/MAD, threshold 3.5) per return flag — the
+    * outlier gate that stddev-based scoring (q_anomaly_zscore) cannot
+    * run safely because the outliers inflate the stddev itself. The
+    * med/MAD pair is [[Analytics.qMad]]'s bucketed-rank-location
+    * 3-row output broadcast back; scoring is a zero-shuffle map. */
+  def qAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val robust = Analytics.qMad(spark, dir)
+      .select($"l_returnflag", $"median_price", $"mad")
+    val scored = T.lineitem(spark, dir)
+      .join(broadcast(robust), Seq("l_returnflag"))
+      .withColumn("score",
+        lit(0.6745) * ($"l_extendedprice" - $"median_price") / $"mad")
+    scored.groupBy($"l_returnflag")
+      .agg(
+        sum(when(abs($"score") > 3.5, 1L).otherwise(0L)).as("n_outliers"),
+        round(max(abs($"score")), 2).as("max_abs_score"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qAnomalyMadSql: String =
+    """WITH med AS (
+      |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS m
+      |  FROM lineitem GROUP BY 1),
+      |madt AS (
+      |  SELECT l.l_returnflag,
+      |    round(quantile_cont(abs(l_extendedprice - m), 0.5), 4) AS mad,
+      |    round(max(m), 4) AS m
+      |  FROM lineitem l JOIN med USING (l_returnflag) GROUP BY 1),
+      |scored AS (
+      |  SELECT l.l_returnflag,
+      |    0.6745 * (l_extendedprice - m) / mad AS score
+      |  FROM lineitem l JOIN madt USING (l_returnflag))
+      |SELECT l_returnflag,
+      |  sum(CASE WHEN abs(score) > 3.5 THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+      |  round(max(abs(score)), 2) AS max_abs_score
+      |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_funnel_windowed", qFunnelWindowed, Some(qFunnelWindowedSql)),
+    QueryDef("q_new_returning", qNewReturning, Some(qNewReturningSql)),
+    QueryDef("q_path_trigrams", qPathTrigrams, Some(qPathTrigramsSql)),
+    QueryDef("q_anomaly_mad", qAnomalyMad, Some(qAnomalyMadSql)),
     QueryDef("q_forecast", qForecast, Some(qForecastSql)),
     QueryDef("q_ohlc", qOhlc, Some(qOhlcSql)),
     QueryDef("q_rolling_corr", qRollingCorr, Some(qRollingCorrSql)),

@@ -56,8 +56,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // ranking input
     "q_naive_bayes", "q_sim_ndcg",
     // 1-row builds: basket total, revenue grand total (integer cents),
-    // merged KLL quantile estimates
-    "q_basket_rules", "q_abc_pareto", "q_kll_quantile_audit")
+    // merged KLL quantile estimates, funnel stage counts
+    "q_basket_rules", "q_abc_pareto", "q_kll_quantile_audit",
+    "q_funnel_windowed")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>

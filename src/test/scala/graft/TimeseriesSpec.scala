@@ -280,6 +280,46 @@ class TimeseriesSpec extends AnyFunSuite {
       0.005 * (months + 2) + 0.01)
   }
 
+  test("windowed funnel is dominated by the unbounded funnel stage-wise") {
+    val wRow = ops.Timeseries.qFunnelWindowed(spark, sf).collect()(0)
+    val uRow = ops.Relational.qFunnel(spark, sf).collect()(0)
+    assert(wRow.getAs[Long]("n_view") === uRow.getAs[Long]("n_view"))
+    assert(wRow.getAs[Long]("n_click_30m") <= uRow.getAs[Long]("n_click_after_view"))
+    assert(wRow.getAs[Long]("n_purchase_60m") <= uRow.getAs[Long]("n_purchase_after_click"))
+    assert(wRow.getAs[Long]("n_view") >= wRow.getAs[Long]("n_click_30m"))
+    assert(wRow.getAs[Long]("n_click_30m") >= wRow.getAs[Long]("n_purchase_60m"))
+  }
+
+  test("new vs returning partitions daily actives; news sum to the user count") {
+    val rows = ops.Timeseries.qNewReturning(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("active") ===
+        r.getAs[Long]("n_new") + r.getAs[Long]("n_returning"))
+    }
+    val users = ops.T.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_new")).sum === users,
+      "every user is new exactly once")
+  }
+
+  test("path trigrams cover users and stay within the event alphabet") {
+    val rows = ops.Timeseries.qPathTrigrams(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val types = Set("view", "click", "purchase", "signup", "error")
+    rows.foreach { r =>
+      r.getAs[String]("path").split(">").foreach(t => assert(types.contains(t)))
+      assert(r.getAs[Long]("n_users") > 0)
+    }
+  }
+
+  test("robust anomaly gate: outliers rarer than three-sigma would claim") {
+    val rows = ops.Timeseries.qAnomalyMad(spark, sf).collect()
+    assert(rows.length === 3)
+    val total = ops.T.lineitem(spark, sf).count()
+    val outliers = rows.map(_.getAs[Long]("n_outliers")).sum
+    assert(outliers < total / 10, "threshold 3.5 must flag a small tail")
+    rows.foreach(r => assert(r.getAs[Double]("max_abs_score") > 0.0))
+  }
+
   test("kll audit: merged sketch quartiles pass their rank-error gate") {
     val r = ops.Relational.qKllQuantileAudit(spark, sf).collect()(0)
     assert(r.getAs[Long]("n") === ops.T.lineitem(spark, sf).count())
