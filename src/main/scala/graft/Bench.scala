@@ -70,10 +70,13 @@ object Bench {
       s""""errors":${jmap(errors)},"n_errors":${errors.size},"runs":$runs,"sf":"$sfDir"}"""
     println(json)
     // the driver's stdout capture truncates long lines; persist the full
-    // per-query map so every round's numbers are diffable from the file
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes("UTF-8"))
+    // per-query map so every round's numbers are diffable from the file.
+    // SPARK_GRAFT_ONLY subset runs must NOT clobber the full artifact.
+    if (only.isEmpty) {
+      val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (json + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
