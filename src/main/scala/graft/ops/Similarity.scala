@@ -592,6 +592,87 @@ object Similarity extends QueryFamily {
        |SELECT q_id, rank, n_id, round(d2, 4) AS d2, round(ad2, 4) AS pq_d2
        |FROM pq_ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  /** IVF-PQ composition — the full FAISS-style billion-vector stack:
+    * the coarse quantizer restricts each probe to its 2 nearest IVF
+    * cells (cell distance = Σ over subspaces of the SAME per-(probe,
+    * code) ADC table PQ already built — the codebook doubles as the
+    * coarse quantizer, so cell selection costs one tiny re-aggregate),
+    * PQ asymmetric distances rank only vectors INSIDE those cells, and
+    * exact L2 re-ranks the top-16 shortlist. At scale: the corpus is
+    * 4 codes + 1 cell id per vector, candidates are cell-bounded
+    * before any distance math, and full vectors surface for 16
+    * candidates per probe. */
+  def qSimIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = T.embeddings(spark, dir)
+    val d = e
+      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("i", "xf")))
+      .select($"vec_id", $"label", $"i", ($"i" / 16).cast("int").as("sub"),
+        $"xf".cast("double").as("x"))
+    val cent = d.groupBy($"label".as("c"), $"sub", $"i").agg(avg($"x").as("cx"))
+    val dv = $"x" - $"cx"
+    val enc = d.join(broadcast(cent), Seq("sub", "i"))
+      .groupBy($"vec_id", $"sub", $"c").agg(sum(dv * dv).as("d2"))
+    val wEnc = Window.partitionBy($"vec_id", $"sub").orderBy(asc("d2"), asc("c"))
+    val codes = enc.withColumn("rn", row_number().over(wEnc)).filter($"rn" === 1)
+      .select($"vec_id".as("n_id"), $"sub", $"c".as("code"))
+    val qtab = d.filter($"vec_id" < 10)
+      .join(broadcast(cent), Seq("sub", "i"))
+      .groupBy($"vec_id".as("q_id"), $"sub", $"c").agg(sum(dv * dv).as("qd2"))
+    // coarse quantizer for free: full-vector distance to cell L's
+    // centroid is the sum of L's subspace entries in the ADC table
+    val wCell = Window.partitionBy($"q_id").orderBy(asc("cd2"), asc("c"))
+    val cells = qtab.groupBy($"q_id", $"c").agg(sum($"qd2").as("cd2"))
+      .withColumn("cr", row_number().over(wCell)).filter($"cr" <= 2)
+      .select($"q_id", $"c".as("cell"))
+    val labels = e.select($"vec_id".as("n_id"), $"label")
+    val candidates = codes.join(labels, Seq("n_id"))
+      .join(broadcast(cells), $"label" === $"cell" && $"n_id" =!= $"q_id")
+      .select($"q_id".as("cq_id"), $"n_id", $"sub", $"code")
+    val qt = qtab.withColumnRenamed("sub", "q_sub")
+    val adc = candidates.join(broadcast(qt),
+        $"cq_id" === $"q_id" && $"sub" === $"q_sub" && $"code" === $"c")
+      .groupBy($"q_id", $"n_id").agg(sum($"qd2").as("ad2"))
+    val wAdc = Window.partitionBy($"q_id").orderBy(asc("ad2"), asc("n_id"))
+    val shortlist = adc.withColumn("srank", row_number().over(wAdc))
+      .filter($"srank" <= 16)
+      .select($"q_id", $"n_id", $"ad2")
+    val nv = d.select($"vec_id".as("n_id"), $"i", $"x".as("nx"))
+    val qv = d.filter($"vec_id" < 10).select($"vec_id".as("q_id"), $"i", $"x".as("qx"))
+    val ed = $"qx" - $"nx"
+    val exact = shortlist.join(nv, Seq("n_id")).join(broadcast(qv), Seq("q_id", "i"))
+      .groupBy($"q_id", $"n_id").agg(sum(ed * ed).as("d2"), max($"ad2").as("ad2"))
+    val w = Window.partitionBy($"q_id").orderBy(asc("d2"), asc("n_id"))
+    exact.withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"n_id",
+        round($"d2", 4).as("d2"), round($"ad2", 4).as("pq_d2"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val qSimIvfPqSql: String =
+    s"""$pqCte,
+       |celld AS (SELECT q_id, c, sum(qd2) AS cd2 FROM qtab GROUP BY 1, 2),
+       |cells AS (SELECT q_id, c AS cell FROM (
+       |  SELECT q_id, c, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cd2, c) AS cr FROM celld) WHERE cr <= 2),
+       |lab AS (SELECT vec_id AS n_id, label FROM e),
+       |adc2 AS (SELECT a.q_id, a.n_id, a.ad2
+       |  FROM adc a JOIN lab USING (n_id)
+       |  JOIN cells ON cells.q_id = a.q_id AND cells.cell = lab.label),
+       |short2 AS (SELECT q_id, n_id, ad2 FROM (
+       |  SELECT q_id, n_id, ad2, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY ad2, n_id) AS srank FROM adc2) WHERE srank <= 16),
+       |rerank2 AS (SELECT s.q_id, s.n_id,
+       |    sum((qv.x - nv.x) * (qv.x - nv.x)) AS d2, max(s.ad2) AS ad2
+       |  FROM short2 s
+       |  JOIN d nv ON nv.vec_id = s.n_id
+       |  JOIN d qv ON qv.vec_id = s.q_id AND qv.i = nv.i
+       |  GROUP BY 1, 2)
+       |SELECT q_id, rank, n_id, round(d2, 4) AS d2, round(ad2, 4) AS pq_d2
+       |FROM (SELECT q_id, n_id, d2, ad2, row_number() OVER (
+       |  PARTITION BY q_id ORDER BY d2, n_id) AS rank FROM rerank2)
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   /** Recall@3 of the PQ ranking against the exact L2 top-3 (same
     * metric as the code distances approximate) — closes the audit
     * loop: codebook coarseness is a measured recall cost, set against
@@ -647,6 +728,7 @@ object Similarity extends QueryFamily {
     QueryDef("q_sim_ndcg", qSimNdcg, Some(qSimNdcgSql)),
     QueryDef("q_sim_pq", qSimPq, Some(qSimPqSql)),
     QueryDef("q_sim_pq_recall", qSimPqRecall, Some(qSimPqRecallSql)),
+    QueryDef("q_sim_ivfpq", qSimIvfPq, Some(qSimIvfPqSql)),
     QueryDef("q_sim_bruteforce", qSimBruteforce, Some(qSimBruteforceSql)),
     QueryDef("q_sim_lsh", qSimLsh, Some(qSimLshSql)),
     QueryDef("q_sim_lsh_multiprobe", qSimLshMultiprobe, Some(qSimLshMultiprobeSql)),

@@ -320,6 +320,19 @@ class TimeseriesSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Double]("max_abs_score") > 0.0))
   }
 
+  test("ivf-pq: neighbors come from the probe's cells, distances agree with pq") {
+    val ivfpq = ops.Similarity.qSimIvfPq(spark, sf).collect()
+    assert(ivfpq.map(_.getAs[Long]("q_id")).distinct.length === 10)
+    // any (q, n) pair both pipelines surface carries the same exact d2
+    val pq = ops.Similarity.qSimPq(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")) ->
+        r.getAs[Double]("d2")).toMap
+    ivfpq.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))
+      pq.get(key).foreach(d => assert(d === r.getAs[Double]("d2")))
+    }
+  }
+
   test("kll audit: merged sketch quartiles pass their rank-error gate") {
     val r = ops.Relational.qKllQuantileAudit(spark, sf).collect()(0)
     assert(r.getAs[Long]("n") === ops.T.lineitem(spark, sf).count())
