@@ -19,6 +19,96 @@ import org.apache.spark.sql.functions._
   */
 object Curation extends QueryFamily {
 
+  /** Curation waterfall: the per-gate survivor funnel a pipeline owner
+    * reads before shipping a corpus — total docs, then survivors after
+    * each gate IN ORDER: length (≥ 20 tokens), quality (≥ 0.3, the
+    * q_clean_corpus formula), repetition (the Gopher gates of
+    * [[qRepetition]]), near-dup (MinHash-LSH survivors). Every gate is
+    * a per-doc boolean from machinery that is itself oracle-verified;
+    * the waterfall is ONE aggregate over the AND-chained flags plus a
+    * zero-shuffle unpivot — at 100 TB it costs one pass over the gate
+    * relations, and the stage deltas say which gate is eating the
+    * corpus. */
+  def qCurationWaterfall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+    val base = T.documents(spark, dir)
+      .withColumn("w", split($"text", " "))
+      .withColumn("n_stop", size(filter($"w", x => array_contains(stop, x))))
+      .withColumn("quality",
+        least(lit(1.0), size($"w") / lit(100.0)) *
+          (lit(1.0) - $"n_stop".cast("double") / size($"w")))
+      .select($"doc_id",
+        (size($"w") >= 20).as("g_len"),
+        ($"quality" >= 0.3).as("g_quality"))
+    val rep = qRepetition(spark, dir).select($"doc_id", $"keep".as("g_rep"))
+    val survivors = Dedup.qDedupSurvivors(spark, dir)
+      .select($"doc_id", lit(true).as("g_dedup"))
+    val flags = base.join(rep, Seq("doc_id"))
+      .join(survivors, Seq("doc_id"), "left")
+      .select($"g_len", $"g_quality", $"g_rep",
+        coalesce($"g_dedup", lit(false)).as("g_dedup"))
+    val wide = flags.agg(
+      count(lit(1)).as("s0"),
+      sum(when($"g_len", 1L).otherwise(0L)).as("s1"),
+      sum(when($"g_len" && $"g_quality", 1L).otherwise(0L)).as("s2"),
+      sum(when($"g_len" && $"g_quality" && $"g_rep", 1L).otherwise(0L)).as("s3"),
+      sum(when($"g_len" && $"g_quality" && $"g_rep" && $"g_dedup", 1L).otherwise(0L))
+        .as("s4"))
+    wide.select(explode(map(
+        lit("0_total"), $"s0", lit("1_length"), $"s1",
+        lit("2_quality"), $"s2", lit("3_repetition"), $"s3",
+        lit("4_neardup"), $"s4")).as(Seq("stage", "n_surviving")))
+      .orderBy($"stage")
+  }
+
+  val qCurationWaterfallSql: String = {
+    val mh = Dedup.minhashCteShared
+    s"""$mh,
+       |gates AS (
+       |  SELECT d.doc_id,
+       |    len(w) >= 20 AS g_len,
+       |    least(1.0, len(w) / 100.0) *
+       |      (1.0 - len(list_filter(w, x ->
+       |        list_contains(['the','a','of','and','to','in'], x)))::DOUBLE
+       |        / len(w)) >= 0.3 AS g_quality
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d),
+       |rep AS (
+       |  SELECT t.doc_id,
+       |    (b.top_frac <= 0.1 AND t.dup_ratio <= 0.7) AS g_rep
+       |  FROM (SELECT doc_id,
+       |          round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 4) AS dup_ratio
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)) t
+       |  JOIN (SELECT doc_id, round(max(n)::DOUBLE / sum(n), 4) AS top_frac
+       |        FROM (SELECT doc_id, g, count(*) AS n FROM (
+       |          SELECT doc_id, unnest(list_transform(range(1, len(w)),
+       |            i -> w[i] || ' ' || w[i+1])) AS g
+       |          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+       |          GROUP BY 1, 2)
+       |        GROUP BY doc_id) b USING (doc_id)),
+       |surv AS (SELECT doc_id, doc_id NOT IN
+       |    (SELECT b_id FROM verified WHERE j >= 0.8) AS g_dedup
+       |  FROM documents),
+       |flags AS (
+       |  SELECT g_len, g_quality, g_rep, g_dedup
+       |  FROM gates JOIN rep USING (doc_id) JOIN surv USING (doc_id)),
+       |wide AS (
+       |  SELECT count(*) AS s0,
+       |    sum(CASE WHEN g_len THEN 1 ELSE 0 END)::BIGINT AS s1,
+       |    sum(CASE WHEN g_len AND g_quality THEN 1 ELSE 0 END)::BIGINT AS s2,
+       |    sum(CASE WHEN g_len AND g_quality AND g_rep
+       |        THEN 1 ELSE 0 END)::BIGINT AS s3,
+       |    sum(CASE WHEN g_len AND g_quality AND g_rep AND g_dedup
+       |        THEN 1 ELSE 0 END)::BIGINT AS s4
+       |  FROM flags)
+       |SELECT '0_total' AS stage, s0 AS n_surviving FROM wide
+       |UNION ALL SELECT '1_length', s1 FROM wide
+       |UNION ALL SELECT '2_quality', s2 FROM wide
+       |UNION ALL SELECT '3_repetition', s3 FROM wide
+       |UNION ALL SELECT '4_neardup', s4 FROM wide
+       |ORDER BY stage""".stripMargin
+  }
+
   /** Gopher-style repetition signals per document: duplicate-token
     * ratio (1 - distinct/total) and the most-frequent-bigram fraction,
     * with the keep/drop flag a real pipeline would gate on. Token
@@ -238,6 +328,7 @@ object Curation extends QueryFamily {
       |FROM a GROUP BY 1 ORDER BY split""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_curation_waterfall", qCurationWaterfall, Some(qCurationWaterfallSql)),
     QueryDef("q_split_assign", qSplitAssign, Some(qSplitAssignSql)),
     QueryDef("q_repetition", qRepetition, Some(qRepetitionSql)),
     QueryDef("q_contamination", qContamination, Some(qContaminationSql)),

@@ -119,6 +119,10 @@ object Dedup extends QueryFamily {
 
   /** Shared CTE prefix replicating the exact MinHash pipeline in DuckDB
     * (same 48-bit md5 prefix -> same affine permutations -> same bands). */
+  /** Shared with [[Curation.qCurationWaterfall]]'s oracle, which
+    * re-runs the near-dup gate inside its stage funnel. */
+  private[ops] def minhashCteShared: String = minhashCte
+
   private val minhashCte: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),

@@ -333,6 +333,17 @@ class TimeseriesSpec extends AnyFunSuite {
     }
   }
 
+  test("curation waterfall: monotone funnel anchored at corpus size") {
+    val rows = ops.Curation.qCurationWaterfall(spark, sf).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_surviving"))
+    assert(rows.map(_._1).toSeq ===
+      Seq("0_total", "1_length", "2_quality", "3_repetition", "4_neardup"))
+    val counts = rows.map(_._2)
+    assert(counts.head === ops.T.documents(spark, sf).count())
+    counts.sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => }
+    assert(counts.last > 0, "a non-degenerate corpus survives the gates")
+  }
+
   test("kll audit: merged sketch quartiles pass their rank-error gate") {
     val r = ops.Relational.qKllQuantileAudit(spark, sf).collect()(0)
     assert(r.getAs[Long]("n") === ops.T.lineitem(spark, sf).count())
