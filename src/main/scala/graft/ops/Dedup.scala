@@ -189,6 +189,90 @@ object Dedup extends QueryFamily {
        |  round(max(abs(est_j - j)), 4) AS max_abs_err
        |FROM est JOIN verified USING (a_id, b_id)""".stripMargin
 
+  /** LSH banding sweep: candidate volume, verified-pair yield and
+    * precision for the three 16-component band layouts (8 bands of 2,
+    * 4 of 4, 2 of 8) — the S-curve knob that trades shuffle volume
+    * against recall at a fixed similarity threshold. More bands catch
+    * lower-similarity pairs but shuffle more candidates; the sweep
+    * MEASURES the trade on the corpus instead of trusting the
+    * textbook curve. One signature relation feeds all three layouts;
+    * per layout the band bucket join is the same equi-key shape the
+    * production (4×4) config uses. */
+  def qLshBandSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = 2147483647L
+    val shx = shingleRows(spark, dir, 3).cache()
+    val sigs = shx
+      .withColumn("h", expr("cast(conv(substring(md5(sh), 1, 12), 16, 10) AS bigint)") % p)
+      .groupBy($"doc_id")
+      .agg(graft.functions.Aggregators.minhashSig(16)($"h").as("sig"))
+      .cache()
+    val sizes = shx.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    def layout(nBands: Int): DataFrame = {
+      val rows = 16 / nBands
+      val bands = sigs.select($"doc_id", posexplode(expr(
+        s"""transform(sequence(0, ${nBands - 1}),
+           |  b -> md5(cast(concat_ws('|', transform(slice(sig, b * $rows + 1, $rows),
+           |                                         x -> cast(x AS string))) AS binary)))""".stripMargin))
+        .as(Seq("b", "bandsig")))
+      val cand = bands.select($"doc_id".as("a_id"), $"b", $"bandsig")
+        .join(bands.select($"doc_id".as("b_id"), $"b", $"bandsig"), Seq("b", "bandsig"))
+        .filter($"a_id" < $"b_id")
+        .select($"a_id", $"b_id").distinct()
+      val inter = cand
+        .join(shx.select($"doc_id".as("a_id"), $"sh"), Seq("a_id"))
+        .join(shx.select($"doc_id".as("b_id"), $"sh"), Seq("b_id", "sh"))
+        .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("ninter"))
+      val verified = inter
+        .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), Seq("a_id"))
+        .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), Seq("b_id"))
+        .withColumn("j", $"ninter".cast("double") / ($"na" + $"nb" - $"ninter"))
+      cand.agg(count(lit(1)).as("n_candidates")).crossJoin(
+          verified.filter($"j" >= 0.8).agg(count(lit(1)).as("n_verified")))
+        .select(lit(s"${nBands}x$rows").as("layout"),
+          $"n_candidates", $"n_verified",
+          round($"n_verified".cast("double") /
+            greatest($"n_candidates", lit(1L)), 4).as("precision"))
+    }
+    layout(8).unionByName(layout(4)).unionByName(layout(2))
+      .orderBy($"layout")
+  }
+
+  val qLshBandSweepSql: String = {
+    def one(nBands: Int): String = {
+      val rows = 16 / nBands
+      s"""SELECT '${nBands}x$rows' AS layout,
+         |  (SELECT count(*) FROM cand_$nBands) AS n_candidates,
+         |  (SELECT count(*) FROM ver_$nBands WHERE j >= 0.8) AS n_verified,
+         |  round((SELECT count(*) FROM ver_$nBands WHERE j >= 0.8)::DOUBLE /
+         |    greatest((SELECT count(*) FROM cand_$nBands), 1), 4) AS precision
+         |""".stripMargin
+    }
+    def cte(nBands: Int): String =
+      s"""bands_$nBands AS (SELECT doc_id, seed // ${16 / nBands} AS b,
+         |  md5(string_agg(mh::VARCHAR, '|' ORDER BY seed)) AS bandsig
+         |  FROM mh GROUP BY doc_id, seed // ${16 / nBands}),
+         |cand_$nBands AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands_$nBands a JOIN bands_$nBands b
+         |    ON a.b = b.b AND a.bandsig = b.bandsig
+         |  WHERE a.doc_id < b.doc_id),
+         |ver_$nBands AS (SELECT a_id, b_id,
+         |  len(list_intersect(sa.shs, sb.shs))::DOUBLE /
+         |  (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) AS j
+         |  FROM cand_$nBands JOIN sh sa ON sa.doc_id = a_id
+         |  JOIN sh sb ON sb.doc_id = b_id)""".stripMargin
+    s"""$minhashCte,
+       |${cte(8)},
+       |${cte(2)}
+       |${one(8)}UNION ALL
+       |SELECT '4x4', (SELECT count(*) FROM cand),
+       |  (SELECT count(*) FROM verified WHERE j >= 0.8),
+       |  round((SELECT count(*) FROM verified WHERE j >= 0.8)::DOUBLE /
+       |    greatest((SELECT count(*) FROM cand), 1), 4)
+       |UNION ALL
+       |${one(2)}ORDER BY layout""".stripMargin
+  }
+
   /** Near-dup dedup survivors: drop every doc that near-duplicates
     * (j >= 0.8) a doc with a smaller id — the standard one-pass keep
     * rule over the LSH pair list. */
@@ -620,6 +704,7 @@ object Dedup extends QueryFamily {
     QueryDef("q_dedup_containment", qDedupContainment, Some(qDedupContainmentSql)),
     QueryDef("q_dedup_minhash_sigs", qDedupMinhashSigs, Some(qDedupMinhashSigsSql)),
     QueryDef("q_minhash_est_audit", qMinhashEstAudit, Some(qMinhashEstAuditSql)),
+    QueryDef("q_lsh_band_sweep", qLshBandSweep, Some(qLshBandSweepSql)),
     QueryDef("q_dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)),
     QueryDef("q_clean_corpus", qCleanCorpus, Some(qCleanCorpusSql)),
     QueryDef("q_dedup_embedding", qDedupEmbedding, Some(qDedupEmbeddingSql)),

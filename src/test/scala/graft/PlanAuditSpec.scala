@@ -56,9 +56,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // ranking input
     "q_naive_bayes", "q_sim_ndcg",
     // 1-row builds: basket total, revenue grand total (integer cents),
-    // merged KLL quantile estimates, funnel stage counts
+    // merged KLL quantile estimates, funnel stage counts, band-sweep
+    // per-layout candidate/verified counts
     "q_basket_rules", "q_abc_pareto", "q_kll_quantile_audit",
-    "q_funnel_windowed")
+    "q_funnel_windowed", "q_lsh_band_sweep")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>

@@ -344,6 +344,20 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(counts.last > 0, "a non-degenerate corpus survives the gates")
   }
 
+  test("lsh band sweep: more bands widen candidates, never shrink recall") {
+    val rows = ops.Dedup.qLshBandSweep(spark, sf).collect()
+      .map(r => r.getAs[String]("layout") ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_verified"))).toMap
+    assert(rows.keySet === Set("8x2", "4x4", "2x8"))
+    // banding theory: candidate volume grows with band count, and so
+    // does recall (verified pairs) — the S-curve trade the sweep measures
+    assert(rows("8x2")._1 >= rows("4x4")._1)
+    assert(rows("4x4")._1 >= rows("2x8")._1)
+    assert(rows("8x2")._2 >= rows("4x4")._2)
+    assert(rows("4x4")._2 >= rows("2x8")._2)
+    rows.values.foreach { case (c, v) => assert(v <= c) }
+  }
+
   test("kll audit: merged sketch quartiles pass their rank-error gate") {
     val r = ops.Relational.qKllQuantileAudit(spark, sf).collect()(0)
     assert(r.getAs[Long]("n") === ops.T.lineitem(spark, sf).count())
