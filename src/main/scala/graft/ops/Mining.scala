@@ -538,8 +538,71 @@ object Mining extends QueryFamily {
       |  round(sum(rev_c)::DOUBLE / max(tot_c), 4) AS rev_share
       |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** CUPED variance reduction for experiment readouts: each user's
+    * post-period purchase value is adjusted by their PRE-period
+    * activity (y' = y − θ(x − x̄), θ = cov(x,y)/var(x)), which removes
+    * the between-user variance the experiment didn't cause — the
+    * standard trick that shrinks confidence intervals without more
+    * traffic. Pre/post split at the integer midpoint of the event
+    * time range (a 1-row broadcast); per-user covariates are ONE hash
+    * aggregate over events; θ and the means are single-row aggregates
+    * broadcast back. Output: per-arm raw and adjusted means plus the
+    * realized variance-reduction ratio. */
+  def qCuped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = T.events(spark, dir)
+      .select($"user_id", $"event_type", $"value", unix_micros($"ts").as("us"))
+    val mid = e.agg(expr("(min(us) + max(us)) div 2").as("mid_us"))
+    val perUser = e.crossJoin(broadcast(mid))
+      .groupBy($"user_id")
+      .agg(
+        sum(when($"us" < $"mid_us", $"value").otherwise(0.0)).as("x"),
+        sum(when($"us" >= $"mid_us" && $"event_type" === "purchase", $"value")
+          .otherwise(0.0)).as("y"))
+      .withColumn("arm", ($"user_id" % 2).cast("int"))
+    val theta = perUser.agg(
+      (covar_pop($"x", $"y") / var_pop($"x")).as("theta"),
+      avg($"x").as("xbar"))
+    val adj = perUser.crossJoin(broadcast(theta))
+      .withColumn("y_adj", $"y" - $"theta" * ($"x" - $"xbar"))
+    val arms = adj.groupBy($"arm")
+      .agg(count(lit(1)).as("n"),
+        round(avg($"y"), 4).as("mean_y"),
+        round(avg($"y_adj"), 4).as("mean_y_adj"))
+    val vr = adj.agg(
+      round(lit(1.0) - var_pop($"y_adj") / var_pop($"y"), 4).as("var_reduction"))
+    arms.crossJoin(broadcast(vr)).orderBy($"arm")
+  }
+
+  val qCupedSql: String =
+    """WITH e AS (SELECT user_id, event_type, value,
+      |    epoch_ns(ts) // 1000 AS us FROM events),
+      |mid AS (SELECT ((min(us) + max(us)) // 2)::BIGINT AS mid_us FROM e),
+      |per_user AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN us < mid_us THEN value ELSE 0.0 END) AS x,
+      |    sum(CASE WHEN us >= mid_us AND event_type = 'purchase'
+      |        THEN value ELSE 0.0 END) AS y,
+      |    (user_id % 2)::INT AS arm
+      |  FROM e, mid GROUP BY user_id),
+      |theta AS (
+      |  SELECT covar_pop(x, y) / var_pop(x) AS theta, avg(x) AS xbar
+      |  FROM per_user),
+      |adj AS (
+      |  SELECT arm, y, y - theta * (x - xbar) AS y_adj
+      |  FROM per_user, theta),
+      |arms AS (
+      |  SELECT arm, count(*) AS n, round(avg(y), 4) AS mean_y,
+      |    round(avg(y_adj), 4) AS mean_y_adj
+      |  FROM adj GROUP BY arm),
+      |vr AS (SELECT round(1.0 - var_pop(y_adj) / var_pop(y), 4)
+      |  AS var_reduction FROM adj)
+      |SELECT arm, n, mean_y, mean_y_adj, var_reduction
+      |FROM arms, vr ORDER BY arm""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_ab_test", qAbTest, Some(qAbTestSql)),
+    QueryDef("q_cuped", qCuped, Some(qCupedSql)),
     QueryDef("q_basket_rules", qBasketRules, Some(qBasketRulesSql)),
     QueryDef("q_abc_pareto", qAbcPareto, Some(qAbcParetoSql)),
     QueryDef("q_basket_pairs", qBasketPairs, Some(qBasketPairsSql)),

@@ -59,7 +59,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // merged KLL quantile estimates, funnel stage counts, band-sweep
     // per-layout candidate/verified counts
     "q_basket_rules", "q_abc_pareto", "q_kll_quantile_audit",
-    "q_funnel_windowed", "q_lsh_band_sweep")
+    "q_funnel_windowed", "q_lsh_band_sweep",
+    // 1-row builds: period midpoint, theta/xbar, variance-reduction row
+    "q_cuped")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>

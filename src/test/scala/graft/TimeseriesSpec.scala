@@ -358,6 +358,19 @@ class TimeseriesSpec extends AnyFunSuite {
     rows.values.foreach { case (c, v) => assert(v <= c) }
   }
 
+  test("cuped: adjustment preserves the pooled mean and never adds variance") {
+    val rows = ops.Mining.qCuped(spark, sf).collect()
+    assert(rows.length === 2)
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(n === ops.T.events(spark, sf).select("user_id").distinct().count())
+    // theta-adjustment is mean-preserving over the pooled population
+    val pooledRaw = rows.map(r => r.getAs[Double]("mean_y") * r.getAs[Long]("n")).sum / n
+    val pooledAdj = rows.map(r => r.getAs[Double]("mean_y_adj") * r.getAs[Long]("n")).sum / n
+    assert(math.abs(pooledRaw - pooledAdj) < 0.01)
+    // OLS theta minimizes residual variance: reduction is >= 0
+    assert(rows.head.getAs[Double]("var_reduction") >= -0.0001)
+  }
+
   test("kll audit: merged sketch quartiles pass their rank-error gate") {
     val r = ops.Relational.qKllQuantileAudit(spark, sf).collect()(0)
     assert(r.getAs[Long]("n") === ops.T.lineitem(spark, sf).count())
