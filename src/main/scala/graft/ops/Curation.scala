@@ -273,14 +273,19 @@ object Curation extends QueryFamily {
   def qSeqPacking(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val wInBucket = Window.partitionBy($"bucket").orderBy($"doc_id")
-    val wBuckets = Window.partitionBy().orderBy($"bucket")
     val toks = T.documents(spark, dir)
       .select($"doc_id", size(split($"text", " ")).as("n_tokens"),
         ($"doc_id" / 100).cast("long").as("bucket"))
     val inBucket = toks.withColumn("cum_in_bucket",
       sum($"n_tokens").over(wInBucket))
-    val offsets = toks.groupBy($"bucket").agg(sum($"n_tokens").as("bucket_total"))
-      .withColumn("offset", sum($"bucket_total").over(wBuckets) - $"bucket_total")
+    // bucket count is SF-scaled (|docs|/100), so the bucket-offset
+    // prefix sum is itself distributed via Skew.globalCumSum — a
+    // three-level scan whose only partitionless window is the 32-row
+    // per-range-partition totals inside globalCumSum
+    val offsets = Skew.globalCumSum(
+        toks.groupBy($"bucket").agg(sum($"n_tokens").as("bucket_total")),
+        Seq(asc("bucket")), $"bucket_total", cumName = "cum_total")
+      .withColumn("offset", $"cum_total" - $"bucket_total")
       .select($"bucket", $"offset")
     inBucket.join(broadcast(offsets), Seq("bucket"))
       .withColumn("cum", $"offset" + $"cum_in_bucket")

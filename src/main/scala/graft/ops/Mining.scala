@@ -490,26 +490,26 @@ object Mining extends QueryFamily {
 
   /** ABC / Pareto classification: parts ranked by revenue, classified
     * A (top 80% of cumulative revenue), B (next 15%), C (tail). The
-    * running share needs a total order over parts — so the window runs
-    * over the per-part AGGREGATE (grain-reduced, |parts| rows), and the
-    * revenue total is a 1-row broadcast; the fact table contributes
-    * exactly one map-side-combined hash aggregate. Output is the class
-    * summary (n_parts, revenue share), not the 20k-row ranking. Money
-    * flows as integer CENTS (the q_decile_lift discipline): the
-    * cumulative sum and the 80/95 threshold comparisons are exact
-    * integer arithmetic, so no class boundary can flip on FP
-    * summation order. */
+    * running share needs a total order over parts; parts is an
+    * SF-scaled key (billions for a real catalog), so the cumulative
+    * sum is DISTRIBUTED via `Skew.globalCumSum` — range partition on
+    * (rev_c DESC, partkey), local running sums, broadcast prefix-sum
+    * offsets — never a partitionless window. The revenue total is a
+    * 1-row broadcast; the fact table contributes exactly one
+    * map-side-combined hash aggregate. Output is the class summary
+    * (n_parts, revenue share), not the 20k-row ranking. Money flows as
+    * integer CENTS (the q_decile_lift discipline): the cumulative sum
+    * and the 80/95 threshold comparisons are exact integer arithmetic,
+    * so no class boundary can flip on FP summation order. */
   def qAbcPareto(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val perPart = T.lineitem(spark, dir)
       .groupBy($"l_partkey")
       .agg(sum(round($"l_extendedprice" * 100).cast("long")).as("rev_c"))
     val total = perPart.agg(sum($"rev_c").as("tot_c"))
-    val w = Window.orderBy(desc("rev_c"), asc("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perPart
+    Skew.globalCumSum(perPart,
+        Seq(desc("rev_c"), asc("l_partkey")), $"rev_c", cumName = "cum_c")
       .crossJoin(broadcast(total))
-      .withColumn("cum_c", sum($"rev_c").over(w))
       // integer threshold tests: cum/tot <= 0.8  <=>  5*cum <= 4*tot
       .withColumn("abc",
         when($"cum_c" * 5 <= $"tot_c" * 4, "A")

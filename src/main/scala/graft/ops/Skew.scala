@@ -88,6 +88,34 @@ object Skew {
       .drop("__grp", "__lrn", "__off")
   }
 
+  /** Distributed global running sum — the scalable replacement for
+    * `sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`, which
+    * funnels the entire input through one task exactly like a
+    * partitionless row_number. Same three phases as
+    * [[globalRowNumber]]: range-repartition on the sort key, local
+    * running sum inside each range partition, then add the broadcast
+    * prefix sum of per-partition TOTALS (a |parts|-row relation).
+    * `order` must be a total order or tied rows' cumulative values
+    * become boundary-dependent. */
+  def globalCumSum(df: DataFrame, order: Seq[Column], value: Column,
+      parts: Int = 32, cumName: String = "cum"): DataFrame = {
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("__grp", spark_partition_id())
+      .withColumn("__v", value)
+    val wLocal = Window.partitionBy(col("__grp")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__lcum", sum(col("__v")).over(wLocal))
+    val totals = ranged.groupBy(col("__grp")).agg(sum(col("__v")).as("__t"))
+    val wOff = Window.orderBy(col("__grp"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__off", coalesce(sum(col("__t")).over(wOff), lit(0L)))
+      .select(col("__grp"), col("__off"))
+    local.join(broadcast(offsets), Seq("__grp"))
+      .withColumn(cumName, col("__off") + col("__lcum"))
+      .drop("__grp", "__v", "__lcum", "__off")
+  }
+
   /** Top-n heaviest join keys with their frequencies — the diagnostic
     * used to decide which keys need salting / AQE skew hints. */
   def keyHistogram(df: DataFrame, key: Column, topN: Int = 20): DataFrame =

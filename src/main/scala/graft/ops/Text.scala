@@ -454,17 +454,20 @@ object Text extends QueryFamily {
 
   /** Zipf's-law fit over the corpus vocabulary: regress log(freq) on
     * log(rank) with the built-in `regr_slope`/`regr_r2` aggregates.
-    * The global ranking window runs over the VOCABULARY (already
-    * aggregated, orders of magnitude smaller than the corpus), so the
-    * single-partition window is bounded by distinct-token count, not
-    * data size. */
+    * The ranking runs over the VOCABULARY (already aggregated), but at
+    * web scale distinct tokens reach 1e8-1e9, so a partitionless
+    * `row_number()` window would still funnel the whole vocab through
+    * one task. `Skew.globalRowNumber` distributes it: range-partition
+    * on (freq DESC, t) — a total order, t is unique — rank locally,
+    * add broadcast prefix-sum offsets. Same ranks, same oracle. */
   def qZipfFit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val vocab = T.documents(spark, dir)
       .select(explode(split($"text", " ")).as("t"))
       .groupBy($"t").agg(count(lit(1)).cast("double").as("freq"))
-    val w = Window.orderBy(desc("freq"), asc("t"))
-    vocab.withColumn("rank", row_number().over(w).cast("double"))
+    Skew.globalRowNumber(vocab, Seq(desc("freq"), asc("t")),
+        rankName = "irank")
+      .withColumn("rank", $"irank".cast("double"))
       .agg(
         count(lit(1)).as("n_vocab"),
         round(expr("regr_slope(ln(freq), ln(rank))"), 4).as("zipf_slope"),
