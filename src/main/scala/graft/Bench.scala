@@ -60,6 +60,12 @@ object Bench {
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
           errors(name) = msg.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
       }
+      // drop this query's construction-time caches before the next one:
+      // per-query reuse caches are dead weight across a ~200-query
+      // session and would accumulate executor storage. Between-runs
+      // warmth of the SAME query is preserved (clear happens after its
+      // min-of-N completes).
+      finally spark.catalog.clearCache()
     }
     def jmap(m: collection.Map[String, String]): String =
       m.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")

@@ -164,7 +164,11 @@ case class EditWithin1(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = BooleanType
-  override def nullable: Boolean = false
+  // inherit null-intolerant nullability (nullable iff an input is):
+  // BinaryExpression's default eval returns null on null input, so
+  // declaring nullable=false here would lie to the optimizer and risk
+  // NPE/wrong filters under codegen when a NULL reaches the SQL
+  // function registration
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[UTF8String].getBytes

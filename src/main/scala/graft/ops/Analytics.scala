@@ -171,34 +171,52 @@ object Analytics extends QueryFamily {
 
   /** Point-in-time (temporal validity) join: every lineitem resolves
     * the customer's priority version that was valid AT ITS SHIP DATE
-    * against the [[qScd2]] interval dimension — the lakehouse question
+    * against the [[qScd2]]-style change log — the lakehouse question
     * "what did the dimension say when the fact happened", answered
-    * without materializing a day-grain snapshot table. The join is
-    * equi-keyed on the customer with the interval containment as a
-    * residual, so candidates are bounded by versions-per-customer
-    * (not days), and ISO-formatted dates compare lexicographically so
-    * the residual stays a plain string comparison on both engines.
-    * Each key's FIRST version opens at -infinity ('0000-01-01') — the
-    * standard SCD2 clamp, so facts predating recorded history (the
-    * fixture ships 47% of items before their order date) still
-    * resolve and the intervals PARTITION the timeline: every fact
-    * matches exactly one version, spec-asserted. */
+    * without materializing a day-grain snapshot table. ISO-formatted
+    * dates compare lexicographically so the ordering stays a plain
+    * string comparison on both engines. Each key's FIRST version opens
+    * at -infinity ('0000-01-01') — the standard SCD2 clamp, so facts
+    * predating recorded history (the fixture ships 47% of items before
+    * their order date) still resolve and every fact matches exactly
+    * one version, spec-asserted. The oracle keeps the equivalent
+    * interval-containment formulation (valid_from <= ship < valid_to),
+    * with the same o_orderkey tiebreak in its version ordering. */
   def qTemporalJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val firstW = Window.partitionBy($"o_custkey").orderBy($"valid_from")
-    val dim = qScd2(spark, dir)
-      .withColumn("vn", row_number().over(firstW))
-      .select($"o_custkey".as("d_custkey"), $"o_orderpriority".as("prio_at_ship"),
-        when($"vn" === 1, lit("0000-01-01")).otherwise($"valid_from").as("valid_from"),
-        $"valid_to")
-    val fact = T.lineitem(spark, dir)
+    // As-of UNION+WINDOW encoding (the q_attribution pattern), not an
+    // interval-residual join: at high versions-per-customer the
+    // residual join fans each fact out over all same-key versions
+    // before filtering; here dim change-events and fact events merge
+    // into ONE custkey-partitioned window and each fact reads the last
+    // version at-or-before its ship date — one shuffle on custkey,
+    // zero fan-out. Ordering is (date, kind, o_orderkey): dim events
+    // sort before same-day facts (valid_from is inclusive), and the
+    // o_orderkey tiebreak makes same-day version order deterministic
+    // on both engines.
+    val wLog = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val dimEvents = T.orders(spark, dir)
+      .select($"o_custkey", $"o_orderpriority", $"o_orderdate", $"o_orderkey")
+      .withColumn("prev", lag($"o_orderpriority", 1).over(wLog))
+      .filter($"prev".isNull || $"prev" =!= $"o_orderpriority")
+      .withColumn("vn", row_number().over(wLog))
+      .select($"o_custkey",
+        // first version opens at -infinity: the standard SCD2 clamp
+        when($"vn" === 1, lit("0000-01-01"))
+          .otherwise(date_format($"o_orderdate", "yyyy-MM-dd")).as("at"),
+        lit(0).as("kind"), $"o_orderkey".as("seq"),
+        $"o_orderpriority".as("prio"), lit(null).cast("double").as("l_extendedprice"))
+    val factEvents = T.lineitem(spark, dir)
       .join(T.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
       .select($"o_custkey",
-        date_format($"l_shipdate", "yyyy-MM-dd").as("ship"),
-        $"l_extendedprice")
-    fact.join(dim,
-        $"o_custkey" === $"d_custkey" && $"ship" >= $"valid_from" &&
-          ($"valid_to".isNull || $"ship" < $"valid_to"))
+        date_format($"l_shipdate", "yyyy-MM-dd").as("at"),
+        lit(1).as("kind"), $"l_orderkey".as("seq"),
+        lit(null).cast("string").as("prio"), $"l_extendedprice")
+    val wAsof = Window.partitionBy($"o_custkey").orderBy($"at", $"kind", $"seq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dimEvents.unionByName(factEvents)
+      .withColumn("prio_at_ship", last($"prio", ignoreNulls = true).over(wAsof))
+      .filter($"kind" === 1)
       .groupBy($"prio_at_ship")
       .agg(count(lit(1)).as("n_items"),
         round(sum($"l_extendedprice"), 2).as("revenue"))
@@ -212,14 +230,14 @@ object Analytics extends QueryFamily {
       |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
       |  FROM orders),
       |vers AS (
-      |  SELECT o_custkey, o_orderpriority, o_orderdate,
+      |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
       |    lead(o_orderdate, 1) OVER
       |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_from
       |  FROM chg WHERE prev IS NULL OR prev <> o_orderpriority),
       |dim AS (
       |  SELECT o_custkey AS d_custkey, o_orderpriority AS prio_at_ship,
       |    CASE WHEN row_number() OVER (PARTITION BY o_custkey
-      |           ORDER BY o_orderdate) = 1
+      |           ORDER BY o_orderdate, o_orderkey) = 1
       |      THEN '0000-01-01' ELSE strftime(o_orderdate, '%Y-%m-%d') END
       |      AS valid_from,
       |    strftime(next_from, '%Y-%m-%d') AS valid_to

@@ -245,16 +245,27 @@ object Mining extends QueryFamily {
       .select(explode(split($"text", " ")).as("token"))
       .select(spark_partition_id().as("pid"), $"token")
     val partials = tok.groupBy($"pid", $"token").agg(count(lit(1)).as("cnt"))
+      .cache() // reused 3x below; harness clears between queries
     // corpus totals roll up from the partials — the token stream is
     // scanned exactly once
     val totals = partials.agg(
       sum($"cnt").as("n_tok"),
       countDistinct($"pid").as("n_parts"))
-    val candidates = partials.groupBy($"token")
-      .agg(max($"cnt").as("mx"), sum($"cnt").as("cnt"))
+    // pigeonhole BEFORE any token-key shuffle: a token with global
+    // count >= T must have local count >= T/P in some partition, so
+    // scanning partials against the broadcast threshold yields a
+    // strict superset of the heavy hitters — a tiny relation
+    val candidates = partials
       .crossJoin(broadcast(totals))
-      .filter($"mx" * $"n_parts" >= $"n_tok" * 0.002)
-    candidates
+      .filter($"cnt" * $"n_parts" >= $"n_tok" * 0.002)
+      .select($"token").distinct()
+    // only partials of candidate tokens re-aggregate for the exact
+    // total (broadcast semi filter — the long tail never shuffles on
+    // the token key); the final HAVING is exact
+    partials
+      .join(broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy($"token").agg(sum($"cnt").as("cnt"))
+      .crossJoin(broadcast(totals))
       .filter($"cnt" >= $"n_tok" * 0.002)
       .select($"token", $"cnt")
       .orderBy(desc("cnt"), asc("token"))

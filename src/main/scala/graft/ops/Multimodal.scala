@@ -193,7 +193,8 @@ object Multimodal extends QueryFamily {
   private def resizeStub(payload: Array[Byte], tw: Int, th: Int): Array[Byte] = {
     val (w, h, _) = decodeStub(payload)
     val out = new Array[Byte](tw * th)
-    val n = math.max(1, payload.length)
+    if (payload.isEmpty) return out // zero-filled thumb for empty blobs
+    val n = payload.length
     var y = 0
     while (y < th) {
       var x = 0
@@ -217,7 +218,10 @@ object Multimodal extends QueryFamily {
         val reader = readers.next()
         try {
           reader.setInput(iis)
-          val img = reader.read(0)
+          // a truncated/corrupt image must fall back to the stub path,
+          // not fail the task
+          val img = try reader.read(0) catch { case _: Exception => null }
+          if (img == null) return None
           val (w, h) = (img.getWidth, img.getHeight)
           val out = new Array[Byte](tw * th)
           var y = 0

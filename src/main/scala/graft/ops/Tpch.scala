@@ -66,6 +66,54 @@ object Tpch extends QueryFamily {
       |  AND unit_cost = (SELECT min(c2.unit_cost) FROM cost c2 WHERE c2.pk = p_partkey)
       |ORDER BY p_partkey, s_name LIMIT 100""".stripMargin
 
+  /** TPC-H Q4 shape: order-priority checking — orders in a 3-month
+    * window having at least one "late" lineitem, counted per priority.
+    * The fixture has no commitdate/receiptdate, so lateness is
+    * `l_shipdate > o_orderdate + 60 days` (same plan shape: the
+    * EXISTS becomes a left-semi join on the orderkey equi-key with a
+    * cross-side residual — one shuffle on the fact key, no pair
+    * materialization, exactly the q21 discipline). */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = T.orders(spark, dir)
+      .filter($"o_orderdate" >= "1997-07-01" && $"o_orderdate" < "1997-10-01")
+    val l = T.lineitem(spark, dir).select($"l_orderkey", $"l_shipdate")
+    o.join(l, $"l_orderkey" === $"o_orderkey" &&
+        $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"), "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q4OrderPrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= '1997-07-01' AND o_orderdate < '1997-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q6 shape: forecasting revenue change — one tight
+    * filter+aggregate over the fact table, zero joins. The whole query
+    * is a single map-side-combined scan whose predicates (shipdate
+    * year, discount band, quantity cap) all push down to the parquet
+    * reader; at 100 TB this is the query partition pruning and
+    * row-group min/max stats exist for. */
+  def q6RevenueChange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.lineitem(spark, dir)
+      .filter($"l_shipdate" >= "1997-01-01" && $"l_shipdate" < "1998-01-01" &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+      .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"))
+  }
+
+  val q6RevenueChangeSql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
   /** TPC-H Q7 shape: bilateral trade volume between a nation pair, by
     * supplier nation x customer nation x ship year. `nation` plays two
     * roles, so it is aliased (renamed columns) and broadcast twice. */
@@ -524,6 +572,8 @@ object Tpch extends QueryFamily {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q2_min_cost", q2MinCost, Some(q2MinCostSql)),
+    QueryDef("q4_order_priority", q4OrderPriority, Some(q4OrderPrioritySql)),
+    QueryDef("q6_revenue_change", q6RevenueChange, Some(q6RevenueChangeSql)),
     QueryDef("q7_volume_shipping", q7VolumeShipping, Some(q7VolumeShippingSql)),
     QueryDef("q9_product_profit", q9ProductProfit, Some(q9ProductProfitSql)),
     QueryDef("q10_returned_items", q10ReturnedItems, Some(q10ReturnedItemsSql)),
