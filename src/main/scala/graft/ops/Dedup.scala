@@ -41,6 +41,37 @@ object Dedup extends QueryFamily {
       .distinct()
   }
 
+  /** Signature width: 16 minhash components per doc (16 longs shuffled
+    * per doc, not the shingle set — the scale contract). */
+  private[graft] val SigComponents = 16
+
+  /** Production LSH banding: 4 bands × 4 rows. DERIVED FROM the
+    * measured S-curve in [[qLshBandSweep]], not the textbook curve:
+    * at both sf0.001 and sf0.01 the 4×4 layout finds the maximal
+    * verified yield at the 0.8 Jaccard threshold (2×8 is more precise
+    * but MISSES true pairs — 27/28 at sf0.001; 8×2 finds no more true
+    * pairs yet shuffles ~2× the candidates at less than half the
+    * precision). 4×4 = max recall at minimum candidate volume; the
+    * LshBandingSpec pins this dominance against the sweep on every
+    * build, so a corpus shift that changes the trade-off fails loudly
+    * instead of silently over- or under-shuffling. */
+  private[graft] val ProductionBands = 4
+
+  /** Explode a signature relation (doc_id, sig ARRAY<BIGINT>) into
+    * (doc_id, b, bandsig) band-bucket keys for an `nBands`-way layout.
+    * Shared by the production pipeline ([[minhashPairs]], which passes
+    * [[ProductionBands]]) and the measurement sweep ([[qLshBandSweep]]),
+    * so the sweep measures exactly the expression the production path
+    * runs. All codegen'd array ops; no row blowup beyond |docs|×nBands. */
+  private def bandExplode(sigs: DataFrame, nBands: Int): DataFrame = {
+    val rows = SigComponents / nBands
+    sigs.select(col("doc_id"), posexplode(expr(
+      s"""transform(sequence(0, ${nBands - 1}),
+         |  b -> md5(cast(concat_ws('|', transform(slice(sig, b * $rows + 1, $rows),
+         |                                         x -> cast(x AS string))) AS binary)))""".stripMargin))
+      .as(Seq("b", "bandsig")))
+  }
+
   /** Exact dedup: group by full-content hash, keep the smallest doc_id. */
   def qDedupExact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -84,12 +115,8 @@ object Dedup extends QueryFamily {
     // carries one 16-long buffer per doc per partition, not 16 rows per
     // shingle (graft.functions.Aggregators.MinHashSig)
     val sigs = hashed.groupBy($"doc_id")
-      .agg(graft.functions.Aggregators.minhashSig(16)($"h").as("sig"))
-    val bands = sigs.select($"doc_id", posexplode(expr(
-      """transform(sequence(0, 3),
-        |  b -> md5(cast(concat_ws('|', transform(slice(sig, b * 4 + 1, 4),
-        |                                         x -> cast(x AS string))) AS binary)))""".stripMargin))
-      .as(Seq("b", "bandsig")))
+      .agg(graft.functions.Aggregators.minhashSig(SigComponents)($"h").as("sig"))
+    val bands = bandExplode(sigs, ProductionBands)
     val (bandsA, bandsB) = boundary match {
       case Some(cut) => (bands.filter($"doc_id" < cut), bands.filter($"doc_id" >= cut))
       case None => (bands, bands)
@@ -164,7 +191,7 @@ object Dedup extends QueryFamily {
     val sigs = shingleRows(spark, dir, 3)
       .withColumn("h", expr("cast(conv(substring(md5(sh), 1, 12), 16, 10) AS bigint)") % p)
       .groupBy($"doc_id")
-      .agg(graft.functions.Aggregators.minhashSig(16)($"h").as("sig"))
+      .agg(graft.functions.Aggregators.minhashSig(SigComponents)($"h").as("sig"))
     val est = minhashPairs(spark, dir)
       .join(sigs.select($"doc_id".as("a_id"), $"sig".as("sa")), Seq("a_id"))
       .join(sigs.select($"doc_id".as("b_id"), $"sig".as("sb")), Seq("b_id"))
@@ -205,16 +232,12 @@ object Dedup extends QueryFamily {
     val sigs = shx
       .withColumn("h", expr("cast(conv(substring(md5(sh), 1, 12), 16, 10) AS bigint)") % p)
       .groupBy($"doc_id")
-      .agg(graft.functions.Aggregators.minhashSig(16)($"h").as("sig"))
+      .agg(graft.functions.Aggregators.minhashSig(SigComponents)($"h").as("sig"))
       .cache()
     val sizes = shx.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     def layout(nBands: Int): DataFrame = {
-      val rows = 16 / nBands
-      val bands = sigs.select($"doc_id", posexplode(expr(
-        s"""transform(sequence(0, ${nBands - 1}),
-           |  b -> md5(cast(concat_ws('|', transform(slice(sig, b * $rows + 1, $rows),
-           |                                         x -> cast(x AS string))) AS binary)))""".stripMargin))
-        .as(Seq("b", "bandsig")))
+      val rows = SigComponents / nBands
+      val bands = bandExplode(sigs, nBands)
       val cand = bands.select($"doc_id".as("a_id"), $"b", $"bandsig")
         .join(bands.select($"doc_id".as("b_id"), $"b", $"bandsig"), Seq("b", "bandsig"))
         .filter($"a_id" < $"b_id")
@@ -497,7 +520,7 @@ object Dedup extends QueryFamily {
     shingleRows(spark, dir, 3)
       .withColumn("h", expr("cast(conv(substring(md5(sh), 1, 12), 16, 10) AS bigint)") % p)
       .groupBy($"doc_id")
-      .agg(graft.functions.Aggregators.minhashSig(16)($"h").as("sig_arr"))
+      .agg(graft.functions.Aggregators.minhashSig(SigComponents)($"h").as("sig_arr"))
       .select($"doc_id",
         expr("array_join(transform(sig_arr, x -> cast(x AS string)), ',')").as("sig"))
       .orderBy($"doc_id")
