@@ -443,7 +443,60 @@ object ExportOps extends QueryFamily {
       |  max(prio || '/' || mon) AS last_part
       |FROM planned GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The z-order-clustered lineitem layout itself: 4 scan columns,
+    * Morton-sorted on (l_partkey, l_orderkey) into 8 range-disjoint
+    * files via the production sink path ([[graft.engine.ParquetSink
+    * .writeZOrdered]]). Written to a temp dir per call, like
+    * [[prunedScan]]'s partitioned layout. */
+  def zorderedLayout(spark: SparkSession, dir: String): String = {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    import graft.engine.{ExportConfig, ParquetSink}
+    val out = Files.createTempDirectory("graft-zorder").toString
+    val sink = new ParquetSink(ExportConfig(outputDirectory = out, overwrite = true))
+    sink.prepareRoot()
+    val li = T.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_returnflag"))
+    sink.writeZOrdered(li, "z", "lineitem", ("l_partkey", "l_orderkey"), 8).outputDir
+  }
+
+  /** Two-column range-predicate scan over the z-ordered layout — the
+    * read side that justifies the Morton write: both predicates reach
+    * the parquet scan as pushed filters, and because the layout is
+    * range-clustered in BOTH dimensions, file/row-group min-max
+    * footers outside the predicate box are skipped. Exposed (like
+    * [[prunedScan]]) so ZOrderSpec can plan-assert the pushdown and
+    * measure footer-overlap vs a round-robin layout of the same file
+    * count. */
+  def zorderScan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(zorderedLayout(spark, dir))
+      .filter(col("l_partkey").between(100, 300) &&
+        col("l_orderkey").between(1000, 20000))
+  }
+
+  /** Aggregate over [[zorderScan]]; the oracle runs the same predicate
+    * on the raw table, so equality proves the clustered layout is
+    * lossless under predicate scans (the complement of ZOrderSpec's
+    * whole-table checksum). */
+  def qZorderScan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    zorderScan(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qZorderScanSql: String =
+    """SELECT l_returnflag, count(*) AS n_items,
+      | round(sum(l_quantity), 2) AS qty
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 100 AND 300 AND l_orderkey BETWEEN 1000 AND 20000
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_zorder_scan", qZorderScan, Some(qZorderScanSql)),
     QueryDef("q_compaction_plan", qCompactionPlan, Some(qCompactionPlanSql)),
     QueryDef("q_incremental_agg", qIncrementalAgg, Some(qIncrementalAggSql)),
     QueryDef("q_benford", qBenford, Some(qBenfordSql)),

@@ -141,7 +141,48 @@ object Safety extends QueryFamily {
        | round(avg(CASE WHEN p + i > 0 THEN 1.0 ELSE 0.0 END), 4) AS exposed_frac
        |FROM x GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** k-anonymity audit over the documents corpus: treat (lang, source,
+    * length decade) as the quasi-identifier tuple and report, per
+    * equivalence-class size band, how many classes and documents sit
+    * there — plus the re-identification-risk classes (size < k=5)
+    * surfaced by the smallest band. This is the release-safety
+    * companion to the PII scrub: masking direct identifiers does
+    * nothing if a metadata combination is unique enough to single a
+    * document out. ONE hash aggregate on the quasi-identifier key then
+    * a k²-bounded re-aggregation on the size band — no window, no
+    * skew; at 100 TB the class table is |lang|×|source|×|buckets|,
+    * thousands of rows. */
+  def qKAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val classes = T.documents(spark, dir)
+      .groupBy(col("lang"), col("source"),
+        floor(col("n_chars") / 100).cast("long").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    classes
+      .groupBy(
+        when(col("n_docs") < 5, lit("1:at_risk(<5)"))
+          .when(col("n_docs") < 50, lit("2:small(5-49)"))
+          .otherwise(lit("3:anonymous(50+)")).as("band"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("n_docs")).as("n_docs"),
+        min(col("n_docs")).as("min_class"),
+        max(col("n_docs")).as("max_class"))
+      .orderBy(col("band"))
+  }
+
+  val qKAnonymitySql: String =
+    """WITH classes AS (
+      |  SELECT lang, source, (n_chars // 100)::BIGINT AS len_bucket,
+      |    count(*) AS n_docs
+      |  FROM documents GROUP BY 1, 2, 3)
+      |SELECT CASE WHEN n_docs < 5 THEN '1:at_risk(<5)'
+      |            WHEN n_docs < 50 THEN '2:small(5-49)'
+      |            ELSE '3:anonymous(50+)' END AS band,
+      |  count(*) AS n_classes, sum(n_docs)::BIGINT AS n_docs,
+      |  min(n_docs) AS min_class, max(n_docs) AS max_class
+      |FROM classes GROUP BY 1 ORDER BY band""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_pii_scrub", qPiiScrub, Some(qPiiScrubSql)),
-    QueryDef("q_pii_stats", qPiiStats, Some(qPiiStatsSql)))
+    QueryDef("q_pii_stats", qPiiStats, Some(qPiiStatsSql)),
+    QueryDef("q_k_anonymity", qKAnonymity, Some(qKAnonymitySql)))
 }

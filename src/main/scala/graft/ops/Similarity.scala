@@ -464,6 +464,86 @@ object Similarity extends QueryFamily {
       |FROM ex JOIN a USING (vec_id)
       |WHERE rn = 1 GROUP BY 1, 2 ORDER BY cluster, dim""".stripMargin
 
+  /** Three full Lloyd iterations of k-means (seeded, like
+    * [[qKmeansUpdate]], from the per-label means), emitting the final
+    * centroids + member counts. The per-iteration shape is the
+    * canonical distributed one — centroids are a k×d broadcast,
+    * assignment is a map-side join + per-vector argmin, the update is
+    * ONE hash aggregate keyed on (cluster, dim) with map-side combine
+    * — and the ITERATION discipline is the PageRank one
+    * ([[Graph.qPagerank]]): each round's k×d centroid relation is
+    * `localCheckpoint`ed so lineage stays one iteration deep instead
+    * of compounding three join+window+aggregate plans into one tree.
+    * The exploded (vec_id, dim, vx) fact stream is checkpointed once
+    * and re-read by all three passes — at 100 TB this is the cached
+    * training-set projection every iterative ML loop holds anyway.
+    * Intermediate centroids are rounded to 6dp on BOTH engines so the
+    * argmin never sees cross-engine 1-ulp summation noise compounded
+    * across rounds (final coords round to 4dp like qKmeansUpdate). */
+  def qKmeansIterated(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dims = T.embeddings(spark, dir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("i", "vx")))
+      .select($"vec_id", ($"i" + 1).cast("long").as("dim"), $"vx".cast("double").as("vx"))
+      .localCheckpoint()
+    var cent = T.embeddings(spark, dir)
+      .select($"label".as("cluster"), posexplode($"embedding").as(Seq("i", "x")))
+      .groupBy($"cluster", ($"i" + 1).cast("long").as("dim"))
+      .agg(round(avg($"x".cast("double")), 6).as("c"))
+      .localCheckpoint()
+    def assign(c: DataFrame): DataFrame = {
+      val d2 = dims.join(broadcast(c), Seq("dim"))
+        .groupBy($"vec_id", $"cluster")
+        .agg(sum(($"vx" - $"c") * ($"vx" - $"c")).as("d2"))
+      val w = Window.partitionBy($"vec_id").orderBy(asc("d2"), asc("cluster"))
+      d2.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"vec_id", $"cluster")
+    }
+    for (_ <- 1 until 3)
+      cent = dims.join(assign(cent), Seq("vec_id"))
+        .groupBy($"cluster", $"dim").agg(round(avg($"vx"), 6).as("c"))
+        .localCheckpoint()
+    dims.join(assign(cent), Seq("vec_id"))
+      .groupBy($"cluster", $"dim")
+      .agg((round(avg($"vx"), 4) + 0.0).as("coord"), count(lit(1)).as("n_members"))
+      .orderBy($"cluster", $"dim")
+  }
+
+  val qKmeansIteratedSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+      |ex AS (SELECT vec_id, unnest(embedding) AS vx,
+      |  unnest(range(1, len(embedding) + 1)) AS i FROM e),
+      |cx AS (SELECT label AS cluster, unnest(embedding) AS x,
+      |  unnest(range(1, len(embedding) + 1)) AS i FROM e),
+      |c0 AS (SELECT cluster, i, round(avg(x::DOUBLE), 6) AS c
+      |  FROM cx GROUP BY 1, 2),
+      |dd1 AS (SELECT vec_id, cluster,
+      |    sum((vx::DOUBLE - c) * (vx::DOUBLE - c)) AS d2
+      |  FROM ex JOIN c0 USING (i) GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+      |  FROM dd1) WHERE rn = 1),
+      |c1 AS (SELECT cluster, i, round(avg(vx::DOUBLE), 6) AS c
+      |  FROM ex JOIN a1 USING (vec_id) GROUP BY 1, 2),
+      |dd2 AS (SELECT vec_id, cluster,
+      |    sum((vx::DOUBLE - c) * (vx::DOUBLE - c)) AS d2
+      |  FROM ex JOIN c1 USING (i) GROUP BY 1, 2),
+      |a2 AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+      |  FROM dd2) WHERE rn = 1),
+      |c2 AS (SELECT cluster, i, round(avg(vx::DOUBLE), 6) AS c
+      |  FROM ex JOIN a2 USING (vec_id) GROUP BY 1, 2),
+      |dd3 AS (SELECT vec_id, cluster,
+      |    sum((vx::DOUBLE - c) * (vx::DOUBLE - c)) AS d2
+      |  FROM ex JOIN c2 USING (i) GROUP BY 1, 2),
+      |a3 AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+      |  FROM dd3) WHERE rn = 1)
+      |SELECT cluster, i AS dim, round(avg(vx::DOUBLE), 4) + 0.0 AS coord,
+      |  count(*) AS n_members
+      |FROM ex JOIN a3 USING (vec_id)
+      |GROUP BY 1, 2 ORDER BY cluster, dim""".stripMargin
+
   /** NDCG@3 of the single-bucket sign-LSH ranking against the exact
     * top-5 (graded relevance 6−exact_rank) — the position-sensitive
     * companion to the recall audits: recall says WHETHER the true
@@ -725,6 +805,7 @@ object Similarity extends QueryFamily {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_array_funcs", qArrayFuncs, Some(qArrayFuncsSql)),
     QueryDef("q_kmeans_update", qKmeansUpdate, Some(qKmeansUpdateSql)),
+    QueryDef("q_kmeans_iterated", qKmeansIterated, Some(qKmeansIteratedSql)),
     QueryDef("q_sim_ndcg", qSimNdcg, Some(qSimNdcgSql)),
     QueryDef("q_sim_pq", qSimPq, Some(qSimPqSql)),
     QueryDef("q_sim_pq_recall", qSimPqRecall, Some(qSimPqRecallSql)),

@@ -553,7 +553,76 @@ object Text extends QueryFamily {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Two merge steps of BPE tokenizer TRAINING — the inner loop that
+    * builds a subword vocabulary, run on DataFrames. Each step counts
+    * adjacent-symbol pairs over the word-frequency table (weighted by
+    * word count), picks the most frequent pair (ties → lexicographic,
+    * so both engines agree), and applies the merge to every word's
+    * symbol sequence. The distributed shape: the working set is the
+    * DISTINCT-WORD table (vocabulary-sized — at 100 TB of text ~10⁷
+    * rows, never the corpus), `localCheckpoint`ed once; each round is
+    * ONE hash aggregate over (pair → weighted count) plus a 1-row
+    * argmax to the driver — exactly the merge-table broadcast a real
+    * BPE trainer does per rule. Symbol sequences are space-joined
+    * strings and the merge is a literal `replace` of " a b " with
+    * " ab " — leftmost non-overlapping in both engines, i.e. the BPE
+    * greedy application order. */
+  def qBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wc = T.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .withColumn("seq", concat(lit(" "), regexp_replace($"w", "(.)", "$1 ")))
+      .select($"cnt", $"seq")
+      .localCheckpoint()
+    def topPair(seqs: DataFrame): (String, String, Long) = {
+      val r = seqs.select($"cnt", split(trim($"seq"), " ").as("s"))
+        .filter(size($"s") >= 2)
+        .select($"cnt", explode(expr(
+          "transform(sequence(1, size(s) - 1), i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))")).as("p"))
+        .groupBy($"p.a", $"p.b").agg(sum($"cnt").as("c"))
+        .orderBy(desc("c"), asc("a"), asc("b"))
+        .head()
+      (r.getString(0), r.getString(1), r.getLong(2))
+    }
+    val (a1, b1, c1) = topPair(wc)
+    val merged1 = wc.withColumn("seq",
+      expr(s"replace(seq, ' $a1 $b1 ', ' $a1$b1 ')"))
+    val (a2, b2, c2) = topPair(merged1)
+    Seq((1, a1, b1, a1 + b1, c1), (2, a2, b2, a2 + b2, c2))
+      .toDF("step", "lft", "rgt", "merged", "wcount")
+  }
+
+  val qBpeMergesSql: String =
+    """WITH wc AS (SELECT w, count(*) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) > 0 GROUP BY w),
+      |s0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS seq, cnt
+      |  FROM wc),
+      |p1 AS (SELECT s[i] AS a, s[i + 1] AS b, sum(cnt) AS c
+      |  FROM (SELECT cnt, s, unnest(range(1, len(s))) AS i
+      |        FROM (SELECT cnt, string_split(trim(seq), ' ') AS s FROM s0)
+      |        WHERE len(s) >= 2)
+      |  GROUP BY 1, 2),
+      |t1 AS (SELECT a, b, c FROM p1 ORDER BY c DESC, a, b LIMIT 1),
+      |s1 AS (SELECT replace(seq, ' ' || t1.a || ' ' || t1.b || ' ',
+      |                      ' ' || t1.a || t1.b || ' ') AS seq, cnt
+      |  FROM s0, t1),
+      |p2 AS (SELECT s[i] AS a, s[i + 1] AS b, sum(cnt) AS c
+      |  FROM (SELECT cnt, s, unnest(range(1, len(s))) AS i
+      |        FROM (SELECT cnt, string_split(trim(seq), ' ') AS s FROM s1)
+      |        WHERE len(s) >= 2)
+      |  GROUP BY 1, 2),
+      |t2 AS (SELECT a, b, c FROM p2 ORDER BY c DESC, a, b LIMIT 1)
+      |SELECT 1 AS step, a AS lft, b AS rgt, a || b AS merged,
+      |  c::BIGINT AS wcount FROM t1
+      |UNION ALL
+      |SELECT 2, a, b, a || b, c::BIGINT FROM t2
+      |ORDER BY step""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_bpe_merges", qBpeMerges, Some(qBpeMergesSql)),
     QueryDef("q_token_bpe", qTokenBpe, Some(qTokenBpeSql)),
     QueryDef("q_source_divergence", qSourceDivergence, Some(qSourceDivergenceSql)),
     QueryDef("q_bm25", qBm25, Some(qBm25Sql)),

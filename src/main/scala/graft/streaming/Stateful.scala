@@ -69,33 +69,36 @@ object Stateful {
       }
   }
 
-  /** Idempotent foreachBatch sink: merges each micro-batch's keyed
-    * rows into a store, recording the batch id per key. Spark's
-    * foreachBatch contract is AT-LEAST-ONCE — after a failure the same
-    * (batchId, data) pair replays — so the sink must make re-applying
-    * a batch a no-op: a key ignores writes whose batchId is <= the one
-    * already applied. With update-mode aggregates (absolute values,
-    * not deltas), replay then converges to exactly-once table state —
-    * the standard recipe for a transactional upsert target. The
-    * in-memory TrieMap stands in for the external table; a real
-    * deployment swaps `merge` for a MERGE INTO. */
-  final class IdempotentUpsertStore extends Serializable {
-    private val rows =
-      scala.collection.concurrent.TrieMap.empty[Long, (Long, Double)]
-    def merge(batchId: Long, batch: Iterable[(Long, Double)]): Unit =
-      batch.foreach { case (k, v) =>
-        rows.updateWith(k) {
-          case Some((bid, old)) if bid >= batchId => Some((bid, old))
-          case _ => Some((batchId, v))
-        }
-      }
-    def snapshot: Map[Long, Double] =
-      rows.readOnlySnapshot().map { case (k, (_, v)) => k -> v }.toMap
+  /** Idempotent foreachBatch sink backed by a parquet table: each
+    * micro-batch lands via `batch.write` into `root/b=<batchId>` with
+    * Overwrite mode — the batchId IS the transaction guard. Spark's
+    * foreachBatch contract is AT-LEAST-ONCE (after a failure the same
+    * (batchId, data) pair replays), and an overwrite of a batch's own
+    * directory with identical data is a no-op, so replay converges to
+    * exactly-once table state without a single row crossing the
+    * driver. `snapshot` reads the table back through partition
+    * discovery and resolves each key to its value at the HIGHEST
+    * applied batch id — update-mode aggregates carry absolute totals,
+    * so the newest write is the truth (`max_by`, one hash aggregate
+    * over the table). A lakehouse deployment swaps the
+    * directory-per-batch layout for `MERGE INTO` with the same
+    * batchId guard; the Spark mechanics (a distributed `batch.write`
+    * inside foreachBatch, zero driver materialization) are identical. */
+  final class BatchUpsertSink(root: String) extends Serializable {
+    def merge(batch: DataFrame, batchId: Long): Unit =
+      batch.write.mode("overwrite").parquet(s"$root/b=$batchId")
+    def snapshot(spark: SparkSession): DataFrame = {
+      import org.apache.spark.sql.functions._
+      spark.read.option("basePath", root).parquet(root)
+        .groupBy(col("user_id"))
+        .agg(max_by(col("total"), col("b")).as("total"))
+    }
   }
 
   /** Wire an update-mode per-user total aggregation into the
-    * idempotent store via foreachBatch. Returns the started query. */
-  def upsertTotals(events: DataFrame, store: IdempotentUpsertStore)
+    * idempotent parquet sink via foreachBatch. Returns the started
+    * query. */
+  def upsertTotals(events: DataFrame, sink: BatchUpsertSink)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions._
     events
@@ -104,9 +107,7 @@ object Stateful {
       .writeStream
       .outputMode("update")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val rows = batch.collect()
-          .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("total"))
-        store.merge(batchId, rows.toSeq)
+        sink.merge(batch.toDF(), batchId)
       }
       .start()
   }

@@ -182,24 +182,29 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[UserRow]
-    val store = new graft.streaming.Stateful.IdempotentUpsertStore
-    val q = graft.streaming.Stateful.upsertTotals(ms.toDF(), store)
+    val root = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val sink = new graft.streaming.Stateful.BatchUpsertSink(root)
+    def snap(): Map[Long, Double] =
+      sink.snapshot(spark).collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("total")).toMap
+    val q = graft.streaming.Stateful.upsertTotals(ms.toDF(), sink)
     try {
       ms.addData(UserRow(1L, 10.0), UserRow(2L, 5.0))
       q.processAllAvailable()
       ms.addData(UserRow(1L, 2.5))
       q.processAllAvailable()
-      val settled = store.snapshot
+      val settled = snap()
       assert(settled === Map(1L -> 12.5, 2L -> 5.0),
         "update-mode totals upserted per key")
       // simulate the at-least-once replay foreachBatch can deliver:
-      // re-merging any already-applied batch must change nothing
-      store.merge(0L, Seq(1L -> 10.0, 2L -> 5.0))
-      store.merge(1L, Seq(1L -> 12.5))
-      assert(store.snapshot === settled, "replay must be a no-op")
+      // re-applying an already-applied (batchId, data) pair overwrites
+      // that batch's own directory with identical rows — a no-op
+      sink.merge(Seq((1L, 10.0), (2L, 5.0)).toDF("user_id", "total"), 0L)
+      sink.merge(Seq((1L, 12.5)).toDF("user_id", "total"), 1L)
+      assert(snap() === settled, "replay must be a no-op")
       // a genuinely new batch still applies
-      store.merge(99L, Seq(3L -> 7.0))
-      assert(store.snapshot(3L) === 7.0)
+      sink.merge(Seq((3L, 7.0)).toDF("user_id", "total"), 99L)
+      assert(snap()(3L) === 7.0)
     } finally q.stop()
   }
 

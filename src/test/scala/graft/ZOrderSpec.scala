@@ -67,6 +67,55 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zOrd < 0.75 * rrOrd, s"orderkey locality $zOrd vs $rrOrd")
   }
 
+  test("q_zorder_scan pushes both range predicates into the parquet scan") {
+    // formatted mode: the simple-string plan truncates PushedFilters
+    val plan = ops.ExportOps.zorderScan(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(l_partkey,100)") &&
+      plan.contains("LessThanOrEqual(l_orderkey,20000)"),
+      s"expected both range predicates pushed to the scan, got:\n$plan")
+  }
+
+  test("z-ordered layout leaves fewer file footers overlapping a 2-D predicate box") {
+    val files = 8
+    val li = ops.T.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey", $"l_quantity", $"l_returnflag")
+    val zDir = ops.ExportOps.zorderedLayout(spark, sf)
+    val rrDir = freshDir()
+    li.repartition(files).write.mode("overwrite").parquet(rrDir)
+
+    // predicate box: the central [20%, 45%] band of each dimension's
+    // global extent — sf-independent, ~6% of the 2-D key space
+    val r = li.agg(
+      min($"l_partkey").cast("double"), max($"l_partkey").cast("double"),
+      min($"l_orderkey").cast("double"), max($"l_orderkey").cast("double")).head()
+    def band(lo: Double, hi: Double) = (lo + 0.20 * (hi - lo), lo + 0.45 * (hi - lo))
+    val (pLo, pHi) = band(r.getDouble(0), r.getDouble(1))
+    val (oLo, oHi) = band(r.getDouble(2), r.getDouble(3))
+
+    // files whose min/max footer ranges intersect the box — exactly
+    // the set a footer-pruning reader must open
+    def overlapping(dir: String): Long =
+      spark.read.parquet(dir)
+        .select($"l_partkey".cast("double").as("p"),
+          $"l_orderkey".cast("double").as("o"), input_file_name().as("f"))
+        .groupBy($"f")
+        .agg(min($"p").as("pmin"), max($"p").as("pmax"),
+          min($"o").as("omin"), max($"o").as("omax"))
+        .filter($"pmin" <= pHi && $"pmax" >= pLo &&
+          $"omin" <= oHi && $"omax" >= oLo)
+        .count()
+
+    val zHit = overlapping(zDir)
+    val rrHit = overlapping(rrDir)
+    assert(rrHit === files.toLong,
+      s"round-robin files should all span the box, got $rrHit/$files")
+    assert(zHit < rrHit,
+      s"z-order should skip files on a 2-D box: $zHit vs $rrHit")
+  }
+
   test("interleave is monotone on the diagonal and bounded") {
     val df = Seq((0L, 0L), (1L, 1L), (2L, 2L), (65535L, 65535L))
       .toDF("x", "y")
