@@ -628,7 +628,47 @@ object Analytics extends QueryFamily {
       |  round(avg(last_value), 4) AS avg_last_value
       |FROM latest GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** 2-D skyline (Pareto frontier) over the part catalog: the parts no
+    * other part dominates on (cheaper-or-equal price, larger-or-equal
+    * size, strict somewhere) — the classic preference-query operator.
+    * The naive formulation is an all-pairs dominance anti-join (the
+    * oracle's NOT EXISTS, O(n²) — fine for DuckDB at oracle scale,
+    * lethal at catalog scale). The distributed shape grain-reduces
+    * first: dominance only depends on the per-price MAX size, so one
+    * hash aggregate drops the input to |distinct prices| rows; the
+    * frontier test "did any strictly-cheaper price already reach this
+    * size" is [[Skew.globalCumMaxExclusive]] — a range-partitioned
+    * sweep with broadcast per-partition prefix maxima, no
+    * single-task window (the q_zipf_fit discipline). Survivors join
+    * back equi-key on price to recover every part achieving its
+    * price's max size, so equal (price, size) co-achievers all stay
+    * on the frontier, exactly matching the strict-dominance oracle. */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = T.part(spark, dir)
+      .select($"p_partkey", $"p_retailprice".as("price"), $"p_size".as("size"))
+    val g = p.groupBy($"price").agg(max($"size").as("msize"))
+    val frontier = Skew
+      .globalCumMaxExclusive(g, Seq(asc("price")), col("msize"))
+      .filter($"prevmax".isNull || $"msize" > $"prevmax")
+      // rename: frontier shares lineage with p (derived from the same
+      // scan), so the join keys need unambiguous names
+      .select($"price".as("f_price"), $"msize")
+    p.join(frontier, $"price" === $"f_price" && $"size" === $"msize")
+      .select($"p_partkey", $"price", $"size")
+      .orderBy($"price", $"p_partkey")
+  }
+
+  val qSkylineSql: String =
+    """SELECT a.p_partkey, a.p_retailprice AS price, a.p_size AS size
+      |FROM part a
+      |WHERE NOT EXISTS (SELECT 1 FROM part b
+      |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+      |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+      |ORDER BY price, a.p_partkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_skyline", qSkyline, Some(qSkylineSql)),
     QueryDef("q_rfm", qRfm, Some(qRfmSql)),
     QueryDef("q_gaps_islands", qGapsIslands, Some(qGapsIslandsSql)),
     QueryDef("q_semi_additive", qSemiAdditive, Some(qSemiAdditiveSql)),

@@ -611,7 +611,65 @@ object Mining extends QueryFamily {
       |SELECT arm, n, mean_y, mean_y_adj, var_reduction
       |FROM arms, vr ORDER BY arm""".stripMargin
 
+  /** Count-min-sketch frequency audit — the third mergeable sketch
+    * (HLL counts distincts, KLL counts ranks, CMS counts ITEMS): a
+    * d=4 × w=512 counter matrix over the token stream, then the top-10
+    * exact tokens are re-estimated from the sketch and the
+    * overestimate (CMS never undercounts — est ≥ exact always) is
+    * emitted per token. Everything is PORTABLE arithmetic (the 48-bit
+    * md5-prefix idiom the MinHash family uses), so the DuckDB oracle
+    * computes the IDENTICAL sketch — the hash compare verifies the
+    * estimates themselves, a stronger check than the bound-pin style
+    * of q_hll_union_audit. Scale shape: counters build in ONE hash
+    * aggregate over (row, bucket) — 2048 cells regardless of corpus
+    * size, the textbook mergeable-across-executors state — and
+    * estimation joins the 40-row probe set against the broadcast
+    * cells. Counter construction aggregates the vocab-sized exact
+    * count table (counts are additive, so pre-aggregated feeds are
+    * equivalent to streaming raw tokens and shuffle |vocab|×d rows,
+    * not the corpus). */
+  def qCmsAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = 512
+    val cnt = T.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("t"))
+      .filter(length($"t") > 0)
+      .groupBy($"t").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    def bucketed(df: DataFrame): DataFrame = df
+      .select($"t", $"cnt", explode(expr("sequence(0, 3)")).as("r"))
+      .withColumn("b", expr(
+        s"cast(conv(substring(md5(concat(r, '|', t)), 1, 12), 16, 10) AS bigint) % $w"))
+    val counters = bucketed(cnt)
+      .groupBy($"r", $"b").agg(sum($"cnt").as("c"))
+    val top = cnt.orderBy(desc("cnt"), asc("t")).limit(10)
+    bucketed(top)
+      .join(broadcast(counters), Seq("r", "b"))
+      .groupBy($"t", $"cnt").agg(min($"c").as("est"))
+      .select($"t", $"cnt".as("exact"), $"est",
+        ($"est" - $"cnt").as("overcount"))
+      .orderBy(desc("exact"), asc("t"))
+  }
+
+  val qCmsAuditSql: String =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |cnt AS (SELECT t, count(*) AS cnt FROM tok WHERE len(t) > 0 GROUP BY t),
+      |bk AS (SELECT t, cnt, r,
+      |  (list_sum(list_transform(range(1, 13),
+      |     i -> (strpos('0123456789abcdef', substr(md5(r::VARCHAR || '|' || t), i, 1)) - 1)
+      |          * pow(16.0, 12 - i)))::BIGINT) % 512 AS b
+      |  FROM cnt, (SELECT unnest(range(0, 4)) AS r)),
+      |counters AS (SELECT r, b, sum(cnt)::BIGINT AS c FROM bk GROUP BY 1, 2),
+      |top AS (SELECT t, cnt FROM cnt ORDER BY cnt DESC, t LIMIT 10),
+      |probe AS (SELECT bk.t, bk.cnt, bk.r, bk.b FROM bk JOIN top USING (t)),
+      |est AS (SELECT p.t, p.cnt, min(c.c) AS est
+      |  FROM probe p JOIN counters c ON c.r = p.r AND c.b = p.b
+      |  GROUP BY 1, 2)
+      |SELECT t, cnt AS exact, est, est - cnt AS overcount
+      |FROM est ORDER BY exact DESC, t""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_cms_audit", qCmsAudit, Some(qCmsAuditSql)),
     QueryDef("q_ab_test", qAbTest, Some(qAbTestSql)),
     QueryDef("q_cuped", qCuped, Some(qCupedSql)),
     QueryDef("q_basket_rules", qBasketRules, Some(qBasketRulesSql)),

@@ -116,6 +116,36 @@ object Skew {
       .drop("__grp", "__v", "__lcum", "__off")
   }
 
+  /** Distributed EXCLUSIVE running max — `max(v) OVER (ORDER BY ...
+    * ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)` without the
+    * single-task funnel, for sweep-line operators (skyline/frontier
+    * tests) that ask "did any STRICTLY EARLIER row already reach this
+    * value?". Same three phases as [[globalCumSum]]: range-repartition
+    * on the sort key, exclusive local running max per range partition,
+    * then combine with the broadcast running max of EARLIER partitions'
+    * totals (a |parts|-row relation). First row overall gets null —
+    * `greatest` skips nulls, so the combine stays null exactly when no
+    * earlier row exists. `order` must be a total order or tied rows'
+    * prev-max becomes boundary-dependent. */
+  def globalCumMaxExclusive(df: DataFrame, order: Seq[Column], value: Column,
+      parts: Int = 32, maxName: String = "prevmax"): DataFrame = {
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("__grp", spark_partition_id())
+      .withColumn("__v", value)
+    val wLocal = Window.partitionBy(col("__grp")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ranged.withColumn("__lmax", max(col("__v")).over(wLocal))
+    val totals = ranged.groupBy(col("__grp")).agg(max(col("__v")).as("__t"))
+    val wOff = Window.orderBy(col("__grp"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__off", max(col("__t")).over(wOff))
+      .select(col("__grp"), col("__off"))
+    local.join(broadcast(offsets), Seq("__grp"))
+      .withColumn(maxName, greatest(col("__lmax"), col("__off")))
+      .drop("__grp", "__v", "__lmax", "__off")
+  }
+
   /** Top-n heaviest join keys with their frequencies — the diagnostic
     * used to decide which keys need salting / AQE skew hints. */
   def keyHistogram(df: DataFrame, key: Column, topN: Int = 20): DataFrame =

@@ -87,6 +87,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // |parts|-row (32) offsets relations inside Skew.globalRowNumber /
     // globalCumSum — the distributed-ranking primitive itself
     "q_zipf_fit" -> "globalRowNumber offsets (32 rows)",
+    "q_skyline" -> "globalCumMaxExclusive offsets (32 rows)",
     "q_abc_pareto" -> "globalCumSum offsets (32 rows)",
     "q_global_rank" -> "globalRowNumber offsets (32 rows)",
     "q_seq_packing" -> "globalCumSum offsets (32 rows)",

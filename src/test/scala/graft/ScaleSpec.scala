@@ -101,6 +101,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("exclusive cummax property: equals the single-window running max on random data") {
+    import spark.implicits._
+    val prop = org.scalacheck.Prop.forAll(
+      org.scalacheck.Gen.listOfN(60,
+        org.scalacheck.Gen.choose(0, 9))) { vs: List[Int] =>
+      val df = vs.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+        .toDF("v", "id")
+      val dist = ops.Skew.globalCumMaxExclusive(
+        df, Seq(col("id")), col("v"), parts = 4)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val single = df.withColumn("prevmax", max(col("v")).over(w))
+      dist.exceptAll(single).isEmpty && single.exceptAll(dist).isEmpty
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("q_partition_prune's scan carries partition filters") {
     val plan = ops.ExportOps.prunedScan(spark, sf)
       .queryExecution.executedPlan.toString
