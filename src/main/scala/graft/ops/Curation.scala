@@ -332,6 +332,98 @@ object Curation extends QueryFamily {
       |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM a GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** Epoch/repeat-factor planning: turn [[qDomainMix]]'s temperature
+    * weights into the actual sampling plan a training run executes —
+    * for a token budget of 2x the corpus, each source's target token
+    * count and the number of epochs (repeats) of that source it
+    * implies. Upsampled sources (epochs > 1) are the ones the mix
+    * asks to see more than once; a pipeline owner reads this before
+    * committing a mix, because >4 epochs of a small domain is a
+    * memorization risk no weight table makes visible on its own.
+    * Shape: one per-source aggregate + two 1-row broadcast scalars
+    * (corpus total, weight normalizer) — O(|sources|) rows end to
+    * end, no SF-scaled shuffle beyond the token count itself. */
+  def qEpochMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bySource = T.documents(spark, dir)
+      .select($"source", size(split($"text", " ")).as("n_tok"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+    val shares = bySource
+      .crossJoin(broadcast(bySource.agg(sum($"n_tokens").cast("double").as("total"))))
+      .withColumn("w", pow($"n_tokens" / $"total", 0.7))
+    shares
+      .crossJoin(broadcast(shares.agg(sum($"w").as("z"))))
+      .withColumn("weight", $"w" / $"z")
+      .withColumn("target_tokens", round($"weight" * 2.0d * $"total").cast("bigint"))
+      .select($"source", $"n_docs", $"n_tokens",
+        round($"weight", 4).as("weight_t07"),
+        $"target_tokens",
+        round($"weight" * 2.0d * $"total" / $"n_tokens", 4).as("epochs"),
+        ($"target_tokens" > $"n_tokens").as("upsampled"))
+      .orderBy($"source")
+  }
+
+  val qEpochMixSql: String =
+    """WITH s AS (SELECT source, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM s),
+      |sh AS (SELECT s.*, t.total, pow(n_tokens / t.total, 0.7) AS w FROM s, t),
+      |z AS (SELECT sum(w) AS z FROM sh),
+      |m AS (SELECT sh.*, w / z.z AS weight,
+      |  CAST(round(w / z.z * 2.0 * total) AS BIGINT) AS target_tokens FROM sh, z)
+      |SELECT source, n_docs, n_tokens, round(weight, 4) AS weight_t07,
+      |  target_tokens, round(weight * 2.0 * total / n_tokens, 4) AS epochs,
+      |  target_tokens > n_tokens AS upsampled
+      |FROM m ORDER BY source""".stripMargin
+
+  /** Importance resampling to a balanced mix: every source is capped
+    * at the smallest source's token count by accepting each doc with
+    * probability rate = floor_tokens / source_tokens, decided by a
+    * uniform draw derived from the md5 of the document CONTENT — the
+    * same deterministic-hash discipline as [[qSplitAssign]], so the
+    * sample is reproducible across engines, runs, and cluster
+    * layouts, and re-keyed duplicate docs get the same verdict. The
+    * acceptance test is a zero-shuffle projection against a
+    * broadcast |sources|-row rate table; the only SF-scaled shuffle
+    * is the final per-source audit aggregate. At 100 TB this is the
+    * standard shape for downsampling an over-represented crawl
+    * domain without materializing a shuffled sample. */
+  def qDomainResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = T.documents(spark, dir)
+      .select($"source", $"text", size(split($"text", " ")).as("n_tok"))
+    val bySource = docs.groupBy($"source").agg(sum($"n_tok").as("n_tokens"))
+    val rates = bySource
+      .crossJoin(broadcast(bySource.agg(min($"n_tokens").cast("double").as("floor_tokens"))))
+      .withColumn("rate", $"floor_tokens" / $"n_tokens")
+      .select($"source", $"rate")
+    docs
+      .withColumn("u",
+        expr("cast(conv(substring(md5(cast(text as binary)), 1, 12), 16, 10) AS bigint)")
+          .cast("double") / lit(math.pow(16.0, 12)))
+      .join(broadcast(rates), Seq("source"))
+      .where($"u" < $"rate")
+      .groupBy($"source")
+      .agg(round(max($"rate"), 4).as("rate"),
+        count(lit(1)).as("kept_docs"), sum($"n_tok").as("kept_tokens"))
+      .orderBy($"source")
+  }
+
+  val qDomainResampleSql: String =
+    """WITH d AS (SELECT source, text, len(string_split(text, ' ')) AS n_tok FROM documents),
+      |s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY source),
+      |f AS (SELECT CAST(min(n_tokens) AS DOUBLE) AS floor_tokens FROM s),
+      |r AS (SELECT source, floor_tokens / n_tokens AS rate FROM s, f),
+      |k AS (SELECT d.source, d.n_tok, r.rate FROM d JOIN r ON d.source = r.source
+      |  WHERE (list_sum(list_transform(range(1, 13),
+      |     i -> (strpos('0123456789abcdef', substr(md5(d.text), i, 1)) - 1) * pow(16.0, 12 - i)))::BIGINT)::DOUBLE
+      |    / pow(16.0, 12) < r.rate)
+      |SELECT source, round(max(rate), 4) AS rate, count(*) AS kept_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+      |FROM k GROUP BY source ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_curation_waterfall", qCurationWaterfall, Some(qCurationWaterfallSql)),
     QueryDef("q_split_assign", qSplitAssign, Some(qSplitAssignSql)),
@@ -340,5 +432,7 @@ object Curation extends QueryFamily {
     QueryDef("q_contamination_bloom", qContaminationBloom, Some(qContaminationSql)),
     QueryDef("q_domain_mix", qDomainMix, Some(qDomainMixSql)),
     QueryDef("q_seq_packing", qSeqPacking, Some(qSeqPackingSql)),
+    QueryDef("q_epoch_mix", qEpochMix, Some(qEpochMixSql)),
+    QueryDef("q_domain_resample", qDomainResample, Some(qDomainResampleSql)),
   )
 }

@@ -668,7 +668,114 @@ object Mining extends QueryFamily {
       |SELECT t, cnt AS exact, est, est - cnt AS overcount
       |FROM est ORDER BY exact DESC, t""".stripMargin
 
+  /** Multi-feature linear regression by distributed normal equations:
+    * price ~ quantity + discount per return flag. One covariance
+    * aggregate per group (the d^2-partials shape every distributed
+    * OLS/GLM step reduces to), then a closed-form 2x2 solve on the
+    * 3-row result — no iteration, no driver-side math, and the same
+    * map-side-combinable plan at any SF. R^2 falls out of the same
+    * moments (explained variance = b.cov(x,y) over var(y)), so the
+    * whole fit is ONE pass over the fact table. */
+  def qRegrMulti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = T.lineitem(spark, dir)
+      .select($"l_returnflag",
+        $"l_quantity".cast("double").as("x1"),
+        $"l_discount".cast("double").as("x2"),
+        $"l_extendedprice".cast("double").as("y"))
+      .groupBy($"l_returnflag")
+      .agg(var_pop($"x1").as("v1"), var_pop($"x2").as("v2"),
+        covar_pop($"x1", $"x2").as("c12"),
+        covar_pop($"x1", $"y").as("c1y"), covar_pop($"x2", $"y").as("c2y"),
+        avg($"x1").as("m1"), avg($"x2").as("m2"), avg($"y").as("my"),
+        var_pop($"y").as("vy"), count(lit(1)).as("n"))
+      .withColumn("det", $"v1" * $"v2" - $"c12" * $"c12")
+      .withColumn("b1", ($"c1y" * $"v2" - $"c2y" * $"c12") / $"det")
+      .withColumn("b2", ($"c2y" * $"v1" - $"c1y" * $"c12") / $"det")
+    m.select($"l_returnflag",
+        round($"b1", 4).as("slope_qty"),
+        round($"b2", 4).as("slope_disc"),
+        round($"my" - $"b1" * $"m1" - $"b2" * $"m2", 4).as("intercept"),
+        round(($"b1" * $"c1y" + $"b2" * $"c2y") / $"vy", 4).as("r2"),
+        $"n")
+      .orderBy($"l_returnflag")
+  }
+
+  val qRegrMultiSql: String =
+    """WITH m AS (SELECT l_returnflag,
+      |  var_pop(l_quantity) AS v1, var_pop(l_discount) AS v2,
+      |  covar_pop(l_quantity, l_discount) AS c12,
+      |  covar_pop(l_quantity, l_extendedprice) AS c1y,
+      |  covar_pop(l_discount, l_extendedprice) AS c2y,
+      |  avg(l_quantity) AS m1, avg(l_discount) AS m2, avg(l_extendedprice) AS my,
+      |  var_pop(l_extendedprice) AS vy, count(*) AS n
+      |  FROM lineitem GROUP BY l_returnflag),
+      |s AS (SELECT m.*, v1*v2 - c12*c12 AS det FROM m),
+      |b AS (SELECT s.*, (c1y*v2 - c2y*c12)/det AS b1, (c2y*v1 - c1y*c12)/det AS b2 FROM s)
+      |SELECT l_returnflag, round(b1, 4) AS slope_qty, round(b2, 4) AS slope_disc,
+      |  round(my - b1*m1 - b2*m2, 4) AS intercept,
+      |  round((b1*c1y + b2*c2y)/vy, 4) AS r2, n
+      |FROM b ORDER BY l_returnflag""".stripMargin
+
+  /** KMV (k-minimum-values) set-cardinality sketch with exact audit:
+    * estimate the union and intersection size of two buyer sets (1995
+    * vs 1996 customers) from the k=64 smallest content-hash values of
+    * the union — the bottom-k path is a per-partition top-k merge
+    * (TakeOrdered), so the sketch costs one scan plus a k-row merge
+    * at any SF, while the exact audit pays the full distinct shuffle
+    * the sketch exists to avoid. Union est = (k-1)/u_k; intersection
+    * est = Jaccard-in-sketch x union est (the standard KMV identity);
+    * hashes come from the portable md5 idiom so both engines draw
+    * identical uniforms. */
+  def qKmvIntersect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 64
+    val m = T.orders(spark, dir)
+      .select($"o_custkey", year($"o_orderdate").as("yr"))
+      .filter($"yr".isin(1995, 1996))
+      .groupBy($"o_custkey")
+      .agg(max(when($"yr" === 1995, 1).otherwise(0)).as("in_a"),
+        max(when($"yr" === 1996, 1).otherwise(0)).as("in_b"))
+      .withColumn("u",
+        expr("cast(conv(substring(md5(cast(o_custkey as string)), 1, 12), 16, 10) AS bigint)")
+          .cast("double") / lit(math.pow(16.0, 12)))
+    val bottom = m.orderBy($"u", $"o_custkey").limit(k)
+    val sketch = bottom.agg(max($"u").as("uk"),
+      sum($"in_a" * $"in_b").as("both_k"))
+    val exact = m.agg(count(lit(1)).as("exact_union"),
+      sum($"in_a" * $"in_b").as("exact_inter"))
+    sketch.crossJoin(broadcast(exact))
+      .select(lit(k).as("k"),
+        round(lit(k - 1) / $"uk", 2).as("est_union"), $"exact_union",
+        round($"both_k".cast("double") / k * (lit(k - 1) / $"uk"), 2)
+          .as("est_inter"), $"exact_inter",
+        round(abs($"both_k".cast("double") / k * (lit(k - 1) / $"uk")
+          - $"exact_inter") / $"exact_inter", 4).as("inter_rel_err"))
+  }
+
+  val qKmvIntersectSql: String =
+    """WITH m AS (SELECT o_custkey,
+      |  max(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS in_a,
+      |  max(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS in_b
+      |  FROM orders WHERE year(o_orderdate) IN (1995, 1996) GROUP BY o_custkey),
+      |h AS (SELECT m.*,
+      |  (list_sum(list_transform(range(1, 13),
+      |     i -> (strpos('0123456789abcdef', substr(md5(o_custkey::VARCHAR), i, 1)) - 1)
+      |          * pow(16.0, 12 - i)))::BIGINT)::DOUBLE / pow(16.0, 12) AS u
+      |  FROM m),
+      |bottom AS (SELECT * FROM h ORDER BY u, o_custkey LIMIT 64),
+      |sk AS (SELECT max(u) AS uk, CAST(sum(in_a * in_b) AS BIGINT) AS both_k FROM bottom),
+      |ex AS (SELECT count(*) AS exact_union,
+      |  CAST(sum(in_a * in_b) AS BIGINT) AS exact_inter FROM h)
+      |SELECT 64 AS k, round(63 / uk, 2) AS est_union, exact_union,
+      |  round(both_k::DOUBLE / 64 * (63 / uk), 2) AS est_inter, exact_inter,
+      |  round(abs(both_k::DOUBLE / 64 * (63 / uk) - exact_inter) / exact_inter, 4)
+      |    AS inter_rel_err
+      |FROM sk, ex""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_regr_multi", qRegrMulti, Some(qRegrMultiSql)),
+    QueryDef("q_kmv_intersect", qKmvIntersect, Some(qKmvIntersectSql)),
     QueryDef("q_cms_audit", qCmsAudit, Some(qCmsAuditSql)),
     QueryDef("q_ab_test", qAbTest, Some(qAbTestSql)),
     QueryDef("q_cuped", qCuped, Some(qCupedSql)),

@@ -802,7 +802,87 @@ object Similarity extends QueryFamily {
        |FROM exact_top e LEFT JOIN hits h ON h.q_id = e.q_id
        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
 
+  /** Distributed Gram matrix (X^T X upper triangle) over the 64-dim
+    * embedding column — the one-pass linear-algebra kernel under PCA,
+    * covariance whitening, and ridge normal equations. Each row emits
+    * its d(d+1)/2 products, partial-aggregated map-side, so the only
+    * shuffle carries <= 2080 (i,j) partials PER PARTITION regardless
+    * of corpus size; the result is a d^2-bounded relation, never an
+    * SF-scaled one. Products are cast to double before summing so
+    * both engines accumulate in the same precision. */
+  def qGramMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.embeddings(spark, dir)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, 63), i ->
+          |  transform(sequence(i, 63), j ->
+          |    struct(i AS i, j AS j,
+          |      cast(embedding[i] AS double) * cast(embedding[j] AS double) AS p))))"""
+          .stripMargin)).as("s"))
+      .select($"s.i", $"s.j", $"s.p")
+      .groupBy($"i", $"j").agg(round(sum($"p"), 4).as("g"))
+      .orderBy($"i", $"j")
+  }
+
+  val qGramMatrixSql: String =
+    """WITH pos AS (SELECT unnest(range(0, 64)) AS i),
+      |x AS (SELECT vec_id, i, embedding[i + 1]::DOUBLE AS v FROM embeddings, pos)
+      |SELECT a.i::INT AS i, b.i::INT AS j, round(sum(a.v * b.v), 4) AS g
+      |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Top principal direction by two power-iteration steps on the Gram
+    * matrix: v0 = ones, v_{t+1} = normalize(G v_t). The iteration
+    * never touches the corpus again — G is the d^2-row relation from
+    * the [[qGramMatrix]] shape, each step is a bounded join against a
+    * broadcast d-row vector, and the L2 norms are 1-row broadcast
+    * scalars. This is how a 100 TB PCA actually runs: one corpus pass
+    * for G, then driver-free d^2-sized iterations. */
+  def qPcaPower(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tri = T.embeddings(spark, dir)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, 63), i ->
+          |  transform(sequence(i, 63), j ->
+          |    struct(i AS i, j AS j,
+          |      cast(embedding[i] AS double) * cast(embedding[j] AS double) AS p))))"""
+          .stripMargin)).as("s"))
+      .select($"s.i", $"s.j", $"s.p")
+      .groupBy($"i", $"j").agg(sum($"p").as("g"))
+    val full = tri.select($"i", $"j", $"g")
+      .union(tri.filter($"i" =!= $"j").select($"j".as("i"), $"i".as("j"), $"g"))
+      .localCheckpoint()
+    def step(v: DataFrame): DataFrame = {
+      val r = full.join(broadcast(v.withColumnRenamed("i", "j")), Seq("j"))
+        .groupBy($"i").agg(sum($"g" * $"v").as("r"))
+      r.crossJoin(broadcast(r.agg(sqrt(sum($"r" * $"r")).as("nrm"))))
+        .select($"i", ($"r" / $"nrm").as("v"))
+    }
+    val v0 = spark.range(64).select($"id".cast("int").as("i"), lit(1.0).as("v"))
+    step(step(v0))
+      .select($"i", round($"v", 4).as("v"))
+      .orderBy($"i")
+  }
+
+  val qPcaPowerSql: String =
+    """WITH pos AS (SELECT unnest(range(0, 64)) AS i),
+      |x AS (SELECT vec_id, i, embedding[i + 1]::DOUBLE AS v FROM embeddings, pos),
+      |tri AS (SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS g
+      |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2),
+      |full_g AS (SELECT i, j, g FROM tri
+      |  UNION ALL SELECT j AS i, i AS j, g FROM tri WHERE i <> j),
+      |r1 AS (SELECT i, sum(g * 1.0) AS r FROM full_g GROUP BY i),
+      |n1 AS (SELECT sqrt(sum(r * r)) AS nrm FROM r1),
+      |v1 AS (SELECT i, r / nrm AS v FROM r1, n1),
+      |r2 AS (SELECT f.i, sum(f.g * v1.v) AS r FROM full_g f
+      |  JOIN v1 ON f.j = v1.i GROUP BY f.i),
+      |n2 AS (SELECT sqrt(sum(r * r)) AS nrm FROM r2),
+      |v2 AS (SELECT i, r / nrm AS v FROM r2, n2)
+      |SELECT i::INT AS i, round(v, 4) AS v FROM v2 ORDER BY i""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_gram_matrix", qGramMatrix, Some(qGramMatrixSql)),
+    QueryDef("q_pca_power", qPcaPower, Some(qPcaPowerSql)),
     QueryDef("q_array_funcs", qArrayFuncs, Some(qArrayFuncsSql)),
     QueryDef("q_kmeans_update", qKmeansUpdate, Some(qKmeansUpdateSql)),
     QueryDef("q_kmeans_iterated", qKmeansIterated, Some(qKmeansIteratedSql)),

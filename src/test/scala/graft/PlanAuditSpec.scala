@@ -61,7 +61,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_basket_rules", "q_abc_pareto", "q_kll_quantile_audit",
     "q_funnel_windowed", "q_lsh_band_sweep",
     // 1-row builds: period midpoint, theta/xbar, variance-reduction row
-    "q_cuped")
+    "q_cuped",
+    // 1-row builds: corpus total + weight normalizer (epoch planning),
+    // token floor (resampling rate table), KMV sketch x exact audit row,
+    // power-iteration L2-norm scalars (64-row builds)
+    "q_epoch_mix", "q_domain_resample", "q_kmv_intersect", "q_pca_power")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
