@@ -424,7 +424,82 @@ object Curation extends QueryFamily {
       |  CAST(sum(n_tok) AS BIGINT) AS kept_tokens
       |FROM k GROUP BY source ORDER BY source""".stripMargin
 
+  /** Neyman-optimal stratified sample allocation: for a fixed audit
+    * budget of 1000 docs, each source stratum gets n_h proportional
+    * to N_h * sigma_h (its size times its length variability) — the
+    * allocation that minimizes the variance of the estimated corpus
+    * mean, and the principled way to spend a human-review or
+    * eval-labeling budget across domains. One moments aggregate per
+    * stratum plus a 1-row normalizer broadcast; the plan is
+    * O(|sources|) after the single corpus scan. */
+  def qSampleNeyman(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 1000.0
+    val strata = T.documents(spark, dir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        stddev_pop($"n_chars".cast("double")).as("sigma"))
+      .withColumn("mass", $"n_docs" * $"sigma")
+    strata
+      .crossJoin(broadcast(strata.agg(sum($"mass").as("z"))))
+      .select($"source", $"n_docs", round($"sigma", 2).as("sigma"),
+        round(lit(budget) * $"mass" / $"z").cast("bigint").as("alloc"),
+        round(lit(budget) * $"mass" / $"z" / $"n_docs", 4).as("rate"))
+      .orderBy($"source")
+  }
+
+  val qSampleNeymanSql: String =
+    """WITH s AS (SELECT source, count(*) AS n_docs,
+      |  stddev_pop(n_chars) AS sigma FROM documents GROUP BY source),
+      |m AS (SELECT s.*, n_docs * sigma AS mass FROM s),
+      |z AS (SELECT sum(mass) AS z FROM m)
+      |SELECT source, n_docs, round(sigma, 2) AS sigma,
+      |  CAST(round(1000.0 * mass / z.z) AS BIGINT) AS alloc,
+      |  round(1000.0 * mass / z.z / n_docs, 4) AS rate
+      |FROM m, z ORDER BY source""".stripMargin
+
+  /** Per-document n-gram novelty: the fraction of a doc's distinct
+    * 8-grams that appear in NO other document — the per-doc signal
+    * behind "how much of this is boilerplate" ranking, and the
+    * inverse of the corpus-level duplication the dedup family
+    * removes. Scale shape: novelty is computed as 1 - (duplicated
+    * grams / total grams), and only the DUPLICATED gram set — tiny in
+    * a deduped corpus — flows into the join-back; the unique long
+    * tail of the gram index dies at the HAVING df>1 filter and never
+    * reshuffles. */
+  def qNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = gramRows(spark, dir, 8)
+    val perDoc = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    val dup = grams.groupBy($"g").agg(count(lit(1)).as("df"))
+      .filter($"df" > 1).select($"g")
+    val dupHits = grams.join(dup, Seq("g"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_dup"))
+    perDoc.join(dupHits, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_grams",
+        round(($"n_grams" - coalesce($"n_dup", lit(0L))).cast("double")
+          / $"n_grams", 4).as("novelty"))
+      .orderBy($"doc_id")
+  }
+
+  val qNgramNoveltySql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 6), i ->
+      |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+      |    w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS g
+      |  FROM tok WHERE len(w) >= 8),
+      |per_doc AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id),
+      |dup AS (SELECT g FROM sh GROUP BY g HAVING count(*) > 1),
+      |dh AS (SELECT doc_id, count(*) AS n_dup FROM sh
+      |  WHERE g IN (SELECT g FROM dup) GROUP BY doc_id)
+      |SELECT p.doc_id, p.n_grams,
+      |  round((p.n_grams - coalesce(dh.n_dup, 0))::DOUBLE / p.n_grams, 4) AS novelty
+      |FROM per_doc p LEFT JOIN dh ON dh.doc_id = p.doc_id
+      |ORDER BY p.doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_ngram_novelty", qNgramNovelty, Some(qNgramNoveltySql)),
+    QueryDef("q_sample_neyman", qSampleNeyman, Some(qSampleNeymanSql)),
     QueryDef("q_curation_waterfall", qCurationWaterfall, Some(qCurationWaterfallSql)),
     QueryDef("q_split_assign", qSplitAssign, Some(qSplitAssignSql)),
     QueryDef("q_repetition", qRepetition, Some(qRepetitionSql)),

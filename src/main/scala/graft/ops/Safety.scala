@@ -181,8 +181,48 @@ object Safety extends QueryFamily {
       |  min(n_docs) AS min_class, max(n_docs) AS max_class
       |FROM classes GROUP BY 1 ORDER BY band""".stripMargin
 
+  /** l-diversity audit — k-anonymity's companion: a quasi-identifier
+    * class can be large (k-anonymous) yet still leak if every member
+    * shares the same sensitive value. Here the quasi-identifiers are
+    * (source, length bucket) and the sensitive attribute is the
+    * document language: l = distinct languages within the class.
+    * Classes band by l exactly as [[qKAnonymity]] bands by k, so the
+    * two audits read as one report. Shape: one (qid)-keyed
+    * count-distinct aggregate then an O(|classes|) banding aggregate
+    * — two shuffles total, both on real keys. */
+  def qLDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val classes = T.documents(spark, dir)
+      .groupBy(col("source"),
+        floor(col("n_chars") / 100).cast("long").as("len_bucket"))
+      .agg(countDistinct(col("lang")).as("l"),
+        count(lit(1)).as("n_docs"))
+    classes
+      .groupBy(
+        when(col("l") < 2, lit("1:exposed(l=1)"))
+          .when(col("l") < 5, lit("2:low(2-4)"))
+          .otherwise(lit("3:diverse(5+)")).as("band"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("n_docs")).as("n_docs"),
+        min(col("l")).as("min_l"),
+        max(col("l")).as("max_l"))
+      .orderBy(col("band"))
+  }
+
+  val qLDiversitySql: String =
+    """WITH classes AS (
+      |  SELECT source, (n_chars // 100)::BIGINT AS len_bucket,
+      |    count(DISTINCT lang) AS l, count(*) AS n_docs
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT CASE WHEN l < 2 THEN '1:exposed(l=1)'
+      |            WHEN l < 5 THEN '2:low(2-4)'
+      |            ELSE '3:diverse(5+)' END AS band,
+      |  count(*) AS n_classes, sum(n_docs)::BIGINT AS n_docs,
+      |  min(l) AS min_l, max(l) AS max_l
+      |FROM classes GROUP BY 1 ORDER BY band""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_pii_scrub", qPiiScrub, Some(qPiiScrubSql)),
     QueryDef("q_pii_stats", qPiiStats, Some(qPiiStatsSql)),
-    QueryDef("q_k_anonymity", qKAnonymity, Some(qKAnonymitySql)))
+    QueryDef("q_k_anonymity", qKAnonymity, Some(qKAnonymitySql)),
+    QueryDef("q_l_diversity", qLDiversity, Some(qLDiversitySql)))
 }

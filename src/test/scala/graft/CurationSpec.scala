@@ -127,4 +127,61 @@ class CurationSpec extends AnyFunSuite {
       assert(plan.contains("InMemoryRelation"), s"expected cache in:\n$plan")
     }
   }
+
+  test("epoch plan conserves the token budget and flags exactly the upsampled sources") {
+    val rows = ops.Curation.qEpochMix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    val targetSum = rows.map(_.getAs[Long]("target_tokens")).sum
+    // targets are per-source rounded shares of a 2x-corpus budget
+    assert(math.abs(targetSum - 2L * totalTokens) <= rows.length,
+      s"targets $targetSum vs budget ${2L * totalTokens}")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("upsampled") ===
+        (r.getAs[Long]("target_tokens") > r.getAs[Long]("n_tokens")))
+      assert(r.getAs[Double]("epochs") > 0.0)
+    }
+  }
+
+  test("domain resample keeps the floor source whole and never exceeds a source's tokens") {
+    val session = spark
+    import session.implicits._
+    val bySource = ops.T.documents(spark, sf)
+      .groupBy($"source")
+      .agg(sum(size(split($"text", " "))).as("n_tokens"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val floor = bySource.values.min
+    val rows = ops.Curation.qDomainResample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("kept_tokens") <= bySource(src))
+      assert(r.getAs[Long]("kept_docs") >= 1L)
+    }
+    val floorRow = rows.find(r => bySource(r.getAs[String]("source")) == floor).get
+    // rate 1.0 accepts every doc of the smallest source (u < 1.0 always)
+    assert(floorRow.getAs[Double]("rate") === 1.0)
+    assert(floorRow.getAs[Long]("kept_tokens") === floor)
+  }
+
+  test("neyman allocation spends ~the budget and weights high-variance strata") {
+    val rows = ops.Curation.qSampleNeyman(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val alloc = rows.map(_.getAs[Long]("alloc")).sum
+    assert(math.abs(alloc - 1000L) <= rows.length, s"allocated $alloc of 1000")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("rate") >= 0.0)
+      assert(r.getAs[Double]("sigma") >= 0.0)
+    }
+  }
+
+  test("ngram novelty is a valid fraction and respects the dup complement") {
+    val rows = ops.Curation.qNgramNovelty(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nov = r.getAs[Double]("novelty")
+      assert(nov >= 0.0 && nov <= 1.0)
+      assert(r.getAs[Long]("n_grams") >= 1L)
+    }
+  }
 }

@@ -64,8 +64,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_cuped",
     // 1-row builds: corpus total + weight normalizer (epoch planning),
     // token floor (resampling rate table), KMV sketch x exact audit row,
-    // power-iteration L2-norm scalars (64-row builds)
-    "q_epoch_mix", "q_domain_resample", "q_kmv_intersect", "q_pca_power")
+    // power-iteration L2-norm scalars (64-row builds), Neyman normalizer
+    "q_epoch_mix", "q_domain_resample", "q_kmv_intersect", "q_pca_power",
+    "q_sample_neyman")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>

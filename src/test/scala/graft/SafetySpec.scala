@@ -78,4 +78,20 @@ class SafetySpec extends AnyFunSuite {
       assert(r.getAs[Long]("emails") === rows)
     }
   }
+
+  test("l-diversity bands partition every quasi-identifier class") {
+    val session = spark
+    import session.implicits._
+    val rows = ops.Safety.qLDiversity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalClasses = ops.T.documents(spark, sf)
+      .groupBy($"source", floor($"n_chars" / 100)).count().count()
+    assert(rows.map(_.getAs[Long]("n_classes")).sum === totalClasses)
+    val totalDocs = ops.T.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === totalDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_l") >= 1L)
+      assert(r.getAs[Long]("min_l") <= r.getAs[Long]("max_l"))
+    }
+  }
 }
