@@ -773,7 +773,66 @@ object Mining extends QueryFamily {
       |    AS inter_rel_err
       |FROM sk, ex""".stripMargin
 
+  /** Poisson bootstrap confidence interval for the mean document
+    * length — the distributed bootstrap: instead of materializing B
+    * resamples (B corpus re-scans), every row draws a Poisson(1)
+    * weight per replicate from a deterministic content hash, so all
+    * 32 replicate means come out of ONE corpus pass and one 32-group
+    * aggregate. The inverse-CDF ladder uses fixed cumulative
+    * probabilities, and the hash uniform is the portable md5 idiom,
+    * so both engines draw identical weights — a reproducible
+    * bootstrap, which is exactly what a 100 TB metrics pipeline
+    * needs for error bars on its readouts. */
+  def qBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = T.documents(spark, dir).select($"doc_id", $"n_chars")
+    val m = docs
+      .select($"doc_id", $"n_chars", explode(expr("sequence(0, 31)")).as("b"))
+      .withColumn("u",
+        expr("""cast(conv(substring(md5(cast(concat(cast(doc_id AS string), '|',
+               |cast(b AS string)) AS binary)), 1, 12), 16, 10) AS bigint)""".stripMargin)
+          .cast("double") / lit(math.pow(16.0, 12)))
+      .withColumn("wt",
+        when($"u" < 0.36787944117144233, 0)
+          .when($"u" < 0.7357588823428847, 1)
+          .when($"u" < 0.9196986029286058, 2)
+          .when($"u" < 0.9810118431238462, 3)
+          .when($"u" < 0.9963401531726563, 4).otherwise(5))
+      .groupBy($"b")
+      .agg((sum($"wt" * $"n_chars").cast("double") / sum($"wt")).as("m"))
+    val boot = m.agg(avg($"m").as("boot_mean"), stddev_samp($"m").as("se"))
+    docs.agg(avg($"n_chars").as("point_mean"))
+      .crossJoin(broadcast(boot))
+      .select(round($"point_mean", 4).as("point_mean"),
+        round($"boot_mean", 4).as("boot_mean"), round($"se", 4).as("se"),
+        round($"boot_mean" - $"se" * 1.96, 4).as("ci_lo"),
+        round($"boot_mean" + $"se" * 1.96, 4).as("ci_hi"))
+  }
+
+  val qBootstrapCiSql: String =
+    """WITH reps AS (SELECT doc_id, n_chars, unnest(range(0, 32)) AS b FROM documents),
+      |u AS (SELECT n_chars, b,
+      |  (list_sum(list_transform(range(1, 13),
+      |     i -> (strpos('0123456789abcdef',
+      |             substr(md5(doc_id::VARCHAR || '|' || b::VARCHAR), i, 1)) - 1)
+      |          * pow(16.0, 12 - i)))::BIGINT)::DOUBLE / pow(16.0, 12) AS u
+      |  FROM reps),
+      |w AS (SELECT b, n_chars,
+      |  CASE WHEN u < 0.36787944117144233 THEN 0
+      |       WHEN u < 0.7357588823428847 THEN 1
+      |       WHEN u < 0.9196986029286058 THEN 2
+      |       WHEN u < 0.9810118431238462 THEN 3
+      |       WHEN u < 0.9963401531726563 THEN 4 ELSE 5 END AS wt FROM u),
+      |m AS (SELECT b, sum(wt * n_chars)::DOUBLE / sum(wt) AS m FROM w GROUP BY b),
+      |boot AS (SELECT avg(m) AS boot_mean, stddev_samp(m) AS se FROM m),
+      |pt AS (SELECT avg(n_chars) AS point_mean FROM documents)
+      |SELECT round(point_mean, 4) AS point_mean, round(boot_mean, 4) AS boot_mean,
+      |  round(se, 4) AS se, round(boot_mean - 1.96 * se, 4) AS ci_lo,
+      |  round(boot_mean + 1.96 * se, 4) AS ci_hi
+      |FROM pt, boot""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_bootstrap_ci", qBootstrapCi, Some(qBootstrapCiSql)),
     QueryDef("q_regr_multi", qRegrMulti, Some(qRegrMultiSql)),
     QueryDef("q_kmv_intersect", qKmvIntersect, Some(qKmvIntersectSql)),
     QueryDef("q_cms_audit", qCmsAudit, Some(qCmsAuditSql)),

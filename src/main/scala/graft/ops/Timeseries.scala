@@ -565,7 +565,65 @@ object Timeseries extends QueryFamily {
       |  round(max(abs(score)), 2) AS max_abs_score
       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Exact rolling 7-day distinct users per event type, without
+    * re-scanning any window: the classic sweep-line decomposition of
+    * windowed COUNT DISTINCT. A user covers window-end w iff they
+    * have an event day in [w-6, w]; per user that coverage is a union
+    * of intervals (runs of days merged while gaps <= 6), so the
+    * answer is a +1/-1 delta at each run boundary, cumulated over the
+    * day-grain delta table. Shuffles: one distinct to day grain, one
+    * user-keyed window for run detection, one day-keyed aggregate —
+    * the raw fact table is touched once, and no day's window is ever
+    * recounted. The day-grain cumsum partitions by event_type, so
+    * there is no partitionless window anywhere. */
+  def qRollingDistinct7d(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = T.events(spark, dir)
+      .select($"event_type", $"user_id", to_date($"ts").as("day"))
+      .distinct()
+    val wUser = Window.partitionBy($"event_type", $"user_id").orderBy($"day")
+    val runs = days
+      .withColumn("new_run",
+        when(datediff($"day", lag($"day", 1).over(wUser)) > 6, 1)
+          .when(lag($"day", 1).over(wUser).isNull, 1).otherwise(0))
+      .withColumn("run_id", sum($"new_run").over(
+        wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"event_type", $"user_id", $"run_id")
+      .agg(min($"day").as("start"), date_add(max($"day"), 7).as("stop"))
+    // the day spine joins in with delta 0 so a day INSIDE every run
+    // (no boundary of its own) still gets a cumsum row; stop-days that
+    // never occur in the data carry their -1 into the running sum but
+    // are filtered from the output by the spine semi-join
+    val spine = days.select($"event_type", $"day").distinct()
+    val deltas = runs.select($"event_type", $"start".as("day"), lit(1L).as("d"))
+      .union(runs.select($"event_type", $"stop".as("day"), lit(-1L).as("d")))
+      .union(spine.withColumn("d", lit(0L)))
+      .groupBy($"event_type", $"day").agg(sum($"d").as("delta"))
+    val wDay = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("users_7d", sum($"delta").over(wDay))
+      .join(spine, Seq("event_type", "day"), "left_semi")
+      .select($"event_type", date_format($"day", "yyyy-MM-dd").as("day"),
+        $"users_7d")
+      .orderBy($"event_type", $"day")
+  }
+
+  val qRollingDistinct7dSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT event_type, user_id,
+      |    make_timestamp(epoch_ns(ts) // 1000)::DATE AS day
+      |  FROM events),
+      |days AS (SELECT DISTINCT event_type, day FROM d)
+      |SELECT w.event_type, strftime(w.day, '%Y-%m-%d') AS day,
+      |  count(DISTINCT d.user_id) AS users_7d
+      |FROM days w JOIN d ON d.event_type = w.event_type
+      |  AND d.day BETWEEN w.day - 6 AND w.day
+      |GROUP BY w.event_type, w.day
+      |ORDER BY w.event_type, w.day""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_rolling_distinct_7d", qRollingDistinct7d, Some(qRollingDistinct7dSql)),
     QueryDef("q_funnel_windowed", qFunnelWindowed, Some(qFunnelWindowedSql)),
     QueryDef("q_new_returning", qNewReturning, Some(qNewReturningSql)),
     QueryDef("q_path_trigrams", qPathTrigrams, Some(qPathTrigramsSql)),

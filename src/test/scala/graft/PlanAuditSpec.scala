@@ -66,7 +66,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // token floor (resampling rate table), KMV sketch x exact audit row,
     // power-iteration L2-norm scalars (64-row builds), Neyman normalizer
     "q_epoch_mix", "q_domain_resample", "q_kmv_intersect", "q_pca_power",
-    "q_sample_neyman")
+    "q_sample_neyman",
+    // 1-row builds: point estimate x 32-replicate bootstrap summary
+    "q_bootstrap_ci")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
