@@ -469,7 +469,10 @@ object Curation extends QueryFamily {
     * reshuffles. */
   def qNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val grams = gramRows(spark, dir, 8)
+    // the gram relation feeds three consumers (per-doc totals, the
+    // df>1 filter, and the join-back); cache it so the corpus scan +
+    // shingle explosion runs once, not three times
+    val grams = gramRows(spark, dir, 8).cache()
     val perDoc = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
     val dup = grams.groupBy($"g").agg(count(lit(1)).as("df"))
       .filter($"df" > 1).select($"g")

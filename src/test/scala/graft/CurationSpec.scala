@@ -122,7 +122,8 @@ class CurationSpec extends AnyFunSuite {
     for (q <- Seq(
         ops.Text.qTfidf(spark, sf),
         ops.Text.qTokenEntropy(spark, sf),
-        ops.Dedup.qDedupContainment(spark, sf))) {
+        ops.Dedup.qDedupContainment(spark, sf),
+        ops.Curation.qNgramNovelty(spark, sf))) {
       val plan = q.queryExecution.optimizedPlan.toString
       assert(plan.contains("InMemoryRelation"), s"expected cache in:\n$plan")
     }
