@@ -135,10 +135,51 @@ object Aggregators {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** One-pass upper-triangle Gram accumulator (X^T X) over d-dim
+    * float vectors: the buffer is the d(d+1)/2 running products, so
+    * each partition contributes ONE 2080-slot array to the shuffle
+    * instead of 2080 exploded struct rows per input vector. The
+    * d^2-bounded merge is exactly how a 1000-executor covariance /
+    * PCA pass stays one-scan at 100 TB. */
+  final class GramTriangle(d: Int)
+      extends Aggregator[Seq[Float], Array[Double], Array[Double]] {
+    override def zero: Array[Double] = new Array[Double](d * (d + 1) / 2)
+
+    override def reduce(buf: Array[Double], v: Seq[Float]): Array[Double] = {
+      val x = new Array[Double](d)
+      var i = 0
+      while (i < d) { x(i) = v(i).toDouble; i += 1 }
+      var idx = 0
+      i = 0
+      while (i < d) {
+        val xi = x(i)
+        var j = i
+        while (j < d) { buf(idx) += xi * x(j); idx += 1; j += 1 }
+        i += 1
+      }
+      buf
+    }
+
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Double]): Array[Double] = buf
+    override def bufferEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+
   /** Column-API forms (untyped usage inside groupBy().agg). */
   def minhashSig(k: Int)(col: Column): Column = udaf(new MinHashSig(k), Encoders.scalaLong).apply(col)
   def bloomSketch(mBits: Int, k: Int)(col: Column): Column =
     udaf(new BloomSketch(mBits, k), Encoders.scalaLong).apply(col)
   def simhashSig(col: Column): Column = udaf(new SimHashSig, Encoders.scalaLong).apply(col)
   def geoMean(col: Column): Column = udaf(new GeoMean, Encoders.scalaDouble).apply(col)
+  def gramTriangle(d: Int)(col: Column): Column =
+    udaf(new GramTriangle(d),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()).apply(col)
 }

@@ -749,8 +749,9 @@ object Mining extends QueryFamily {
         round(lit(k - 1) / $"uk", 2).as("est_union"), $"exact_union",
         round($"both_k".cast("double") / k * (lit(k - 1) / $"uk"), 2)
           .as("est_inter"), $"exact_inter",
-        round(abs($"both_k".cast("double") / k * (lit(k - 1) / $"uk")
-          - $"exact_inter") / $"exact_inter", 4).as("inter_rel_err"))
+        when($"exact_inter" === 0, lit(null).cast("double"))
+          .otherwise(round(abs($"both_k".cast("double") / k * (lit(k - 1) / $"uk")
+            - $"exact_inter") / $"exact_inter", 4)).as("inter_rel_err"))
   }
 
   val qKmvIntersectSql: String =
@@ -769,8 +770,9 @@ object Mining extends QueryFamily {
       |  CAST(sum(in_a * in_b) AS BIGINT) AS exact_inter FROM h)
       |SELECT 64 AS k, round(63 / uk, 2) AS est_union, exact_union,
       |  round(both_k::DOUBLE / 64 * (63 / uk), 2) AS est_inter, exact_inter,
-      |  round(abs(both_k::DOUBLE / 64 * (63 / uk) - exact_inter) / exact_inter, 4)
-      |    AS inter_rel_err
+      |  CASE WHEN exact_inter = 0 THEN NULL
+      |    ELSE round(abs(both_k::DOUBLE / 64 * (63 / uk) - exact_inter) / exact_inter, 4)
+      |  END AS inter_rel_err
       |FROM sk, ex""".stripMargin
 
   /** Poisson bootstrap confidence interval for the mean document

@@ -36,4 +36,27 @@ class SimilaritySpec extends AnyFunSuite {
       assert(r.getAs[Long]("q_id") !== r.getAs[Long]("n_id"))
     }
   }
+
+  test("GramTriangle aggregator matches the per-row product expansion") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions._
+    val agg = ops.Similarity.qGramMatrix(spark, sf).collect()
+      .map(r => ((r.getAs[Int]("i"), r.getAs[Int]("j")), r.getAs[Double]("g"))).toMap
+    val ref = ops.T.embeddings(spark, sf)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, 63), i ->
+          |  transform(sequence(i, 63), j ->
+          |    struct(i AS i, j AS j,
+          |      cast(embedding[i] AS double) * cast(embedding[j] AS double) AS p))))"""
+          .stripMargin)).as("s"))
+      .groupBy($"s.i", $"s.j").agg(sum($"s.p").as("g")).collect()
+      .map(r => ((r.getAs[Int]("i"), r.getAs[Int]("j")), r.getAs[Double]("g"))).toMap
+    assert(agg.keySet === ref.keySet)
+    assert(agg.size === 64 * 65 / 2)
+    // query output is rounded to 4dp; the reference is exact
+    agg.foreach { case (k, v) =>
+      assert(math.abs(v - ref(k)) <= 5.0001e-5, s"triangle slot $k: $v vs ${ref(k)}")
+    }
+  }
 }
