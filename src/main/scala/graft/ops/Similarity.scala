@@ -836,6 +836,59 @@ object Similarity extends QueryFamily {
       .orderBy($"i", $"j")
   }
 
+  /** Covariance matrix from ONE aggregator pass via homogeneous
+    * coordinates: the Gram triangle of [1, x] carries n in slot
+    * (0,0), the per-dim sums in row 0, and all raw products — so
+    * cov_ij = p_ij/n - (s_i/n)(s_j/n) needs no second corpus scan and
+    * no separate means aggregate. The same one-buffer-per-partition
+    * shuffle bound as [[qGramMatrix]], at d+1 = 65. */
+  def qCovMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val aug = T.embeddings(spark, dir)
+      .select(expr("concat(array(cast(1.0 AS float)), embedding)").as("embedding"))
+    // the 1-row triangle feeds three consumers (n, sums, products);
+    // localCheckpoint materializes the single corpus pass once
+    val tri = aug
+      .agg(graft.functions.Aggregators.gramTriangle(65)($"embedding").as("tri"))
+      .localCheckpoint()
+      .select(explode(expr(
+        """flatten(transform(sequence(0, 64), i ->
+          |  transform(sequence(i, 64), j ->
+          |    struct(i AS i, j AS j,
+          |      element_at(tri, cast(i*65 - (i*(i-1)) div 2 + (j - i) + 1 AS int)) AS p))))"""
+          .stripMargin)).as("s"))
+      .select($"s.i", $"s.j", $"s.p")
+    val n = tri.filter($"i" === 0 && $"j" === 0).select($"p".as("n"))
+    val sums = tri.filter($"i" === 0 && $"j" > 0)
+      .select(($"j" - 1).as("d"), $"p".as("s"))
+    tri.filter($"i" > 0)
+      .select(($"i" - 1).as("i"), ($"j" - 1).as("j"), $"p")
+      .crossJoin(broadcast(n))
+      .join(broadcast(sums.select($"d".as("i"), $"s".as("si"))), Seq("i"))
+      .join(broadcast(sums.select($"d".as("j"), $"s".as("sj"))), Seq("j"))
+      .select($"i", $"j",
+        // + 0.0 normalizes IEEE negative zero after rounding (DuckDB
+        // keeps -0.0, Spark's BigDecimal rounding does not; the t2
+        // canonical hash distinguishes them)
+        (round($"p" / $"n" - ($"si" / $"n") * ($"sj" / $"n"), 6) + lit(0.0)).as("cov"))
+      .orderBy($"i", $"j")
+  }
+
+  val qCovMatrixSql: String =
+    """WITH pos AS (SELECT unnest(range(0, 64)) AS i),
+      |x AS (SELECT vec_id, i, embedding[i + 1]::DOUBLE AS v FROM embeddings, pos),
+      |tri AS (SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS p
+      |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2),
+      |n AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+      |sums AS (SELECT i, sum(v) AS s FROM x GROUP BY i)
+      |SELECT t.i::INT AS i, t.j::INT AS j,
+      |  round(t.p / n.n - (sa.s / n.n) * (sb.s / n.n), 6) + 0.0 AS cov
+      |FROM tri t
+      |CROSS JOIN n
+      |JOIN sums sa ON sa.i = t.i
+      |JOIN sums sb ON sb.i = t.j
+      |ORDER BY t.i, t.j""".stripMargin
+
   val qGramMatrixSql: String =
     """WITH pos AS (SELECT unnest(range(0, 64)) AS i),
       |x AS (SELECT vec_id, i, embedding[i + 1]::DOUBLE AS v FROM embeddings, pos)
@@ -886,6 +939,7 @@ object Similarity extends QueryFamily {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_gram_matrix", qGramMatrix, Some(qGramMatrixSql)),
+    QueryDef("q_cov_matrix_embed", qCovMatrix, Some(qCovMatrixSql)),
     QueryDef("q_pca_power", qPcaPower, Some(qPcaPowerSql)),
     QueryDef("q_array_funcs", qArrayFuncs, Some(qArrayFuncsSql)),
     QueryDef("q_kmeans_update", qKmeansUpdate, Some(qKmeansUpdateSql)),

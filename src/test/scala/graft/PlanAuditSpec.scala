@@ -67,8 +67,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // power-iteration L2-norm scalars (64-row builds), Neyman normalizer
     "q_epoch_mix", "q_domain_resample", "q_kmv_intersect", "q_pca_power",
     "q_sample_neyman",
-    // 1-row builds: point estimate x 32-replicate bootstrap summary
-    "q_bootstrap_ci")
+    // 1-row builds: point estimate x 32-replicate bootstrap summary,
+    // covariance n scalar from the homogeneous Gram slot
+    "q_bootstrap_ci", "q_cov_matrix_embed")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
