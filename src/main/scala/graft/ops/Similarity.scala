@@ -818,8 +818,12 @@ object Similarity extends QueryFamily {
     * bounded 2080-struct transform. */
   private def gramTriRelation(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // localCheckpoint the 1-row triangle: consumers that reference the
+    // relation more than once (the PCA mirror union) must not re-run
+    // the corpus aggregation per branch
     T.embeddings(spark, dir)
       .agg(graft.functions.Aggregators.gramTriangle(64)($"embedding").as("tri"))
+      .localCheckpoint()
       .select(explode(expr(
         """flatten(transform(sequence(0, 63), i ->
           |  transform(sequence(i, 63), j ->

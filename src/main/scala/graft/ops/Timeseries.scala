@@ -578,9 +578,12 @@ object Timeseries extends QueryFamily {
     * there is no partitionless window anywhere. */
   def qRollingDistinct7d(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // cached: the day-grain distinct feeds run detection, the day
+    // spine, and the output filter — one events scan, not three
     val days = T.events(spark, dir)
       .select($"event_type", $"user_id", to_date($"ts").as("day"))
       .distinct()
+      .cache()
     val wUser = Window.partitionBy($"event_type", $"user_id").orderBy($"day")
     val runs = days
       .withColumn("new_run",
