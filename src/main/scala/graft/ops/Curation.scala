@@ -500,7 +500,66 @@ object Curation extends QueryFamily {
       |FROM per_doc p LEFT JOIN dh ON dh.doc_id = p.doc_id
       |ORDER BY p.doc_id""".stripMargin
 
+  /** Post-stratification audit — the estimator side of the sampling
+    * story [[qSampleNeyman]] plans: draw a deterministic 10%
+    * content-hash sample, then compare the naive sample mean against
+    * the post-stratified estimate (per-source sample means reweighted
+    * by POPULATION shares), with the design SE, against the true
+    * corpus mean. Population and sample stats are each one
+    * per-source aggregate; the estimator math runs on the
+    * |sources|-row result with 1-row broadcast totals. This is how a
+    * 100 TB pipeline reads a metric off a cheap sample without
+    * inheriting the sample's domain imbalance. */
+  def qPoststratAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = T.documents(spark, dir)
+      .select($"source", $"n_chars",
+        expr("cast(conv(substring(md5(cast(text as binary)), 1, 12), 16, 10) AS bigint)")
+          .cast("double") / lit(math.pow(16.0, 12)) < 0.1 as "in_sample")
+    val pop = docs.groupBy($"source").agg(count(lit(1)).as("n_pop"))
+    val samp = docs.filter($"in_sample")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_samp"),
+        avg($"n_chars").as("mean_h"), var_samp($"n_chars").as("var_h"))
+    val strata = pop.join(samp, Seq("source"))
+      .crossJoin(broadcast(pop.agg(sum($"n_pop").cast("double").as("n_total"))))
+    val est = strata.agg(
+      sum(($"n_pop" / $"n_total") * $"mean_h").as("poststrat_mean"),
+      sqrt(sum(pow($"n_pop" / $"n_total", 2.0) * $"var_h" / $"n_samp")).as("se"))
+    val naive = docs.filter($"in_sample").agg(avg($"n_chars").as("naive_mean"))
+    val truth = docs.agg(avg($"n_chars").as("true_mean"))
+    truth.crossJoin(broadcast(naive)).crossJoin(broadcast(est))
+      .select(round($"true_mean", 4).as("true_mean"),
+        round($"naive_mean", 4).as("naive_mean"),
+        round($"poststrat_mean", 4).as("poststrat_mean"),
+        round($"se", 4).as("se"),
+        round(abs($"naive_mean" - $"true_mean"), 4).as("err_naive"),
+        round(abs($"poststrat_mean" - $"true_mean"), 4).as("err_poststrat"))
+  }
+
+  val qPoststratAuditSql: String =
+    """WITH d AS (SELECT source, n_chars,
+      |  (list_sum(list_transform(range(1, 13),
+      |     i -> (strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)
+      |          * pow(16.0, 12 - i)))::BIGINT)::DOUBLE / pow(16.0, 12) < 0.1 AS in_sample
+      |  FROM documents),
+      |pop AS (SELECT source, count(*) AS n_pop FROM d GROUP BY source),
+      |tot AS (SELECT CAST(sum(n_pop) AS DOUBLE) AS n_total FROM pop),
+      |samp AS (SELECT source, count(*) AS n_samp, avg(n_chars) AS mean_h,
+      |  var_samp(n_chars) AS var_h FROM d WHERE in_sample GROUP BY source),
+      |est AS (SELECT sum((n_pop / n_total) * mean_h) AS poststrat_mean,
+      |  sqrt(sum(pow(n_pop / n_total, 2.0) * var_h / n_samp)) AS se
+      |  FROM pop JOIN samp USING (source), tot),
+      |naive AS (SELECT avg(n_chars) AS naive_mean FROM d WHERE in_sample),
+      |truth AS (SELECT avg(n_chars) AS true_mean FROM d)
+      |SELECT round(true_mean, 4) AS true_mean, round(naive_mean, 4) AS naive_mean,
+      |  round(poststrat_mean, 4) AS poststrat_mean, round(se, 4) AS se,
+      |  round(abs(naive_mean - true_mean), 4) AS err_naive,
+      |  round(abs(poststrat_mean - true_mean), 4) AS err_poststrat
+      |FROM truth, naive, est""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_poststrat_audit", qPoststratAudit, Some(qPoststratAuditSql)),
     QueryDef("q_ngram_novelty", qNgramNovelty, Some(qNgramNoveltySql)),
     QueryDef("q_sample_neyman", qSampleNeyman, Some(qSampleNeymanSql)),
     QueryDef("q_curation_waterfall", qCurationWaterfall, Some(qCurationWaterfallSql)),

@@ -68,8 +68,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_epoch_mix", "q_domain_resample", "q_kmv_intersect", "q_pca_power",
     "q_sample_neyman",
     // 1-row builds: point estimate x 32-replicate bootstrap summary,
-    // covariance n scalar from the homogeneous Gram slot
-    "q_bootstrap_ci", "q_cov_matrix_embed")
+    // covariance n scalar from the homogeneous Gram slot,
+    // post-stratification totals x naive x truth scalars
+    "q_bootstrap_ci", "q_cov_matrix_embed", "q_poststrat_audit")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
