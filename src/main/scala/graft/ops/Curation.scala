@@ -345,13 +345,18 @@ object Curation extends QueryFamily {
     * end, no SF-scaled shuffle beyond the token count itself. */
   def qEpochMix(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // localCheckpoint: the |sources|-row aggregate feeds the share
+    // projection AND its own 1-row total — without it the corpus
+    // token count re-runs per consumer
     val bySource = T.documents(spark, dir)
       .select($"source", size(split($"text", " ")).as("n_tok"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      .localCheckpoint()
     val shares = bySource
       .crossJoin(broadcast(bySource.agg(sum($"n_tokens").cast("double").as("total"))))
       .withColumn("w", pow($"n_tokens" / $"total", 0.7))
+      .localCheckpoint()
     shares
       .crossJoin(broadcast(shares.agg(sum($"w").as("z"))))
       .withColumn("weight", $"w" / $"z")
@@ -395,6 +400,7 @@ object Curation extends QueryFamily {
     val docs = T.documents(spark, dir)
       .select($"source", $"text", size(split($"text", " ")).as("n_tok"))
     val bySource = docs.groupBy($"source").agg(sum($"n_tok").as("n_tokens"))
+      .localCheckpoint()
     val rates = bySource
       .crossJoin(broadcast(bySource.agg(min($"n_tokens").cast("double").as("floor_tokens"))))
       .withColumn("rate", $"floor_tokens" / $"n_tokens")
@@ -440,6 +446,7 @@ object Curation extends QueryFamily {
       .agg(count(lit(1)).as("n_docs"),
         stddev_pop($"n_chars".cast("double")).as("sigma"))
       .withColumn("mass", $"n_docs" * $"sigma")
+      .localCheckpoint()
     strata
       .crossJoin(broadcast(strata.agg(sum($"mass").as("z"))))
       .select($"source", $"n_docs", round($"sigma", 2).as("sigma"),
@@ -512,24 +519,29 @@ object Curation extends QueryFamily {
     * inheriting the sample's domain imbalance. */
   def qPoststratAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = T.documents(spark, dir)
-      .select($"source", $"n_chars",
-        expr("cast(conv(substring(md5(cast(text as binary)), 1, 12), 16, 10) AS bigint)")
-          .cast("double") / lit(math.pow(16.0, 12)) < 0.1 as "in_sample")
-    val pop = docs.groupBy($"source").agg(count(lit(1)).as("n_pop"))
-    val samp = docs.filter($"in_sample")
+    // ONE corpus pass: population AND sample statistics come out of a
+    // single conditional per-source aggregate (sample columns see only
+    // in-sample rows via CASE/null-skipping aggregates); everything
+    // downstream runs on the checkpointed |sources|-row relation
+    val sampChars = when(
+      expr("cast(conv(substring(md5(cast(text as binary)), 1, 12), 16, 10) AS bigint)")
+        .cast("double") / lit(math.pow(16.0, 12)) < 0.1, $"n_chars")
+    val strata = T.documents(spark, dir)
+      .select($"source", $"n_chars", sampChars.as("samp_chars"))
       .groupBy($"source")
-      .agg(count(lit(1)).as("n_samp"),
-        avg($"n_chars").as("mean_h"), var_samp($"n_chars").as("var_h"))
-    val strata = pop.join(samp, Seq("source"))
-      .crossJoin(broadcast(pop.agg(sum($"n_pop").cast("double").as("n_total"))))
-    val est = strata.agg(
-      sum(($"n_pop" / $"n_total") * $"mean_h").as("poststrat_mean"),
-      sqrt(sum(pow($"n_pop" / $"n_total", 2.0) * $"var_h" / $"n_samp")).as("se"))
-    val naive = docs.filter($"in_sample").agg(avg($"n_chars").as("naive_mean"))
-    val truth = docs.agg(avg($"n_chars").as("true_mean"))
-    truth.crossJoin(broadcast(naive)).crossJoin(broadcast(est))
-      .select(round($"true_mean", 4).as("true_mean"),
+      .agg(count(lit(1)).as("n_pop"), sum($"n_chars").as("sum_pop"),
+        count($"samp_chars").as("n_samp"),
+        avg($"samp_chars").as("mean_h"), var_samp($"samp_chars").as("var_h"),
+        sum($"samp_chars").as("sum_samp"))
+      .localCheckpoint()
+    val est = strata
+      .crossJoin(broadcast(strata.agg(sum($"n_pop").cast("double").as("n_total"))))
+      .agg(
+        sum(($"n_pop" / $"n_total") * $"mean_h").as("poststrat_mean"),
+        sqrt(sum(pow($"n_pop" / $"n_total", 2.0) * $"var_h" / $"n_samp")).as("se"),
+        (sum($"sum_pop").cast("double") / sum($"n_pop")).as("true_mean"),
+        (sum($"sum_samp").cast("double") / sum($"n_samp")).as("naive_mean"))
+    est.select(round($"true_mean", 4).as("true_mean"),
         round($"naive_mean", 4).as("naive_mean"),
         round($"poststrat_mean", 4).as("poststrat_mean"),
         round($"se", 4).as("se"),
@@ -539,24 +551,26 @@ object Curation extends QueryFamily {
 
   val qPoststratAuditSql: String =
     """WITH d AS (SELECT source, n_chars,
-      |  (list_sum(list_transform(range(1, 13),
+      |  CASE WHEN (list_sum(list_transform(range(1, 13),
       |     i -> (strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)
-      |          * pow(16.0, 12 - i)))::BIGINT)::DOUBLE / pow(16.0, 12) < 0.1 AS in_sample
+      |          * pow(16.0, 12 - i)))::BIGINT)::DOUBLE / pow(16.0, 12) < 0.1
+      |    THEN n_chars END AS samp_chars
       |  FROM documents),
-      |pop AS (SELECT source, count(*) AS n_pop FROM d GROUP BY source),
-      |tot AS (SELECT CAST(sum(n_pop) AS DOUBLE) AS n_total FROM pop),
-      |samp AS (SELECT source, count(*) AS n_samp, avg(n_chars) AS mean_h,
-      |  var_samp(n_chars) AS var_h FROM d WHERE in_sample GROUP BY source),
+      |strata AS (SELECT source, count(*) AS n_pop, sum(n_chars) AS sum_pop,
+      |  count(samp_chars) AS n_samp, avg(samp_chars) AS mean_h,
+      |  var_samp(samp_chars) AS var_h, sum(samp_chars) AS sum_samp
+      |  FROM d GROUP BY source),
+      |tot AS (SELECT CAST(sum(n_pop) AS DOUBLE) AS n_total FROM strata),
       |est AS (SELECT sum((n_pop / n_total) * mean_h) AS poststrat_mean,
-      |  sqrt(sum(pow(n_pop / n_total, 2.0) * var_h / n_samp)) AS se
-      |  FROM pop JOIN samp USING (source), tot),
-      |naive AS (SELECT avg(n_chars) AS naive_mean FROM d WHERE in_sample),
-      |truth AS (SELECT avg(n_chars) AS true_mean FROM d)
+      |  sqrt(sum(pow(n_pop / n_total, 2.0) * var_h / n_samp)) AS se,
+      |  sum(sum_pop)::DOUBLE / sum(n_pop) AS true_mean,
+      |  sum(sum_samp)::DOUBLE / sum(n_samp) AS naive_mean
+      |  FROM strata, tot)
       |SELECT round(true_mean, 4) AS true_mean, round(naive_mean, 4) AS naive_mean,
       |  round(poststrat_mean, 4) AS poststrat_mean, round(se, 4) AS se,
       |  round(abs(naive_mean - true_mean), 4) AS err_naive,
       |  round(abs(poststrat_mean - true_mean), 4) AS err_poststrat
-      |FROM truth, naive, est""".stripMargin
+      |FROM est""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_poststrat_audit", qPoststratAudit, Some(qPoststratAuditSql)),
