@@ -739,6 +739,7 @@ object Mining extends QueryFamily {
       .withColumn("u",
         expr("cast(conv(substring(md5(cast(o_custkey as string)), 1, 12), 16, 10) AS bigint)")
           .cast("double") / lit(math.pow(16.0, 12)))
+      .localCheckpoint()
     val bottom = m.orderBy($"u", $"o_custkey").limit(k)
     val sketch = bottom.agg(max($"u").as("uk"),
       sum($"in_a" * $"in_b").as("both_k"))

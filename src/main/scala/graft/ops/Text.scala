@@ -621,7 +621,39 @@ object Text extends QueryFamily {
       |SELECT 2, a, b, a || b, c::BIGINT FROM t2
       |ORDER BY step""".stripMargin
 
+  /** Hill estimator of the vocabulary's power-law tail exponent —
+    * the Zipf fit's robust companion: alpha = k / sum(ln(x_i /
+    * x_{k+1})) over the k=100 largest token frequencies. Only a
+    * k+1-row TakeOrdered leaves the frequency aggregate, so the
+    * estimator costs one vocab pass plus a 101-row reduction at any
+    * SF; frequency ties at the threshold contribute ln(1) = 0 in
+    * both engines, so the boundary is tie-proof by construction. */
+  def qTailIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 100
+    val cnt = T.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("t"))
+      .filter(length($"t") > 0)
+      .groupBy($"t").agg(count(lit(1)).as("cnt"))
+    val top = cnt.orderBy(desc("cnt"), asc("t")).limit(k + 1).localCheckpoint()
+    top.crossJoin(broadcast(top.agg(min($"cnt").cast("double").as("xk1"))))
+      .agg(sum(log($"cnt" / $"xk1")).as("sumlog"),
+        max($"xk1").as("xk1"))
+      .select(lit(k).as("k"), $"xk1".cast("bigint").as("x_k1"),
+        round(lit(k.toDouble) / $"sumlog", 4).as("alpha"))
+  }
+
+  val qTailIndexSql: String =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |cnt AS (SELECT t, count(*) AS cnt FROM tok WHERE len(t) > 0 GROUP BY t),
+      |top AS (SELECT cnt FROM cnt ORDER BY cnt DESC, t LIMIT 101),
+      |thr AS (SELECT CAST(min(cnt) AS DOUBLE) AS xk1 FROM top)
+      |SELECT 100 AS k, xk1::BIGINT AS x_k1,
+      |  round(100.0 / sum(ln(cnt / xk1)), 4) AS alpha
+      |FROM top, thr GROUP BY xk1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_tail_index", qTailIndex, Some(qTailIndexSql)),
     QueryDef("q_bpe_merges", qBpeMerges, Some(qBpeMergesSql)),
     QueryDef("q_token_bpe", qTokenBpe, Some(qTokenBpeSql)),
     QueryDef("q_source_divergence", qSourceDivergence, Some(qSourceDivergenceSql)),

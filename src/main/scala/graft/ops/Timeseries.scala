@@ -625,7 +625,53 @@ object Timeseries extends QueryFamily {
       |GROUP BY w.event_type, w.day
       |ORDER BY w.event_type, w.day""".stripMargin
 
+  /** Inter-event burstiness per event type: the coefficient of
+    * variation of per-USER inter-arrival gaps, folded into the
+    * Goh-Barabasi burstiness score B = (cv-1)/(cv+1) (0 for a Poisson
+    * process, -> 1 for bursty trains). Gaps are computed inside
+    * (type, user) windows — fine-grained keys that distribute at any
+    * SF, unlike a per-type total ordering of all events — and the
+    * type-level moments come from explicit sum/sum-of-squares so both
+    * engines run identical arithmetic. */
+  def qBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type", $"user_id")
+      .orderBy($"sec", $"event_id")
+    val gaps = T.events(spark, dir)
+      .select($"event_type", $"user_id", $"event_id",
+        unix_timestamp($"ts").as("sec"))
+      .withColumn("gap", ($"sec" - lag($"sec", 1).over(w)).cast("double"))
+      .filter($"gap".isNotNull)
+    gaps.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_gaps"), sum($"gap").as("s1"),
+        sum($"gap" * $"gap").as("s2"))
+      .withColumn("mean", $"s1" / $"n_gaps")
+      .withColumn("cv",
+        sqrt($"s2" / $"n_gaps" - $"mean" * $"mean") / $"mean")
+      .select($"event_type", $"n_gaps",
+        round($"mean", 2).as("mean_gap_sec"),
+        round($"cv", 4).as("cv"),
+        round(($"cv" - 1) / ($"cv" + 1), 4).as("burstiness"))
+      .orderBy($"event_type")
+  }
+
+  val qBurstinessSql: String =
+    """WITH ev AS (SELECT event_type, user_id, event_id,
+      |  epoch_ns(ts) // 1000000000 AS sec FROM events),
+      |g AS (SELECT event_type,
+      |  (sec - lag(sec) OVER (PARTITION BY event_type, user_id
+      |     ORDER BY sec, event_id))::DOUBLE AS gap FROM ev),
+      |m AS (SELECT event_type, count(*) AS n_gaps, sum(gap) AS s1,
+      |  sum(gap * gap) AS s2 FROM g WHERE gap IS NOT NULL GROUP BY event_type),
+      |c AS (SELECT m.*, s1 / n_gaps AS mean,
+      |  sqrt(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps)) / (s1 / n_gaps) AS cv
+      |  FROM m)
+      |SELECT event_type, n_gaps, round(mean, 2) AS mean_gap_sec,
+      |  round(cv, 4) AS cv, round((cv - 1) / (cv + 1), 4) AS burstiness
+      |FROM c ORDER BY event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_burstiness", qBurstiness, Some(qBurstinessSql)),
     QueryDef("q_rolling_distinct_7d", qRollingDistinct7d, Some(qRollingDistinct7dSql)),
     QueryDef("q_funnel_windowed", qFunnelWindowed, Some(qFunnelWindowedSql)),
     QueryDef("q_new_returning", qNewReturning, Some(qNewReturningSql)),

@@ -69,8 +69,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_sample_neyman",
     // 1-row builds: point estimate x 32-replicate bootstrap summary,
     // covariance n scalar from the homogeneous Gram slot,
-    // post-stratification totals x naive x truth scalars
-    "q_bootstrap_ci", "q_cov_matrix_embed", "q_poststrat_audit")
+    // post-stratification totals x naive x truth scalars, Hill
+    // threshold scalar over the 101-row top
+    "q_bootstrap_ci", "q_cov_matrix_embed", "q_poststrat_audit",
+    "q_tail_index")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
