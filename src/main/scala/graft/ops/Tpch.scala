@@ -36,9 +36,17 @@ object Tpch extends QueryFamily {
     * classic argmin without a window over a skewed partition. */
   def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // weighted unit cost from EXACT integer sums (cents and integral
+    // quantities sum order-independently in doubles), rounded to 4dp
+    // via explicit floor(x*10^4 + 0.5): true half-way values like
+    // 40.63775 round differently under Spark's decimal-string
+    // BigDecimal rounding vs DuckDB's binary-double rounding, but
+    // floor over the same double is bit-identical in both engines
     val cost = T.lineitem(spark, dir)
       .groupBy($"l_partkey", $"l_suppkey")
-      .agg(round(avg($"l_extendedprice" / $"l_quantity"), 4).as("unit_cost"))
+      .agg((floor(
+        sum(expr("cast(round(l_extendedprice * 100) AS bigint)")) * lit(100.0)
+          / sum($"l_quantity") + lit(0.5)) / lit(10000.0)).as("unit_cost"))
     val minCost = cost.groupBy($"l_partkey".as("mc_partkey"))
       .agg(min($"unit_cost").as("min_cost"))
     val parts = T.part(spark, dir).filter($"p_size" === 15 && $"p_type" === "STANDARD")
@@ -55,7 +63,8 @@ object Tpch extends QueryFamily {
   val q2MinCostSql: String =
     """WITH cost AS (
       |  SELECT l_partkey AS pk, l_suppkey AS sk,
-      |         round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+      |         floor(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 100.0
+      |           / sum(l_quantity) + 0.5) / 10000.0 AS unit_cost
       |  FROM lineitem GROUP BY 1, 2)
       |SELECT p_partkey, p_name, s_name, n_name, unit_cost
       |FROM cost
