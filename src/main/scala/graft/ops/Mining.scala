@@ -834,7 +834,75 @@ object Mining extends QueryFamily {
       |  round(boot_mean + 1.96 * se, 4) AS ci_hi
       |FROM pt, boot""".stripMargin
 
+  /** Gini coefficient of revenue concentration across customers —
+    * the inequality statistic behind "how head-heavy is this
+    * distribution", complementing the ABC/Pareto tiers. Exact and
+    * deterministic end to end: per-customer revenue in integer
+    * cents, ranked by the distributed [[Skew.globalRowNumber]]
+    * primitive (range partition + local rank + broadcast offsets —
+    * no single-partition sort), and the rank-weighted sum kept in
+    * decimal so the only floating-point step is the final division
+    * of two exact integers, identical in both engines. */
+  def qGini(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = T.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(expr("cast(round(o_totalprice * 100) AS bigint)")).as("cents"))
+    val ranked = Skew.globalRowNumber(rev,
+      Seq(asc("cents"), asc("o_custkey")), rankName = "i")
+    ranked.agg(count(lit(1)).as("n"),
+        sum($"cents").as("s"),
+        sum($"i".cast("decimal(38,0)") * $"cents").cast("double").as("si"))
+      .select($"n",
+        round(($"si" * 2.0) / ($"n".cast("double") * $"s")
+          - ($"n" + 1.0) / $"n", 6).as("gini"))
+  }
+
+  val qGiniSql: String =
+    """WITH rev AS (SELECT o_custkey,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |r AS (SELECT cents,
+      |  row_number() OVER (ORDER BY cents, o_custkey) AS i FROM rev)
+      |SELECT count(*) AS n,
+      |  round((sum(i * cents)::DOUBLE * 2.0)
+      |    / (count(*)::DOUBLE * sum(cents))
+      |    - (count(*) + 1.0) / count(*), 6) AS gini
+      |FROM r""".stripMargin
+
+  /** Winsorized mean of extended price per return flag: clamp to the
+    * exact global [p01, p99] band (a 1-row broadcast of exact
+    * percentiles) before averaging — the robust-mean shape that
+    * tames heavy tails without a sort, costing one extra broadcast
+    * over the plain aggregate. */
+  def qWinsorizedMean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cuts = T.lineitem(spark, dir)
+      .agg(expr("percentile(l_extendedprice, array(0.01, 0.99))").as("c"))
+    T.lineitem(spark, dir)
+      .crossJoin(broadcast(cuts))
+      .select($"l_returnflag",
+        greatest(element_at($"c", 1),
+          least(element_at($"c", 2), $"l_extendedprice")).as("w"),
+        $"l_extendedprice")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(avg($"l_extendedprice"), 4).as("raw_mean"),
+        round(avg($"w"), 4).as("winsor_mean"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qWinsorizedMeanSql: String =
+    """WITH cuts AS (SELECT quantile_cont(l_extendedprice, [0.01, 0.99]) AS c
+      |  FROM lineitem)
+      |SELECT l_returnflag, count(*) AS n,
+      |  round(avg(l_extendedprice), 4) AS raw_mean,
+      |  round(avg(greatest(c[1], least(c[2], l_extendedprice))), 4) AS winsor_mean
+      |FROM lineitem, cuts GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_gini", qGini, Some(qGiniSql)),
+    QueryDef("q_winsorized_mean", qWinsorizedMean, Some(qWinsorizedMeanSql)),
     QueryDef("q_bootstrap_ci", qBootstrapCi, Some(qBootstrapCiSql)),
     QueryDef("q_regr_multi", qRegrMulti, Some(qRegrMultiSql)),
     QueryDef("q_kmv_intersect", qKmvIntersect, Some(qKmvIntersectSql)),

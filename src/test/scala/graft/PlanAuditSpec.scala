@@ -70,9 +70,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row builds: point estimate x 32-replicate bootstrap summary,
     // covariance n scalar from the homogeneous Gram slot,
     // post-stratification totals x naive x truth scalars, Hill
-    // threshold scalar over the 101-row top
+    // threshold scalar over the 101-row top, winsorization cut row
     "q_bootstrap_ci", "q_cov_matrix_embed", "q_poststrat_audit",
-    "q_tail_index")
+    "q_tail_index", "q_winsorized_mean")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
@@ -98,6 +98,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // |parts|-row (32) offsets relations inside Skew.globalRowNumber /
     // globalCumSum — the distributed-ranking primitive itself
     "q_zipf_fit" -> "globalRowNumber offsets (32 rows)",
+    "q_gini" -> "globalRowNumber offsets (32 rows)",
     "q_skyline" -> "globalCumMaxExclusive offsets (32 rows)",
     "q_abc_pareto" -> "globalCumSum offsets (32 rows)",
     "q_global_rank" -> "globalRowNumber offsets (32 rows)",
