@@ -874,7 +874,11 @@ object Mining extends QueryFamily {
     * exact global [p01, p99] band (a 1-row broadcast of exact
     * percentiles) before averaging — the robust-mean shape that
     * tames heavy tails without a sort, costing one extra broadcast
-    * over the plain aggregate. */
+    * over the plain aggregate. The exact `percentile` aggregate
+    * buffers values, so at true 100 TB the cuts would come from the
+    * bucketed-rank-location path (the q_mad shape) or a KLL sketch
+    * with a bounded error budget — the clamp-and-average stays
+    * identical either way. */
   def qWinsorizedMean(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cuts = T.lineitem(spark, dir)
