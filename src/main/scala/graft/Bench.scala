@@ -11,17 +11,27 @@ import org.apache.spark.sql.functions._
   * a bare count() would let Catalyst prune expensive projections (e.g.
   * signature computations) and under-report their cost.
   *
-  * Timing is min-of-N (SPARK_GRAFT_BENCH_RUNS, default 2): single-run
+  * Timing is min-of-N (SPARK_GRAFT_BENCH_RUNS, default 3): single-run
   * wall times on a shared machine have shown 10-36x run-to-run noise,
   * and the minimum is the standard low-noise estimator of the true
-  * cost. A query that throws is reported in "errors" with its message
-  * — never as a plausible-looking wall time.
+  * cost. The per-run times and the host's 1-minute load average are
+  * recorded alongside the minima so a contended run is
+  * self-diagnosing (the round-6 driver artifact showed multi-job
+  * queries 5-10x inflated with nothing in the JSON to prove it): a
+  * wide min-to-max spread or a high loadavg marks the numbers
+  * machine-noise, not code drift. A query that throws is reported in
+  * "errors" with its message — never as a plausible-looking wall
+  * time.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    def loadavg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadavg
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -45,6 +55,7 @@ object Bench {
     }
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val perRun = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Local-iteration subset, mirroring Verify: SPARK_GRAFT_ONLY=q_a,q_b
     // times just those queries. Unset for driver runs.
@@ -54,7 +65,9 @@ object Bench {
       .filter(kv => only.forall(_.contains(kv._1)))
       .foreach { case (name, fn) =>
       try {
-        timings(name) = (1 to math.max(1, runs)).map(_ => once(fn)).min
+        val ts = (1 to math.max(1, runs)).map(_ => once(fn))
+        timings(name) = ts.min
+        perRun(name) = ts
       } catch {
         case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -71,8 +84,14 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-run spreads at 4 dp (sub-0.1ms precision is noise anyway)
+    // keep the artifact diffable without doubling its size
+    val spreads = perRun.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(t => f"$t%.4f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = timings.values.sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""runs_detail":$spreads,"loadavg_start":$loadStart,"loadavg_end":$loadavg,""" +
       s""""errors":${jmap(errors)},"n_errors":${errors.size},"runs":$runs,"sf":"$sfDir"}"""
     println(json)
     // the driver's stdout capture truncates long lines; persist the full

@@ -146,6 +146,12 @@ object Aggregators {
     override def zero: Array[Double] = new Array[Double](d * (d + 1) / 2)
 
     override def reduce(buf: Array[Double], v: Seq[Float]): Array[Double] = {
+      // fail schema drift loudly: a null or wrong-width embedding would
+      // otherwise surface as an opaque NPE/AIOOBE deep inside codegen'd
+      // aggregation (and a longer vector would silently truncate)
+      require(v != null && v.length == d,
+        s"GramTriangle: expected non-null length-$d embedding, got " +
+          (if (v == null) "null" else s"length ${v.length}"))
       val x = new Array[Double](d)
       var i = 0
       while (i < d) { x(i) = v(i).toDouble; i += 1 }

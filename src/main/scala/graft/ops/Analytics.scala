@@ -527,7 +527,11 @@ object Analytics extends QueryFamily {
   /** RFM customer segmentation: per-customer recency/frequency/monetary
     * rollup, quartile scores from ONE broadcast row of exact percentile
     * cuts (no per-customer ntile window), segment counts + value.
-    * Money is integer cents end-to-end. */
+    * Money is integer cents end-to-end. The cuts come from ONE
+    * metric-keyed [[Quantiles.exact]] call over the melted
+    * (metric, value) pairs — bucketed rank location with the metric as
+    * the partition key, so nothing buffers the customer-grain values
+    * and the three quartile sets cost one pass, not three. */
   def qRfm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rfm = T.orders(spark, dir)
@@ -536,10 +540,18 @@ object Analytics extends QueryFamily {
         datediff(lit("2001-09-01").cast("timestamp"), max($"o_orderdate")).as("recency_days"),
         count(lit(1)).as("frequency"),
         sum(round($"o_totalprice" * 100).cast("long")).as("monetary_cents"))
-    val cuts = rfm.agg(
-      expr("percentile(recency_days, array(0.25, 0.5, 0.75))").as("rq"),
-      expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("fq"),
-      expr("percentile(monetary_cents, array(0.25, 0.5, 0.75))").as("mq"))
+      .cache()
+    val melted = rfm.select(explode(array(
+        struct(lit("r").as("m"), $"recency_days".cast("double").as("v")),
+        struct(lit("f").as("m"), $"frequency".cast("double").as("v")),
+        struct(lit("m").as("m"), $"monetary_cents".cast("double").as("v"))))
+        .as("t"))
+      .select($"t.m".as("m"), $"t.v".as("v"))
+    val quartiles = Seq(0.25, 0.5, 0.75)
+    def arr(metric: String): Column = array(quartiles.map(p =>
+      max(when($"m" === metric && $"p" === p, $"q"))): _*)
+    val cuts = graft.ops.Quantiles.exact(melted, Seq("m"), "v", quartiles)
+      .agg(arr("r").as("rq"), arr("f").as("fq"), arr("m").as("mq"))
     def score(c: Column, q: Column): Column =
       (1 to 3).map(i => when(c > element_at(q, i), 1).otherwise(0)).reduce(_ + _) + 1
     rfm.crossJoin(broadcast(cuts))

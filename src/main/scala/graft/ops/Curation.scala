@@ -572,8 +572,165 @@ object Curation extends QueryFamily {
       |  round(abs(poststrat_mean - true_mean), 4) AS err_poststrat
       |FROM est""".stripMargin
 
+  /** The END-TO-END curation pipeline — the flagship "what this engine
+    * is for" query. [[qCurationWaterfall]] reads the funnel;  this
+    * query RUNS the pipeline: the actual gates chained in production
+    * order — length (>= 20 tokens) → quality (>= 0.3) → Gopher
+    * repetition ([[qRepetition]]'s keep flag) → MinHash-LSH near-dup
+    * ([[Dedup.qDedupSurvivors]]) — then the temperature-0.7 mix plan
+    * ([[qEpochMix]]'s arithmetic) over the SURVIVING tokens, and
+    * finally the 512-token packing bound on the planned budget. One
+    * row per stage with both surviving docs and surviving tokens, so
+    * a pipeline owner sees which gate eats which volume AND what the
+    * final training set costs.
+    *
+    * Scale shape: the per-doc gate flags are joined into ONE relation
+    * and aggregated ONCE per source — every later stage (global
+    * funnel, mix plan, packing bound) rolls up from that
+    * |sources|-row table via 1-row broadcasts. The corpus-scale work
+    * is exactly the gates' own passes (tokenize, bigrams, shingles);
+    * nothing downstream rescans a fact table. */
+  def qCurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+    val base = T.documents(spark, dir)
+      .withColumn("w", split($"text", " "))
+      .withColumn("n_stop", size(filter($"w", x => array_contains(stop, x))))
+      .withColumn("quality",
+        least(lit(1.0), size($"w") / lit(100.0)) *
+          (lit(1.0) - $"n_stop".cast("double") / size($"w")))
+      .select($"doc_id", $"source", size($"w").as("n_tok"),
+        (size($"w") >= 20).as("g_len"), ($"quality" >= 0.3).as("g_quality"))
+    val rep = qRepetition(spark, dir).select($"doc_id", $"keep".as("g_rep"))
+    val surv = Dedup.qDedupSurvivors(spark, dir)
+      .select($"doc_id", lit(true).as("g_dedup"))
+    // ONE materialized per-source stage table; everything downstream
+    // rolls up from these |sources| rows
+    val bySource = base
+      .join(rep, Seq("doc_id"), "left")
+      .join(surv, Seq("doc_id"), "left")
+      .select($"source", $"n_tok", $"g_len",
+        ($"g_len" && $"g_quality").as("g2"),
+        ($"g_len" && $"g_quality" && coalesce($"g_rep", lit(false))).as("g3"),
+        ($"g_len" && $"g_quality" && coalesce($"g_rep", lit(false))
+          && coalesce($"g_dedup", lit(false))).as("g4"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("d0"), sum($"n_tok").as("t0"),
+        sum(when($"g_len", 1L).otherwise(0L)).as("d1"),
+        sum(when($"g_len", $"n_tok").otherwise(0L)).as("t1"),
+        sum(when($"g2", 1L).otherwise(0L)).as("d2"),
+        sum(when($"g2", $"n_tok").otherwise(0L)).as("t2"),
+        sum(when($"g3", 1L).otherwise(0L)).as("d3"),
+        sum(when($"g3", $"n_tok").otherwise(0L)).as("t3"),
+        sum(when($"g4", 1L).otherwise(0L)).as("d4"),
+        sum(when($"g4", $"n_tok").otherwise(0L)).as("t4"))
+      .localCheckpoint()
+    // temperature-0.7 mix plan over surviving tokens, 2x token budget
+    // (the qEpochMix arithmetic, here fed by the gated corpus)
+    val wgt = bySource
+      .crossJoin(broadcast(bySource.agg(sum($"t4").cast("double").as("total"))))
+      .withColumn("wgt", pow($"t4" / $"total", 0.7))
+      .localCheckpoint()
+    val planned = wgt
+      .crossJoin(broadcast(wgt.agg(sum($"wgt").as("z"))))
+      .withColumn("target_tokens",
+        round($"wgt" / $"z" * 2.0d * $"total").cast("bigint"))
+    planned.agg(
+        sum($"d0").as("s0d"), sum($"t0").as("s0t"),
+        sum($"d1").as("s1d"), sum($"t1").as("s1t"),
+        sum($"d2").as("s2d"), sum($"t2").as("s2t"),
+        sum($"d3").as("s3d"), sum($"t3").as("s3t"),
+        sum($"d4").as("s4d"), sum($"t4").as("s4t"),
+        sum($"target_tokens").as("s5t"))
+      .select(explode(array(
+        struct(lit("0_total").as("stage"), $"s0d".as("n_docs"), $"s0t".as("n_tokens")),
+        struct(lit("1_length").as("stage"), $"s1d".as("n_docs"), $"s1t".as("n_tokens")),
+        struct(lit("2_quality").as("stage"), $"s2d".as("n_docs"), $"s2t".as("n_tokens")),
+        struct(lit("3_repetition").as("stage"), $"s3d".as("n_docs"), $"s3t".as("n_tokens")),
+        struct(lit("4_neardup").as("stage"), $"s4d".as("n_docs"), $"s4t".as("n_tokens")),
+        struct(lit("5_mix_plan").as("stage"), $"s4d".as("n_docs"), $"s5t".as("n_tokens")),
+        struct(lit("6_packed").as("stage"),
+          expr("(s5t + 511) div 512").as("n_docs"), $"s5t".as("n_tokens"))))
+        .as("t"))
+      .select($"t.stage", $"t.n_docs", $"t.n_tokens")
+      .orderBy($"stage")
+  }
+
+  val qCurationPipelineSql: String = {
+    val mh = Dedup.minhashCteShared
+    s"""$mh,
+       |gates AS (
+       |  SELECT d.doc_id, d.source, len(w) AS n_tok,
+       |    len(w) >= 20 AS g_len,
+       |    least(1.0, len(w) / 100.0) *
+       |      (1.0 - len(list_filter(w, x ->
+       |        list_contains(['the','a','of','and','to','in'], x)))::DOUBLE
+       |        / len(w)) >= 0.3 AS g_quality
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents) d),
+       |rep AS (
+       |  SELECT t.doc_id,
+       |    (b.top_frac <= 0.1 AND t.dup_ratio <= 0.7) AS g_rep
+       |  FROM (SELECT doc_id,
+       |          round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 4) AS dup_ratio
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)) t
+       |  JOIN (SELECT doc_id, round(max(n)::DOUBLE / sum(n), 4) AS top_frac
+       |        FROM (SELECT doc_id, g, count(*) AS n FROM (
+       |          SELECT doc_id, unnest(list_transform(range(1, len(w)),
+       |            i -> w[i] || ' ' || w[i+1])) AS g
+       |          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+       |          GROUP BY 1, 2)
+       |        GROUP BY doc_id) b USING (doc_id)),
+       |surv AS (SELECT doc_id, doc_id NOT IN
+       |    (SELECT b_id FROM verified WHERE j >= 0.8) AS g_dedup
+       |  FROM documents),
+       |flags AS (
+       |  SELECT g.source, g.n_tok, g.g_len,
+       |    g.g_len AND g.g_quality AS g2,
+       |    g.g_len AND g.g_quality AND coalesce(r.g_rep, false) AS g3,
+       |    g.g_len AND g.g_quality AND coalesce(r.g_rep, false)
+       |      AND coalesce(s.g_dedup, false) AS g4
+       |  FROM gates g LEFT JOIN rep r USING (doc_id)
+       |    LEFT JOIN surv s USING (doc_id)),
+       |by_source AS (
+       |  SELECT source,
+       |    count(*) AS d0, sum(n_tok) AS t0,
+       |    sum(CASE WHEN g_len THEN 1 ELSE 0 END) AS d1,
+       |    sum(CASE WHEN g_len THEN n_tok ELSE 0 END) AS t1,
+       |    sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS d2,
+       |    sum(CASE WHEN g2 THEN n_tok ELSE 0 END) AS t2,
+       |    sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS d3,
+       |    sum(CASE WHEN g3 THEN n_tok ELSE 0 END) AS t3,
+       |    sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS d4,
+       |    sum(CASE WHEN g4 THEN n_tok ELSE 0 END) AS t4
+       |  FROM flags GROUP BY source),
+       |tot AS (SELECT CAST(sum(t4) AS DOUBLE) AS total FROM by_source),
+       |wgt AS (SELECT b.*, t.total, pow(t4 / t.total, 0.7) AS w
+       |  FROM by_source b, tot t),
+       |z AS (SELECT sum(w) AS z FROM wgt),
+       |planned AS (SELECT wgt.*,
+       |  CAST(round(w / z.z * 2.0 * total) AS BIGINT) AS target_tokens
+       |  FROM wgt, z),
+       |agg AS (SELECT
+       |  CAST(sum(d0) AS BIGINT) AS s0d, CAST(sum(t0) AS BIGINT) AS s0t,
+       |  CAST(sum(d1) AS BIGINT) AS s1d, CAST(sum(t1) AS BIGINT) AS s1t,
+       |  CAST(sum(d2) AS BIGINT) AS s2d, CAST(sum(t2) AS BIGINT) AS s2t,
+       |  CAST(sum(d3) AS BIGINT) AS s3d, CAST(sum(t3) AS BIGINT) AS s3t,
+       |  CAST(sum(d4) AS BIGINT) AS s4d, CAST(sum(t4) AS BIGINT) AS s4t,
+       |  CAST(sum(target_tokens) AS BIGINT) AS s5t FROM planned)
+       |SELECT '0_total' AS stage, s0d AS n_docs, s0t AS n_tokens FROM agg
+       |UNION ALL SELECT '1_length', s1d, s1t FROM agg
+       |UNION ALL SELECT '2_quality', s2d, s2t FROM agg
+       |UNION ALL SELECT '3_repetition', s3d, s3t FROM agg
+       |UNION ALL SELECT '4_neardup', s4d, s4t FROM agg
+       |UNION ALL SELECT '5_mix_plan', s4d, s5t FROM agg
+       |UNION ALL SELECT '6_packed', (s5t + 511) // 512, s5t FROM agg
+       |ORDER BY stage""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_poststrat_audit", qPoststratAudit, Some(qPoststratAuditSql)),
+    QueryDef("q_curation_pipeline", qCurationPipeline, Some(qCurationPipelineSql)),
     QueryDef("q_ngram_novelty", qNgramNovelty, Some(qNgramNoveltySql)),
     QueryDef("q_sample_neyman", qSampleNeyman, Some(qSampleNeymanSql)),
     QueryDef("q_curation_waterfall", qCurationWaterfall, Some(qCurationWaterfallSql)),

@@ -809,15 +809,20 @@ object Relational extends QueryFamily {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
-  /** Exact percentiles (sort-based) per group. */
+  /** Exact per-group percentiles via [[Quantiles.exact]] — bucketed
+    * rank location, no per-group value buffer (the exact-`percentile`
+    * aggregate's O(group) memory), so the widest status group costs a
+    * bounded histogram plus one located-bucket sort at any SF. */
   def qMedian(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    T.orders(spark, dir)
+    Quantiles.exact(
+        T.orders(spark, dir).select($"o_orderstatus", $"o_totalprice"),
+        Seq("o_orderstatus"), "o_totalprice", Seq(0.5, 0.9))
       .groupBy($"o_orderstatus")
       .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
-        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
-        count(lit(1)).as("n"))
+        round(max(when($"p" === 0.5, $"q")), 4).as("median_price"),
+        round(max(when($"p" === 0.9, $"q")), 4).as("p90_price"),
+        max($"n").as("n"))
       .orderBy($"o_orderstatus")
   }
 
@@ -1319,30 +1324,21 @@ object Relational extends QueryFamily {
       |ORDER BY o_orderpriority, day_num""".stripMargin
 
   /** Full quantile profile (p25/p50/p75/p90/p99) of extended price per
-    * return flag, computed with the exact interpolating percentile
-    * aggregate and exploded to one row per (flag, quantile).
-    *
-    * Scale note: exact `percentile` buffers each group's value
-    * multiset, so its memory is O(group size) — fine at bench SFs,
-    * deliberate here because the oracle must hash-match. The 100 TB
-    * path is `percentile_approx` (KLL-style sketch, bounded memory);
-    * `q_approx_quantile_audit` verifies that sketch's rank-error
-    * guarantee so the swap is evidence-backed, mirroring the ANN
-    * recall audits. */
+    * return flag, one row per (flag, quantile). The interpolated
+    * values come from [[Quantiles.exact]] — bucketed rank location
+    * with bit-identical `quantile_cont` interpolation, bounded memory
+    * at any group size — replacing the exact-`percentile` value
+    * buffer this query shipped with through round 6. */
   def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    T.lineitem(spark, dir)
-      .groupBy($"l_returnflag")
-      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.9D, 0.99D))")
-        .as("qs"))
-      // 4-dp rounding, not 2: an even-count quantile interpolates to an
-      // exact half-cent (.xx5) — a 2-dp round midpoint where a last-ulp
-      // difference between engines flips the cent (seen at sf0.001)
-      .select($"l_returnflag",
-        posexplode(expr("transform(qs, x -> round(x, 4))")).as(Seq("i", "q_value")))
-      .select($"l_returnflag",
-        element_at(lit(Array(0.25, 0.5, 0.75, 0.9, 0.99)), $"i" + 1).as("q"),
-        $"q_value")
+    // 4-dp rounding, not 2: an even-count quantile interpolates to an
+    // exact half-cent (.xx5) — a 2-dp round midpoint where a last-ulp
+    // difference between engines flips the cent (seen at sf0.001)
+    Quantiles.exact(
+        T.lineitem(spark, dir).select($"l_returnflag", $"l_extendedprice"),
+        Seq("l_returnflag"), "l_extendedprice",
+        Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+      .select($"l_returnflag", $"p".as("q"), round($"q", 4).as("q_value"))
       .orderBy($"l_returnflag", $"q")
   }
 

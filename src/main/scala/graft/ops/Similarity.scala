@@ -477,9 +477,15 @@ object Similarity extends QueryFamily {
     * The exploded (vec_id, dim, vx) fact stream is checkpointed once
     * and re-read by all three passes — at 100 TB this is the cached
     * training-set projection every iterative ML loop holds anyway.
-    * Intermediate centroids are rounded to 6dp on BOTH engines so the
-    * argmin never sees cross-engine 1-ulp summation noise compounded
-    * across rounds (final coords round to 4dp like qKmeansUpdate). */
+    * Intermediate centroids are stabilized to 6dp on BOTH engines so
+    * the argmin never sees cross-engine 1-ulp summation noise
+    * compounded across rounds (final coords round to 4dp like
+    * qKmeansUpdate). The 6dp step uses the portable
+    * floor(x*1e6 + 0.5)/1e6 idiom, not round(): on a TRUE x.xxxxx5
+    * double Spark's BigDecimal-string rounding and DuckDB's
+    * binary-double rounding disagree, and one flipped centroid ulp
+    * would cascade through every later argmin (the q2 half-way class,
+    * round-6 ADVICE). */
   def qKmeansIterated(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dims = T.embeddings(spark, dir)

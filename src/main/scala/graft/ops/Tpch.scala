@@ -41,7 +41,13 @@ object Tpch extends QueryFamily {
     // via explicit floor(x*10^4 + 0.5): true half-way values like
     // 40.63775 round differently under Spark's decimal-string
     // BigDecimal rounding vs DuckDB's binary-double rounding, but
-    // floor over the same double is bit-identical in both engines
+    // floor over the same double is bit-identical in both engines.
+    // NOTE (intentional semantic change in the round-6 determinism
+    // fix): unit_cost is the QUANTITY-WEIGHTED mean sum(price)/
+    // sum(qty), not the round-5 unweighted avg(price/qty) — the
+    // weighted form is the one whose inputs are exact integer sums,
+    // which is what makes the rounding portable; both engines changed
+    // together, and the argmin supplier may differ from round 5's.
     val cost = T.lineitem(spark, dir)
       .groupBy($"l_partkey", $"l_suppkey")
       .agg((floor(

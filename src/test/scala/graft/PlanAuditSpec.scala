@@ -72,7 +72,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // post-stratification totals x naive x truth scalars, Hill
     // threshold scalar over the 101-row top, winsorization cut row
     "q_bootstrap_ci", "q_cov_matrix_embed", "q_poststrat_audit",
-    "q_tail_index", "q_winsorized_mean")
+    "q_tail_index", "q_winsorized_mean",
+    // 1-row builds: surviving-token total + mix-weight normalizer over
+    // the |sources|-row stage table
+    "q_curation_pipeline")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
@@ -115,7 +118,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // fixed low-cardinality grain
     "q_decile_lift" -> "nation x segment cohorts (<=125 rows)",
     "q_domain_mix" -> "per-source aggregate (|sources| rows)",
-    "q_stream_late" -> "hourly chunk summaries (O(hours) rows)")
+    "q_stream_late" -> "hourly chunk summaries (O(hours) rows)",
+    // Quantiles.exact global cuts: the cumulative-count window runs
+    // over the 4096-bucket histogram, never the source relation
+    "q_winsorized_mean" -> "Quantiles.exact histogram (<=4096 rows)",
+    "q_doc_deciles" -> "Quantiles.exact histogram (<=4096 rows)")
 
   test("no registered query plans a partitionless Window over an unbounded input") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
@@ -128,6 +135,34 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty,
       s"partitionless Window outside the bounded-grain whitelist: ${offenders.sorted.mkString(", ")}")
+  }
+
+  // Exact `percentile` / `collect_list` / `collect_set` buffer every
+  // value of a group inside ONE aggregation buffer — O(group size)
+  // memory, the round-6 scale-killer class (q_winsorized_mean's global
+  // percentile cuts). The scale-safe exact path is Quantiles.exact
+  // (bucketed rank location); the bounded-memory approximate path is
+  // percentile_approx (audited by q_approx_quantile_audit). A value
+  // buffer is legitimate ONLY where the collected group is bounded by
+  // construction, not SF-scaled:
+  private val valueBufferAllowed: Map[String, String] = Map(
+    "q_path_trigrams" -> "collect of rank<=3 rows per user (rank filter bounds the group)",
+    "q_collect_agg" -> "collect_list over <=25 nations per region (dimension-bounded)")
+
+  test("no registered query buffers group values (exact percentile / collect) over an unbounded input") {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet, Percentile}
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val hasBuffer = fn(spark, sf).queryExecution.optimizedPlan
+        .collect { case n => n.expressions }.flatten
+        .exists(_.collectFirst {
+          case e: Percentile => e
+          case e: CollectList => e
+          case e: CollectSet => e
+        }.nonEmpty)
+      if (hasBuffer && !valueBufferAllowed.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"value-buffering aggregate outside the bounded-group whitelist: ${offenders.sorted.mkString(", ")}")
   }
 
   test("fact-table scans never broadcast: no BroadcastExchange feeds from lineitem scan directly") {
