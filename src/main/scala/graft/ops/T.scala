@@ -13,17 +13,27 @@ object T {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as a raw
-    * nanosecond Long (legacy conf) and floor-divide to microseconds —
-    * Spark's native TimestampType precision. The DuckDB oracles mirror
-    * this exactly with `make_timestamp(epoch_ns(ts)//1000)`, so both
-    * engines compare identical microsecond instants.
+  /** `events.ts` has shipped in two parquet physical types across fixture
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader rejects
+    * outright with [PARQUET_TYPE_ILLEGAL], so we read it as a raw nanosecond
+    * Long via the legacy conf and floor-divide to microseconds) and plain
+    * timestamp[us] with isAdjustedToUTC=false (which Spark reads as
+    * TIMESTAMP_NTZ). The loader adapts to whichever shape is on disk and
+    * always yields session-TZ TimestampType at microsecond precision; with
+    * the session timezone pinned to UTC the NTZ wall-clock IS the instant.
+    * The DuckDB oracles use `make_timestamp(epoch_ns(ts)//1000)`, which
+    * yields the identical microsecond instant for both physical shapes.
     */
   def eventsTs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

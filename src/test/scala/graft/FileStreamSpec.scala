@@ -18,10 +18,18 @@ class FileStreamSpec extends AnyFunSuite {
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir.toString).schema
-    val stream = spark.readStream
+    val raw = spark.readStream
       .schema(schema)
       .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // Same physical-shape adaptation as T.eventsTs: Long nanos -> micros,
+    // NTZ micros -> session-TZ timestamp (session TZ is UTC).
+    val stream = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
 
     val q = ops.StreamingOps.tumbling(stream)
       .writeStream.outputMode("complete").format("memory")
