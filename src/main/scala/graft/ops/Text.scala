@@ -630,6 +630,129 @@ object Text extends QueryFamily {
       |SELECT 2, a, b, a || b, c::BIGINT FROM t2
       |ORDER BY step""".stripMargin
 
+  /** Token-window document chunking with overlap — the context-window
+    * prep every LLM training/RAG pipeline runs before embedding or
+    * packing: window W=32 tokens, stride S=24 (8-token overlap so no
+    * boundary sentence is lost). Chunk starts are generated INSIDE the
+    * token array (`sequence` over 1 + ceil(max(n-W,0)/S) positions)
+    * and posexploded once, so the operator is map-side only — zero
+    * shuffles, output rows ≈ |tokens|/S, and it scales linearly with
+    * the corpus at any SF. The tail chunk is the one starting at the
+    * last stride boundary (short if fewer than W tokens remain);
+    * chunk_id is the 0-based window index. */
+  def qChunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = 32
+    val S = 24
+    T.documents(spark, dir)
+      .withColumn("w", split($"text", " "))
+      .withColumn("starts", expr(
+        s"sequence(1, 1 + ($S * cast(ceil(greatest(size(w) - $W, 0) / $S.0d) as int)), $S)"))
+      .select($"doc_id", $"w", posexplode($"starts").as(Seq("chunk_id", "start")))
+      .select(
+        $"doc_id", $"chunk_id", $"start",
+        size(slice($"w", $"start", lit(W))).as("n_tokens"),
+        array_join(slice($"w", $"start", lit(W)), " ").as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val qChunkOverlapSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |c AS (SELECT doc_id, w, len(w) AS n,
+      |        (1 + ceil(greatest(len(w) - 32, 0) / 24.0))::BIGINT AS k FROM d),
+      |x AS (SELECT doc_id, w, n, unnest(range(1, k + 1)) AS gs FROM c)
+      |SELECT doc_id, gs - 1 AS chunk_id, (gs - 1) * 24 + 1 AS start,
+      |  least(n - (gs - 1) * 24, 32) AS n_tokens,
+      |  array_to_string(w[(gs - 1) * 24 + 1 : least((gs - 1) * 24 + 32, n)], ' ')
+      |    AS chunk_text
+      |FROM x ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Interpolated Kneser-Ney bigram probabilities (D = 0.75) for the
+    * corpus's 20 most frequent bigrams — the smoothing every n-gram
+    * LM trains with: discounted bigram evidence backed off to the
+    * CONTINUATION unigram (how many distinct left-contexts a word
+    * completes, not how often it occurs). One explode builds the
+    * bigram relation; everything after is vocab-bounded — left-context
+    * totals and distinct-follower counts from one hash aggregate on
+    * w1, continuation counts from one on w2, and the distinct-bigram
+    * normalizer is a 1-row broadcast. Shuffle rows are |distinct
+    * bigrams|, never |tokens|, so the estimator holds at 100 TB. */
+  def qKneserNey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bi = T.documents(spark, dir)
+      .withColumn("w", split($"text", " "))
+      .withColumn("bg", expr(
+        "transform(slice(w, 1, size(w) - 1), (x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))"))
+      .select(explode($"bg").as("b"))
+      .select($"b.w1", $"b.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("n"))
+      .cache()
+    val left = bi.groupBy($"w1").agg(
+      sum($"n").as("c_w1"), count(lit(1)).as("n1p_left"))
+    val cont = bi.groupBy($"w2").agg(count(lit(1)).as("n1p_right"))
+    val tot = bi.agg(count(lit(1)).as("n_bigrams"))
+    bi.join(left, "w1").join(cont, "w2").crossJoin(broadcast(tot))
+      .select(
+        concat($"w1", lit(" "), $"w2").as("bigram"), $"n",
+        round(
+          greatest($"n" - lit(0.75), lit(0.0)) / $"c_w1" +
+            lit(0.75) * $"n1p_left" / $"c_w1" *
+            ($"n1p_right" / $"n_bigrams"), 6).as("p_kn"))
+      .orderBy(desc("n"), asc("bigram"))
+      .limit(20)
+  }
+
+  val qKneserNeySql: String =
+    """WITH u AS (
+      |  SELECT w, unnest(range(1, len(w))) AS i
+      |  FROM (SELECT string_split(text, ' ') AS w FROM documents)),
+      |bi AS (SELECT w[i] AS w1, w[i + 1] AS w2, count(*) AS n
+      |  FROM u GROUP BY 1, 2),
+      |lft AS (SELECT w1, sum(n) AS c_w1, count(*) AS n1p_left FROM bi GROUP BY w1),
+      |cont AS (SELECT w2, count(*) AS n1p_right FROM bi GROUP BY w2),
+      |tot AS (SELECT count(*) AS n_bigrams FROM bi)
+      |SELECT bi.w1 || ' ' || bi.w2 AS bigram, n,
+      |  round(greatest(n - 0.75, 0.0) / c_w1
+      |        + 0.75 * n1p_left / c_w1 * (n1p_right / n_bigrams), 6) AS p_kn
+      |FROM bi JOIN lft USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+      |ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+
+  /** Skip-gram window co-occurrence counts (window ±2, self excluded) —
+    * the (center, context) statistic word2vec/GloVe-style embedding
+    * training consumes, where PMI over ADJACENT pairs (q_pmi_bigrams)
+    * is too narrow. The pair list is built INSIDE the token array
+    * (nested transform+filter over positions) and exploded once, so
+    * the only shuffle is the |vocab|²-bounded hash aggregate over
+    * (center, context) — map-side partial combine keeps shuffle rows
+    * at |distinct pairs|, never the 4x|tokens| raw pair volume.
+    * Top-20 by count desc, then center/context asc. */
+  def qCooccurWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.documents(spark, dir)
+      .withColumn("w", split($"text", " "))
+      .withColumn("pairs", expr(
+        """flatten(transform(w, (x, i) ->
+          |  transform(
+          |    filter(sequence(greatest(i - 2, 0), least(i + 2, size(w) - 1)),
+          |           j -> j != i),
+          |    j -> struct(x AS center, element_at(w, j + 1) AS context))))""".stripMargin))
+      .select(explode($"pairs").as("p"))
+      .groupBy($"p.center", $"p.context")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("center"), asc("context"))
+      .limit(20)
+  }
+
+  val qCooccurWindowSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |a AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM d),
+      |b AS (SELECT w, i,
+      |        unnest(range(greatest(i - 2, 1), least(i + 2, len(w)) + 1)) AS j
+      |      FROM a)
+      |SELECT w[i] AS center, w[j] AS context, count(*) AS n
+      |FROM b WHERE j != i
+      |GROUP BY 1, 2 ORDER BY n DESC, center, context LIMIT 20""".stripMargin
+
   /** Hill estimator of the vocabulary's power-law tail exponent —
     * the Zipf fit's robust companion: alpha = k / sum(ln(x_i /
     * x_{k+1})) over the k=100 largest token frequencies. Only a
@@ -662,6 +785,9 @@ object Text extends QueryFamily {
       |FROM top, thr GROUP BY xk1""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_chunk_overlap", qChunkOverlap, Some(qChunkOverlapSql)),
+    QueryDef("q_cooccur_window", qCooccurWindow, Some(qCooccurWindowSql)),
+    QueryDef("q_kneser_ney", qKneserNey, Some(qKneserNeySql)),
     QueryDef("q_tail_index", qTailIndex, Some(qTailIndexSql)),
     QueryDef("q_bpe_merges", qBpeMerges, Some(qBpeMergesSql)),
     QueryDef("q_token_bpe", qTokenBpe, Some(qTokenBpeSql)),

@@ -75,7 +75,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_tail_index", "q_winsorized_mean",
     // 1-row builds: surviving-token total + mix-weight normalizer over
     // the |sources|-row stage table
-    "q_curation_pipeline")
+    "q_curation_pipeline",
+    // 1-row build: distinct-bigram normalizer for the continuation term
+    "q_kneser_ney")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
