@@ -93,6 +93,69 @@ object Stateful {
         .groupBy(col("user_id"))
         .agg(max_by(col("total"), col("b")).as("total"))
     }
+
+    private def batchIds: Seq[Long] = {
+      val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      try {
+        import scala.jdk.CollectionConverters._
+        dirs.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("b=")).map(_.stripPrefix("b=").toLong).toSeq
+      } finally dirs.close()
+    }
+
+    /** Collapse every batch directory BELOW the head batch into one.
+      *
+      * The directory-per-batch layout trades write-side simplicity for
+      * a file count that grows with trigger count — the classic
+      * streaming-sink small-file problem. Compaction restores it: all
+      * dirs `b < M` (M = highest applied batch) are resolved to their
+      * per-key latest value (the same `max_by` rule `snapshot` reads
+      * by) and rewritten as a single directory `b = M-1`, so the table
+      * becomes exactly two dirs regardless of how many triggers ran.
+      *
+      * Correctness under the sink's at-least-once replay contract:
+      * only the head batch M can replay after a failure (earlier
+      * batches are committed in the checkpoint's offset log), and M's
+      * directory is never touched here — a replayed `b=M` overwrite
+      * commutes with compaction. Rewriting history AT id M-1 keeps the
+      * `max_by` resolution identical: compacted rows still lose to M
+      * and still beat any stray older dir. Crash-safety is
+      * rename-ordered: the compacted data lands in a dot-prefixed
+      * staging dir (invisible to partition discovery), old dirs flip
+      * to dot-prefixed trash, the staging dir renames into place, then
+      * trash is deleted — a crash at any step leaves a readable table
+      * (either fully old or fully new). Returns the number of
+      * directories compacted away (0 = nothing to do). */
+    def compact(spark: SparkSession): Int = {
+      import java.nio.file.{Files => F, Paths, StandardCopyOption}
+      val ids = batchIds.sorted
+      if (ids.length <= 2) return 0
+      val head = ids.last
+      val olds = ids.dropRight(1)
+      val stage = Paths.get(root, ".compact-stage")
+      if (F.exists(stage))
+        F.walk(stage).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => F.delete(p))
+      import org.apache.spark.sql.functions._
+      spark.read.option("basePath", root).parquet(
+          olds.map(id => s"$root/b=$id"): _*)
+        .groupBy(col("user_id"))
+        .agg(max_by(col("total"), col("b")).as("total"))
+        .write.parquet(stage.toString)
+      val trash = olds.map { id =>
+        val from = Paths.get(root, s"b=$id")
+        val to = Paths.get(root, s".trash-b=$id")
+        F.move(from, to, StandardCopyOption.ATOMIC_MOVE)
+        to
+      }
+      F.move(stage, Paths.get(root, s"b=${head - 1}"),
+        StandardCopyOption.ATOMIC_MOVE)
+      trash.foreach { t =>
+        F.walk(t).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => F.delete(p))
+      }
+      olds.length - 1
+    }
   }
 
   /** Wire an update-mode per-user total aggregation into the

@@ -208,6 +208,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("upsert sink compaction collapses batch dirs and preserves the snapshot") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val sink = new graft.streaming.Stateful.BatchUpsertSink(root)
+    def snap(): Map[Long, Double] =
+      sink.snapshot(spark).collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("total")).toMap
+    def dirs(): Set[String] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("b=")).toSet
+      } finally s.close()
+    }
+    // five committed batches: keys updated across batches so max_by
+    // resolution is genuinely exercised (1 peaks early, 2 mid, 3 late)
+    sink.merge(Seq((1L, 10.0), (2L, 1.0)).toDF("user_id", "total"), 0L)
+    sink.merge(Seq((1L, 12.5)).toDF("user_id", "total"), 1L)
+    sink.merge(Seq((2L, 6.0), (3L, 2.0)).toDF("user_id", "total"), 2L)
+    sink.merge(Seq((4L, 9.0)).toDF("user_id", "total"), 3L)
+    sink.merge(Seq((3L, 5.0)).toDF("user_id", "total"), 4L)
+    val before = snap()
+    assert(before === Map(1L -> 12.5, 2L -> 6.0, 3L -> 5.0, 4L -> 9.0))
+    assert(dirs().size === 5)
+
+    assert(sink.compact(spark) === 3)
+    assert(dirs() === Set("b=3", "b=4"), "history collapsed below the head batch")
+    assert(snap() === before, "compaction must not change the resolved table")
+
+    // head-batch replay AFTER compaction still commutes (the one batch
+    // replay can touch is never compacted)
+    sink.merge(Seq((3L, 5.0)).toDF("user_id", "total"), 4L)
+    assert(snap() === before)
+    // compaction is idempotent at the two-dir fixpoint
+    assert(sink.compact(spark) === 0)
+    assert(dirs() === Set("b=3", "b=4"))
+  }
+
   test("session windows on a stream merge events within the gap") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
