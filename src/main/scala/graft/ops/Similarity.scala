@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -947,7 +947,132 @@ object Similarity extends QueryFamily {
       |v2 AS (SELECT i, r / nrm AS v FROM r2, n2)
       |SELECT i::INT AS i, round(v, 4) AS v FROM v2 ORDER BY i""".stripMargin
 
+  /** Embedding-corpus norm audit — the sanity gate run before any
+    * cosine index is built (an un-normalized corpus silently breaks
+    * dot-product shortcuts and miscalibrates distance thresholds):
+    * per-vector L2 norms in one map-side pass (the sum runs INSIDE the
+    * array — no explode), then a 1-row corpus summary with the count
+    * of vectors deviating from unit norm by more than 1e-3. */
+  def qEmbedNormAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val norms = T.embeddings(spark, dir)
+      .select(sqrt(expr(
+        "aggregate(embedding, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))"))
+        .as("nrm"))
+    norms.agg(
+      count(lit(1)).as("n_vectors"),
+      round(min($"nrm"), 4).as("min_norm"),
+      round(max($"nrm"), 4).as("max_norm"),
+      round(avg($"nrm"), 4).as("avg_norm"),
+      sum(when(abs($"nrm" - 1.0) > 0.001, 1L).otherwise(0L)).as("n_unnormalized"))
+  }
+
+  val qEmbedNormAuditSql: String =
+    """WITH n AS (SELECT sqrt((SELECT sum(x::DOUBLE * x::DOUBLE)
+      |                        FROM unnest(embedding) t(x))) AS nrm
+      |           FROM embeddings)
+      |SELECT count(*) AS n_vectors, round(min(nrm), 4) AS min_norm,
+      |  round(max(nrm), 4) AS max_norm, round(avg(nrm), 4) AS avg_norm,
+      |  sum(CASE WHEN abs(nrm - 1.0) > 0.001 THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_unnormalized
+      |FROM n""".stripMargin
+
+  /** Maximal-marginal-relevance re-ranking (lambda = 0.7, k = 4 from an
+    * 8-deep shortlist) — the diversification step retrieval pipelines
+    * run after top-k cosine, so near-duplicate neighbors don't crowd
+    * the result page. Plan shape: the corpus is scored against ONE
+    * broadcast probe row and cut to 8 survivors by TakeOrdered; the
+    * 8x8 pairwise cosine matrix is computed once; each greedy step is
+    * then a join of bounded (<=8-row) relations ending in a 1-row
+    * argmax — the BPE-merge pattern. Nothing after the shortlist ever
+    * touches corpus cardinality, so the operator's cost at 100 TB is
+    * the cost of the shortlist scan. */
+  def qSimMmr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lam = 0.7
+    val e = T.embeddings(spark, dir)
+    val probe = e.filter($"vec_id" === 0L)
+      .select($"embedding".as("qv"))
+    val short = e.filter($"vec_id" =!= 0L)
+      .select($"vec_id".as("n_id"), $"embedding".as("v"))
+      .crossJoin(broadcast(probe))
+      .select($"n_id", $"v", cos.as("rel"))
+      .orderBy(desc("rel"), asc("n_id")).limit(8)
+      .cache()
+    val pw = short.select($"n_id".as("a"), $"v".as("qv"))
+      .join(broadcast(short.select($"n_id".as("b"), $"v")), $"a" =!= $"b")
+      .select($"a", $"b",
+        graft.functions.F.cosineSimilarity($"qv", $"v").as("pcos"))
+      .cache()
+    def argmax(df: DataFrame, by: Column): DataFrame =
+      df.orderBy(by.desc, $"n_id".asc).limit(1)
+    val s1 = argmax(short, $"rel")
+      .select($"n_id", $"rel", (lit(lam) * $"rel").as("mmr"))
+    def step(selected: DataFrame): DataFrame = {
+      val sel = broadcast(selected.select($"n_id".as("s_id")))
+      val cand = short.join(sel, $"n_id" === $"s_id", "left_anti")
+      val pen = cand.join(pw, $"n_id" === $"a")
+        .join(sel, $"b" === $"s_id")
+        .groupBy($"n_id", $"rel").agg(max($"pcos").as("maxsim"))
+        .select($"n_id", $"rel",
+          (lit(lam) * $"rel" - lit(1.0 - lam) * $"maxsim").as("mmr"))
+      argmax(pen, $"mmr")
+    }
+    val s2 = step(s1)
+    val s3 = step(s1.union(s2))
+    val s4 = step(s1.union(s2).union(s3))
+    Seq(s1, s2, s3, s4).zipWithIndex
+      .map { case (s, i) => s.select(lit(i + 1).as("sel_rank"), $"n_id",
+        round($"rel", 4).as("rel"), round($"mmr", 4).as("mmr")) }
+      .reduce(_.union(_))
+      .orderBy($"sel_rank")
+  }
+
+  val qSimMmrSql: String =
+    """WITH e AS (SELECT vec_id, embedding,
+      |  (SELECT sum(x::DOUBLE * x::DOUBLE) FROM unnest(embedding) t(x)) AS n2
+      |  FROM embeddings),
+      |q AS (SELECT embedding AS qe, n2 AS qn2 FROM e WHERE vec_id = 0),
+      |pr AS (SELECT e.vec_id AS n_id, e.n2, q.qn2, e.embedding AS ne, q.qe
+      |  FROM e, q WHERE e.vec_id <> 0),
+      |u AS (SELECT n_id, n2, qn2, unnest(qe) AS qx, unnest(ne) AS nx FROM pr),
+      |scored AS (SELECT n_id,
+      |    sum(qx::DOUBLE * nx::DOUBLE) / sqrt(any_value(qn2) * any_value(n2)) AS rel
+      |  FROM u GROUP BY n_id),
+      |short AS (SELECT s.n_id, s.rel, e.embedding AS v, e.n2 FROM scored s
+      |  JOIN e ON e.vec_id = s.n_id ORDER BY rel DESC, n_id LIMIT 8),
+      |pr2 AS (SELECT a.n_id AS a, b.n_id AS b, a.n2 AS an2, b.n2 AS bn2,
+      |    a.v AS av, b.v AS bv
+      |  FROM short a JOIN short b ON a.n_id <> b.n_id),
+      |u2 AS (SELECT a, b, an2, bn2, unnest(av) AS ax, unnest(bv) AS bx FROM pr2),
+      |pw AS (SELECT a, b,
+      |    sum(ax::DOUBLE * bx::DOUBLE) / sqrt(any_value(an2) * any_value(bn2)) AS pcos
+      |  FROM u2 GROUP BY a, b),
+      |s1 AS (SELECT n_id, rel, 0.7 * rel AS mmr FROM short
+      |  ORDER BY rel DESC, n_id LIMIT 1),
+      |s2 AS (SELECT c.n_id, c.rel, 0.7 * c.rel - 0.3 * max(pw.pcos) AS mmr
+      |  FROM short c JOIN pw ON pw.a = c.n_id AND pw.b IN (SELECT n_id FROM s1)
+      |  WHERE c.n_id NOT IN (SELECT n_id FROM s1)
+      |  GROUP BY c.n_id, c.rel ORDER BY mmr DESC, n_id LIMIT 1),
+      |sel2 AS (SELECT n_id FROM s1 UNION ALL SELECT n_id FROM s2),
+      |s3 AS (SELECT c.n_id, c.rel, 0.7 * c.rel - 0.3 * max(pw.pcos) AS mmr
+      |  FROM short c JOIN pw ON pw.a = c.n_id AND pw.b IN (SELECT n_id FROM sel2)
+      |  WHERE c.n_id NOT IN (SELECT n_id FROM sel2)
+      |  GROUP BY c.n_id, c.rel ORDER BY mmr DESC, n_id LIMIT 1),
+      |sel3 AS (SELECT n_id FROM sel2 UNION ALL SELECT n_id FROM s3),
+      |s4 AS (SELECT c.n_id, c.rel, 0.7 * c.rel - 0.3 * max(pw.pcos) AS mmr
+      |  FROM short c JOIN pw ON pw.a = c.n_id AND pw.b IN (SELECT n_id FROM sel3)
+      |  WHERE c.n_id NOT IN (SELECT n_id FROM sel3)
+      |  GROUP BY c.n_id, c.rel ORDER BY mmr DESC, n_id LIMIT 1)
+      |SELECT 1 AS sel_rank, n_id, round(rel, 4) AS rel, round(mmr, 4) AS mmr FROM s1
+      |UNION ALL SELECT 2, n_id, round(rel, 4), round(mmr, 4) FROM s2
+      |UNION ALL SELECT 3, n_id, round(rel, 4), round(mmr, 4) FROM s3
+      |UNION ALL SELECT 4, n_id, round(rel, 4), round(mmr, 4) FROM s4
+      |ORDER BY sel_rank""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_embed_norm_audit", qEmbedNormAudit, Some(qEmbedNormAuditSql)),
+    QueryDef("q_sim_mmr", qSimMmr, Some(qSimMmrSql)),
     QueryDef("q_gram_matrix", qGramMatrix, Some(qGramMatrixSql)),
     QueryDef("q_cov_matrix_embed", qCovMatrix, Some(qCovMatrixSql)),
     QueryDef("q_pca_power", qPcaPower, Some(qPcaPowerSql)),

@@ -77,7 +77,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // the |sources|-row stage table
     "q_curation_pipeline",
     // 1-row build: distinct-bigram normalizer for the continuation term
-    "q_kneser_ney")
+    "q_kneser_ney",
+    // 1-row probe build + <=8-row shortlist/selected-set builds in the
+    // unrolled greedy MMR steps
+    "q_sim_mmr")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
