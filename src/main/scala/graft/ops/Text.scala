@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -635,9 +635,10 @@ object Text extends QueryFamily {
     * packing: window W=32 tokens, stride S=24 (8-token overlap so no
     * boundary sentence is lost). Chunk starts are generated INSIDE the
     * token array (`sequence` over 1 + ceil(max(n-W,0)/S) positions)
-    * and posexploded once, so the operator is map-side only — zero
-    * shuffles, output rows ≈ |tokens|/S, and it scales linearly with
-    * the corpus at any SF. The tail chunk is the one starting at the
+    * and posexploded once, so the operator itself is map-side only —
+    * the only exchange in the plan is the presentation sort; output
+    * rows ≈ |tokens|/S, and it scales linearly with the corpus at any
+    * SF. The tail chunk is the one starting at the
     * last stride boundary (short if fewer than W tokens remain);
     * chunk_id is the 0-based window index. */
   def qChunkOverlap(spark: SparkSession, dir: String): DataFrame = {
@@ -717,6 +718,80 @@ object Text extends QueryFamily {
       |FROM bi JOIN lft USING (w1) JOIN cont USING (w2) CROSS JOIN tot
       |ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  /** Two batch gradient-descent steps of a logistic-regression quality
+    * classifier (label: source == 'src0'; features: intercept, token
+    * count / 100, stopword ratio) — training a document filter model
+    * IN the engine, the way production pipelines fit fastText-style
+    * quality gates over corpus features. Each step is ONE hash
+    * aggregate over the cached feature relation (the gradient is an
+    * avg of per-row terms — map-side combinable, never a weight-sized
+    * shuffle); the 3 scalar weights cross the driver as a 1-row fetch,
+    * the BPE-merge precedent for iterative scalar state. Gradients are
+    * stabilized to 6dp on BOTH engines (the q_kmeans_iterated rule) and
+    * the learning rate is 1.0, so every weight stays exactly on the
+    * 6dp grid and cross-engine agreement is boundary-free; losses are
+    * reported at 4dp. Step 1 starts from w = 0 where sigmoid is
+    * exactly 0.5 — no transcendental enters the first gradient. */
+  def qLogregSteps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feat = T.documents(spark, dir)
+      .withColumn("w", split($"text", " "))
+      .select(
+        when($"source" === "src0", 1.0).otherwise(0.0).as("y"),
+        (size($"w") / lit(100.0)).as("x1"),
+        (size(filter($"w", x => array_contains(stopArr, x))).cast("double") /
+          size($"w")).as("x2"))
+      .cache()
+    def g6(c: Column) = round(avg(c), 6) + lit(0.0)
+    def p(b: Double, wl: Double, ws: Double): Column =
+      lit(1.0) / (lit(1.0) +
+        exp(-(lit(b) + lit(wl) * $"x1" + lit(ws) * $"x2")))
+    def logloss(pc: Column): Column =
+      round(avg(-($"y" * log(pc) + (lit(1.0) - $"y") * log(lit(1.0) - pc))), 4)
+    // step 1 from w = 0: p is exactly 0.5
+    val r1 = feat.agg(g6(lit(0.5) - $"y"), g6((lit(0.5) - $"y") * $"x1"),
+      g6((lit(0.5) - $"y") * $"x2")).head()
+    val (b1, wl1, ws1) = (-r1.getDouble(0), -r1.getDouble(1), -r1.getDouble(2))
+    // step 2 gradient + step-1 loss in one pass at the updated weights
+    val p1 = p(b1, wl1, ws1)
+    val r2 = feat.agg(g6(p1 - $"y"), g6((p1 - $"y") * $"x1"),
+      g6((p1 - $"y") * $"x2"), logloss(p1)).head()
+    val (b2, wl2, ws2) = (b1 - r2.getDouble(0), wl1 - r2.getDouble(1),
+      ws1 - r2.getDouble(2))
+    val loss2 = feat.agg(logloss(p(b2, wl2, ws2))).head().getDouble(0)
+    Seq((1, b1, wl1, ws1, r2.getDouble(3)), (2, b2, wl2, ws2, loss2))
+      .toDF("step", "b", "w_len", "w_stop", "loss")
+      .orderBy($"step")
+  }
+
+  val qLogregStepsSql: String =
+    s"""WITH f AS (SELECT
+       |  CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
+       |  len(w) / 100.0 AS x1,
+       |  len(list_filter(w, x -> list_contains($stopListSql, x)))::DOUBLE
+       |    / len(w) AS x2
+       |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)),
+       |g1 AS (SELECT round(avg(0.5 - y), 6) + 0.0 AS gb,
+       |  round(avg((0.5 - y) * x1), 6) + 0.0 AS gl,
+       |  round(avg((0.5 - y) * x2), 6) + 0.0 AS gs FROM f),
+       |w1 AS (SELECT -gb AS b, -gl AS wl, -gs AS ws FROM g1),
+       |p1 AS (SELECT y, x1, x2,
+       |  1.0 / (1.0 + exp(-(b + wl * x1 + ws * x2))) AS p FROM f, w1),
+       |g2 AS (SELECT round(avg(p - y), 6) + 0.0 AS gb,
+       |  round(avg((p - y) * x1), 6) + 0.0 AS gl,
+       |  round(avg((p - y) * x2), 6) + 0.0 AS gs,
+       |  round(avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))), 4) AS loss FROM p1),
+       |w2 AS (SELECT b - g2.gb AS b, wl - g2.gl AS wl, ws - g2.gs AS ws
+       |  FROM w1, g2),
+       |p2 AS (SELECT y, x1, x2,
+       |  1.0 / (1.0 + exp(-(b + wl * x1 + ws * x2))) AS p FROM f, w2),
+       |l2 AS (SELECT round(avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))), 4)
+       |  AS loss FROM p2)
+       |SELECT 1 AS step, b, wl AS w_len, ws AS w_stop, loss FROM w1, g2
+       |UNION ALL
+       |SELECT 2, b, wl, ws, loss FROM w2, l2
+       |ORDER BY step""".stripMargin
+
   /** Skip-gram window co-occurrence counts (window ±2, self excluded) —
     * the (center, context) statistic word2vec/GloVe-style embedding
     * training consumes, where PMI over ADJACENT pairs (q_pmi_bigrams)
@@ -787,6 +862,7 @@ object Text extends QueryFamily {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_chunk_overlap", qChunkOverlap, Some(qChunkOverlapSql)),
     QueryDef("q_cooccur_window", qCooccurWindow, Some(qCooccurWindowSql)),
+    QueryDef("q_logreg_steps", qLogregSteps, Some(qLogregStepsSql)),
     QueryDef("q_kneser_ney", qKneserNey, Some(qKneserNeySql)),
     QueryDef("q_tail_index", qTailIndex, Some(qTailIndexSql)),
     QueryDef("q_bpe_merges", qBpeMerges, Some(qBpeMergesSql)),
