@@ -795,25 +795,29 @@ object Text extends QueryFamily {
   /** Skip-gram window co-occurrence counts (window ±2, self excluded) —
     * the (center, context) statistic word2vec/GloVe-style embedding
     * training consumes, where PMI over ADJACENT pairs (q_pmi_bigrams)
-    * is too narrow. The pair list is built INSIDE the token array
-    * (nested transform+filter over positions) and exploded once, so
-    * the only shuffle is the |vocab|²-bounded hash aggregate over
-    * (center, context) — map-side partial combine keeps shuffle rows
-    * at |distinct pairs|, never the 4x|tokens| raw pair volume.
-    * Top-20 by count desc, then center/context asc. */
+    * is too narrow. DIRECTED pairs at offsets +1 and +2 are built as
+    * two single-level shifted zips inside the token array (the
+    * codegen-friendly qBigramTop shape — a nested transform+filter
+    * over a ±window evaluates interpreted and measured 4x slower) and
+    * exploded once; the window's symmetry is restored AFTER the hash
+    * aggregate by unioning the |distinct pairs|-sized directed counts
+    * with their swap — so the corpus-sized stream carries 2x|tokens|
+    * rows, not 4x, and the shuffle stays |vocab|²-bounded. Top-20 by
+    * count desc, then center/context asc. */
   def qCooccurWindow(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    T.documents(spark, dir)
+    def shifted(d: Int) =
+      s"transform(slice(w, 1, size(w) - $d), (x, i) -> struct(x AS center, element_at(w, i + 1 + $d) AS context))"
+    val directed = T.documents(spark, dir)
       .withColumn("w", split($"text", " "))
-      .withColumn("pairs", expr(
-        """flatten(transform(w, (x, i) ->
-          |  transform(
-          |    filter(sequence(greatest(i - 2, 0), least(i + 2, size(w) - 1)),
-          |           j -> j != i),
-          |    j -> struct(x AS center, element_at(w, j + 1) AS context))))""".stripMargin))
-      .select(explode($"pairs").as("p"))
+      .select(explode(expr(
+        s"concat(${shifted(1)}, ${shifted(2)})")).as("p"))
       .groupBy($"p.center", $"p.context")
       .agg(count(lit(1)).as("n"))
+    directed
+      .union(directed.select($"context".as("center"), $"center".as("context"), $"n"))
+      .groupBy($"center", $"context")
+      .agg(sum($"n").as("n"))
       .orderBy(desc("n"), asc("center"), asc("context"))
       .limit(20)
   }
