@@ -581,6 +581,10 @@ object Mining extends QueryFamily {
         sum(when($"us" >= $"mid_us" && $"event_type" === "purchase", $"value")
           .otherwise(0.0)).as("y"))
       .withColumn("arm", ($"user_id" % 2).cast("int"))
+      // |users|-sized and consumed by four downstream aggregates
+      // (theta, arms, vr x2) — cached so events is scanned once for
+      // the covariates, not once per consumer
+      .cache()
     val theta = perUser.agg(
       (covar_pop($"x", $"y") / var_pop($"x")).as("theta"),
       avg($"x").as("xbar"))

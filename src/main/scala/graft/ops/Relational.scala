@@ -873,26 +873,33 @@ object Relational extends QueryFamily {
       |ORDER BY o_orderkey""".stripMargin
 
   /** Event funnel: users reaching view -> click-after-view ->
-    * purchase-after-click, counted per stage. Each stage is a
-    * min-timestamp aggregate joined forward — no per-user state, three
-    * shuffles total, any scale. */
+    * purchase-after-click, counted per stage. ONE scan of the fact
+    * table: the three stage timestamps are chained per-user window
+    * minima (each conditions on the previous stage's partition-wide
+    * value), which share a single user_id exchange; the per-user
+    * rollup then reuses that distribution, so the whole funnel is one
+    * scan + one shuffle at any scale — the earlier stage-per-stage
+    * join formulation re-read events six times. */
   def qFunnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = T.events(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id")
+    T.events(spark, dir)
       .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
-    val v = e.filter($"event_type" === "view")
-      .groupBy($"user_id").agg(min($"us").as("v_us"))
-    val c = e.filter($"event_type" === "click")
-      .join(v, Seq("user_id"))
-      .filter($"us" >= $"v_us")
-      .groupBy($"user_id").agg(min($"us").as("c_us"))
-    val p = e.filter($"event_type" === "purchase")
-      .join(c, Seq("user_id"))
-      .filter($"us" >= $"c_us")
-      .groupBy($"user_id").agg(min($"us").as("p_us"))
-    v.agg(count(lit(1)).as("n_view")).crossJoin(
-      c.agg(count(lit(1)).as("n_click_after_view"))).crossJoin(
-      p.agg(count(lit(1)).as("n_purchase_after_click")))
+      .filter($"event_type".isin("view", "click", "purchase"))
+      .withColumn("v_us",
+        min(when($"event_type" === "view", $"us")).over(w))
+      .withColumn("c_us",
+        min(when($"event_type" === "click" && $"us" >= $"v_us", $"us")).over(w))
+      .withColumn("p_us",
+        min(when($"event_type" === "purchase" && $"us" >= $"c_us", $"us")).over(w))
+      .groupBy($"user_id")
+      .agg(max($"v_us").as("v_us"), max($"c_us").as("c_us"),
+        max($"p_us").as("p_us"))
+      .agg(
+        sum(when($"v_us".isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when($"c_us".isNotNull, 1L).otherwise(0L)).as("n_click_after_view"),
+        sum(when($"p_us".isNotNull, 1L).otherwise(0L)).as("n_purchase_after_click"))
   }
 
   val qFunnelSql: String =

@@ -792,6 +792,58 @@ object Text extends QueryFamily {
        |SELECT 2, b, wl, ws, loss FROM w2, l2
        |ORDER BY step""".stripMargin
 
+  /** ROC-AUC of the heuristic quality score against the source label —
+    * the evaluation metric every trained/heuristic document filter is
+    * judged by, computed WITHOUT sorting the corpus: Mann-Whitney U
+    * with midrank tie handling. The corpus collapses first to one row
+    * per distinct 4dp score (≤ 10001 rows by construction) carrying
+    * (count, positives); midranks come from a cumulative window over
+    * that bounded grid, never the fact table — so the only
+    * corpus-sized operation is one hash aggregate, and every term of
+    * U is an exact integer or half-integer (the final division is the
+    * sole floating-point step). */
+  def qAucQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = T.documents(spark, dir)
+      .withColumn("w", split($"text", " "))
+      .withColumn("n_stop",
+        size(filter($"w", x => array_contains(stopArr, x))))
+      .select(
+        round(least(lit(1.0), size($"w") / lit(100.0)) *
+          (lit(1.0) - $"n_stop".cast("double") / size($"w")), 4).as("score"),
+        when($"source" === "src0", 1L).otherwise(0L).as("y"))
+    val grid = scored.groupBy($"score")
+      .agg(count(lit(1)).as("c"), sum($"y").as("np"))
+    val cum = grid.withColumn("cumb",
+      sum($"c").over(Window.orderBy($"score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - $"c")
+    cum.agg(
+        sum($"c").as("n"), sum($"np").as("npos"),
+        sum($"np" * ($"cumb" + ($"c" + lit(1)) / lit(2.0))).as("rsum"))
+      .select(
+        $"n".as("n_docs"), $"npos".as("n_pos"),
+        round(($"rsum" - $"npos" * ($"npos" + 1) / lit(2.0)) /
+          ($"npos" * ($"n" - $"npos")), 6).as("auc"))
+  }
+
+  val qAucQualitySql: String =
+    s"""WITH s AS (SELECT
+       |  round(least(1.0, len(w) / 100.0) * (1.0 - n_stop::DOUBLE / len(w)), 4)
+       |    AS score,
+       |  CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y
+       |  FROM (SELECT source, w,
+       |          len(list_filter(w, x -> list_contains($stopListSql, x))) AS n_stop
+       |        FROM (SELECT source, string_split(text, ' ') AS w FROM documents))),
+       |g AS (SELECT score, count(*) AS c, sum(y) AS np FROM s GROUP BY score),
+       |o AS (SELECT score, c, np,
+       |  sum(c) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |    CURRENT ROW) - c AS cumb FROM g)
+       |SELECT sum(c)::BIGINT AS n_docs, sum(np)::BIGINT AS n_pos,
+       |  round((sum(np * (cumb + (c + 1) / 2.0)) - sum(np) * (sum(np) + 1) / 2.0)
+       |        / (sum(np) * (sum(c) - sum(np))), 6) AS auc
+       |FROM o""".stripMargin
+
   /** Skip-gram window co-occurrence counts (window ±2, self excluded) —
     * the (center, context) statistic word2vec/GloVe-style embedding
     * training consumes, where PMI over ADJACENT pairs (q_pmi_bigrams)
@@ -867,6 +919,7 @@ object Text extends QueryFamily {
     QueryDef("q_chunk_overlap", qChunkOverlap, Some(qChunkOverlapSql)),
     QueryDef("q_cooccur_window", qCooccurWindow, Some(qCooccurWindowSql)),
     QueryDef("q_logreg_steps", qLogregSteps, Some(qLogregStepsSql)),
+    QueryDef("q_auc_quality", qAucQuality, Some(qAucQualitySql)),
     QueryDef("q_kneser_ney", qKneserNey, Some(qKneserNeySql)),
     QueryDef("q_tail_index", qTailIndex, Some(qTailIndexSql)),
     QueryDef("q_bpe_merges", qBpeMerges, Some(qBpeMergesSql)),

@@ -422,27 +422,34 @@ object Timeseries extends QueryFamily {
 
   /** Conversion-window funnel: view → click within 30 min → purchase
     * within 60 min of that click. Unlike the unbounded q_funnel, each
-    * stage's join carries a time bound, so the funnel measures a
-    * realistic conversion SLA; the per-stage plan is still min-per-user
-    * hash aggregates chained by equi-joins on the user key — no window
-    * over raw events, no cross join. */
+    * stage carries a time bound, so the funnel measures a realistic
+    * conversion SLA. Same one-scan plan shape as q_funnel: the stage
+    * timestamps are chained per-user window minima sharing a single
+    * user_id exchange (the SLA bound just tightens each stage's
+    * condition), then one per-user rollup on the same distribution —
+    * events is read once, not once per stage. */
   def qFunnelWindowed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = T.events(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id")
+    T.events(spark, dir)
       .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
-    val v = e.filter($"event_type" === "view")
-      .groupBy($"user_id").agg(min($"us").as("v_us"))
-    val c = e.filter($"event_type" === "click")
-      .join(v, Seq("user_id"))
-      .filter($"us" >= $"v_us" && $"us" <= $"v_us" + 1800000000L)
-      .groupBy($"user_id").agg(min($"us").as("c_us"))
-    val p = e.filter($"event_type" === "purchase")
-      .join(c, Seq("user_id"))
-      .filter($"us" >= $"c_us" && $"us" <= $"c_us" + 3600000000L)
-      .groupBy($"user_id").agg(min($"us").as("p_us"))
-    v.agg(count(lit(1)).as("n_view")).crossJoin(
-      c.agg(count(lit(1)).as("n_click_30m"))).crossJoin(
-      p.agg(count(lit(1)).as("n_purchase_60m")))
+      .filter($"event_type".isin("view", "click", "purchase"))
+      .withColumn("v_us",
+        min(when($"event_type" === "view", $"us")).over(w))
+      .withColumn("c_us",
+        min(when($"event_type" === "click" && $"us" >= $"v_us" &&
+          $"us" <= $"v_us" + 1800000000L, $"us")).over(w))
+      .withColumn("p_us",
+        min(when($"event_type" === "purchase" && $"us" >= $"c_us" &&
+          $"us" <= $"c_us" + 3600000000L, $"us")).over(w))
+      .groupBy($"user_id")
+      .agg(max($"v_us").as("v_us"), max($"c_us").as("c_us"),
+        max($"p_us").as("p_us"))
+      .agg(
+        sum(when($"v_us".isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when($"c_us".isNotNull, 1L).otherwise(0L)).as("n_click_30m"),
+        sum(when($"p_us".isNotNull, 1L).otherwise(0L)).as("n_purchase_60m"))
   }
 
   val qFunnelWindowedSql: String =
