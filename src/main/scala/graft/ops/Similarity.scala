@@ -1070,7 +1070,55 @@ object Similarity extends QueryFamily {
       |UNION ALL SELECT 4, n_id, round(rel, 4), round(mmr, 4) FROM s4
       |ORDER BY sel_rank""".stripMargin
 
+  /** Approximate kNN GRAPH over the whole corpus (top-3 cosine
+    * neighbors per vector from its sign-LSH bucket) — the artifact
+    * graph-based ANN indexes (HNSW/NSG) and semantic dedup clustering
+    * start from, where the q_sim_* family answers point queries. The
+    * candidate generator is a bucket equi-join of the corpus with
+    * itself — Σ|bucket|² pairs, never |corpus|², and the exact shape
+    * that shuffles by bucket across 1000 executors — followed by
+    * [[Skew.twoPhaseTopK]] so no per-source ranking window ever sees
+    * more than local survivors. Vectors are pruned before the ranking
+    * shuffle: only (src, nbr, cos) crosses it. */
+  def qKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucketExpr = expr(
+      "array_join(transform(slice(embedding, 1, 8), x -> IF(x > CAST(0 AS float), '1', '0')), '')")
+    val e = T.embeddings(spark, dir).withColumn("bucket", bucketExpr)
+    val l = e.select($"vec_id".as("src_id"), $"embedding".as("qv"), $"bucket")
+    val r = e.select($"vec_id".as("nbr_id"), $"embedding".as("v"), $"bucket")
+    val scored = l.join(r, Seq("bucket"))
+      .filter($"src_id" =!= $"nbr_id")
+      .select($"src_id", $"nbr_id",
+        graft.functions.F.cosineSimilarity($"qv", $"v").as("cos"))
+    Skew.twoPhaseTopK(scored, Seq($"src_id"),
+        Seq(desc("cos"), asc("nbr_id")), k = 3, rankName = "rank")
+      .select($"src_id", $"rank", $"nbr_id", round($"cos", 4).as("cos"))
+      .orderBy($"src_id", $"rank")
+  }
+
+  val qKnnGraphSql: String =
+    """WITH e AS (SELECT vec_id, embedding,
+      |  (SELECT sum(x::DOUBLE * x::DOUBLE) FROM unnest(embedding) t(x)) AS n2,
+      |  array_to_string(list_transform(embedding[1:8],
+      |    x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket
+      |  FROM embeddings),
+      |pairs AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+      |    a.n2 AS an2, b.n2 AS bn2, a.embedding AS ae, b.embedding AS be
+      |  FROM e a JOIN e b USING (bucket) WHERE b.vec_id <> a.vec_id),
+      |u AS (SELECT src_id, nbr_id, an2, bn2,
+      |    unnest(ae) AS ax, unnest(be) AS bx FROM pairs),
+      |scored AS (SELECT src_id, nbr_id,
+      |    sum(ax::DOUBLE * bx::DOUBLE) / sqrt(any_value(an2) * any_value(bn2)) AS cos
+      |  FROM u GROUP BY 1, 2),
+      |ranked AS (SELECT src_id, nbr_id, cos,
+      |    row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, nbr_id) AS rank
+      |  FROM scored)
+      |SELECT src_id, rank, nbr_id, round(cos, 4) AS cos FROM ranked
+      |WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_knn_graph", qKnnGraph, Some(qKnnGraphSql)),
     QueryDef("q_embed_norm_audit", qEmbedNormAudit, Some(qEmbedNormAuditSql)),
     QueryDef("q_sim_mmr", qSimMmr, Some(qSimMmrSql)),
     QueryDef("q_gram_matrix", qGramMatrix, Some(qGramMatrixSql)),

@@ -792,6 +792,71 @@ object Text extends QueryFamily {
        |SELECT 2, b, wl, ws, loss FROM w2, l2
        |ORDER BY step""".stripMargin
 
+  /** Mutual information between bucketed document features and the
+    * source label — the feature-selection statistic that decides which
+    * corpus signals are worth feeding a quality classifier. Both
+    * features melt into (feature, bucket, label) IN-ROW (one explode of
+    * a 2-struct array, so the corpus is scanned once) and collapse to a
+    * ≤ 2×10×2-cell joint count table in one hash aggregate; marginals
+    * and totals then derive FROM the joint (never a rescan), and
+    * MI = Σ p(b,y)·ln(p(b,y)/(p(b)p(y))) is a sum over the tiny cell
+    * table. Per-feature MI plus cell count, 6dp. */
+  def qMutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = T.documents(spark, dir)
+      .withColumn("w", split($"text", " "))
+      .withColumn("n_stop",
+        size(filter($"w", x => array_contains(stopArr, x))))
+      .select(
+        when($"source" === "src0", 1L).otherwise(0L).as("y"),
+        least(lit(9L), expr("size(w) div 20")).as("len_b"),
+        least(lit(9L),
+          floor($"n_stop".cast("double") / size($"w") * 10).cast("long"))
+          .as("stop_b"))
+    val joint = base.select($"y", explode(array(
+        struct(lit("len_bucket").as("feature"), $"len_b".as("b")),
+        struct(lit("stop_bucket").as("feature"), $"stop_b".as("b")))).as("f"))
+      .select($"f.feature".as("feature"), $"f.b".as("b"), $"y")
+      .groupBy($"feature", $"b", $"y").agg(count(lit(1)).as("n_by"))
+      // <=40 cells, consumed by three marginal rollups + the final MI
+      // sum — cached so the corpus is scanned once, not per consumer
+      .cache()
+    val nb = joint.groupBy($"feature", $"b").agg(sum($"n_by").as("n_b"))
+    val ny = joint.groupBy($"feature", $"y").agg(sum($"n_by").as("n_y"))
+    val tot = joint.groupBy($"feature").agg(sum($"n_by").as("n"))
+    joint.join(nb, Seq("feature", "b")).join(ny, Seq("feature", "y"))
+      .join(tot, Seq("feature"))
+      .groupBy($"feature")
+      .agg(
+        round(sum(($"n_by".cast("double") / $"n") *
+          log($"n_by".cast("double") * $"n" / ($"n_b".cast("double") * $"n_y"))), 6)
+          .as("mi"),
+        count(lit(1)).as("n_cells"))
+      .orderBy($"feature")
+  }
+
+  val qMutualInfoSql: String =
+    s"""WITH base AS (SELECT
+       |  CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y,
+       |  least(9, len(w) // 20) AS len_b,
+       |  least(9, floor(n_stop::DOUBLE / len(w) * 10))::BIGINT AS stop_b
+       |  FROM (SELECT source, w,
+       |          len(list_filter(w, x -> list_contains($stopListSql, x))) AS n_stop
+       |        FROM (SELECT source, string_split(text, ' ') AS w FROM documents))),
+       |m AS (SELECT 'len_bucket' AS feature, len_b AS b, y FROM base
+       |      UNION ALL SELECT 'stop_bucket', stop_b, y FROM base),
+       |j AS (SELECT feature, b, y, count(*) AS n_by FROM m GROUP BY 1, 2, 3),
+       |nb AS (SELECT feature, b, sum(n_by) AS n_b FROM j GROUP BY 1, 2),
+       |ny AS (SELECT feature, y, sum(n_by) AS n_y FROM j GROUP BY 1, 2),
+       |t AS (SELECT feature, sum(n_by) AS n FROM j GROUP BY 1)
+       |SELECT feature,
+       |  round(sum((n_by::DOUBLE / n) *
+       |    ln(n_by::DOUBLE * n / (n_b::DOUBLE * n_y))), 6) AS mi,
+       |  count(*) AS n_cells
+       |FROM j JOIN nb USING (feature, b) JOIN ny USING (feature, y)
+       |  JOIN t USING (feature)
+       |GROUP BY feature ORDER BY feature""".stripMargin
+
   /** ROC-AUC of the heuristic quality score against the source label —
     * the evaluation metric every trained/heuristic document filter is
     * judged by, computed WITHOUT sorting the corpus: Mann-Whitney U
@@ -920,6 +985,7 @@ object Text extends QueryFamily {
     QueryDef("q_cooccur_window", qCooccurWindow, Some(qCooccurWindowSql)),
     QueryDef("q_logreg_steps", qLogregSteps, Some(qLogregStepsSql)),
     QueryDef("q_auc_quality", qAucQuality, Some(qAucQualitySql)),
+    QueryDef("q_mutual_info", qMutualInfo, Some(qMutualInfoSql)),
     QueryDef("q_kneser_ney", qKneserNey, Some(qKneserNeySql)),
     QueryDef("q_tail_index", qTailIndex, Some(qTailIndexSql)),
     QueryDef("q_bpe_merges", qBpeMerges, Some(qBpeMergesSql)),
