@@ -38,72 +38,74 @@ object Quantiles {
     * positions `ps` (quantile_cont semantics, nulls ignored like the
     * built-in). Returns keyCols ++ (`p` double, `q` double, `n` long):
     * one row per key × position; `n` is the per-key non-null count so
-    * callers needing it don't re-aggregate. */
+    * callers needing it don't re-aggregate. `p`/`q`/`n` are the only
+    * reserved caller-visible names — internals carry a `__q_` prefix
+    * so arbitrary key-column names (incl. `k`, `v`, `b`) are safe. */
   def exact(src0: DataFrame, keyCols: Seq[String], valCol: String,
             ps: Seq[Double]): DataFrame = {
     val buckets = 4096L
     val keys = keyCols.map(col)
     val src = src0
       .filter(col(valCol).isNotNull)
-      .select(keys :+ col(valCol).cast("double").as("v"): _*)
+      .select(keys :+ col(valCol).cast("double").as("__q_v"): _*)
       .cache()
     val grouped = if (keyCols.isEmpty) src.groupBy() else src.groupBy(keys: _*)
     val stats = grouped.agg(
-        min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+        min(col("__q_v")).as("__q_vmin"), max(col("__q_v")).as("__q_vmax"),
         count(lit(1)).as("n"))
-      .withColumn("width",
-        greatest((col("vmax") - col("vmin")) / buckets, lit(1e-12)))
+      .withColumn("__q_width",
+        greatest((col("__q_vmax") - col("__q_vmin")) / buckets, lit(1e-12)))
     def withStats(df: DataFrame, s: DataFrame): DataFrame =
       if (keyCols.isEmpty) df.crossJoin(broadcast(s))
       else df.join(broadcast(s), keyCols)
     val bucketed = withStats(src, stats)
-      .withColumn("b",
-        least(floor((col("v") - col("vmin")) / col("width")),
+      .withColumn("__q_b",
+        least(floor((col("__q_v") - col("__q_vmin")) / col("__q_width")),
           lit(buckets - 1)))
-      .select(keys ++ Seq(col("b"), col("v")): _*)
-    val hist = bucketed.groupBy(keys :+ col("b"): _*)
-      .agg(count(lit(1)).as("c"))
-    val wCum = (if (keyCols.isEmpty) Window.orderBy(col("b"))
-                else Window.partitionBy(keys: _*).orderBy(col("b")))
+      .select(keys ++ Seq(col("__q_b"), col("__q_v")): _*)
+    val hist = bucketed.groupBy(keys :+ col("__q_b"): _*)
+      .agg(count(lit(1)).as("__q_c"))
+    val wCum = (if (keyCols.isEmpty) Window.orderBy(col("__q_b"))
+                else Window.partitionBy(keys: _*).orderBy(col("__q_b")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist
-      .withColumn("cum_end", sum(col("c")).over(wCum))
-      .withColumn("cum_start", col("cum_end") - col("c"))
+      .withColumn("__q_cum_end", sum(col("__q_c")).over(wCum))
+      .withColumn("__q_cum_start", col("__q_cum_end") - col("__q_c"))
     // 0-indexed continuous position pos = p·(n−1); the two surrounding
     // 1-indexed ranks and the fractional interpolation weight. When
     // pos is integral the two ranks coincide and frac is 0.
     val ranks = stats
       .select(keys ++ Seq(col("n"),
         explode(array(ps.map(lit(_)): _*)).as("p")): _*)
-      .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
-      .withColumn("frac", col("pos") - floor(col("pos")))
-      .select(keys ++ Seq(col("n"), col("p"), col("frac"),
+      .withColumn("__q_pos", col("p") * (col("n") - 1).cast("double"))
+      .withColumn("__q_frac", col("__q_pos") - floor(col("__q_pos")))
+      .select(keys ++ Seq(col("n"), col("p"), col("__q_frac"),
         explode(array(
-          struct((floor(col("pos")) + 1).cast("long").as("r"),
-            lit("lo").as("role")),
-          struct(least(ceil(col("pos")) + 1, col("n")).cast("long").as("r"),
-            lit("hi").as("role")))).as("t")): _*)
-      .select(keys ++ Seq(col("n"), col("p"), col("frac"),
-        col("t.r").as("r"), col("t.role").as("role")): _*)
+          struct((floor(col("__q_pos")) + 1).cast("long").as("__q_r"),
+            lit("lo").as("__q_role")),
+          struct(least(ceil(col("__q_pos")) + 1, col("n")).cast("long").as("__q_r"),
+            lit("hi").as("__q_role")))).as("t")): _*)
+      .select(keys ++ Seq(col("n"), col("p"), col("__q_frac"),
+        col("t.__q_r").as("__q_r"), col("t.__q_role").as("__q_role")): _*)
     val joined =
       if (keyCols.isEmpty) cum.crossJoin(broadcast(ranks))
       else cum.join(broadcast(ranks), keyCols)
     val located = joined
-      .filter(col("r") > col("cum_start") && col("r") <= col("cum_end"))
-      .select(keys ++ Seq(col("b"), (col("r") - col("cum_start")).as("k"),
-        col("n"), col("p"), col("frac"), col("role")): _*)
-    val wanted = located.select(keys :+ col("b"): _*).distinct()
-    val wv = Window.partitionBy(keys :+ col("b"): _*).orderBy(col("v"))
-    bucketed.join(broadcast(wanted), keyCols :+ "b", "left_semi")
-      .withColumn("rn", row_number().over(wv))
-      .join(broadcast(located), keyCols :+ "b")
-      .filter(col("rn") === col("k"))
-      .groupBy(keys ++ Seq(col("n"), col("p"), col("frac")): _*)
-      .agg(max(when(col("role") === "lo", col("v"))).as("vlo"),
-        max(when(col("role") === "hi", col("v"))).as("vhi"))
+      .filter(col("__q_r") > col("__q_cum_start") && col("__q_r") <= col("__q_cum_end"))
+      .select(keys ++ Seq(col("__q_b"), (col("__q_r") - col("__q_cum_start")).as("__q_k"),
+        col("n"), col("p"), col("__q_frac"), col("__q_role")): _*)
+    val wanted = located.select(keys :+ col("__q_b"): _*).distinct()
+    val wv = Window.partitionBy(keys :+ col("__q_b"): _*).orderBy(col("__q_v"))
+    bucketed.join(broadcast(wanted), keyCols :+ "__q_b", "left_semi")
+      .withColumn("__q_rn", row_number().over(wv))
+      .join(broadcast(located), keyCols :+ "__q_b")
+      .filter(col("__q_rn") === col("__q_k"))
+      .groupBy(keys ++ Seq(col("n"), col("p"), col("__q_frac")): _*)
+      .agg(max(when(col("__q_role") === "lo", col("__q_v"))).as("__q_vlo"),
+        max(when(col("__q_role") === "hi", col("__q_v"))).as("__q_vhi"))
       .select(keys ++ Seq(col("p"),
-        ((lit(1.0) - col("frac")) * col("vlo")
-          + col("frac") * col("vhi")).as("q"),
+        ((lit(1.0) - col("__q_frac")) * col("__q_vlo")
+          + col("__q_frac") * col("__q_vhi")).as("q"),
         col("n")): _*)
   }
 }
