@@ -175,6 +175,44 @@ object Stateful {
       .start()
   }
 
+  /** Spark 4's arbitrary-stateful successor to mapGroupsWithState:
+    * the same running per-user totals as [[runningTotals]], expressed
+    * as a [[org.apache.spark.sql.streaming.StatefulProcessor]] over
+    * `transformWithState`. The operational wins TWS brings at 100 TB:
+    * named, independently-evolvable state variables (ValueState /
+    * ListState / MapState per key instead of one opaque blob), TTL per
+    * state variable instead of per-operator timeouts, and a
+    * RocksDB-only runtime (the API refuses the heap-bounded HDFS
+    * store), so state capacity is disk-bounded by contract. */
+  final class TotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserTotals] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TTLConfig, TimeMode, TimerValues}
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[UserTotals] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotals], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[UserTotals] = {
+      val prev = if (totals.exists()) totals.get() else UserTotals(key, 0L, 0.0)
+      var n = prev.n_events
+      var tot = prev.total_value
+      rows.foreach { e => n += 1; tot += e.value }
+      val next = UserTotals(key, n, tot)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** [[runningTotals]] on the transformWithState API (requires the
+    * RocksDB state store provider). */
+  def runningTotalsTws(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TotalsProcessor, TimeMode.None(), OM.Update())
+  }
+
   /** Running per-user totals, updated every trigger. */
   def runningTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
     import events.sparkSession.implicits._

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.max
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -96,6 +97,42 @@ class RocksDbStateSpec extends AnyFunSuite {
       assert(closed(0) === ClosedSession(1L,
         t("2024-01-01 00:00:00").getTime * 1000L,
         t("2024-01-01 00:05:00").getTime * 1000L, 2L))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("transformWithState totals match the mapGroupsWithState operator") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Stateful.{UserEvent, runningTotalsTws}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // TWS refuses the default HDFS-backed provider — RocksDB is the contract
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[UserEvent]
+      val q = runningTotalsTws(ms.toDS())
+        .writeStream.outputMode("update").format("memory")
+        .queryName("tws_out").start()
+      try {
+        ms.addData(UserEvent(1L, "click", 2.0), UserEvent(2L, "view", 1.0))
+        q.processAllAvailable()
+        ms.addData(UserEvent(1L, "view", 3.0))
+        q.processAllAvailable()
+        val latest = spark.table("tws_out")
+          .groupBy($"user_id")
+          .agg(max($"n_events").as("n"), max($"total_value").as("v"))
+          .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n"), r.getAs[Double]("v")))
+          .toMap
+        // same per-key rolling state the mapGroupsWithState spec pins:
+        // user 1 accumulates across triggers, user 2 stays at one event
+        assert(latest === Map(1L -> ((2L, 5.0)), 2L -> ((1L, 1.0))))
+      } finally q.stop()
     } finally {
       prev match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
