@@ -677,7 +677,96 @@ object Timeseries extends QueryFamily {
       |  round(cv, 4) AS cv, round((cv - 1) / (cv + 1), 4) AS burstiness
       |FROM c ORDER BY event_type""".stripMargin
 
+  /** Kaplan-Meier survival curve of time-to-conversion: hours from a
+    * user's first view to their first subsequent purchase,
+    * right-censored at the study end (the corpus's last event) for
+    * users who never convert — THE estimator for "how long until
+    * users do X" that naive conversion averages get wrong by ignoring
+    * censoring. Plan shape: one events scan with the q_funnel chained
+    * per-user window minima (single user_id exchange) produces each
+    * user's (duration, event/censored) pair; durations collapse to an
+    * O(study-hours) grid, on which risk sets are a reverse cumulative
+    * count and the product-limit estimate S(t) = Π(1 − d_j/n_j) is
+    * exp of a cumulative ln-sum — both windows run over the bounded
+    * grid, never the fact table. Event rows only, 6dp. */
+  def qSurvivalKm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wUser = Window.partitionBy($"user_id")
+    val per = T.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .withColumn("v_us",
+        min(when($"event_type" === "view", $"us")).over(wUser))
+      .withColumn("p_us",
+        min(when($"event_type" === "purchase" && $"us" >= $"v_us", $"us")).over(wUser))
+      .groupBy($"user_id")
+      .agg(max($"v_us").as("v_us"), max($"p_us").as("p_us"))
+    val end = T.events(spark, dir)
+      .agg(max(unix_micros($"ts")).as("end_us"))
+    val grid = per.crossJoin(broadcast(end))
+      .filter($"v_us".isNotNull)
+      .select(
+        floor((coalesce($"p_us", $"end_us") - $"v_us") / 3600000000.0)
+          .cast("long").as("duration_h"),
+        when($"p_us".isNotNull, 1L).otherwise(0L).as("ev"))
+      .groupBy($"duration_h")
+      .agg(sum($"ev").as("d"), count(lit(1)).as("c"))
+    val wRisk = Window.orderBy($"duration_h")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy($"duration_h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the final event time can have d == n_risk (everyone remaining
+    // converts): ln(0) is an error in DuckDB and a silent null in
+    // Spark, so the absorbing zero is carried explicitly — once any
+    // factor hits 0, S(t) is 0 from there on
+    grid
+      .withColumn("n_risk", sum($"c").over(wRisk))
+      .withColumn("zero_seen",
+        max(when($"d" >= $"n_risk", 1).otherwise(0)).over(wCum))
+      .withColumn("surv",
+        when($"zero_seen" === 1, lit(0.0)).otherwise(
+          exp(sum(when($"d" < $"n_risk",
+            log(lit(1.0) - $"d".cast("double") / $"n_risk"))).over(wCum))))
+      .filter($"d" > 0)
+      .select($"duration_h", $"n_risk", $"d".as("n_event"),
+        round($"surv", 6).as("surv"))
+      .orderBy($"duration_h")
+  }
+
+  val qSurvivalKmSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+      |w1 AS (SELECT user_id, event_type, us,
+      |  min(CASE WHEN event_type = 'view' THEN us END)
+      |    OVER (PARTITION BY user_id) AS v_us FROM e),
+      |w2 AS (SELECT user_id, v_us,
+      |  min(CASE WHEN event_type = 'purchase' AND us >= v_us THEN us END)
+      |    OVER (PARTITION BY user_id) AS p_us FROM w1),
+      |per AS (SELECT user_id, max(v_us) AS v_us, max(p_us) AS p_us
+      |  FROM w2 GROUP BY user_id),
+      |endt AS (SELECT max(us) AS end_us FROM e),
+      |durs AS (SELECT
+      |  floor((coalesce(p_us, end_us) - v_us) / 3600000000.0)::BIGINT AS duration_h,
+      |  CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM per, endt WHERE v_us IS NOT NULL),
+      |grid AS (SELECT duration_h, sum(ev)::BIGINT AS d, count(*) AS c
+      |  FROM durs GROUP BY 1),
+      |r1 AS (SELECT duration_h, d,
+      |  sum(c) OVER (ORDER BY duration_h
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk FROM grid),
+      |km AS (SELECT duration_h, d, n_risk,
+      |  round(CASE WHEN max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+      |      OVER (ORDER BY duration_h
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+      |    THEN 0.0
+      |    ELSE exp(sum(CASE WHEN d < n_risk
+      |        THEN ln(1.0 - d::DOUBLE / n_risk) END)
+      |      OVER (ORDER BY duration_h
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |  END, 6) AS surv FROM r1)
+      |SELECT duration_h, n_risk::BIGINT AS n_risk, d AS n_event, surv FROM km
+      |WHERE d > 0 ORDER BY duration_h""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_survival_km", qSurvivalKm, Some(qSurvivalKmSql)),
     QueryDef("q_burstiness", qBurstiness, Some(qBurstinessSql)),
     QueryDef("q_rolling_distinct_7d", qRollingDistinct7d, Some(qRollingDistinct7dSql)),
     QueryDef("q_funnel_windowed", qFunnelWindowed, Some(qFunnelWindowedSql)),

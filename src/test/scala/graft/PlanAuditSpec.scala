@@ -80,7 +80,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_kneser_ney",
     // 1-row probe build + <=8-row shortlist/selected-set builds in the
     // unrolled greedy MMR steps
-    "q_sim_mmr")
+    "q_sim_mmr",
+    // 1-row study-end build for right-censoring
+    "q_survival_km")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
@@ -129,7 +131,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_winsorized_mean" -> "Quantiles.exact histogram (<=4096 rows)",
     "q_doc_deciles" -> "Quantiles.exact histogram (<=4096 rows)",
     // midrank cumulative over the distinct-4dp-score grid, never facts
-    "q_auc_quality" -> "4dp score grid (<=10001 rows)")
+    "q_auc_quality" -> "4dp score grid (<=10001 rows)",
+    // risk-set + product-limit windows over the O(study-hours) grid
+    "q_survival_km" -> "O(hours) duration grid")
 
   test("no registered query plans a partitionless Window over an unbounded input") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
