@@ -574,12 +574,18 @@ object Mining extends QueryFamily {
     val e = T.events(spark, dir)
       .select($"user_id", $"event_type", $"value", unix_micros($"ts").as("us"))
     val mid = e.agg(expr("(min(us) + max(us)) div 2").as("mid_us"))
+    // integer-cents covariates: event values are exact 2dp, so the
+    // per-user sums are exact longs and the 4dp-rounded means cannot
+    // sit on a summation-order-dependent half boundary (the
+    // q2_min_cost divergence class — observed on mean_y at sf0.001);
+    // theta and the variance ratio are scale-invariant in cents
     val perUser = e.crossJoin(broadcast(mid))
       .groupBy($"user_id")
       .agg(
-        sum(when($"us" < $"mid_us", $"value").otherwise(0.0)).as("x"),
-        sum(when($"us" >= $"mid_us" && $"event_type" === "purchase", $"value")
-          .otherwise(0.0)).as("y"))
+        sum(when($"us" < $"mid_us",
+          round($"value" * 100).cast("long")).otherwise(0L)).as("x"),
+        sum(when($"us" >= $"mid_us" && $"event_type" === "purchase",
+          round($"value" * 100).cast("long")).otherwise(0L)).as("y"))
       .withColumn("arm", ($"user_id" % 2).cast("int"))
       // |users|-sized and consumed by four downstream aggregates
       // (theta, arms, vr x2) — cached so events is scanned once for
@@ -592,8 +598,8 @@ object Mining extends QueryFamily {
       .withColumn("y_adj", $"y" - $"theta" * ($"x" - $"xbar"))
     val arms = adj.groupBy($"arm")
       .agg(count(lit(1)).as("n"),
-        round(avg($"y"), 4).as("mean_y"),
-        round(avg($"y_adj"), 4).as("mean_y_adj"))
+        round(sum($"y") / count(lit(1)) / 100.0, 4).as("mean_y"),
+        round(avg($"y_adj") / 100.0, 4).as("mean_y_adj"))
     val vr = adj.agg(
       round(lit(1.0) - var_pop($"y_adj") / var_pop($"y"), 4).as("var_reduction"))
     arms.crossJoin(broadcast(vr)).orderBy($"arm")
@@ -605,9 +611,10 @@ object Mining extends QueryFamily {
       |mid AS (SELECT ((min(us) + max(us)) // 2)::BIGINT AS mid_us FROM e),
       |per_user AS (
       |  SELECT user_id,
-      |    sum(CASE WHEN us < mid_us THEN value ELSE 0.0 END) AS x,
+      |    sum(CASE WHEN us < mid_us
+      |        THEN round(value * 100)::BIGINT ELSE 0 END) AS x,
       |    sum(CASE WHEN us >= mid_us AND event_type = 'purchase'
-      |        THEN value ELSE 0.0 END) AS y,
+      |        THEN round(value * 100)::BIGINT ELSE 0 END) AS y,
       |    (user_id % 2)::INT AS arm
       |  FROM e, mid GROUP BY user_id),
       |theta AS (
@@ -617,8 +624,9 @@ object Mining extends QueryFamily {
       |  SELECT arm, y, y - theta * (x - xbar) AS y_adj
       |  FROM per_user, theta),
       |arms AS (
-      |  SELECT arm, count(*) AS n, round(avg(y), 4) AS mean_y,
-      |    round(avg(y_adj), 4) AS mean_y_adj
+      |  SELECT arm, count(*) AS n,
+      |    round(sum(y) / count(*) / 100.0, 4) AS mean_y,
+      |    round(avg(y_adj) / 100.0, 4) AS mean_y_adj
       |  FROM adj GROUP BY arm),
       |vr AS (SELECT round(1.0 - var_pop(y_adj) / var_pop(y), 4)
       |  AS var_reduction FROM adj)
