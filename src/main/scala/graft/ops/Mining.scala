@@ -929,7 +929,53 @@ object Mining extends QueryFamily {
       |  round(avg(greatest(c[1], least(c[2], l_extendedprice))), 4) AS winsor_mean
       |FROM lineitem, cuts GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Item-item collaborative filtering scores: cosine-normalized
+    * co-occurrence over the order-item matrix, sim(a,b) =
+    * n_ab / sqrt(n_a·n_b) — the memory-based rec-sys kernel behind
+    * "customers also bought". Reuses the basket shape: per-order
+    * distinct first, orderkey equi-self-join with a < b (fan-out
+    * bounded by items-per-order², never corpus²), then the pair
+    * counts join the cached per-item order counts — a vocab-sized
+    * relation consumed twice, so it's cached, not rescanned. Support
+    * floor n_ab ≥ 2 prunes noise pairs before the sqrt. Top-20 by
+    * score desc with full deterministic tiebreak. */
+  def qItemCf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val items = T.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .cache()
+    val itemN = items.groupBy($"l_partkey").agg(count(lit(1)).as("n"))
+    val a = items.select($"l_orderkey".as("o"), $"l_partkey".as("part_a"))
+    val b = items.select($"l_orderkey".as("o2"), $"l_partkey".as("part_b"))
+    a.join(b, $"o" === $"o2" && $"part_a" < $"part_b")
+      .groupBy($"part_a", $"part_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= 2)
+      .join(itemN.select($"l_partkey".as("part_a"), $"n".as("n_a")), "part_a")
+      .join(itemN.select($"l_partkey".as("part_b"), $"n".as("n_b")), "part_b")
+      .select($"part_a", $"part_b", $"n_ab", $"n_a", $"n_b",
+        round($"n_ab" / sqrt($"n_a" * $"n_b".cast("double")), 6).as("cf_sim"))
+      .orderBy(desc("cf_sim"), asc("part_a"), asc("part_b"))
+      .limit(20)
+  }
+
+  val qItemCfSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |item_n AS (SELECT l_partkey, count(*) AS n FROM items GROUP BY 1),
+      |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |    count(*) AS n_ab
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT part_a, part_b, n_ab, na.n AS n_a, nb.n AS n_b,
+      |  round(n_ab / sqrt(na.n * nb.n::DOUBLE), 6) AS cf_sim
+      |FROM pairs
+      |JOIN item_n na ON na.l_partkey = part_a
+      |JOIN item_n nb ON nb.l_partkey = part_b
+      |ORDER BY cf_sim DESC, part_a, part_b LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_item_cf", qItemCf, Some(qItemCfSql)),
     QueryDef("q_gini", qGini, Some(qGiniSql)),
     QueryDef("q_winsorized_mean", qWinsorizedMean, Some(qWinsorizedMeanSql)),
     QueryDef("q_bootstrap_ci", qBootstrapCi, Some(qBootstrapCiSql)),
