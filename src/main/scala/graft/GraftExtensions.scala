@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContain, CosineSimilarity, EditWithin1, HammingDistance}
+import graft.functions.{BloomMightContain, CosineSimilarity, EditWithin1, HammingDistance, JaroWinkler}
 
 /** SparkSessionExtensions entry point: registers the native expressions
   * as SQL functions, so `spark.sql("SELECT graft_cosine(a, b) ...")`
@@ -38,6 +38,9 @@ object GraftExtensions {
     ("graft_edit_within1",
       new ExpressionInfo(classOf[EditWithin1].getName, "graft_edit_within1"),
       (es: Seq[Expression]) => EditWithin1(es(0), es(1))),
+    ("graft_jaro_winkler",
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (es: Seq[Expression]) => JaroWinkler(es(0), es(1))),
     // third arg k is a foldable int literal; default 5 when omitted
     ("graft_bloom_contains",
       new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),

@@ -100,4 +100,42 @@ class ExpressionsSpec extends AnyFunSuite {
       assert(df2.filter($"fast" =!= $"slow").count() === 0)
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
+
+  test("jaroWinkler: textbook values, DuckDB empty-string convention, codegen==interpreted") {
+    import spark.implicits._
+    val cases = Seq(
+      // classic worked examples (exact rationals of the standard algorithm)
+      ("martha", "marhta", 0.9611111111111111),
+      ("dwayne", "duane", 0.8400000000000001),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("abc", "abc", 1.0),
+      // oracle (DuckDB/rapidfuzz) convention: either side empty -> 0
+      ("", "", 0.0),
+      ("a", "", 0.0),
+      ("", "a", 0.0),
+      // no matches at all
+      ("abc", "xyz", 0.0)).toDF("a", "b", "want")
+    def run() = cases.withColumn("jw", F.jaroWinkler($"a", $"b")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    val got = run()
+    got.foreach { case (a, b, want, jw) =>
+      assert(jw === want, s"jw($a, $b)")
+    }
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(run().toSeq === got.toSeq)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("jaroWinkler: symmetric, in [0,1], prefix boost only above 0.7") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdefgh "
+    def rstr(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val cases = (1 to 300).map(_ => (rstr(1 + rnd.nextInt(20)), rstr(1 + rnd.nextInt(20))))
+    val df = cases.toDF("a", "b")
+      .withColumn("ab", F.jaroWinkler($"a", $"b"))
+      .withColumn("ba", F.jaroWinkler($"b", $"a"))
+    assert(df.filter($"ab" =!= $"ba").count() === 0, "symmetry")
+    assert(df.filter($"ab" < 0 || $"ab" > 1).count() === 0, "range")
+  }
 }
