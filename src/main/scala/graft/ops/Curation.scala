@@ -728,7 +728,45 @@ object Curation extends QueryFamily {
        |ORDER BY stage""".stripMargin
   }
 
+  /** Weighted sampling WITHOUT replacement, k=5 per language — the
+    * Efraimidis–Spirakis exponential-key scheme: each doc draws
+    * key = −ln(u)/w with u a deterministic content-hash uniform (the
+    * [[qSplitAssign]] md5 discipline) and w = its character count;
+    * the k smallest keys per stratum are exactly a w-weighted sample
+    * without replacement. One corpus-scan projection computes every
+    * key; selection runs through [[Skew.twoPhaseTopK]] (per-input-
+    * partition local top-k, then the k·|partitions| survivors rank
+    * globally), so no task ever sorts a whole language's documents —
+    * the shape that holds when one language is 80 % of 100 TB.
+    * Deterministic across engines, runs, and cluster layouts: the
+    * only randomness is the content hash. */
+  def qSampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = T.documents(spark, dir)
+      .filter($"n_chars" > 0)
+      .select($"lang", $"doc_id", $"n_chars",
+        (expr("cast(conv(substring(md5(cast(text as binary)), 1, 12), 16, 10) AS bigint)")
+          .cast("double") / lit(math.pow(16.0, 12))).as("u"))
+      .withColumn("k", -log($"u") / $"n_chars".cast("double"))
+    Skew.twoPhaseTopK(keyed, Seq($"lang"), Seq($"k".asc, $"doc_id".asc), 5, "rk")
+      .select($"lang", $"rk".cast("long").as("rk"), $"doc_id", $"n_chars")
+      .orderBy($"lang", $"rk")
+  }
+
+  val qSampleWeightedSql: String =
+    """WITH d AS (SELECT lang, doc_id, n_chars,
+      |  (list_sum(list_transform(range(1, 13),
+      |     i -> (strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1) * pow(16.0, 12 - i)))::BIGINT)::DOUBLE
+      |    / pow(16.0, 12) AS u
+      |  FROM documents WHERE n_chars > 0),
+      |k AS (SELECT lang, doc_id, n_chars, -ln(u) / n_chars AS k FROM d),
+      |r AS (SELECT lang, doc_id, n_chars,
+      |  row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rk FROM k)
+      |SELECT lang, rk, doc_id, n_chars FROM r WHERE rk <= 5
+      |ORDER BY lang, rk""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_sample_weighted", qSampleWeighted, Some(qSampleWeightedSql)),
     QueryDef("q_poststrat_audit", qPoststratAudit, Some(qPoststratAuditSql)),
     QueryDef("q_curation_pipeline", qCurationPipeline, Some(qCurationPipelineSql)),
     QueryDef("q_ngram_novelty", qNgramNovelty, Some(qNgramNoveltySql)),

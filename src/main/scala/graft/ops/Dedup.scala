@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operator family for LLM-data pipelines (SURVEY.md §2
@@ -715,7 +716,75 @@ object Dedup extends QueryFamily {
       |WHERE levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY name_a, name_b LIMIT 100""".stripMargin
 
+  /** Exact duplicated-PASSAGE detection — the substring-dedup shape of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"), re-expressed without a suffix array: every
+    * 8-token window (with its position) hashes to a 16-hex gram key;
+    * windows whose gram occurs in ≥ 2 distinct documents are "shared";
+    * per doc, shared positions ≤ 8 apart merge into maximal islands
+    * (gap ≤ W ⇒ contiguous token coverage, so an island's duplicated
+    * token count is exactly last−first+W — no double counting from
+    * overlapping windows). The plan: one corpus scan + window explode,
+    * one hash aggregate on the gram key (distinct-doc df), a semi-join
+    * back, then doc-keyed windows — every shuffle is keyed on gram or
+    * doc_id, nothing is quadratic, which is why this survives where
+    * the paper's in-memory suffix array cannot. Spans, not just flags:
+    * the output says HOW MUCH of each doc is duplicated text and the
+    * longest run, the signal passage-level dedup cuts on. */
+  def qDupPassages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = 8
+    val parts = (0 until W).map(k => expr(s"element_at(w, pos + $k)"))
+    // keep per-window POSITION (unlike gramRows): islands need it
+    val grams = T.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", size($"w").as("n_tok"), $"w", explode(expr(
+        s"CASE WHEN size(w) >= $W THEN sequence(1, size(w) - ${W - 1}) ELSE array() END")).as("pos"))
+      .select($"doc_id", $"n_tok", $"pos",
+        substring(md5(concat_ws(" ", parts: _*).cast("binary")), 1, 16).as("g"))
+      .cache()
+    val shared = grams.groupBy($"g")
+      .agg(countDistinct($"doc_id").as("df")).filter($"df" > 1).select($"g")
+    val hits = grams.join(shared, Seq("g"), "left_semi")
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    val islands = hits
+      .withColumn("brk",
+        when(lag($"pos", 1).over(wDoc).isNull ||
+          $"pos" - lag($"pos", 1).over(wDoc) > W, 1).otherwise(0))
+      .withColumn("isl", sum($"brk").over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"isl")
+      .agg(max($"n_tok").as("n_tok"),
+        (max($"pos") - min($"pos") + W).cast("long").as("span"))
+    islands.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum($"span").as("dup_tokens"),
+        max($"span").as("max_span"),
+        round(sum($"span").cast("double") / max($"n_tok"), 4).as("dup_ratio"))
+      .orderBy(desc("dup_tokens"), asc("doc_id"))
+      .limit(100)
+  }
+
+  val qDupPassagesSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, len(w) AS n_tok,
+      |  unnest(list_transform(range(1, len(w) - 6), i ->
+      |    {'pos': i, 'g': substr(md5(w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]), 1, 16)}), recursive := true)
+      |  FROM tok WHERE len(w) >= 8),
+      |m AS (SELECT s.doc_id, s.n_tok, s.pos FROM sh s
+      |      WHERE s.g IN (SELECT g FROM sh GROUP BY g HAVING count(DISTINCT doc_id) > 1)),
+      |fl AS (SELECT doc_id, n_tok, pos,
+      |  CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS brk
+      |  FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |isl AS (SELECT doc_id, n_tok, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM fl),
+      |sp AS (SELECT doc_id, max(n_tok) AS n_tok, isl, max(pos) - min(pos) + 8 AS span FROM isl GROUP BY doc_id, isl)
+      |SELECT doc_id, count(*) AS n_spans, CAST(sum(span) AS BIGINT) AS dup_tokens,
+      |  CAST(max(span) AS BIGINT) AS max_span,
+      |  round(sum(span)::DOUBLE / max(n_tok), 4) AS dup_ratio
+      |FROM sp GROUP BY doc_id ORDER BY dup_tokens DESC, doc_id LIMIT 100""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_dup_passages", qDupPassages, Some(qDupPassagesSql)),
     QueryDef("q_fuzzy_join", qFuzzyJoin, Some(qFuzzyJoinSql)),
     QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactSql)),
     QueryDef("q_dedup_minhash", qDedupMinhash, Some(qDedupMinhashSql)),

@@ -293,8 +293,78 @@ object Graph extends QueryFamily {
       |JOIN deg dy ON dy.node = y
       |ORDER BY jaccard DESC, x, y""".stripMargin
 
+  /** HITS hubs & authorities on the weighted transition graph: two
+    * mutual-reinforcement iterations (authority ← in-edge hub mass,
+    * hub ← out-edge authority mass), L1-normalized after every
+    * half-step so both scores are probability-like and the oracle's
+    * arithmetic stays division-by-a-1-row-sum instead of an
+    * L2 sqrt (same cross-engine-determinism reasoning as
+    * `q_pagerank`'s damping form). Per half-step the plan is one
+    * edge-join shuffle keyed on the incident node, one hash aggregate
+    * on the other endpoint, and a 1-row broadcast normalizer — the
+    * Pregel shape that scales to web-graph node counts. The score
+    * relation is consumed twice per half-step (mass + normalizer), so
+    * each gets one eager localCheckpoint, keeping lineage linear in
+    * the iteration count (the `q_pagerank` discipline). */
+  def qHits(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = Relational.qTransitions(spark, dir)
+      .select($"from_type".as("u"), $"to_type".as("v"),
+        $"n".cast("double").as("n"))
+      .cache()
+    val nodes = edges.select($"u".as("t"))
+      .union(edges.select($"v".as("t"))).distinct().cache()
+    var hub = nodes.select($"t", lit(1.0).as("h"))
+    var auth = nodes.select($"t", lit(0.0).as("a"))
+    for (_ <- 1 to 2) {
+      val h = hub.localCheckpoint(true)
+      val aRaw = edges.join(h, edges("u") === h("t"))
+        .groupBy($"v").agg(sum($"n" * $"h").as("s"))
+      val aTot = aRaw.agg(sum($"s").as("tot"))
+      auth = nodes.join(aRaw, nodes("t") === aRaw("v"), "left_outer")
+        .crossJoin(broadcast(aTot))
+        .select($"t", (coalesce($"s", lit(0.0)) / $"tot").as("a"))
+        .localCheckpoint(true)
+      val hRaw = edges.join(auth, edges("v") === auth("t"))
+        .groupBy($"u").agg(sum($"n" * $"a").as("s"))
+      val hTot = hRaw.agg(sum($"s").as("tot"))
+      hub = nodes.join(hRaw, nodes("t") === hRaw("u"), "left_outer")
+        .crossJoin(broadcast(hTot))
+        .select($"t", (coalesce($"s", lit(0.0)) / $"tot").as("h"))
+    }
+    auth.join(hub, "t")
+      .select($"t", round($"a", 6).as("authority"), round($"h", 6).as("hub"))
+      .orderBy($"t")
+  }
+
+  /** DuckDB twin: identical 2 unrolled mutual-reinforcement rounds. */
+  val qHitsSql: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+       |seq AS (SELECT event_type,
+       |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_type
+       |  FROM ev),
+       |e AS (SELECT event_type AS u, next_type AS v, count(*)::DOUBLE AS n
+       |      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT t FROM (SELECT u AS t FROM e UNION SELECT v FROM e)),
+       |h0 AS (SELECT t, 1.0 AS h FROM nodes),
+       |a1_raw AS (SELECT e.v, sum(e.n * h0.h) AS s FROM e JOIN h0 ON h0.t = e.u GROUP BY e.v),
+       |a1 AS (SELECT n.t, coalesce(r.s, 0) / (SELECT sum(s) FROM a1_raw) AS a
+       |       FROM nodes n LEFT JOIN a1_raw r ON r.v = n.t),
+       |h1_raw AS (SELECT e.u, sum(e.n * a1.a) AS s FROM e JOIN a1 ON a1.t = e.v GROUP BY e.u),
+       |h1 AS (SELECT n.t, coalesce(r.s, 0) / (SELECT sum(s) FROM h1_raw) AS h
+       |       FROM nodes n LEFT JOIN h1_raw r ON r.u = n.t),
+       |a2_raw AS (SELECT e.v, sum(e.n * h1.h) AS s FROM e JOIN h1 ON h1.t = e.u GROUP BY e.v),
+       |a2 AS (SELECT n.t, coalesce(r.s, 0) / (SELECT sum(s) FROM a2_raw) AS a
+       |       FROM nodes n LEFT JOIN a2_raw r ON r.v = n.t),
+       |h2_raw AS (SELECT e.u, sum(e.n * a2.a) AS s FROM e JOIN a2 ON a2.t = e.v GROUP BY e.u),
+       |h2 AS (SELECT n.t, coalesce(r.s, 0) / (SELECT sum(s) FROM h2_raw) AS h
+       |       FROM nodes n LEFT JOIN h2_raw r ON r.u = n.t)
+       |SELECT a2.t, round(a2.a, 6) AS authority, round(h2.h, 6) AS hub
+       |FROM a2 JOIN h2 ON h2.t = a2.t ORDER BY a2.t""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_pagerank", qPagerank, Some(qPagerankSql)),
+    QueryDef("q_hits", qHits, Some(qHitsSql)),
     QueryDef("q_graph_degrees", qGraphDegrees, Some(qGraphDegreesSql)),
     QueryDef("q_graph_bfs", qGraphBfs, Some(qGraphBfsSql)),
     QueryDef("q_graph_jaccard", qGraphJaccard, Some(qGraphJaccardSql)),

@@ -238,6 +238,82 @@ object Mining extends QueryFamily {
       |FROM matched WHERE channel IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** U-shaped (position-based) MULTI-touch attribution — the
+    * multi-credit complement of [[qAttribution]]'s last-touch rule:
+    * each purchase's conversion path is the user's clicks since their
+    * previous purchase; credit splits 40 % to the first touch, 40 % to
+    * the last, 20 % evenly across the middle (100 %/50-50 for 1- and
+    * 2-click paths). Paths are segmented WITHOUT per-purchase rescans:
+    * one user-keyed forward-looking window assigns every click the id
+    * AND value of its next purchase (`first(..., ignoreNulls)` over
+    * CURRENT ROW → UNBOUNDED FOLLOWING), so the purchase value rides
+    * the same exchange and no second fact join exists. Position and
+    * path length are (user, purchase)-keyed windows. Every shuffle is
+    * keyed on user_id — the single-exchange discipline of `q_funnel`. */
+  def qAttributionUshape(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = T.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click").select(
+      $"user_id", unix_micros($"ts").as("us"), $"event_id",
+      (get_json_object($"props", "$.k").cast("int") % 5).as("channel"),
+      lit(0).as("tag"), lit(null).cast("long").as("pid"),
+      lit(null).cast("double").as("pval"))
+    val purch = ev.filter($"event_type" === "purchase").select(
+      $"user_id", unix_micros($"ts").as("us"), $"event_id",
+      lit(null).cast("int").as("channel"), lit(1).as("tag"),
+      $"event_id".as("pid"), $"value".as("pval"))
+    val wNext = Window.partitionBy($"user_id")
+      .orderBy($"us".asc, $"tag".asc, $"event_id".asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val assigned = clicks.unionByName(purch)
+      .withColumn("next_pid", first($"pid", ignoreNulls = true).over(wNext))
+      .withColumn("next_val", first($"pval", ignoreNulls = true).over(wNext))
+      .filter($"tag" === 0 && $"next_pid".isNotNull)
+    val wPath = Window.partitionBy($"user_id", $"next_pid")
+      .orderBy($"us", $"event_id")
+    val wN = Window.partitionBy($"user_id", $"next_pid")
+    assigned
+      .withColumn("rn", row_number().over(wPath))
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("credit",
+        when($"n" === 1, 1.0).when($"n" === 2, 0.5)
+          .when($"rn" === 1 || $"rn" === $"n", 0.4)
+          .otherwise(round(lit(0.2) / ($"n" - 2), 6)))
+      .groupBy($"channel")
+      .agg(round(sum($"credit"), 4).as("credits"),
+        round(sum($"credit" * $"next_val"), 2).as("revenue"))
+      .orderBy($"channel")
+  }
+
+  val qAttributionUshapeSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type, value, props,
+      |             epoch_ns(ts)//1000 AS us FROM events),
+      |c AS (SELECT user_id, us, event_id,
+      |        CAST(json_extract(props, '$.k') AS INT) % 5 AS channel,
+      |        0 AS tag, NULL::BIGINT AS pid, NULL::DOUBLE AS pval
+      |      FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, us, event_id, NULL::INT AS channel, 1 AS tag,
+      |        event_id AS pid, value AS pval
+      |      FROM e WHERE event_type = 'purchase'),
+      |u AS (SELECT * FROM c UNION ALL SELECT * FROM p),
+      |a AS (SELECT user_id, us, event_id, channel, tag,
+      |        first_value(pid IGNORE NULLS) OVER win AS next_pid,
+      |        first_value(pval IGNORE NULLS) OVER win AS next_val
+      |      FROM u WINDOW win AS (PARTITION BY user_id ORDER BY us, tag, event_id
+      |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      |path AS (SELECT user_id, next_pid, next_val, channel, us, event_id,
+      |        row_number() OVER (PARTITION BY user_id, next_pid ORDER BY us, event_id) AS rn,
+      |        count(*) OVER (PARTITION BY user_id, next_pid) AS n
+      |      FROM a WHERE tag = 0 AND next_pid IS NOT NULL)
+      |SELECT channel,
+      |  round(sum(CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
+      |                 WHEN rn = 1 OR rn = n THEN 0.4
+      |                 ELSE round(0.2 / (n - 2), 6) END), 4) AS credits,
+      |  round(sum((CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
+      |                  WHEN rn = 1 OR rn = n THEN 0.4
+      |                  ELSE round(0.2 / (n - 2), 6) END) * next_val), 2) AS revenue
+      |FROM path GROUP BY channel ORDER BY channel""".stripMargin
+
   /** Exact heavy hitters (tokens with count ≥ 0.2% of the corpus) via
     * a guaranteed-superset two-phase plan. Phase 1 counts per (source
     * partition, token) — effectively a SALTED aggregate, so a single
@@ -992,6 +1068,7 @@ object Mining extends QueryFamily {
     QueryDef("q_doc_deciles", qDocDeciles, Some(qDocDecilesSql)),
     QueryDef("q_pmi_bigrams", qPmiBigrams, Some(qPmiBigramsSql)),
     QueryDef("q_attribution", qAttribution, Some(qAttributionSql)),
+    QueryDef("q_attribution_ushape", qAttributionUshape, Some(qAttributionUshapeSql)),
     QueryDef("q_heavy_hitters", qHeavyHitters, Some(qHeavyHittersSql)),
     QueryDef("q_join_cardinality", qJoinCardinality, Some(qJoinCardinalitySql)),
     QueryDef("q_naive_bayes", qNaiveBayes, Some(qNaiveBayesSql)))

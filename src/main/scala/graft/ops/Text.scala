@@ -980,7 +980,53 @@ object Text extends QueryFamily {
       |  round(100.0 / sum(ln(cnt / xk1)), 4) AS alpha
       |FROM top, thr GROUP BY xk1""".stripMargin
 
+  /** Tokenizer vocabulary-coverage curve: what fraction of all corpus
+    * token OCCURRENCES the top-K vocabulary entries capture, for
+    * K ∈ {100, 1000, 10000} — the sizing curve a tokenizer/vocab
+    * decision reads (its complement is the OOV rate a K-entry vocab
+    * pays). One corpus scan builds the vocab-keyed count table; the
+    * global frequency rank comes from [[Skew.globalRowNumber]] (range
+    * partition + local rank + broadcast offsets — no vocab-sized
+    * single-task sort); each cutoff's mass is then a conditional
+    * aggregate over the rank ≤ 10000 head, so the full vocabulary
+    * never funnels anywhere after ranking. All masses are exact
+    * integer sums; the only double is the final share. */
+  def qVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = T.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+      .cache()
+    val tot = counts.agg(sum($"c").cast("double").as("total"))
+    val head = Skew.globalRowNumber(counts, Seq(desc("c"), asc("tok")),
+        rankName = "rn")
+      .filter($"rn" <= 10000)
+      .localCheckpoint(true)
+    Seq(100, 1000, 10000).map { k =>
+      head.filter($"rn" <= k)
+        .agg(lit(k).as("cutoff"), count(lit(1)).as("vocab_kept"),
+          sum($"c").as("covered_tokens"))
+    }.reduce(_ union _)
+      .crossJoin(broadcast(tot))
+      .select($"cutoff", $"vocab_kept", $"covered_tokens",
+        round($"covered_tokens" / $"total", 6).as("coverage"))
+      .orderBy($"cutoff")
+  }
+
+  val qVocabCoverageSql: String =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+      |r AS (SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS rn FROM c),
+      |tot AS (SELECT sum(c)::DOUBLE AS total FROM c),
+      |k AS (SELECT unnest([100, 1000, 10000]) AS k)
+      |SELECT k.k AS cutoff, count(*) AS vocab_kept,
+      |  CAST(sum(r.c) AS BIGINT) AS covered_tokens,
+      |  round(sum(r.c) / (SELECT total FROM tot), 6) AS coverage
+      |FROM k JOIN r ON r.rn <= k.k
+      |GROUP BY k.k ORDER BY cutoff""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_vocab_coverage", qVocabCoverage, Some(qVocabCoverageSql)),
     QueryDef("q_chunk_overlap", qChunkOverlap, Some(qChunkOverlapSql)),
     QueryDef("q_cooccur_window", qCooccurWindow, Some(qCooccurWindowSql)),
     QueryDef("q_logreg_steps", qLogregSteps, Some(qLogregStepsSql)),

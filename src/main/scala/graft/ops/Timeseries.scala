@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -765,7 +765,73 @@ object Timeseries extends QueryFamily {
       |SELECT duration_h, n_risk::BIGINT AS n_risk, d AS n_event, surv FROM km
       |WHERE d > 0 ORDER BY duration_h""".stripMargin
 
+  /** Brown's double exponential smoothing (level + trend) on the
+    * monthly revenue series: S1 = EWMA(y), S2 = EWMA(S1), then
+    * level = 2·S1 − S2, trend = (α/(1−α))(S1 − S2) (α = 0.5 makes the
+    * trend factor 1) and the one-step-ahead forecast level + trend —
+    * the classic trend-aware cousin of [[graft.ops.Analytics.qEwma]]'s
+    * flat smoother. Both smoothing passes use the bounded-depth
+    * power-of-two weight form (8 terms, coverage > 99.6 %), so each is
+    * a fixed-width window expression, never a recursive state: the
+    * fact table grain-reduces to O(months) FIRST, and the two
+    * partitionless windows only ever see that bounded series. Both
+    * engines evaluate the identical left-associated double sums, so
+    * the smoothed values agree bit-for-bit before display rounding. */
+  def qBrownSmoothing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"mon")
+    def smooth(src: Column): Column = {
+      def t(k: Int): Column = if (k == 0) src else lag(src, k).over(w)
+      val num = (0 until 8)
+        .map(k => coalesce(t(k) * lit(math.pow(0.5, k)), lit(0.0)))
+        .reduce(_ + _)
+      val den = (0 until 8)
+        .map(k => when(t(k).isNotNull, lit(math.pow(0.5, k))).otherwise(lit(0.0)))
+        .reduce(_ + _)
+      num / den
+    }
+    T.orders(spark, dir)
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("mon"))
+      .agg(sum($"o_totalprice").cast("double").as("y"))
+      .withColumn("s1", smooth($"y"))
+      .withColumn("s2", smooth($"s1"))
+      .select($"mon", round($"y", 2).as("y"),
+        round($"s1", 4).as("s1"), round($"s2", 4).as("s2"),
+        round(lit(2.0) * $"s1" - $"s2", 4).as("level"),
+        round($"s1" - $"s2", 4).as("trend"),
+        round(lit(2.0) * $"s1" - $"s2" + ($"s1" - $"s2"), 4).as("forecast_next"))
+      .orderBy($"mon")
+  }
+
+  val qBrownSmoothingSql: String = {
+    def terms(src: String, over: String): (String, String) = {
+      def t(k: Int): String =
+        if (k == 0) src else s"lag($src, $k) OVER ($over)"
+      val num = (0 until 8)
+        .map(k => s"coalesce(${t(k)} * ${math.pow(0.5, k)}, 0.0)")
+        .mkString(" + ")
+      val den = (0 until 8)
+        .map(k => s"CASE WHEN ${t(k)} IS NOT NULL THEN ${math.pow(0.5, k)} ELSE 0.0 END")
+        .mkString(" + ")
+      (num, den)
+    }
+    val (n1, d1) = terms("y", "ORDER BY mon")
+    val (n2, d2) = terms("s1", "ORDER BY mon")
+    s"""WITH monthly AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+       |    sum(o_totalprice)::DOUBLE AS y
+       |  FROM orders GROUP BY 1),
+       |p1 AS (SELECT mon, y, ($n1) / ($d1) AS s1 FROM monthly),
+       |p2 AS (SELECT mon, y, s1, ($n2) / ($d2) AS s2 FROM p1)
+       |SELECT mon, round(y, 2) AS y, round(s1, 4) AS s1, round(s2, 4) AS s2,
+       |  round(2.0 * s1 - s2, 4) AS level,
+       |  round(s1 - s2, 4) AS trend,
+       |  round(2.0 * s1 - s2 + (s1 - s2), 4) AS forecast_next
+       |FROM p2 ORDER BY mon""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_brown_smoothing", qBrownSmoothing, Some(qBrownSmoothingSql)),
     QueryDef("q_survival_km", qSurvivalKm, Some(qSurvivalKmSql)),
     QueryDef("q_burstiness", qBurstiness, Some(qBurstinessSql)),
     QueryDef("q_rolling_distinct_7d", qRollingDistinct7d, Some(qRollingDistinct7dSql)),

@@ -185,4 +185,19 @@ class CurationSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_grams") >= 1L)
     }
   }
+
+  test("weighted sample takes exactly k per language, deterministically") {
+    val rows = ops.Curation.qSampleWeighted(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (_, rs) =>
+      // rk is 1..k contiguous, k <= 5, doc_ids distinct (no replacement)
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq === (1L to rs.length).toSeq)
+      assert(rs.length <= 5)
+      assert(rs.map(_.getAs[Long]("doc_id")).distinct.length === rs.length)
+    }
+    // content-hash keys: a re-run is bit-identical
+    val again = ops.Curation.qSampleWeighted(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }

@@ -81,4 +81,40 @@ class DedupTextSpec extends AnyFunSuite {
     assert(minhash.nonEmpty)
     minhash.foreach { p => assert(pairs.contains(p), s"planted pair $p missed") }
   }
+
+  test("duplicated-passage spans are consistent and cover the exact-dup docs") {
+    val rows = ops.Dedup.qDupPassages(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_spans") >= 1L)
+      assert(r.getAs[Long]("max_span") >= 8L)
+      assert(r.getAs[Long]("dup_tokens") >= r.getAs[Long]("max_span"))
+      val ratio = r.getAs[Double]("dup_ratio")
+      assert(ratio > 0.0 && ratio <= 1.0)
+    }
+    // the fixture's planted near-dup pairs share close-to-whole-doc
+    // passages, so both sides of every MinHash pair must surface here
+    // with most of their token range covered
+    val here = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_ratio")).toMap
+    val nearDup = ops.Dedup.qDedupMinhash(spark, sf).collect()
+      .flatMap(r => Seq(r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(nearDup.nonEmpty)
+    nearDup.foreach { d =>
+      assert(here.contains(d), s"near-dup doc $d missing from passage report")
+      assert(here(d) >= 0.5, s"near-dup doc $d covered only ${here(d)}")
+    }
+  }
+
+  test("vocabulary coverage curve is monotone and bounded") {
+    val rows = ops.Text.qVocabCoverage(spark, sf).collect()
+    assert(rows.length === 3)
+    val byCut = rows.sortBy(_.getAs[Int]("cutoff"))
+    val covs = byCut.map(_.getAs[Double]("coverage"))
+    assert(covs.sorted.toSeq === covs.toSeq, "coverage monotone in cutoff")
+    covs.foreach(c => assert(c > 0.0 && c <= 1.0))
+    byCut.foreach { r =>
+      assert(r.getAs[Long]("vocab_kept") <= r.getAs[Int]("cutoff").toLong)
+      assert(r.getAs[Long]("covered_tokens") >= r.getAs[Long]("vocab_kept"))
+    }
+  }
 }

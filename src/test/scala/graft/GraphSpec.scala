@@ -67,4 +67,18 @@ class GraphSpec extends AnyFunSuite {
       .getAs[Long]("n_triangles")
     assert(got === expected)
   }
+
+  test("hits authority and hub are L1-normalized non-negative distributions") {
+    val rows = ops.Graph.qHits(spark, sf).collect()
+    assert(rows.length > 1)
+    val auth = rows.map(_.getAs[Double]("authority"))
+    val hub = rows.map(_.getAs[Double]("hub"))
+    assert(math.abs(auth.sum - 1.0) < 1e-4)
+    assert(math.abs(hub.sum - 1.0) < 1e-4)
+    (auth ++ hub).foreach(x => assert(x >= 0.0 && x <= 1.0))
+    // node set matches the degree profile's node set
+    val degNodes = ops.Graph.qGraphDegrees(spark, sf).collect()
+      .map(_.getAs[String]("t")).toSet
+    assert(rows.map(_.getAs[String]("t")).toSet === degNodes)
+  }
 }

@@ -55,4 +55,20 @@ class MiningSpec extends AnyFunSuite {
       assert(r.getAs[Double]("revenue") > 0.0)
     }
   }
+
+  test("u-shaped attribution conserves credit: one unit per converted purchase") {
+    val rows = ops.Mining.qAttributionUshape(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ch = r.getAs[Int]("channel")
+      assert(ch >= 0 && ch <= 4)
+      assert(r.getAs[Double]("credits") > 0.0)
+      assert(r.getAs[Double]("revenue") > 0.0)
+    }
+    // total credit across channels = number of purchases that have at
+    // least one prior click (each path's weights sum to exactly 1)
+    val totalCredit = rows.map(_.getAs[Double]("credits")).sum
+    assert(totalCredit > 0 && math.abs(totalCredit - math.rint(totalCredit)) < 0.01,
+      s"credit mass $totalCredit should be (nearly) integral")
+  }
 }

@@ -82,7 +82,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // unrolled greedy MMR steps
     "q_sim_mmr",
     // 1-row study-end build for right-censoring
-    "q_survival_km")
+    "q_survival_km",
+    // 1-row L1 normalizer broadcasts per HITS half-step
+    "q_hits",
+    // 1-row corpus-token total against the 3-row cutoff aggregate
+    "q_vocab_coverage")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
@@ -112,6 +116,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_skyline" -> "globalCumMaxExclusive offsets (32 rows)",
     "q_abc_pareto" -> "globalCumSum offsets (32 rows)",
     "q_global_rank" -> "globalRowNumber offsets (32 rows)",
+    "q_vocab_coverage" -> "globalRowNumber offsets (32 rows)",
     "q_seq_packing" -> "globalCumSum offsets (32 rows)",
     // O(days) grain: input is a date-level aggregate
     "q_rolling_corr" -> "daily grain",
@@ -121,6 +126,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // O(months) grain
     "q_pct_change" -> "monthly grain",
     "q_forecast" -> "monthly grain",
+    "q_brown_smoothing" -> "monthly grain",
     "q_compaction_plan" -> "priority x month extents",
     // fixed low-cardinality grain
     "q_decile_lift" -> "nation x segment cohorts (<=125 rows)",

@@ -391,4 +391,21 @@ class TimeseriesSpec extends AnyFunSuite {
       .distinct.map(_._2).sum
     assert(n === ops.T.embeddings(spark, sf).count())
   }
+
+  test("brown smoothing: forecast = level + trend, warm-up row equals the series") {
+    val rows = ops.Timeseries.qBrownSmoothing(spark, sf).collect()
+    assert(rows.length > 3)
+    rows.foreach { r =>
+      val level = r.getAs[Double]("level")
+      val trend = r.getAs[Double]("trend")
+      val fc = r.getAs[Double]("forecast_next")
+      assert(math.abs(fc - (level + trend)) < 2e-4)
+      // level/trend derive from s1/s2: level = 2*s1 - s2
+      assert(math.abs(level - (2 * r.getAs[Double]("s1") - r.getAs[Double]("s2"))) < 2e-4)
+    }
+    // first month has no history: both smoothers collapse to y itself
+    val first = rows.minBy(_.getAs[String]("mon"))
+    assert(math.abs(first.getAs[Double]("s1") - first.getAs[Double]("y")) < 0.01)
+    assert(math.abs(first.getAs[Double]("trend")) < 0.01)
+  }
 }
