@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph operators over the event-transition graph (north-star
@@ -362,9 +363,77 @@ object Graph extends QueryFamily {
        |SELECT a2.t, round(a2.a, 6) AS authority, round(h2.h, 6) AS hub
        |FROM a2 JOIN h2 ON h2.t = a2.t ORDER BY a2.t""".stripMargin
 
+  /** Community detection by synchronous weighted label propagation:
+    * every node starts in its own community; each round it adopts the
+    * label carrying the greatest total edge weight among its
+    * (undirected) neighbors, ties broken by the lexicographically
+    * smallest label so the synchronous update is fully deterministic —
+    * the degenerate-free variant of Raghavan et al.'s LPA that an
+    * oracle can unroll. Two rounds, fixed. Per round: one edge-join
+    * shuffle on the neighbor key, a (node, label)-keyed weight
+    * aggregate, a node-keyed argmax — the same Pregel shape as
+    * [[qPagerank]], linear in |E| per round at any graph size, with
+    * one localCheckpoint per round keeping lineage flat. */
+  def qLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val de = Relational.qTransitions(spark, dir)
+      .filter($"from_type" =!= $"to_type")
+      .select($"from_type".as("u"), $"to_type".as("v"), $"n")
+    val nbr = de.select($"u".as("node"), $"v".as("other"), $"n")
+      .union(de.select($"v".as("node"), $"u".as("other"), $"n"))
+      .groupBy($"node", $"other").agg(sum($"n").as("w"))
+      .cache()
+    val nodes = nbr.select($"node").distinct().cache()
+    var labels = nodes.select($"node", $"node".as("lab"))
+    for (_ <- 1 to 2) {
+      val l = labels.localCheckpoint(true)
+      val sums = nbr
+        .join(l.withColumnRenamed("node", "other"), Seq("other"))
+        .groupBy($"node", $"lab").agg(sum($"w").as("s"))
+      val wN = Window.partitionBy($"node")
+      val best = sums.withColumn("ms", max($"s").over(wN))
+        .filter($"s" === $"ms")
+        .groupBy($"node").agg(min($"lab").as("lab"))
+      labels = nodes.join(best, Seq("node"), "left_outer")
+        .select($"node", coalesce($"lab", $"node").as("lab"))
+    }
+    labels.select($"node".as("t"), $"lab".as("community")).orderBy($"t")
+  }
+
+  /** DuckDB twin: identical 2 unrolled synchronous rounds. */
+  val qLabelPropSql: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+      |seq AS (SELECT event_type,
+      |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_type
+      |  FROM ev),
+      |e AS (SELECT event_type AS u, next_type AS v, count(*) AS n
+      |      FROM seq WHERE next_type IS NOT NULL AND event_type <> next_type
+      |      GROUP BY 1, 2),
+      |nbr AS (SELECT node, other, sum(n) AS w FROM (
+      |    SELECT u AS node, v AS other, n FROM e
+      |    UNION ALL SELECT v, u, n FROM e) GROUP BY 1, 2),
+      |nodes AS (SELECT DISTINCT node FROM nbr),
+      |l0 AS (SELECT node, node AS lab FROM nodes),
+      |s1 AS (SELECT n.node, l.lab, sum(n.w) AS s FROM nbr n
+      |       JOIN l0 l ON l.node = n.other GROUP BY 1, 2),
+      |b1 AS (SELECT node, min(lab) AS lab FROM (
+      |    SELECT node, lab, s, max(s) OVER (PARTITION BY node) AS ms FROM s1)
+      |  WHERE s = ms GROUP BY node),
+      |l1 AS (SELECT n.node, coalesce(b.lab, n.node) AS lab
+      |       FROM nodes n LEFT JOIN b1 b USING (node)),
+      |s2 AS (SELECT n.node, l.lab, sum(n.w) AS s FROM nbr n
+      |       JOIN l1 l ON l.node = n.other GROUP BY 1, 2),
+      |b2 AS (SELECT node, min(lab) AS lab FROM (
+      |    SELECT node, lab, s, max(s) OVER (PARTITION BY node) AS ms FROM s2)
+      |  WHERE s = ms GROUP BY node),
+      |l2 AS (SELECT n.node, coalesce(b.lab, n.node) AS lab
+      |       FROM nodes n LEFT JOIN b2 b USING (node))
+      |SELECT node AS t, lab AS community FROM l2 ORDER BY t""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_pagerank", qPagerank, Some(qPagerankSql)),
     QueryDef("q_hits", qHits, Some(qHitsSql)),
+    QueryDef("q_label_prop", qLabelProp, Some(qLabelPropSql)),
     QueryDef("q_graph_degrees", qGraphDegrees, Some(qGraphDegreesSql)),
     QueryDef("q_graph_bfs", qGraphBfs, Some(qGraphBfsSql)),
     QueryDef("q_graph_jaccard", qGraphJaccard, Some(qGraphJaccardSql)),

@@ -314,6 +314,58 @@ object Mining extends QueryFamily {
       |                  ELSE round(0.2 / (n - 2), 6) END) * next_val), 2) AS revenue
       |FROM path GROUP BY channel ORDER BY channel""".stripMargin
 
+  /** Kendall rank correlation (τ-a) between two customer orderings —
+    * does rank-by-revenue agree with rank-by-order-count? The exact
+    * pairwise statistic is O(n²), so it runs on the top-100 revenue
+    * customers: the per-customer aggregate reduces the fact table
+    * first (integer cents, exact), [[Skew.twoPhaseTopK]] extracts the
+    * 100 survivors without a global sort, and only that fixed 100-row
+    * relation self-joins (4 950 pairs — bounded by construction, never
+    * SF-scaled). Both rankings are made total with the custkey
+    * tiebreak, so concordance is tie-free and the statistic is
+    * deterministic across engines. */
+  def qKendallTau(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = T.orders(spark, dir).groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("rev_c"),
+        count(lit(1)).as("n_orders"))
+    val top = Skew.twoPhaseTopK(per, Seq.empty,
+        Seq($"rev_c".desc, $"o_custkey".asc), 100, "rank_rev")
+      .withColumn("rank_cnt", row_number().over(
+        Window.orderBy($"n_orders".desc, $"o_custkey".asc)))
+      .localCheckpoint(true)
+    val a = top.select($"rank_rev".as("ra"), $"rank_cnt".as("ca"))
+    val b = top.select($"rank_rev".as("rb"), $"rank_cnt".as("cb"))
+    a.join(b, $"ra" < $"rb")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"ca" < $"cb", 1L).otherwise(0L)).as("concordant"),
+        sum(when($"ca" > $"cb", 1L).otherwise(0L)).as("discordant"))
+      .select($"n_pairs", $"concordant", $"discordant",
+        round(($"concordant" - $"discordant").cast("double") / $"n_pairs", 4)
+          .as("tau"))
+  }
+
+  val qKendallTauSql: String =
+    """WITH per AS (SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c,
+      |    count(*) AS n_orders
+      |  FROM orders GROUP BY o_custkey),
+      |top AS (SELECT o_custkey, n_orders,
+      |    row_number() OVER (ORDER BY rev_c DESC, o_custkey) AS rank_rev
+      |  FROM per QUALIFY rank_rev <= 100),
+      |rk AS (SELECT rank_rev,
+      |    row_number() OVER (ORDER BY n_orders DESC, o_custkey) AS rank_cnt
+      |  FROM top),
+      |pairs AS (SELECT a.rank_rev AS ra, a.rank_cnt AS ca,
+      |    b.rank_rev AS rb, b.rank_cnt AS cb
+      |  FROM rk a JOIN rk b ON a.rank_rev < b.rank_rev)
+      |SELECT count(*) AS n_pairs,
+      |  CAST(sum(CASE WHEN ca < cb THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+      |  CAST(sum(CASE WHEN ca > cb THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+      |  round((sum(CASE WHEN ca < cb THEN 1 ELSE 0 END)
+      |       - sum(CASE WHEN ca > cb THEN 1 ELSE 0 END))::DOUBLE / count(*), 4) AS tau
+      |FROM pairs""".stripMargin
+
   /** Exact heavy hitters (tokens with count ≥ 0.2% of the corpus) via
     * a guaranteed-superset two-phase plan. Phase 1 counts per (source
     * partition, token) — effectively a SALTED aggregate, so a single
@@ -1069,6 +1121,7 @@ object Mining extends QueryFamily {
     QueryDef("q_pmi_bigrams", qPmiBigrams, Some(qPmiBigramsSql)),
     QueryDef("q_attribution", qAttribution, Some(qAttributionSql)),
     QueryDef("q_attribution_ushape", qAttributionUshape, Some(qAttributionUshapeSql)),
+    QueryDef("q_kendall_tau", qKendallTau, Some(qKendallTauSql)),
     QueryDef("q_heavy_hitters", qHeavyHitters, Some(qHeavyHittersSql)),
     QueryDef("q_join_cardinality", qJoinCardinality, Some(qJoinCardinalitySql)),
     QueryDef("q_naive_bayes", qNaiveBayes, Some(qNaiveBayesSql)))

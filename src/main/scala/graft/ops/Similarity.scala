@@ -331,6 +331,61 @@ object Similarity extends QueryFamily {
       |SELECT label, c_label AS assigned, count(*) AS n
       |FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY label, assigned""".stripMargin
 
+  /** Simplified (centroid-based) silhouette of the k-means clustering:
+    * per vector, a = Euclidean distance to its nearest centroid and
+    * b = distance to the runner-up; s = (b − a) / max(a, b) ∈ [−1, 1]
+    * says how decisively the vector belongs to its cell. The full
+    * silhouette's per-pair a(i) term is O(n²) and dies at scale; the
+    * centroid form is the standard approximation and needs exactly the
+    * [[qKmeansAssign]] plan — one corpus scan against a broadcast
+    * k×dim centroid table, per-vector k-bounded distance rows, a
+    * 2-row-per-vector rank keep — plus one k-row rollup. The output is
+    * the per-cluster cohesion profile a clustering run reads before
+    * trusting its cells. */
+  def qSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = T.embeddings(spark, dir)
+    val cent = e.select($"label".as("c_label"), posexplode($"embedding").as(Seq("i", "x")))
+      .groupBy($"c_label", $"i").agg(avg($"x".cast("double")).as("c"))
+    val dims = e.select($"vec_id", posexplode($"embedding").as(Seq("i", "vx")))
+    val dv = $"vx".cast("double") - $"c"
+    val d2 = dims.join(broadcast(cent), Seq("i"))
+      .groupBy($"vec_id", $"c_label").agg(sum(dv * dv).as("d2"))
+    val w = Window.partitionBy($"vec_id").orderBy(asc("d2"), asc("c_label"))
+    val top2 = d2.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+    val s = top2.groupBy($"vec_id").agg(
+        max(when($"rn" === 1, $"c_label")).as("assigned"),
+        sqrt(max(when($"rn" === 1, $"d2"))).as("a"),
+        sqrt(max(when($"rn" === 2, $"d2"))).as("b"))
+      .withColumn("s", ($"b" - $"a") / greatest($"a", $"b"))
+    s.groupBy($"assigned")
+      .agg(count(lit(1)).as("n"), round(avg($"s"), 4).as("mean_s"),
+        round(min($"s"), 4).as("min_s"))
+      .orderBy($"assigned")
+  }
+
+  val qSilhouetteSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+      |ex AS (SELECT vec_id, unnest(embedding) AS vx,
+      |  unnest(range(1, len(embedding) + 1)) AS i FROM e),
+      |cx AS (SELECT label AS c_label, unnest(embedding) AS x,
+      |  unnest(range(1, len(embedding) + 1)) AS i FROM e),
+      |cent AS (SELECT c_label, i, avg(x::DOUBLE) AS c FROM cx GROUP BY 1, 2),
+      |d AS (SELECT vec_id, c_label,
+      |    sum((vx::DOUBLE - c) * (vx::DOUBLE - c)) AS d2
+      |  FROM ex JOIN cent USING (i) GROUP BY 1, 2),
+      |r AS (SELECT vec_id, c_label, d2,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn FROM d),
+      |s AS (SELECT vec_id,
+      |    max(CASE WHEN rn = 1 THEN c_label END) AS assigned,
+      |    sqrt(max(CASE WHEN rn = 1 THEN d2 END)) AS a,
+      |    sqrt(max(CASE WHEN rn = 2 THEN d2 END)) AS b
+      |  FROM r WHERE rn <= 2 GROUP BY vec_id)
+      |SELECT assigned, count(*) AS n,
+      |  round(avg((b - a) / greatest(a, b)), 4) AS mean_s,
+      |  round(min((b - a) / greatest(a, b)), 4) AS min_s
+      |FROM s GROUP BY assigned ORDER BY assigned""".stripMargin
+
   /** Array/higher-order function surface over the embedding vectors:
     * per-vector stats via array_max/min, filter, slice, sort. */
   def qArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
@@ -1138,6 +1193,7 @@ object Similarity extends QueryFamily {
     QueryDef("q_sim_ivf_probe2", qSimIvfProbe2, Some(qSimIvfProbe2Sql)),
     QueryDef("q_sim_ivf_probe2_recall", qSimIvfProbe2Recall, Some(qSimIvfProbe2RecallSql)),
     QueryDef("q_kmeans_assign", qKmeansAssign, Some(qKmeansAssignSql)),
+    QueryDef("q_silhouette", qSilhouette, Some(qSilhouetteSql)),
     QueryDef("q_sim_lsh_recall", qSimLshRecall, Some(qSimLshRecallSql)),
     QueryDef("q_sim_ivf_recall", qSimIvfRecall, Some(qSimIvfRecallSql)),
   )

@@ -1025,8 +1025,57 @@ object Text extends QueryFamily {
       |FROM k JOIN r ON r.rn <= k.k
       |GROUP BY k.k ORDER BY cutoff""".stripMargin
 
+  /** Calibration audit (reliability table + expected calibration
+    * error) of a probabilistic classifier — here the stopword-density
+    * English-ness score, binned into 10 equal-width confidence
+    * buckets: per bucket the mean predicted probability (confidence)
+    * vs the observed English rate (accuracy), and ECE = the
+    * n-weighted mean |acc − conf| — the one number that says whether
+    * scores can be READ as probabilities (the gate before any
+    * score-thresholded curation decision). One corpus scan, a ≤10-row
+    * hash aggregate, and a 1-row ECE broadcast back onto the bins.
+    * The score is rounded to 6 dp BEFORE binning so the bucket
+    * boundary decision is bit-identical across engines. */
+  def qCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = T.documents(spark, dir)
+      .withColumn("w", split($"text", " "))
+      .withColumn("stop_ratio",
+        size(filter($"w", x => array_contains(stopArr, x))).cast("double")
+          / size($"w"))
+      .select($"lang", least(lit(1.0), round($"stop_ratio" * 3, 6)).as("p"))
+      .withColumn("y", when($"lang" === "en", 1.0).otherwise(0.0))
+      .withColumn("bin", least(floor($"p" * 10), lit(9.0)).cast("int"))
+    val bins = scored.groupBy($"bin")
+      .agg(count(lit(1)).as("n"), avg($"p").as("conf"), avg($"y").as("acc"))
+      .localCheckpoint(true)
+    val ece = bins.agg(
+      (sum($"n" * abs($"acc" - $"conf")) / sum($"n")).as("ece"))
+    bins.crossJoin(broadcast(ece))
+      .select($"bin", $"n", round($"conf", 4).as("conf"),
+        round($"acc", 4).as("acc"),
+        round(abs($"acc" - $"conf"), 4).as("gap"),
+        round($"ece", 4).as("ece"))
+      .orderBy($"bin")
+  }
+
+  val qCalibrationSql: String =
+    s"""WITH d AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+       |s AS (SELECT lang, least(1.0, round(
+       |    len(list_filter(w, x -> list_contains($stopListSql, x)))::DOUBLE
+       |      / len(w) * 3, 6)) AS p FROM d),
+       |b AS (SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin, p,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM s),
+       |g AS (SELECT bin, count(*) AS n, avg(p) AS conf, avg(y) AS acc
+       |      FROM b GROUP BY bin),
+       |e AS (SELECT sum(n * abs(acc - conf)) / sum(n) AS ece FROM g)
+       |SELECT bin, n, round(conf, 4) AS conf, round(acc, 4) AS acc,
+       |  round(abs(acc - conf), 4) AS gap, round(e.ece, 4) AS ece
+       |FROM g, e ORDER BY bin""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_vocab_coverage", qVocabCoverage, Some(qVocabCoverageSql)),
+    QueryDef("q_calibration", qCalibration, Some(qCalibrationSql)),
     QueryDef("q_chunk_overlap", qChunkOverlap, Some(qChunkOverlapSql)),
     QueryDef("q_cooccur_window", qCooccurWindow, Some(qCooccurWindowSql)),
     QueryDef("q_logreg_steps", qLogregSteps, Some(qLogregStepsSql)),

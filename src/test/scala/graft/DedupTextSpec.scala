@@ -117,4 +117,23 @@ class DedupTextSpec extends AnyFunSuite {
       assert(r.getAs[Long]("covered_tokens") >= r.getAs[Long]("vocab_kept"))
     }
   }
+
+  test("calibration bins partition the corpus and ECE is their weighted gap") {
+    val rows = ops.Text.qCalibration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total === ops.T.documents(spark, sf).count())
+    val ece = rows.head.getAs[Double]("ece")
+    rows.foreach { r =>
+      assert(r.getAs[Int]("bin") >= 0 && r.getAs[Int]("bin") <= 9)
+      assert(r.getAs[Double]("conf") >= 0.0 && r.getAs[Double]("conf") <= 1.0)
+      assert(r.getAs[Double]("acc") >= 0.0 && r.getAs[Double]("acc") <= 1.0)
+      assert(math.abs(r.getAs[Double]("gap")
+        - math.abs(r.getAs[Double]("acc") - r.getAs[Double]("conf"))) < 2e-4)
+      assert(r.getAs[Double]("ece") === ece, "ECE identical on every row")
+    }
+    // ECE recomputed from the bins matches the broadcast value
+    val recomputed = rows.map(r => r.getAs[Long]("n") * r.getAs[Double]("gap")).sum / total
+    assert(math.abs(recomputed - ece) < 1e-3)
+  }
 }

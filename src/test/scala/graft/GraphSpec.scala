@@ -81,4 +81,17 @@ class GraphSpec extends AnyFunSuite {
       .map(_.getAs[String]("t")).toSet
     assert(rows.map(_.getAs[String]("t")).toSet === degNodes)
   }
+
+  test("label propagation assigns every node a community that is itself a node") {
+    val rows = ops.Graph.qLabelProp(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nodes = rows.map(_.getAs[String]("t")).toSet
+    rows.foreach { r =>
+      assert(nodes.contains(r.getAs[String]("community")),
+        s"community ${r.getAs[String]("community")} is not a node")
+    }
+    // deterministic synchronous update: a re-run is identical
+    val again = ops.Graph.qLabelProp(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }

@@ -71,4 +71,16 @@ class MiningSpec extends AnyFunSuite {
     assert(totalCredit > 0 && math.abs(totalCredit - math.rint(totalCredit)) < 0.01,
       s"credit mass $totalCredit should be (nearly) integral")
   }
+
+  test("kendall tau partitions all pairs and stays in [-1, 1]") {
+    val r = ops.Mining.qKendallTau(spark, sf).collect().head
+    val n = r.getAs[Long]("n_pairs")
+    assert(n === 100L * 99 / 2)
+    // tie-free total orders: every pair is concordant or discordant
+    assert(r.getAs[Long]("concordant") + r.getAs[Long]("discordant") === n)
+    val tau = r.getAs[Double]("tau")
+    assert(tau >= -1.0 && tau <= 1.0)
+    // revenue and order count are strongly positively related in TPC-H
+    assert(tau > 0.0)
+  }
 }

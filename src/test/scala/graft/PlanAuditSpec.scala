@@ -86,7 +86,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row L1 normalizer broadcasts per HITS half-step
     "q_hits",
     // 1-row corpus-token total against the 3-row cutoff aggregate
-    "q_vocab_coverage")
+    "q_vocab_coverage",
+    // non-equi self-join of the fixed 100-row ranked-customer relation
+    "q_kendall_tau",
+    // 1-row ECE broadcast back onto the <=10-row bin table
+    "q_calibration")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
@@ -139,7 +143,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // midrank cumulative over the distinct-4dp-score grid, never facts
     "q_auc_quality" -> "4dp score grid (<=10001 rows)",
     // risk-set + product-limit windows over the O(study-hours) grid
-    "q_survival_km" -> "O(hours) duration grid")
+    "q_survival_km" -> "O(hours) duration grid",
+    // two-phase top-100 survivors (k x |parts| rows max)
+    "q_kendall_tau" -> "top-100 ranked survivors")
 
   test("no registered query plans a partitionless Window over an unbounded input") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}

@@ -59,4 +59,20 @@ class SimilaritySpec extends AnyFunSuite {
       assert(math.abs(v - ref(k)) <= 5.0001e-5, s"triangle slot $k: $v vs ${ref(k)}")
     }
   }
+
+  test("silhouette profile is bounded and accounts for every vector") {
+    val rows = ops.Similarity.qSilhouette(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getAs[Double]("mean_s")
+      val mn = r.getAs[Double]("min_s")
+      assert(m >= -1.0 && m <= 1.0)
+      assert(mn >= -1.0 && mn <= m)
+      assert(r.getAs[Long]("n") >= 1L)
+    }
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total === ops.T.embeddings(spark, sf).count())
+    // the fixture's label clusters are real: mean cohesion is positive
+    assert(rows.map(r => r.getAs[Double]("mean_s") * r.getAs[Long]("n")).sum / total > 0.0)
+  }
 }
