@@ -679,7 +679,70 @@ object Analytics extends QueryFamily {
       |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
       |ORDER BY price, a.p_partkey""".stripMargin
 
+  /** Cohort lifetime-value matrix: customers cohorted by first-order
+    * month, revenue tracked by month-age since that first order, and
+    * cumulative LTV per cohort member — the (cohort × age) triangle
+    * every retention/LTV readout is built from. One fact scan: the
+    * cohort month rides a customer-keyed window min (no first-orders
+    * self-join), the (cohort, age) rollup is a hash aggregate with
+    * integer-cents exact revenue, cohort size is the age-0 row joined
+    * back from the SAME small grouped relation, and the running LTV is
+    * a cohort-keyed window over O(months) rows per cohort. Nothing
+    * after the first aggregate ever sees fact-table cardinality. */
+  def qCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wCust = Window.partitionBy($"o_custkey")
+    val facts = T.orders(spark, dir)
+      .select($"o_custkey",
+        (year($"o_orderdate") * 12 + month($"o_orderdate")).as("ym"),
+        date_format($"o_orderdate", "yyyy-MM").as("mon"),
+        round($"o_totalprice" * 100).cast("long").as("c"))
+      .withColumn("cym", min($"ym").over(wCust))
+      .withColumn("cohort", min($"mon").over(wCust))
+    val g = facts.groupBy($"cohort", ($"ym" - $"cym").cast("long").as("age"))
+      .agg(countDistinct($"o_custkey").as("n_active"), sum($"c").as("rev_c"))
+      .localCheckpoint(true)
+    val size = g.filter($"age" === 0)
+      .select($"cohort", $"n_active".as("cohort_size"))
+    val wCum = Window.partitionBy($"cohort").orderBy($"age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.join(size, Seq("cohort"))
+      .withColumn("cum_c", sum($"rev_c").over(wCum))
+      // per-member LTV resolved to whole cents in INTEGER arithmetic
+      // (half-up): (2a + b) div 2b never touches a double, so no
+      // engine can flip a rounding boundary
+      .withColumn("ltv_c",
+        expr("(2 * cum_c + cohort_size) div (2 * cohort_size)"))
+      .select($"cohort", $"age", $"n_active",
+        round($"rev_c" / 100.0, 2).as("revenue"),
+        round($"ltv_c" / 100.0, 2).as("ltv_cum"))
+      .orderBy($"cohort", $"age")
+  }
+
+  val qCohortLtvSql: String =
+    """WITH o AS (SELECT o_custkey,
+      |    year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+      |    strftime(o_orderdate, '%Y-%m') AS mon,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      |  FROM orders),
+      |w AS (SELECT o_custkey, ym, c,
+      |    min(ym) OVER (PARTITION BY o_custkey) AS cym,
+      |    min(mon) OVER (PARTITION BY o_custkey) AS cohort
+      |  FROM o),
+      |g AS (SELECT cohort, CAST(ym - cym AS BIGINT) AS age,
+      |    count(DISTINCT o_custkey) AS n_active,
+      |    CAST(sum(c) AS BIGINT) AS rev_c
+      |  FROM w GROUP BY 1, 2),
+      |sz AS (SELECT cohort, n_active AS cohort_size FROM g WHERE age = 0),
+      |cum AS (SELECT g.cohort, g.age, g.n_active, g.rev_c, s.cohort_size,
+      |    CAST(sum(g.rev_c) OVER (PARTITION BY g.cohort ORDER BY g.age) AS BIGINT) AS cum_c
+      |  FROM g JOIN sz s USING (cohort))
+      |SELECT cohort, age, n_active, round(rev_c / 100.0, 2) AS revenue,
+      |  round(((2 * cum_c + cohort_size) // (2 * cohort_size)) / 100.0, 2) AS ltv_cum
+      |FROM cum ORDER BY cohort, age""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_cohort_ltv", qCohortLtv, Some(qCohortLtvSql)),
     QueryDef("q_skyline", qSkyline, Some(qSkylineSql)),
     QueryDef("q_rfm", qRfm, Some(qRfmSql)),
     QueryDef("q_gaps_islands", qGapsIslands, Some(qGapsIslandsSql)),

@@ -765,7 +765,55 @@ object Curation extends QueryFamily {
       |SELECT lang, rk, doc_id, n_chars FROM r WHERE rk <= 5
       |ORDER BY lang, rk""".stripMargin
 
+  /** Candidate-boilerplate report: the 20 most document-frequent
+    * 5-gram phrases in the corpus, with how many docs and distinct
+    * sources carry them — the ranked shortlist a boilerplate-removal
+    * pass (headers, footers, nav text, license blurbs) reviews before
+    * cutting. Shape: one corpus scan explodes distinct (doc, gram)
+    * rows, one hash aggregate per gram computes doc-frequency and
+    * source spread, and a TakeOrdered top-20 replaces any global sort.
+    * The long unique-gram tail dies in the aggregate; only counted
+    * grams rank. Ranking by exact integer df (tie: gram text) is
+    * deterministic at every SF — no share threshold that silently
+    * empties as the corpus grows. */
+  def qBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = T.documents(spark, dir)
+    val grams = docs
+      .select($"source", $"doc_id", split($"text", " ").as("w"))
+      .select($"source", $"doc_id", explode(expr(
+        """CASE WHEN size(w) >= 5 THEN
+          |  transform(sequence(1, size(w) - 4), i ->
+          |    concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+          |      element_at(w, i + 2), element_at(w, i + 3), element_at(w, i + 4)))
+          |ELSE array() END""".stripMargin)).as("g"))
+      .distinct()
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_total"))
+    grams.groupBy($"g")
+      .agg(countDistinct($"doc_id").as("df"),
+        countDistinct($"source").as("n_sources"))
+      .orderBy(desc("df"), asc("g"))
+      .limit(20)
+      .crossJoin(broadcast(nDocs))
+      .select($"g", $"df", $"n_sources",
+        round($"df" / $"n_total", 6).as("share"))
+      .orderBy(desc("df"), asc("g"))
+  }
+
+  val qBoilerplateSql: String =
+    """WITH tok AS (SELECT source, doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT source, doc_id, unnest(list_transform(range(1, len(w) - 3), i ->
+      |    w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS g
+      |  FROM tok WHERE len(w) >= 5),
+      |nt AS (SELECT count(*)::DOUBLE AS n_total FROM documents),
+      |top AS (SELECT g, count(DISTINCT doc_id) AS df,
+      |    count(DISTINCT source) AS n_sources
+      |  FROM sh GROUP BY g ORDER BY df DESC, g LIMIT 20)
+      |SELECT g, df, n_sources, round(df / (SELECT n_total FROM nt), 6) AS share
+      |FROM top ORDER BY df DESC, g""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_boilerplate", qBoilerplate, Some(qBoilerplateSql)),
     QueryDef("q_sample_weighted", qSampleWeighted, Some(qSampleWeightedSql)),
     QueryDef("q_poststrat_audit", qPoststratAudit, Some(qPoststratAuditSql)),
     QueryDef("q_curation_pipeline", qCurationPipeline, Some(qCurationPipelineSql)),

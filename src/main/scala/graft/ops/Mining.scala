@@ -52,6 +52,51 @@ object Mining extends QueryFamily {
       |GROUP BY 1, 2 HAVING count(*) >= 2
       |ORDER BY n_orders DESC, part_a, part_b LIMIT 50""".stripMargin
 
+  /** Frequent 3-itemsets (the Apriori step above [[qBasketPairs]]):
+    * co-purchased part TRIPLES with support ≥ 2 orders. Instead of a
+    * 3-way fact self-join (shuffle³), each order's distinct-part
+    * basket is collected once and the C(|basket|, 3) combinations are
+    * generated IN-ARRAY — TPC-H baskets hold ≤ 7 parts, so the
+    * per-row expansion is ≤ 35 structs, bounded by construction (an
+    * unbounded-basket corpus would Apriori-prune on frequent pairs
+    * first). One distinct aggregate, one bounded explode, one hash
+    * count: the triple relation is the only thing that shuffles. */
+  def qBasketTriples(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val baskets = T.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("it"))
+      .filter(size($"it") >= 3)
+    baskets
+      .select(explode(expr(
+        """flatten(flatten(
+          |  transform(sequence(1, size(it) - 2), i ->
+          |    transform(sequence(i + 1, size(it) - 1), j ->
+          |      transform(sequence(j + 1, size(it)), k ->
+          |        struct(element_at(it, i) AS a,
+          |               element_at(it, j) AS b,
+          |               element_at(it, k) AS c))))))""".stripMargin)).as("t"))
+      .groupBy($"t.a".as("part_a"), $"t.b".as("part_b"), $"t.c".as("part_c"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter($"n_orders" >= 2)
+      .orderBy(desc("n_orders"), asc("part_a"), asc("part_b"), asc("part_c"))
+      .limit(50)
+  }
+
+  val qBasketTriplesSql: String =
+    """WITH b AS (SELECT l_orderkey,
+      |    list_sort(list(DISTINCT l_partkey)) AS it
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT unnest(flatten(flatten(
+      |    list_transform(range(1, len(it) - 1), i ->
+      |      list_transform(range(i + 1, len(it)), j ->
+      |        list_transform(range(j + 1, len(it) + 1), k ->
+      |          {'a': it[i], 'b': it[j], 'c': it[k]}))))), recursive := true)
+      |  FROM b WHERE len(it) >= 3)
+      |SELECT a AS part_a, b AS part_b, c AS part_c, count(*) AS n_orders
+      |FROM t GROUP BY 1, 2, 3 HAVING count(*) >= 2
+      |ORDER BY n_orders DESC, part_a, part_b, part_c LIMIT 50""".stripMargin
+
   /** Per-group simple linear regression (price ~ quantity) from
     * single-pass moment aggregates: slope = covar_pop/var_pop,
     * intercept = mean(y) - slope*mean(x), r2 = corr^2. */
@@ -1122,6 +1167,7 @@ object Mining extends QueryFamily {
     QueryDef("q_attribution", qAttribution, Some(qAttributionSql)),
     QueryDef("q_attribution_ushape", qAttributionUshape, Some(qAttributionUshapeSql)),
     QueryDef("q_kendall_tau", qKendallTau, Some(qKendallTauSql)),
+    QueryDef("q_basket_triples", qBasketTriples, Some(qBasketTriplesSql)),
     QueryDef("q_heavy_hitters", qHeavyHitters, Some(qHeavyHittersSql)),
     QueryDef("q_join_cardinality", qJoinCardinality, Some(qJoinCardinalitySql)),
     QueryDef("q_naive_bayes", qNaiveBayes, Some(qNaiveBayesSql)))

@@ -1073,9 +1073,104 @@ object Text extends QueryFamily {
        |  round(abs(acc - conf), 4) AS gap, round(e.ece, 4) AS ece
        |FROM g, e ORDER BY bin""".stripMargin
 
+  /** Reciprocal-rank fusion of two keyword retrieval rankings (BM25
+    * and raw tf·idf) for the fixed query {spark, window, hash}:
+    * rrf(d) = Σ_lists 1/(60 + rank_d) over each list's top 20 — the
+    * standard zero-tuning way to merge heterogeneous retrievers
+    * (lexical + semantic) in a RAG stack. Shape matters more than the
+    * formula: per-term tf and dl are computed IN-ARRAY in one corpus
+    * scan (no token explode, no shuffle), both scores come from the
+    * same cached per-doc feature row against a 1-row broadcast stats
+    * relation, and only the two 20-row rank lists join. Scores are
+    * rounded to 4 dp BEFORE ranking so rank assignment — and thus the
+    * fused order — is bit-identical across engines. */
+  def qRrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Seq("spark", "window", "hash")
+    val k1 = 1.2; val b = 0.75
+    val feat = T.documents(spark, dir)
+      .withColumn("w", split($"text", " "))
+      .select(Seq($"doc_id", size($"w").cast("double").as("dl")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          expr(s"cast(size(filter(w, x -> x = '$t')) AS double)").as(s"tf$i")
+        }: _*)
+      .localCheckpoint(true)
+    val aggCols =
+      Seq(count(lit(1)).cast("double").as("n_docs"), avg($"dl").as("avgdl")) ++
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
+    val stats = feat.agg(aggCols.head, aggCols.tail: _*)
+    def bm25Term(i: Int): Column = {
+      val idf = log(($"n_docs" - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
+      when(col(s"tf$i") > 0,
+        idf * (col(s"tf$i") * (k1 + 1)) /
+          (col(s"tf$i") + lit(k1) * (lit(1 - b) + lit(b) * $"dl" / $"avgdl")))
+        .otherwise(0.0)
+    }
+    def tfidfTerm(i: Int): Column =
+      when(col(s"tf$i") > 0 && col(s"df$i") > 0,
+        col(s"tf$i") * log($"n_docs" / col(s"df$i"))).otherwise(0.0)
+    val scored = feat.crossJoin(broadcast(stats))
+      .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .select($"doc_id",
+        round(terms.indices.map(bm25Term).reduce(_ + _), 4).as("s_bm25"),
+        round(terms.indices.map(tfidfTerm).reduce(_ + _), 4).as("s_tfidf"))
+      .localCheckpoint(true)
+    def top20(score: Column, name: String): DataFrame =
+      scored.orderBy(score.desc, $"doc_id".asc).limit(20)
+        .withColumn(name, row_number().over(
+          Window.orderBy(score.desc, $"doc_id".asc)))
+        .select($"doc_id", col(name))
+    top20($"s_bm25", "ra").join(top20($"s_tfidf", "rb"), Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        round(coalesce(lit(1.0) / (lit(60) + $"ra"), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + $"rb"), lit(0.0)), 6).as("rrf"),
+        coalesce($"ra", lit(0)).cast("long").as("ra"),
+        coalesce($"rb", lit(0)).cast("long").as("rb"))
+      .orderBy(desc("rrf"), asc("doc_id"))
+      .limit(10)
+  }
+
+  val qRrfFusionSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |feat AS (SELECT doc_id, len(w)::DOUBLE AS dl,
+      |    len(list_filter(w, x -> x = 'spark'))::DOUBLE AS tf0,
+      |    len(list_filter(w, x -> x = 'window'))::DOUBLE AS tf1,
+      |    len(list_filter(w, x -> x = 'hash'))::DOUBLE AS tf2
+      |  FROM d),
+      |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,
+      |    sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+      |    sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+      |    sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+      |  FROM feat),
+      |scored AS (SELECT doc_id,
+      |    round(
+      |      (CASE WHEN tf0 > 0 THEN ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0)
+      |        * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0.0 END)
+      |      + (CASE WHEN tf1 > 0 THEN ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)
+      |        * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0.0 END)
+      |      + (CASE WHEN tf2 > 0 THEN ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)
+      |        * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0.0 END), 4) AS s_bm25,
+      |    round(
+      |      (CASE WHEN tf0 > 0 AND df0 > 0 THEN tf0 * ln(n_docs / df0) ELSE 0.0 END)
+      |      + (CASE WHEN tf1 > 0 AND df1 > 0 THEN tf1 * ln(n_docs / df1) ELSE 0.0 END)
+      |      + (CASE WHEN tf2 > 0 AND df2 > 0 THEN tf2 * ln(n_docs / df2) ELSE 0.0 END), 4) AS s_tfidf
+      |  FROM feat, stats
+      |  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0),
+      |ta AS (SELECT doc_id, row_number() OVER (ORDER BY s_bm25 DESC, doc_id) AS ra
+      |  FROM scored QUALIFY ra <= 20),
+      |tb AS (SELECT doc_id, row_number() OVER (ORDER BY s_tfidf DESC, doc_id) AS rb
+      |  FROM scored QUALIFY rb <= 20)
+      |SELECT coalesce(ta.doc_id, tb.doc_id) AS doc_id,
+      |  round(coalesce(1.0 / (60 + ra), 0.0) + coalesce(1.0 / (60 + rb), 0.0), 6) AS rrf,
+      |  coalesce(ra, 0) AS ra, coalesce(rb, 0) AS rb
+      |FROM ta FULL OUTER JOIN tb ON ta.doc_id = tb.doc_id
+      |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_vocab_coverage", qVocabCoverage, Some(qVocabCoverageSql)),
     QueryDef("q_calibration", qCalibration, Some(qCalibrationSql)),
+    QueryDef("q_rrf_fusion", qRrfFusion, Some(qRrfFusionSql)),
     QueryDef("q_chunk_overlap", qChunkOverlap, Some(qChunkOverlapSql)),
     QueryDef("q_cooccur_window", qCooccurWindow, Some(qCooccurWindowSql)),
     QueryDef("q_logreg_steps", qLogregSteps, Some(qLogregStepsSql)),

@@ -195,4 +195,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_docs") === direct(r.getAs[String]("lang")))
     }
   }
+
+  test("cohort LTV: every cohort starts at age 0 with its full size, LTV is monotone") {
+    val rows = ops.Analytics.qCohortLtv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[String]("cohort"))
+    byCohort.foreach { case (c, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("age"))
+      assert(sorted.head.getAs[Long]("age") === 0L, s"cohort $c missing age-0 row")
+      val size = sorted.head.getAs[Long]("n_active")
+      sorted.foreach(r => assert(r.getAs[Long]("n_active") <= size,
+        s"cohort $c: active exceeds cohort size"))
+      val ltv = sorted.map(_.getAs[Double]("ltv_cum"))
+      assert(ltv.zip(ltv.tail).forall { case (a, b) => b >= a },
+        s"cohort $c: cumulative LTV decreased")
+    }
+    // cohort sizes sum to the distinct customer count
+    val total = byCohort.values.map(_.minBy(_.getAs[Long]("age")).getAs[Long]("n_active")).sum
+    assert(total === ops.T.orders(spark, sf).select("o_custkey").distinct().count())
+  }
 }

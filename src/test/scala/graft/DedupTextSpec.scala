@@ -136,4 +136,34 @@ class DedupTextSpec extends AnyFunSuite {
     val recomputed = rows.map(r => r.getAs[Long]("n") * r.getAs[Double]("gap")).sum / total
     assert(math.abs(recomputed - ece) < 1e-3)
   }
+
+  test("rrf fusion scores decompose into the two list ranks") {
+    val rows = ops.Text.qRrfFusion(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      val ra = r.getAs[Long]("ra"); val rb = r.getAs[Long]("rb")
+      assert(ra >= 0 && ra <= 20 && rb >= 0 && rb <= 20)
+      assert(ra > 0 || rb > 0, "doc must appear in at least one list")
+      val expect = (if (ra > 0) 1.0 / (60 + ra) else 0.0) +
+        (if (rb > 0) 1.0 / (60 + rb) else 0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 2e-6)
+    }
+    // fused order is by rrf descending
+    val rrfs = rows.map(_.getAs[Double]("rrf"))
+    assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("boilerplate report ranks grams by doc frequency with source spread") {
+    val rows = ops.Curation.qBoilerplate(spark, sf).collect()
+    assert(rows.length === 20)
+    val dfs = rows.map(_.getAs[Long]("df"))
+    assert(dfs.zip(dfs.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("df") >= r.getAs[Long]("n_sources"),
+        "a gram appears in at least as many docs as sources")
+      val share = r.getAs[Double]("share")
+      assert(share > 0.0 && share <= 1.0)
+      assert(r.getAs[String]("g").split(" ").length === 5)
+    }
+  }
 }

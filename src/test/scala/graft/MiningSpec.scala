@@ -83,4 +83,35 @@ class MiningSpec extends AnyFunSuite {
     // revenue and order count are strongly positively related in TPC-H
     assert(tau > 0.0)
   }
+
+  test("frequent triples are ordered itemsets whose pairs meet the same support") {
+    val rows = ops.Mining.qBasketTriples(spark, sf).collect()
+    rows.foreach { r =>
+      val (a, b, c) = (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"), r.getAs[Long]("part_c"))
+      assert(a < b && b < c, "canonical itemset order")
+      assert(r.getAs[Long]("n_orders") >= 2L)
+    }
+    // Apriori monotonicity: a triple's support never exceeds any
+    // contained pair's support (checked against the unfiltered pairs)
+    if (rows.nonEmpty) {
+      val pairSupport = {
+        import org.apache.spark.sql.functions._
+        val items = ops.T.lineitem(spark, sf)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        items.as("x").join(items.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Long]("n")).toMap
+      }
+      rows.foreach { r =>
+        val (a, b, c) = (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"), r.getAs[Long]("part_c"))
+        val n = r.getAs[Long]("n_orders")
+        Seq((a, b), (a, c), (b, c)).foreach { p =>
+          assert(pairSupport.getOrElse(p, 0L) >= n, s"pair $p under triple support $n")
+        }
+      }
+    }
+  }
 }

@@ -90,7 +90,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // non-equi self-join of the fixed 100-row ranked-customer relation
     "q_kendall_tau",
     // 1-row ECE broadcast back onto the <=10-row bin table
-    "q_calibration")
+    "q_calibration",
+    // 1-row corpus-count broadcast onto the 20-row boilerplate list
+    "q_boilerplate")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
@@ -145,7 +147,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // risk-set + product-limit windows over the O(study-hours) grid
     "q_survival_km" -> "O(hours) duration grid",
     // two-phase top-100 survivors (k x |parts| rows max)
-    "q_kendall_tau" -> "top-100 ranked survivors")
+    "q_kendall_tau" -> "top-100 ranked survivors",
+    // rank assignment over the two 20-row retrieval lists
+    "q_rrf_fusion" -> "top-20 retrieval lists")
 
   test("no registered query plans a partitionless Window over an unbounded input") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
@@ -227,7 +231,8 @@ class PlanAuditSpec extends AnyFunSuite {
   // construction, not SF-scaled:
   private val valueBufferAllowed: Map[String, String] = Map(
     "q_path_trigrams" -> "collect of rank<=3 rows per user (rank filter bounds the group)",
-    "q_collect_agg" -> "collect_list over <=25 nations per region (dimension-bounded)")
+    "q_collect_agg" -> "collect_list over <=25 nations per region (dimension-bounded)",
+    "q_basket_triples" -> "collect_set over per-order baskets (<=7 parts, TPC-H)")
 
   test("no registered query buffers group values (exact percentile / collect) over an unbounded input") {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet, Percentile}
