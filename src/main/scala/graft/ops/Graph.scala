@@ -400,6 +400,76 @@ object Graph extends QueryFamily {
     labels.select($"node".as("t"), $"lab".as("community")).orderBy($"t")
   }
 
+  /** Newman modularity of the [[qLabelProp]] partition — THE quality
+    * score for a community structure: per community c,
+    * contribution = intra_c/m − (deg_c/2m)², where m is the total
+    * undirected edge weight, intra_c the weight inside c, and deg_c
+    * the summed member strength. Positive contributions mean denser-
+    * than-chance communities; Σ contributions is the partition's Q.
+    * The labeling is recomputed (events scanned twice total — labeling
+    * + edge weights — inside the plan-gate budget); edges then join
+    * the node→community map on each endpoint and everything rolls up
+    * to |communities| rows. On the event-type graph the label map is
+    * broadcast-sized; at web scale the same plan runs the two endpoint
+    * joins as node-keyed shuffles — no shape changes. */
+  def qGraphModularity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lab = qLabelProp(spark, dir)
+      .select($"t", $"community").localCheckpoint(true)
+    val und = Relational.qTransitions(spark, dir)
+      .filter($"from_type" =!= $"to_type")
+      .select(least($"from_type", $"to_type").as("a"),
+        greatest($"from_type", $"to_type").as("b"), $"n")
+      .groupBy($"a", $"b").agg(sum($"n").as("w"))
+      .cache()
+    val m = und.agg(sum($"w").cast("double").as("m"))
+    val e2 = und
+      .join(broadcast(lab.select($"t".as("a"), $"community".as("ca"))), Seq("a"))
+      .join(broadcast(lab.select($"t".as("b"), $"community".as("cb"))), Seq("b"))
+    val intra = e2.filter($"ca" === $"cb")
+      .groupBy($"ca".as("community")).agg(sum($"w").as("intra_w"))
+    val strength = und.select($"a".as("t"), $"w")
+      .union(und.select($"b".as("t"), $"w"))
+      .groupBy($"t").agg(sum($"w").as("d"))
+    val deg = strength.join(lab, Seq("t"))
+      .groupBy($"community")
+      .agg(count(lit(1)).as("n_nodes"), sum($"d").as("deg_w"))
+    deg.join(intra, Seq("community"), "left_outer")
+      .crossJoin(broadcast(m))
+      .select($"community", $"n_nodes",
+        coalesce($"intra_w", lit(0L)).as("intra_w"), $"deg_w",
+        round(coalesce($"intra_w", lit(0L)) / $"m"
+          - pow($"deg_w" / (lit(2.0) * $"m"), 2), 6).as("contrib"))
+      .orderBy($"community")
+  }
+
+  // lazy: interpolates qLabelPropSql, which is declared further down
+  // in this object (vals initialize in declaration order)
+  lazy val qGraphModularitySql: String =
+    s"""WITH lab AS (SELECT t, community FROM ($qLabelPropSql)),
+       |ev AS (SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+       |seq AS (SELECT event_type,
+       |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_type
+       |  FROM ev),
+       |de AS (SELECT event_type AS u, next_type AS v, count(*) AS n
+       |      FROM seq WHERE next_type IS NOT NULL AND event_type <> next_type
+       |      GROUP BY 1, 2),
+       |und AS (SELECT least(u, v) AS a, greatest(u, v) AS b, sum(n) AS w
+       |       FROM de GROUP BY 1, 2),
+       |m AS (SELECT sum(w)::DOUBLE AS m FROM und),
+       |e2 AS (SELECT und.w, la.community AS ca, lb.community AS cb
+       |      FROM und JOIN lab la ON la.t = und.a JOIN lab lb ON lb.t = und.b),
+       |intra AS (SELECT ca AS community, CAST(sum(w) AS BIGINT) AS intra_w
+       |      FROM e2 WHERE ca = cb GROUP BY 1),
+       |st AS (SELECT t, CAST(sum(w) AS BIGINT) AS d FROM (
+       |    SELECT a AS t, w FROM und UNION ALL SELECT b, w FROM und) GROUP BY t),
+       |deg AS (SELECT l.community, count(*) AS n_nodes, CAST(sum(st.d) AS BIGINT) AS deg_w
+       |      FROM st JOIN lab l ON l.t = st.t GROUP BY 1)
+       |SELECT deg.community, n_nodes, coalesce(intra_w, 0) AS intra_w, deg_w,
+       |  round(coalesce(intra_w, 0) / (SELECT m FROM m)
+       |    - pow(deg_w / (2.0 * (SELECT m FROM m)), 2), 6) AS contrib
+       |FROM deg LEFT JOIN intra USING (community) ORDER BY community""".stripMargin
+
   /** DuckDB twin: identical 2 unrolled synchronous rounds. */
   val qLabelPropSql: String =
     """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
@@ -434,6 +504,7 @@ object Graph extends QueryFamily {
     QueryDef("q_pagerank", qPagerank, Some(qPagerankSql)),
     QueryDef("q_hits", qHits, Some(qHitsSql)),
     QueryDef("q_label_prop", qLabelProp, Some(qLabelPropSql)),
+    QueryDef("q_graph_modularity", qGraphModularity, Some(qGraphModularitySql)),
     QueryDef("q_graph_degrees", qGraphDegrees, Some(qGraphDegreesSql)),
     QueryDef("q_graph_bfs", qGraphBfs, Some(qGraphBfsSql)),
     QueryDef("q_graph_jaccard", qGraphJaccard, Some(qGraphJaccardSql)),

@@ -52,6 +52,68 @@ object Mining extends QueryFamily {
       |GROUP BY 1, 2 HAVING count(*) >= 2
       |ORDER BY n_orders DESC, part_a, part_b LIMIT 50""".stripMargin
 
+  /** Exact WEIGHTED median (price weighted by quantity, per return
+    * flag) — the smallest value whose cumulative weight reaches half
+    * the group's total — via the bucketed-rank-location discipline of
+    * [[Quantiles.exact]], generalized from counting rows to summing
+    * weights: per-group min/max/total-weight broadcast, a 4096-bucket
+    * WEIGHT histogram (bounded hash aggregate), a cumulative pass over
+    * the tiny histogram locates the one bucket where cumulative weight
+    * crosses tw/2, and only that bucket's distinct values sort (value-
+    * grouped, so tie handling matches SQL's RANGE-frame running sum).
+    * No value buffer, no group-wide sort — deeper groups only widen
+    * the located bucket. Quantities are small integers in doubles, so
+    * every cumulative weight is exact and the crossing decision cannot
+    * drift between engines. */
+  def qWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val buckets = 4096L
+    val src = T.lineitem(spark, dir)
+      .select($"l_returnflag".as("rf"), $"l_extendedprice".cast("double").as("v"),
+        $"l_quantity".cast("double").as("q"))
+      .cache()
+    val stats = src.groupBy($"rf").agg(
+        min($"v").as("vmin"), max($"v").as("vmax"), sum($"q").as("tw"))
+      .withColumn("width", greatest(($"vmax" - $"vmin") / buckets, lit(1e-12)))
+    val bucketed = src.join(broadcast(stats), Seq("rf"))
+      .withColumn("b", least(floor(($"v" - $"vmin") / $"width"), lit(buckets - 1)))
+    val hist = bucketed.groupBy($"rf", $"b")
+      .agg(sum($"q").as("w"), max($"tw").as("tw"))
+    val wCum = Window.partitionBy($"rf").orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val located = hist
+      .withColumn("cumEnd", sum($"w").over(wCum))
+      .withColumn("cumStart", $"cumEnd" - $"w")
+      .filter($"cumStart" < $"tw" / 2 && $"cumEnd" >= $"tw" / 2)
+      // tw stays behind: `bucketed` already carries it, and a second
+      // copy would make the (rf, b) join's tw reference ambiguous
+      .select($"rf", $"b", $"cumStart")
+    val inBucket = bucketed
+      .join(broadcast(located), Seq("rf", "b"))
+      .groupBy($"rf", $"v", $"cumStart", $"tw").agg(sum($"q").as("wv"))
+    val wV = Window.partitionBy($"rf").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inBucket
+      .withColumn("cw", $"cumStart" + sum($"wv").over(wV))
+      .filter($"cw" >= $"tw" / 2)
+      .groupBy($"rf").agg(min($"v").as("med"), max($"tw").as("tw"))
+      .select($"rf".as("l_returnflag"), round($"med", 2).as("wmedian"),
+        round($"tw", 1).as("total_weight"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qWeightedMedianSql: String =
+    """WITH w AS (SELECT l_returnflag AS rf, l_extendedprice::DOUBLE AS v,
+      |    l_quantity::DOUBLE AS q FROM lineitem),
+      |tw AS (SELECT rf, sum(q) AS tw FROM w GROUP BY rf),
+      |dv AS (SELECT rf, v, sum(q) AS wv FROM w GROUP BY rf, v),
+      |c AS (SELECT rf, v, sum(wv) OVER (PARTITION BY rf ORDER BY v) AS cw FROM dv)
+      |SELECT c.rf AS l_returnflag, round(min(c.v), 2) AS wmedian,
+      |  round(max(t.tw), 1) AS total_weight
+      |FROM c JOIN tw t ON t.rf = c.rf
+      |WHERE c.cw >= t.tw / 2
+      |GROUP BY c.rf ORDER BY l_returnflag""".stripMargin
+
   /** Frequent 3-itemsets (the Apriori step above [[qBasketPairs]]):
     * co-purchased part TRIPLES with support ≥ 2 orders. Instead of a
     * 3-way fact self-join (shuffle³), each order's distinct-part
@@ -1168,6 +1230,7 @@ object Mining extends QueryFamily {
     QueryDef("q_attribution_ushape", qAttributionUshape, Some(qAttributionUshapeSql)),
     QueryDef("q_kendall_tau", qKendallTau, Some(qKendallTauSql)),
     QueryDef("q_basket_triples", qBasketTriples, Some(qBasketTriplesSql)),
+    QueryDef("q_weighted_median", qWeightedMedian, Some(qWeightedMedianSql)),
     QueryDef("q_heavy_hitters", qHeavyHitters, Some(qHeavyHittersSql)),
     QueryDef("q_join_cardinality", qJoinCardinality, Some(qJoinCardinalitySql)),
     QueryDef("q_naive_bayes", qNaiveBayes, Some(qNaiveBayesSql)))

@@ -220,7 +220,49 @@ object Safety extends QueryFamily {
       |  min(l) AS min_l, max(l) AS max_l
       |FROM classes GROUP BY 1 ORDER BY band""".stripMargin
 
+  /** Differentially-private-mechanism histogram release: per-language
+    * doc counts with Laplace(1/ε) noise, ε = 1 (count queries have
+    * sensitivity 1). The noise is the textbook inverse-CDF transform
+    * −(1/ε)·sign(u−½)·ln(1−2|u−½|) of a uniform u — here derived
+    * deterministically from the md5 of the cell name (the repo's
+    * content-hash discipline) so the release is reproducible and
+    * cross-engine testable; a production release would swap u for a
+    * cryptographic draw, changing NOTHING about the plan. The noisy
+    * count is resolved before release (rounded, floored at 0) per
+    * standard post-processing. One hash aggregate; the noise is a
+    * zero-shuffle projection over the |cells|-row result. */
+  def qDpHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val eps = 1.0
+    val u = expr("cast(conv(substring(md5(cast(lang as binary)), 1, 12), 16, 10) AS bigint)")
+      .cast("double") / lit(math.pow(16.0, 12))
+    T.documents(spark, dir)
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+      .withColumn("u", u)
+      .withColumn("noise",
+        -lit(1.0 / eps) * signum($"u" - 0.5) * log(lit(1.0) - lit(2.0) * abs($"u" - 0.5)))
+      .select($"lang",
+        greatest(round($"n" + $"noise", 0), lit(0.0)).cast("long").as("noisy_n"),
+        round($"noise", 4).as("noise"), lit(eps).as("epsilon"))
+      .orderBy($"lang")
+  }
+
+  val qDpHistogramSql: String =
+    """WITH g AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      |u AS (SELECT lang, n,
+      |    (list_sum(list_transform(range(1, 13),
+      |       i -> (strpos('0123456789abcdef', substr(md5(lang), i, 1)) - 1) * pow(16.0, 12 - i)))::BIGINT)::DOUBLE
+      |      / pow(16.0, 12) AS u
+      |  FROM g),
+      |z AS (SELECT lang, n,
+      |    -1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
+      |  FROM u)
+      |SELECT lang, CAST(greatest(round(n + noise, 0), 0.0) AS BIGINT) AS noisy_n,
+      |  round(noise, 4) AS noise, 1.0 AS epsilon
+      |FROM z ORDER BY lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_dp_histogram", qDpHistogram, Some(qDpHistogramSql)),
     QueryDef("q_pii_scrub", qPiiScrub, Some(qPiiScrubSql)),
     QueryDef("q_pii_stats", qPiiStats, Some(qPiiStatsSql)),
     QueryDef("q_k_anonymity", qKAnonymity, Some(qKAnonymitySql)),

@@ -94,4 +94,22 @@ class GraphSpec extends AnyFunSuite {
     val again = ops.Graph.qLabelProp(spark, sf).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("modularity contributions are bounded and consistent with the partition") {
+    val rows = ops.Graph.qGraphModularity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var q = 0.0
+    rows.foreach { r =>
+      val contrib = r.getAs[Double]("contrib")
+      assert(contrib >= -1.0 && contrib <= 1.0)
+      q += contrib
+      // deg_c counts intra edges twice (once per endpoint)
+      assert(2 * r.getAs[Long]("intra_w") <= r.getAs[Long]("deg_w"))
+      assert(r.getAs[Long]("n_nodes") >= 1L)
+    }
+    assert(q >= -1.0 && q <= 1.0, s"total modularity $q out of range")
+    // every undirected-graph node is in exactly one community
+    val nNodes = ops.Graph.qLabelProp(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum === nNodes)
+  }
 }

@@ -84,6 +84,24 @@ class MiningSpec extends AnyFunSuite {
     assert(tau > 0.0)
   }
 
+  test("weighted median matches an in-memory brute force") {
+    val rows = ops.Mining.qWeightedMedian(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val data = ops.T.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    rows.foreach { r =>
+      val rf = r.getAs[String]("l_returnflag")
+      val g = data.filter(_._1 == rf).sortBy(_._2)
+      val tw = g.map(_._3).sum
+      var c = 0.0
+      val med = g.find { case (_, _, q) => c += q; c >= tw / 2 }.get._2
+      assert(math.abs(r.getAs[Double]("wmedian") - med) < 0.005,
+        s"group $rf: ${r.getAs[Double]("wmedian")} vs brute-force $med")
+      assert(math.abs(r.getAs[Double]("total_weight") - tw) < 0.5)
+    }
+  }
+
   test("frequent triples are ordered itemsets whose pairs meet the same support") {
     val rows = ops.Mining.qBasketTriples(spark, sf).collect()
     rows.foreach { r =>

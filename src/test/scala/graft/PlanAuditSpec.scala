@@ -92,7 +92,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row ECE broadcast back onto the <=10-row bin table
     "q_calibration",
     // 1-row corpus-count broadcast onto the 20-row boilerplate list
-    "q_boilerplate")
+    "q_boilerplate",
+    // 1-row total-edge-weight broadcast onto the |communities| rows
+    "q_graph_modularity")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>

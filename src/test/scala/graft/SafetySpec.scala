@@ -94,4 +94,24 @@ class SafetySpec extends AnyFunSuite {
       assert(r.getAs[Long]("min_l") <= r.getAs[Long]("max_l"))
     }
   }
+
+  test("dp histogram releases non-negative counts with bounded, reproducible noise") {
+    val rows = ops.Safety.qDpHistogram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val trueCounts = ops.T.documents(spark, sf).groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("noisy_n") >= 0L)
+      assert(r.getAs[Double]("epsilon") === 1.0)
+      val noise = r.getAs[Double]("noise")
+      // Laplace(1) draws from a 48-bit uniform stay far from the
+      // ln(0) pole; anything this large means a broken transform
+      assert(math.abs(noise) < 40.0)
+      // released count = true count + noise, post-processed
+      val expect = math.max(0.0, math.rint(trueCounts(r.getAs[String]("lang")) + noise))
+      assert(math.abs(r.getAs[Long]("noisy_n") - expect) <= 1.0)
+    }
+    val again = ops.Safety.qDpHistogram(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }
