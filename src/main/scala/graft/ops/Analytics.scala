@@ -741,7 +741,34 @@ object Analytics extends QueryFamily {
       |  round(((2 * cum_c + cohort_size) // (2 * cohort_size)) / 100.0, 2) AS ltv_cum
       |FROM cum ORDER BY cohort, age""".stripMargin
 
+  /** Day-of-week × hour activity heatmap with traffic shares — the
+    * first chart every event pipeline draws, and the load profile a
+    * capacity plan reads. One hash aggregate on the (dow, hour) pair
+    * (≤ 168 cells at any SF) plus a 1-row total broadcast for shares.
+    * Spark's dayofweek is 1-based Sunday-first; the −1 shift pins the
+    * cross-engine convention (0 = Sunday) explicitly. */
+  def qActivityHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = T.events(spark, dir)
+      .groupBy((dayofweek($"ts") - 1).cast("int").as("dow"),
+        hour($"ts").cast("int").as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val tot = cells.agg(sum($"n").cast("double").as("total"))
+    cells.crossJoin(broadcast(tot))
+      .select($"dow", $"hr", $"n", round($"n" / $"total", 6).as("share"))
+      .orderBy($"dow", $"hr")
+  }
+
+  val qActivityHeatmapSql: String =
+    """WITH g AS (SELECT dayofweek(ts) AS dow, hour(ts) AS hr, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT sum(n)::DOUBLE AS total FROM g)
+      |SELECT dow, hr, n, round(n / (SELECT total FROM t), 6) AS share
+      |FROM g ORDER BY dow, hr""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_activity_heatmap", qActivityHeatmap, Some(qActivityHeatmapSql)),
     QueryDef("q_cohort_ltv", qCohortLtv, Some(qCohortLtvSql)),
     QueryDef("q_skyline", qSkyline, Some(qSkylineSql)),
     QueryDef("q_rfm", qRfm, Some(qRfmSql)),

@@ -794,6 +794,160 @@ object Mining extends QueryFamily {
       |  round(sum(rev_c)::DOUBLE / max(tot_c), 4) AS rev_share
       |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Difference-in-differences experiment readout: purchase-value
+    * means in the 2×2 (arm × pre/post) design, and the DiD estimate
+    * (treat post − pre) − (control post − pre) — the causal-effect
+    * shape when assignment predates the launch midpoint. Same
+    * conventions as [[qCuped]]: arm = user_id parity, period split at
+    * the integer midpoint of the event-time range (1-row broadcast),
+    * integer-cents sums so every cell mean is an exact-integers
+    * division. One fact aggregate to 4 cells; the DiD pivot runs on
+    * those 4 rows. */
+  def qDiffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = T.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"value", unix_micros($"ts").as("us"))
+    val mid = e.agg(expr("(min(us) + max(us)) div 2").as("mid_us"))
+    val cells = e.crossJoin(broadcast(mid))
+      .groupBy(($"user_id" % 2).cast("int").as("arm"),
+        ($"us" >= $"mid_us").cast("int").as("post"))
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("long")).as("v_c"))
+      .localCheckpoint(true)
+    val did = cells.agg(
+      ((max(when($"arm" === 1 && $"post" === 1, $"v_c".cast("double") / $"n"))
+        - max(when($"arm" === 1 && $"post" === 0, $"v_c".cast("double") / $"n")))
+        - (max(when($"arm" === 0 && $"post" === 1, $"v_c".cast("double") / $"n"))
+          - max(when($"arm" === 0 && $"post" === 0, $"v_c".cast("double") / $"n"))))
+        .as("did_c"))
+    cells.crossJoin(broadcast(did))
+      .select($"arm", $"post", $"n",
+        round($"v_c" / $"n" / 100.0, 4).as("mean_value"),
+        round($"did_c" / 100.0, 4).as("did"))
+      .orderBy($"arm", $"post")
+  }
+
+  val qDiffInDiffSql: String =
+    """WITH e AS (SELECT user_id, value, epoch_ns(ts) // 1000 AS us
+      |  FROM events WHERE event_type = 'purchase'),
+      |mid AS (SELECT ((min(us) + max(us)) // 2)::BIGINT AS mid_us FROM e),
+      |cells AS (SELECT (user_id % 2)::INT AS arm,
+      |    (CASE WHEN us >= mid_us THEN 1 ELSE 0 END) AS post,
+      |    count(*) AS n,
+      |    CAST(sum(round(value * 100)::BIGINT) AS BIGINT) AS v_c
+      |  FROM e, mid GROUP BY 1, 2),
+      |did AS (SELECT
+      |    (max(CASE WHEN arm = 1 AND post = 1 THEN v_c::DOUBLE / n END)
+      |     - max(CASE WHEN arm = 1 AND post = 0 THEN v_c::DOUBLE / n END))
+      |    - (max(CASE WHEN arm = 0 AND post = 1 THEN v_c::DOUBLE / n END)
+      |       - max(CASE WHEN arm = 0 AND post = 0 THEN v_c::DOUBLE / n END)) AS did_c
+      |  FROM cells)
+      |SELECT arm, post, n, round(v_c / n / 100.0, 4) AS mean_value,
+      |  round((SELECT did_c FROM did) / 100.0, 4) AS did
+      |FROM cells ORDER BY arm, post""".stripMargin
+
+  /** Two-sample Kolmogorov–Smirnov test between the order-value
+    * distributions of two customer segments (BUILDING vs MACHINERY),
+    * GRID-RESOLVED at $100: D = max |F₁ − F₂| evaluated at the
+    * boundaries of $100 value buckets. The sup over a grid lower-
+    * bounds the exact sup, with error vanishing at the grid
+    * resolution — the trade that turns a full dual sort into one
+    * bounded-grid aggregate: facts reduce to ≤ |value range|/100
+    * cells, cumulative shares run over that bounded grid, and the
+    * decision compares D to the 95 % critical value
+    * 1.358·√((n₁+n₂)/(n₁n₂)). All counts are exact integers; the only
+    * doubles are the final divisions. */
+  def qKsTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seg = T.customer(spark, dir)
+      .filter($"c_mktsegment".isin("BUILDING", "MACHINERY"))
+      .select($"c_custkey", $"c_mktsegment")
+    val counts = T.orders(spark, dir)
+      .join(seg, $"o_custkey" === $"c_custkey")
+      .groupBy(floor($"o_totalprice" / 100).cast("long").as("g"))
+      .agg(sum(when($"c_mktsegment" === "BUILDING", 1L).otherwise(0L)).as("c1"),
+        sum(when($"c_mktsegment" === "MACHINERY", 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint(true)
+    val tot = counts.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+    val wG = Window.orderBy($"g")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("f1", sum($"c1").over(wG))
+      .withColumn("f2", sum($"c2").over(wG))
+      .crossJoin(broadcast(tot))
+      .agg(max(abs($"f1".cast("double") / $"n1" - $"f2".cast("double") / $"n2")).as("d"),
+        max($"n1").as("n1"), max($"n2").as("n2"))
+      .select($"n1", $"n2", round($"d", 6).as("d"),
+        round(lit(1.358) * sqrt(($"n1" + $"n2").cast("double") / ($"n1" * $"n2")), 6)
+          .as("d_crit95"),
+        ($"d" > lit(1.358) * sqrt(($"n1" + $"n2").cast("double") / ($"n1" * $"n2")))
+          .as("significant"))
+  }
+
+  val qKsTestSql: String =
+    """WITH seg AS (SELECT c_custkey, c_mktsegment FROM customer
+      |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      |cnt AS (SELECT CAST(floor(o_totalprice / 100) AS BIGINT) AS g,
+      |    CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM orders JOIN seg ON o_custkey = c_custkey GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM cnt),
+      |cum AS (SELECT g,
+      |    sum(c1) OVER (ORDER BY g) AS f1, sum(c2) OVER (ORDER BY g) AS f2
+      |  FROM cnt),
+      |d AS (SELECT max(abs(f1::DOUBLE / t.n1 - f2::DOUBLE / t.n2)) AS d,
+      |    max(t.n1) AS n1, max(t.n2) AS n2
+      |  FROM cum, tot t)
+      |SELECT n1, n2, round(d, 6) AS d,
+      |  round(1.358 * sqrt((n1 + n2)::DOUBLE / (n1 * n2)), 6) AS d_crit95,
+      |  d > 1.358 * sqrt((n1 + n2)::DOUBLE / (n1 * n2)) AS significant
+      |FROM d""".stripMargin
+
+  /** Tukey-fence (IQR) outlier profile per return flag: exact q1/q3
+    * from [[Quantiles.exact]] (bucketed-rank location — no value
+    * buffer), fences at 1.5·IQR, then one counting pass against the
+    * broadcast fences. The robust-outlier twin of `q_anomaly_mad`,
+    * quoting the quartile fences every box plot draws. */
+  def qOutlierIqr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qs = Quantiles.exact(
+      T.lineitem(spark, dir).select($"l_returnflag", $"l_extendedprice"),
+      Seq("l_returnflag"), "l_extendedprice", Seq(0.25, 0.75))
+    val fences = qs.groupBy($"l_returnflag")
+      .agg(max(when($"p" === 0.25, $"q")).as("q1"),
+        max(when($"p" === 0.75, $"q")).as("q3"))
+      .withColumn("lo", $"q1" - lit(1.5) * ($"q3" - $"q1"))
+      .withColumn("hi", $"q3" + lit(1.5) * ($"q3" - $"q1"))
+    T.lineitem(spark, dir).select($"l_returnflag", $"l_extendedprice")
+      .join(broadcast(fences), Seq("l_returnflag"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(max($"q1"), 4).as("q1"), round(max($"q3"), 4).as("q3"),
+        sum(when($"l_extendedprice" < $"lo", 1L).otherwise(0L)).as("n_low"),
+        sum(when($"l_extendedprice" > $"hi", 1L).otherwise(0L)).as("n_high"))
+      .withColumn("pct_out",
+        round(($"n_low" + $"n_high").cast("double") / $"n" * 100, 4))
+      .orderBy($"l_returnflag")
+  }
+
+  val qOutlierIqrSql: String =
+    """WITH f AS (SELECT l_returnflag AS rf,
+      |    quantile_cont(l_extendedprice, 0.25) AS q1,
+      |    quantile_cont(l_extendedprice, 0.75) AS q3
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, count(*) AS n,
+      |  round(max(f.q1), 4) AS q1, round(max(f.q3), 4) AS q3,
+      |  CAST(sum(CASE WHEN l_extendedprice < f.q1 - 1.5 * (f.q3 - f.q1)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |  CAST(sum(CASE WHEN l_extendedprice > f.q3 + 1.5 * (f.q3 - f.q1)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+      |  round((sum(CASE WHEN l_extendedprice < f.q1 - 1.5 * (f.q3 - f.q1)
+      |      OR l_extendedprice > f.q3 + 1.5 * (f.q3 - f.q1) THEN 1 ELSE 0 END))::DOUBLE
+      |    / count(*) * 100, 4) AS pct_out
+      |FROM lineitem JOIN f ON f.rf = l_returnflag
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** CUPED variance reduction for experiment readouts: each user's
     * post-period purchase value is adjusted by their PRE-period
     * activity (y' = y − θ(x − x̄), θ = cov(x,y)/var(x)), which removes
@@ -1231,6 +1385,9 @@ object Mining extends QueryFamily {
     QueryDef("q_kendall_tau", qKendallTau, Some(qKendallTauSql)),
     QueryDef("q_basket_triples", qBasketTriples, Some(qBasketTriplesSql)),
     QueryDef("q_weighted_median", qWeightedMedian, Some(qWeightedMedianSql)),
+    QueryDef("q_diff_in_diff", qDiffInDiff, Some(qDiffInDiffSql)),
+    QueryDef("q_ks_test", qKsTest, Some(qKsTestSql)),
+    QueryDef("q_outlier_iqr", qOutlierIqr, Some(qOutlierIqrSql)),
     QueryDef("q_heavy_hitters", qHeavyHitters, Some(qHeavyHittersSql)),
     QueryDef("q_join_cardinality", qJoinCardinality, Some(qJoinCardinalitySql)),
     QueryDef("q_naive_bayes", qNaiveBayes, Some(qNaiveBayesSql)))

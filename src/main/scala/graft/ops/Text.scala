@@ -1025,6 +1025,51 @@ object Text extends QueryFamily {
       |FROM k JOIN r ON r.rn <= k.k
       |GROUP BY k.k ORDER BY cutoff""".stripMargin
 
+  /** Flesch reading-ease profile per source: words per sentence
+    * (sentence boundaries = runs of [.!?]; a fixture without
+    * punctuation degenerates to one sentence per doc, identically in
+    * both engines), syllables per word via the vowel-group heuristic
+    * (each maximal [aeiouy]+ run ≈ one syllable, floor 1), and
+    * Flesch = 206.835 − 1.015·(W/S) − 84.6·(Syl/W). Everything is
+    * in-array column algebra — per-doc counts come from higher-order
+    * functions over the token array, no explode, zero shuffle before
+    * the per-source rollup. The readability gate complements
+    * `q_quality_score`'s stopword heuristics in a curation stack. */
+  def qReadability(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.documents(spark, dir)
+      .withColumn("w", split($"text", " "))
+      .select($"source",
+        size($"w").cast("double").as("words"),
+        greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)")), lit(1))
+          .cast("double").as("sentences"),
+        expr("""aggregate(w, 0L, (acc, x) ->
+          |  acc + greatest(size(regexp_extract_all(x, '[aeiouy]+', 0)), 1))"""
+          .stripMargin).cast("double").as("syllables"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"words" / $"sentences"), 4).as("words_per_sentence"),
+        round(avg($"syllables" / $"words"), 4).as("syllables_per_word"),
+        round(avg(lit(206.835) - lit(1.015) * ($"words" / $"sentences")
+          - lit(84.6) * ($"syllables" / $"words")), 2).as("flesch"))
+      .orderBy($"source")
+  }
+
+  val qReadabilitySql: String =
+    """WITH d AS (SELECT source, string_split(text, ' ') AS w,
+      |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::DOUBLE AS sentences
+      |  FROM documents),
+      |f AS (SELECT source, len(w)::DOUBLE AS words, sentences,
+      |    (list_sum(list_transform(w, x ->
+      |      greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))))::DOUBLE AS syllables
+      |  FROM d)
+      |SELECT source, count(*) AS n_docs,
+      |  round(avg(words / sentences), 4) AS words_per_sentence,
+      |  round(avg(syllables / words), 4) AS syllables_per_word,
+      |  round(avg(206.835 - 1.015 * (words / sentences)
+      |    - 84.6 * (syllables / words)), 2) AS flesch
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   /** Calibration audit (reliability table + expected calibration
     * error) of a probabilistic classifier — here the stopword-density
     * English-ness score, binned into 10 equal-width confidence
@@ -1171,6 +1216,7 @@ object Text extends QueryFamily {
     QueryDef("q_vocab_coverage", qVocabCoverage, Some(qVocabCoverageSql)),
     QueryDef("q_calibration", qCalibration, Some(qCalibrationSql)),
     QueryDef("q_rrf_fusion", qRrfFusion, Some(qRrfFusionSql)),
+    QueryDef("q_readability", qReadability, Some(qReadabilitySql)),
     QueryDef("q_chunk_overlap", qChunkOverlap, Some(qChunkOverlapSql)),
     QueryDef("q_cooccur_window", qCooccurWindow, Some(qCooccurWindowSql)),
     QueryDef("q_logreg_steps", qLogregSteps, Some(qLogregStepsSql)),

@@ -214,4 +214,16 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val total = byCohort.values.map(_.minBy(_.getAs[Long]("age")).getAs[Long]("n_active")).sum
     assert(total === ops.T.orders(spark, sf).select("o_custkey").distinct().count())
   }
+
+  test("activity heatmap cells partition all events with unit share mass") {
+    val rows = ops.Analytics.qActivityHeatmap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("dow") >= 0 && r.getAs[Int]("dow") <= 6)
+      assert(r.getAs[Int]("hr") >= 0 && r.getAs[Int]("hr") <= 23)
+    }
+    assert(rows.map(r => (r.getAs[Int]("dow"), r.getAs[Int]("hr"))).distinct.length === rows.length)
+    assert(rows.map(_.getAs[Long]("n")).sum === ops.T.events(spark, sf).count())
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-3)
+  }
 }

@@ -153,6 +153,22 @@ class DedupTextSpec extends AnyFunSuite {
     assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("readability profile is internally consistent per source") {
+    val rows = ops.Text.qReadability(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 1L)
+      assert(r.getAs[Double]("words_per_sentence") >= 1.0)
+      assert(r.getAs[Double]("syllables_per_word") >= 1.0)
+      val flesch = r.getAs[Double]("flesch")
+      // recompute from the two reported component means (equal within
+      // rounding because the formula is affine in them)
+      val expect = 206.835 - 1.015 * r.getAs[Double]("words_per_sentence") -
+        84.6 * r.getAs[Double]("syllables_per_word")
+      assert(math.abs(flesch - expect) < 0.05)
+    }
+  }
+
   test("boilerplate report ranks grams by doc frequency with source spread") {
     val rows = ops.Curation.qBoilerplate(spark, sf).collect()
     assert(rows.length === 20)

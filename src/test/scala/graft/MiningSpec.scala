@@ -102,6 +102,40 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("diff-in-diff estimate recomputes from the four cell means") {
+    val rows = ops.Mining.qDiffInDiff(spark, sf).collect()
+    assert(rows.length === 4)
+    val m = rows.map(r => (r.getAs[Int]("arm"), r.getAs[Int]("post")) ->
+      r.getAs[Double]("mean_value")).toMap
+    val expect = (m((1, 1)) - m((1, 0))) - (m((0, 1)) - m((0, 0)))
+    val did = rows.head.getAs[Double]("did")
+    assert(rows.forall(_.getAs[Double]("did") === did))
+    assert(math.abs(did - expect) < 1e-3)
+  }
+
+  test("ks test statistic is a bounded sup with the right critical value") {
+    val r = ops.Mining.qKsTest(spark, sf).collect().head
+    val d = r.getAs[Double]("d")
+    assert(d >= 0.0 && d <= 1.0)
+    val n1 = r.getAs[Long]("n1"); val n2 = r.getAs[Long]("n2")
+    assert(n1 > 0 && n2 > 0)
+    val crit = 1.358 * math.sqrt((n1 + n2).toDouble / (n1 * n2))
+    assert(math.abs(r.getAs[Double]("d_crit95") - crit) < 1e-5)
+    assert(r.getAs[Boolean]("significant") === (d > crit))
+  }
+
+  test("iqr outlier profile: ordered fences and consistent percentages") {
+    val rows = ops.Mining.qOutlierIqr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("q1") <= r.getAs[Double]("q3"))
+      val n = r.getAs[Long]("n")
+      val out = r.getAs[Long]("n_low") + r.getAs[Long]("n_high")
+      assert(out <= n)
+      assert(math.abs(r.getAs[Double]("pct_out") - out.toDouble / n * 100) < 1e-3)
+    }
+  }
+
   test("frequent triples are ordered itemsets whose pairs meet the same support") {
     val rows = ops.Mining.qBasketTriples(spark, sf).collect()
     rows.foreach { r =>

@@ -94,7 +94,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row corpus-count broadcast onto the 20-row boilerplate list
     "q_boilerplate",
     // 1-row total-edge-weight broadcast onto the |communities| rows
-    "q_graph_modularity")
+    "q_graph_modularity",
+    // 1-row traffic-total broadcast onto <=168 heatmap cells
+    "q_activity_heatmap",
+    // 1-row midpoint + DiD-estimate broadcasts onto the 4 cells
+    "q_diff_in_diff",
+    // 1-row n1/n2 totals broadcast onto the bounded value grid
+    "q_ks_test")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
@@ -151,7 +157,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // two-phase top-100 survivors (k x |parts| rows max)
     "q_kendall_tau" -> "top-100 ranked survivors",
     // rank assignment over the two 20-row retrieval lists
-    "q_rrf_fusion" -> "top-20 retrieval lists")
+    "q_rrf_fusion" -> "top-20 retrieval lists",
+    // cumulative shares over the $100-bucketed value grid (<=6k rows)
+    "q_ks_test" -> "$100 value grid")
 
   test("no registered query plans a partitionless Window over an unbounded input") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
