@@ -71,45 +71,65 @@ object Linkage extends QueryFamily {
       |SELECT a_id, b_id, round(jw, 4) AS jw FROM p
       |WHERE jw >= 0.92 ORDER BY a_id, b_id""".stripMargin
 
-  /** Exact set-similarity self-join (Jaccard >= 0.5) over word-bigram
-    * sets of the document corpus, with AllPairs prefix filtering for
-    * candidate generation. Each doc's distinct bigrams are ordered
-    * rarest-first (global document frequency, token tiebreak); only the
-    * first `l - ceil(0.5·l) + 1` tokens of each doc enter the candidate
-    * join (lemma: J(A,B) >= t implies the prefixes share a token — the
-    * prefix is a superset of the (|x|-α+1)-prefix for the pairwise
-    * overlap bound α = ceil(t·max(|A|,|B|))). Survivors are verified
-    * with the exact integer test `2·common >= |A|+|B|-common`, so the
-    * threshold has no floating-point boundary. The per-doc ordering
-    * window is doc-keyed (bounded by tokens-per-doc), and the verify
-    * join touches candidate pairs only. */
+  /** Exact set-similarity self-join (Jaccard >= 0.5) over 4-token
+    * shingle sets of the document corpus, with AllPairs prefix
+    * filtering for candidate generation. Each doc's distinct shingles
+    * are ordered rarest-first (global document frequency, token
+    * tiebreak); only the first `l - ceil(0.5·l) + 1` of each doc enter
+    * the candidate join (lemma: J(A,B) >= t implies the prefixes share
+    * a token — the prefix is a superset of the (|x|-α+1)-prefix for
+    * the pairwise overlap bound α = ceil(t·max(|A|,|B|))). Survivors
+    * are verified with the exact integer test
+    * `2·common >= |A|+|B|-common`, so the threshold has no
+    * floating-point boundary. The per-doc ordering window is
+    * doc-keyed (bounded by tokens-per-doc), and the verify join
+    * touches candidate pairs only.
+    *
+    * The SHINGLE WIDTH is the selectivity knob that makes the prefix
+    * lemma useful in practice: on this corpus's small vocabulary,
+    * word BIGRAMS collide so heavily (~2.6k types over 5k docs at
+    * sf0.1) that prefix buckets produced 16.5M candidate pairs — the
+    * prefix filter was vacuous and the query ran 46 s. 4-token
+    * shingles lift the type space to ~210k and candidates drop to
+    * ~6.3k (measured), the regime AllPairs is designed for. Rule:
+    * widen the shingle until signatures are selective, THEN prefix-
+    * filter. */
   def qSetSimJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = T.documents(spark, dir)
       .select($"doc_id", split(lower($"text"), " ").as("ws"))
       .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))")).as("t"))
+        """CASE WHEN size(ws) >= 4 THEN
+          |  transform(sequence(0, size(ws) - 4), i ->
+          |    concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2], ' ', ws[i + 3]))
+          |ELSE array() END""".stripMargin)).as("t"))
       .distinct()
       .cache() // consumed by freq, prefix build, and the verify join
-    val sz = toks.groupBy($"doc_id").agg(count(lit(1)).as("l"))
+    // one row per doc: its sorted distinct-bigram ARRAY (bounded by
+    // doc length, ~130 entries — never an unbounded value buffer).
+    // Verification is then a per-candidate array_intersect instead of
+    // re-joining every candidate pair against every token of both
+    // docs — the join that made the first cut of this query 46 s at
+    // sf0.1 (|cand|·|doc| intermediate rows + two token shuffles).
+    val docsArr = toks.groupBy($"doc_id")
+      .agg(sort_array(collect_list($"t")).as("arr"),
+        count(lit(1)).as("l"))
+      .cache()
     val freq = toks.groupBy($"t").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"t")
     val pref = toks.join(freq, "t")
       .withColumn("pos", row_number().over(wDoc))
-      .join(sz, "doc_id")
+      .join(docsArr.select($"doc_id", $"l"), "doc_id")
       .filter($"pos" <= $"l" - ceil($"l" * 0.5) + 1)
       .select($"doc_id", $"t")
     val cand = pref.as("x").join(pref.as("y"), Seq("t"))
       .filter($"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("da"), $"y.doc_id".as("db"))
       .distinct()
-    val common = cand
-      .join(toks.as("ta"), $"da" === $"ta.doc_id")
-      .join(toks.as("tb"), $"db" === $"tb.doc_id" && $"ta.t" === $"tb.t")
-      .groupBy($"da", $"db").agg(count(lit(1)).as("common"))
-    common
-      .join(sz.select($"doc_id".as("da"), $"l".as("la")), Seq("da"))
-      .join(sz.select($"doc_id".as("db"), $"l".as("lb")), Seq("db"))
+    cand
+      .join(docsArr.select($"doc_id".as("da"), $"arr".as("aa"), $"l".as("la")), Seq("da"))
+      .join(docsArr.select($"doc_id".as("db"), $"arr".as("ab"), $"l".as("lb")), Seq("db"))
+      .withColumn("common", size(array_intersect($"aa", $"ab")).cast("long"))
       .withColumn("un", $"la" + $"lb" - $"common")
       .filter($"common" * 2 >= $"un")
       .select($"da", $"db", $"common", $"un",
@@ -120,8 +140,9 @@ object Linkage extends QueryFamily {
   val qSetSimJoinSql: String =
     """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
       |tok AS (SELECT DISTINCT doc_id,
-      |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS t
-      |  FROM w),
+      |    unnest(list_transform(range(1, len(ws) - 2), i ->
+      |      ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3])) AS t
+      |  FROM w WHERE len(ws) >= 4),
       |sz AS (SELECT doc_id, count(*) AS l FROM tok GROUP BY doc_id),
       |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
       |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id

@@ -1399,6 +1399,46 @@ object Relational extends QueryFamily {
     * the post-join aggregate partial-combines map-side, so no single
     * task ever holds a whole hot key. Same rows as the plain join;
     * ScaleSpec asserts both the equality and the salt-explode plan. */
+  /** Bloom semi-join reduction — the 100 TB join technique where a
+    * compact Bloom sketch of the selective build side (urgent orders,
+    * ~20 % of keys) broadcasts to the fact scan and drops non-matching
+    * rows BEFORE the join shuffle; the exact equi-join afterwards
+    * removes the sketch's false positives, so the result is
+    * bit-identical to the plain join (which is exactly what the
+    * oracle runs). The sketch is one 4 MiB mergeable aggregate
+    * ([[graft.functions.Aggregators.bloomSketch]]); the probe is the
+    * codegen'd [[graft.functions.F.bloomMightContain]] projection —
+    * zero shuffle added, shuffle volume cut to the semi-join's
+    * survivors. Spark 4 can inject this automatically
+    * (spark.sql.optimizer.runtime.bloomFilter.enabled); this operator
+    * is the explicit, always-on form a pipeline uses when it KNOWS the
+    * build side is selective. */
+  def qBloomSemiReduction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urgent = T.orders(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", date_format($"o_orderdate", "yyyy-MM").as("mon"))
+    val bloom = urgent.select(xxhash64($"o_orderkey").as("h"))
+      .agg(graft.functions.Aggregators.bloomSketch(1 << 22, 5)($"h").as("bloom"))
+    val reduced = T.lineitem(spark, dir)
+      .select($"l_orderkey", round($"l_extendedprice" * 100).cast("long").as("c"))
+      .crossJoin(broadcast(bloom))
+      .filter(graft.functions.F.bloomMightContain($"bloom", xxhash64($"l_orderkey"), 5))
+      .drop("bloom")
+    reduced.join(urgent, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"mon")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"c") / 100.0, 2).as("revenue"))
+      .orderBy($"mon")
+  }
+
+  val qBloomSemiReductionSql: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS mon, count(*) AS n_items,
+      |  round(CAST(sum(round(l_extendedprice * 100)::BIGINT) AS BIGINT) / 100.0, 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY mon""".stripMargin
+
   def qSkewJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val orders = T.orders(spark, dir)
@@ -1475,6 +1515,7 @@ object Relational extends QueryFamily {
     QueryDef("q_percentiles", qPercentiles, Some(qPercentilesSql)),
     QueryDef("q_approx_quantile_audit", qApproxQuantileAudit, Some(qApproxQuantileAuditSql)),
     QueryDef("q_skew_join", qSkewJoin, Some(qSkewJoinSql)),
+    QueryDef("q_bloom_semi_reduction", qBloomSemiReduction, Some(qBloomSemiReductionSql)),
     QueryDef("q_skew_diag",
       (s: SparkSession, d: String) =>
         Skew.keyHistogram(T.lineitem(s, d), org.apache.spark.sql.functions.col("l_suppkey"), 20),

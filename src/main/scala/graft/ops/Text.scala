@@ -1025,6 +1025,108 @@ object Text extends QueryFamily {
       |FROM k JOIN r ON r.rn <= k.k
       |GROUP BY k.k ORDER BY cutoff""".stripMargin
 
+  /** Feature-hashing collision audit: how much of the vocabulary
+    * collides when tokens hash into 2^k buckets, for k ∈ {10, 12, 14}
+    * — the table that picks the hashing-trick width before a model
+    * ships with silently-merged features. The distinct vocabulary is
+    * hashed ONCE (md5-derived 48-bit integer, the cross-engine hash
+    * discipline); each k is then a distinct-count over the cached
+    * vocab-sized relation, so the corpus is scanned once total. */
+  def qFeatureHashAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = T.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("tok"))
+      .distinct()
+      .select($"tok",
+        expr("cast(conv(substring(md5(cast(tok as binary)), 1, 12), 16, 10) AS bigint)").as("h"))
+      .cache()
+    Seq(10, 12, 14).map { k =>
+      hashed.select(pmod($"h", lit(1L << k)).as("b"))
+        .agg(lit(k).as("k"), lit(1L << k).as("n_buckets"),
+          count(lit(1)).as("n_tokens"),
+          countDistinct($"b").as("buckets_used"))
+    }.reduce(_ union _)
+      .select($"k", $"n_buckets", $"n_tokens", $"buckets_used",
+        round(($"n_tokens" - $"buckets_used").cast("double") / $"n_tokens", 6)
+          .as("collision_rate"))
+      .orderBy($"k")
+  }
+
+  val qFeatureHashAuditSql: String =
+    """WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |h AS (SELECT tok,
+      |    (list_sum(list_transform(range(1, 13),
+      |       i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1) * pow(16.0, 12 - i)))::BIGINT) AS h
+      |  FROM v),
+      |k AS (SELECT unnest([10, 12, 14]) AS k)
+      |SELECT k.k AS k, (1 << k.k)::BIGINT AS n_buckets, count(*) AS n_tokens,
+      |  count(DISTINCT h.h % (1 << k.k)) AS buckets_used,
+      |  round((count(*) - count(DISTINCT h.h % (1 << k.k)))::DOUBLE / count(*), 6)
+      |    AS collision_rate
+      |FROM k CROSS JOIN h GROUP BY k.k ORDER BY k""".stripMargin
+
+  /** Distinctive vocabulary per source by Monroe et al.'s log-odds
+    * with an informative Dirichlet prior ("Fightin' Words"): for each
+    * (source, token), the z-scored log-odds delta of the token's rate
+    * in the source vs the REST of the corpus, with prior mass
+    * α_t = α₀·g_t/N proportional to the corpus rate (α₀ = 500) — the
+    * estimator that, unlike raw tf-idf, doesn't crown rare noise. One
+    * corpus scan to (source, token) counts; globals derive by rollup
+    * (no second tokenize); the per-source top-3 runs through the
+    * two-phase salted top-k, and z is rounded to 4 dp BEFORE ranking
+    * so the selection is engine-stable. */
+  def qLogOddsTerms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a0 = 500.0
+    val cs = T.documents(spark, dir)
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+      .cache()
+    val g = cs.groupBy($"tok").agg(sum($"c").as("g"))
+    val ns = cs.groupBy($"source").agg(sum($"c").as("ns"))
+    val tot = g.agg(sum($"g").cast("double").as("nn"))
+    val scored = cs
+      .join(g, Seq("tok"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("alpha", lit(a0) * $"g" / $"nn")
+      .withColumn("cr", ($"g" - $"c").cast("double"))
+      .withColumn("nr", $"nn" - $"ns")
+      .withColumn("delta",
+        log(($"c" + $"alpha") / ($"ns" + lit(a0) - $"c" - $"alpha"))
+          - log(($"cr" + $"alpha") / ($"nr" + lit(a0) - $"cr" - $"alpha")))
+      .withColumn("z", round($"delta" /
+        sqrt(lit(1.0) / ($"c" + $"alpha") + lit(1.0) / ($"cr" + $"alpha")), 4))
+    Skew.twoPhaseTopK(scored, Seq($"source"),
+        Seq($"z".desc, $"tok".asc), 3, "rk")
+      .select($"source", $"rk".cast("long").as("rk"), $"tok", $"c", $"z")
+      .orderBy($"source", $"rk")
+  }
+
+  val qLogOddsTermsSql: String =
+    """WITH cs AS (SELECT source, tok, count(*) AS c FROM
+      |    (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY 1, 2),
+      |g AS (SELECT tok, CAST(sum(c) AS BIGINT) AS g FROM cs GROUP BY tok),
+      |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM cs GROUP BY source),
+      |tot AS (SELECT sum(g)::DOUBLE AS nn FROM g),
+      |sc AS (SELECT cs.source, cs.tok, cs.c,
+      |    500.0 * g.g / t.nn AS alpha,
+      |    (g.g - cs.c)::DOUBLE AS cr,
+      |    t.nn - ns.ns AS nr,
+      |    ns.ns AS ns
+      |  FROM cs JOIN g USING (tok) JOIN ns USING (source), tot t),
+      |z AS (SELECT source, tok, c,
+      |    round((ln((c + alpha) / (ns + 500.0 - c - alpha))
+      |         - ln((cr + alpha) / (nr + 500.0 - cr - alpha)))
+      |      / sqrt(1.0 / (c + alpha) + 1.0 / (cr + alpha)), 4) AS z
+      |  FROM sc),
+      |r AS (SELECT source, tok, c, z,
+      |    row_number() OVER (PARTITION BY source ORDER BY z DESC, tok) AS rk
+      |  FROM z)
+      |SELECT source, rk, tok, c, z FROM r WHERE rk <= 3
+      |ORDER BY source, rk""".stripMargin
+
   /** Flesch reading-ease profile per source: words per sentence
     * (sentence boundaries = runs of [.!?]; a fixture without
     * punctuation degenerates to one sentence per doc, identically in
@@ -1217,6 +1319,8 @@ object Text extends QueryFamily {
     QueryDef("q_calibration", qCalibration, Some(qCalibrationSql)),
     QueryDef("q_rrf_fusion", qRrfFusion, Some(qRrfFusionSql)),
     QueryDef("q_readability", qReadability, Some(qReadabilitySql)),
+    QueryDef("q_feature_hash_audit", qFeatureHashAudit, Some(qFeatureHashAuditSql)),
+    QueryDef("q_log_odds_terms", qLogOddsTerms, Some(qLogOddsTermsSql)),
     QueryDef("q_chunk_overlap", qChunkOverlap, Some(qChunkOverlapSql)),
     QueryDef("q_cooccur_window", qCooccurWindow, Some(qCooccurWindowSql)),
     QueryDef("q_logreg_steps", qLogregSteps, Some(qLogregStepsSql)),

@@ -830,8 +830,66 @@ object Timeseries extends QueryFamily {
        |FROM p2 ORDER BY mon""".stripMargin
   }
 
+  /** In-sample accuracy audit of the [[qForecast]] linear trend:
+    * refit the same OLS line over the monthly series, then report
+    * MAE / RMSE / WAPE / MAPE of the fitted values — the error
+    * profile that decides whether the trend model is shippable. The
+    * fit is the identical single-pass moment aggregate; residual
+    * metrics are one more pass over the O(months) series against the
+    * 1-row broadcast coefficients. */
+  def qForecastAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val monthly = T.orders(spark, dir)
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("mon"))
+      .agg(sum($"o_totalprice").as("y"))
+    val idx = Window.orderBy($"mon")
+    val series = monthly
+      .withColumn("t", row_number().over(idx).cast("double"))
+      .localCheckpoint(true)
+    val fit = series.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum($"t").as("st"), sum($"y").as("sy"),
+        sum($"t" * $"y").as("sty"), sum($"t" * $"t").as("st2"))
+      .select($"n",
+        (($"n" * $"sty" - $"st" * $"sy") /
+          ($"n" * $"st2" - $"st" * $"st")).as("slope"),
+        (($"sy" - ($"n" * $"sty" - $"st" * $"sy") /
+          ($"n" * $"st2" - $"st" * $"st") * $"st") / $"n").as("intercept"))
+    series.crossJoin(broadcast(fit))
+      .withColumn("e", $"y" - ($"intercept" + $"slope" * $"t"))
+      .agg(
+        count(lit(1)).as("n_months"),
+        round(avg(abs($"e")), 2).as("mae"),
+        round(sqrt(avg($"e" * $"e")), 2).as("rmse"),
+        round(sum(abs($"e")) / sum(abs($"y")), 4).as("wape"),
+        round(avg(abs($"e") / abs($"y")), 4).as("mape"))
+  }
+
+  val qForecastAuditSql: String =
+    """WITH monthly AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS mon, sum(o_totalprice) AS y
+      |  FROM orders GROUP BY 1),
+      |series AS (
+      |  SELECT y::DOUBLE AS y, (row_number() OVER (ORDER BY mon))::DOUBLE AS t FROM monthly),
+      |fit AS (
+      |  SELECT count(*)::DOUBLE AS n, sum(t) AS st, sum(y) AS sy,
+      |    sum(t * y) AS sty, sum(t * t) AS st2
+      |  FROM series),
+      |coef AS (
+      |  SELECT (n * sty - st * sy) / (n * st2 - st * st) AS slope,
+      |    (sy - (n * sty - st * sy) / (n * st2 - st * st) * st) / n AS intercept
+      |  FROM fit),
+      |e AS (SELECT y, y - (intercept + slope * t) AS e FROM series, coef)
+      |SELECT count(*) AS n_months,
+      |  round(avg(abs(e)), 2) AS mae,
+      |  round(sqrt(avg(e * e)), 2) AS rmse,
+      |  round(sum(abs(e)) / sum(abs(y)), 4) AS wape,
+      |  round(avg(abs(e) / abs(y)), 4) AS mape
+      |FROM e""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_brown_smoothing", qBrownSmoothing, Some(qBrownSmoothingSql)),
+    QueryDef("q_forecast_audit", qForecastAudit, Some(qForecastAuditSql)),
     QueryDef("q_survival_km", qSurvivalKm, Some(qSurvivalKmSql)),
     QueryDef("q_burstiness", qBurstiness, Some(qBurstinessSql)),
     QueryDef("q_rolling_distinct_7d", qRollingDistinct7d, Some(qRollingDistinct7dSql)),

@@ -169,6 +169,35 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("feature-hash collisions shrink as the bucket space grows") {
+    val rows = ops.Text.qFeatureHashAudit(spark, sf).collect().sortBy(_.getAs[Int]("k"))
+    assert(rows.length === 3)
+    val nTok = rows.head.getAs[Long]("n_tokens")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") === nTok, "same vocabulary for every k")
+      assert(r.getAs[Long]("buckets_used") <=
+        math.min(r.getAs[Long]("n_buckets"), nTok))
+      val cr = r.getAs[Double]("collision_rate")
+      assert(cr >= 0.0 && cr < 1.0)
+    }
+    val rates = rows.map(_.getAs[Double]("collision_rate"))
+    assert(rates.zip(rates.tail).forall { case (a, b) => b <= a },
+      "collision rate must not grow with bucket count")
+  }
+
+  test("log-odds distinctive terms rank top-3 per source by z") {
+    val rows = ops.Text.qLogOddsTerms(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq === (1L to sorted.length).toSeq)
+      assert(sorted.length <= 3)
+      val zs = sorted.map(_.getAs[Double]("z"))
+      assert(zs.zip(zs.tail).forall { case (a, b) => a >= b })
+      sorted.foreach(r => assert(r.getAs[Long]("c") >= 1L))
+    }
+  }
+
   test("boilerplate report ranks grams by doc frequency with source spread") {
     val rows = ops.Curation.qBoilerplate(spark, sf).collect()
     assert(rows.length === 20)

@@ -100,7 +100,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row midpoint + DiD-estimate broadcasts onto the 4 cells
     "q_diff_in_diff",
     // 1-row n1/n2 totals broadcast onto the bounded value grid
-    "q_ks_test")
+    "q_ks_test",
+    // 1-row Bloom-sketch broadcast probed by the fact scan
+    "q_bloom_semi_reduction",
+    // 1-row OLS-coefficient broadcast onto the O(months) series
+    "q_forecast_audit",
+    // 1-row corpus-total broadcast onto the (source, token) counts
+    "q_log_odds_terms")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
@@ -141,6 +147,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_pct_change" -> "monthly grain",
     "q_forecast" -> "monthly grain",
     "q_brown_smoothing" -> "monthly grain",
+    "q_forecast_audit" -> "monthly grain",
     "q_compaction_plan" -> "priority x month extents",
     // fixed low-cardinality grain
     "q_decile_lift" -> "nation x segment cohorts (<=125 rows)",
@@ -242,7 +249,8 @@ class PlanAuditSpec extends AnyFunSuite {
   private val valueBufferAllowed: Map[String, String] = Map(
     "q_path_trigrams" -> "collect of rank<=3 rows per user (rank filter bounds the group)",
     "q_collect_agg" -> "collect_list over <=25 nations per region (dimension-bounded)",
-    "q_basket_triples" -> "collect_set over per-order baskets (<=7 parts, TPC-H)")
+    "q_basket_triples" -> "collect_set over per-order baskets (<=7 parts, TPC-H)",
+    "q_set_sim_join" -> "collect_list of per-doc distinct bigrams (bounded by doc length)")
 
   test("no registered query buffers group values (exact percentile / collect) over an unbounded input") {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet, Percentile}

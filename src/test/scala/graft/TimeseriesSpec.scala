@@ -408,4 +408,14 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(math.abs(first.getAs[Double]("s1") - first.getAs[Double]("y")) < 0.01)
     assert(math.abs(first.getAs[Double]("trend")) < 0.01)
   }
+
+  test("forecast audit metrics are ordered and bounded") {
+    val r = ops.Timeseries.qForecastAudit(spark, sf).collect().head
+    assert(r.getAs[Long]("n_months") > 12L)
+    val mae = r.getAs[Double]("mae"); val rmse = r.getAs[Double]("rmse")
+    assert(mae > 0 && rmse >= mae) // RMSE dominates MAE (Jensen)
+    val wape = r.getAs[Double]("wape"); val mape = r.getAs[Double]("mape")
+    assert(wape > 0 && wape < 1.0, s"trend fit should beat a zero forecast: wape=$wape")
+    assert(mape > 0 && mape < 1.0)
+  }
 }
