@@ -767,7 +767,45 @@ object Analytics extends QueryFamily {
       |SELECT dow, hr, n, round(n / (SELECT total FROM t), 6) AS share
       |FROM g ORDER BY dow, hr""".stripMargin
 
+  /** Batch sessionization through Spark's NATIVE `session_window`
+    * (the same merging-session operator the streaming path uses),
+    * proven equivalent to the hand-rolled gap-flag sessionization of
+    * [[qSessionize]] — the oracle replays the identical ≥-gap
+    * semantics (session_window starts a NEW session when the gap is
+    * exactly the timeout; the lag-flag form must use `>=` to match).
+    * Per-user session ordinals come from a user-keyed window over the
+    * session starts. One shuffle on user_id; session merge happens
+    * inside the aggregate. */
+  def qSessionNative(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = T.events(spark, dir)
+      .select($"user_id", $"ts", unix_micros($"ts").as("us"))
+      .groupBy(session_window($"ts", "30 minutes").as("win"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), (max($"us") - min($"us")).as("dur_us"))
+    val w = Window.partitionBy($"user_id").orderBy($"win.start")
+    s.withColumn("session_id", row_number().over(w).cast("long"))
+      .select($"user_id", $"session_id", $"n_events", $"dur_us")
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val qSessionNativeSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS us FROM events),
+      |f AS (SELECT user_id, us,
+      |  CASE WHEN coalesce(us - lag(us, 1) OVER
+      |         (PARTITION BY user_id ORDER BY us, event_id), 1800000001)
+      |       >= 1800000000 THEN 1 ELSE 0 END AS flag,
+      |  event_id FROM e),
+      |s AS (SELECT user_id, us,
+      |  CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM f)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  max(us) - min(us) AS dur_us
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_session_native", qSessionNative, Some(qSessionNativeSql)),
     QueryDef("q_activity_heatmap", qActivityHeatmap, Some(qActivityHeatmapSql)),
     QueryDef("q_cohort_ltv", qCohortLtv, Some(qCohortLtvSql)),
     QueryDef("q_skyline", qSkyline, Some(qSkylineSql)),

@@ -847,6 +847,176 @@ object Mining extends QueryFamily {
       |  round((SELECT did_c FROM did) / 100.0, 4) AS did
       |FROM cells ORDER BY arm, post""".stripMargin
 
+  /** Markov (removal-effect) attribution — the data-driven third
+    * model after last-touch ([[qAttribution]]) and U-shaped
+    * ([[qAttributionUshape]]): user journeys become a first-order
+    * Markov chain over states {START, channel 0–4, CONV, NULL}; a
+    * channel's credit is its REMOVAL EFFECT, the relative drop in
+    * START→CONV absorption probability when the channel's node is
+    * cut (its inbound edges redirect to NULL). The transition matrix
+    * is bounded at states² ≤ 64 rows BY CONSTRUCTION, so it reduces
+    * to one row and all six chains' absorption probabilities (M³² by
+    * five squarings; absorbing states carry self-loops) evaluate in
+    * a single deterministic expression — never a per-stage-scheduled
+    * iteration over a data-independent-size object, and never a
+    * driver-side solve. Journey extraction reuses the
+    * forward-looking-window path segmentation (clicks after the last
+    * purchase form the NULL-absorbed journey; purchases with no prior
+    * click contribute START→CONV directly). The 32-step horizon
+    * absorbs all realistic path lengths; both engines run the
+    * identical arithmetic, so the oracle matches bit-for-bit before
+    * display rounding. */
+  /** All six absorption probabilities ([full, r0..r4]) of the bounded
+    * transition matrix, M³² by 5 in-memory squarings per scenario.
+    * Runs once, on one row, over ≤ 64 entries — deterministic
+    * iteration order (sorted keys) so the result is reproducible. */
+  private val markovAbsorb =
+    udf { (entries: Seq[org.apache.spark.sql.Row]) =>
+      val base = entries.map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      def absorb(remove: Option[String]): Double = {
+        val redirected = base.iterator
+          .filter { case (f, _, _) => !remove.contains(f) }
+          .map { case (f, t, p) => ((f, if (remove.contains(t)) "N" else t), p) }
+          .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        var m = redirected ++ Map(("C", "C") -> 1.0, ("N", "N") -> 1.0)
+        for (_ <- 1 to 5) {
+          val next = scala.collection.mutable.LinkedHashMap[(String, String), Double]()
+          val sorted = m.toSeq.sortBy { case ((f, t), _) => (f, t) }
+          for (((f, k), pa) <- sorted; ((k2, t), pb) <- sorted if k2 == k) {
+            val key = (f, t)
+            next(key) = next.getOrElse(key, 0.0) + pa * pb
+          }
+          m = next.toMap
+        }
+        m.getOrElse(("S", "C"), 0.0)
+      }
+      (Seq(absorb(None)) ++ (0 to 4).map(c => absorb(Some(c.toString)))).toArray
+    }
+
+  def qAttributionMarkov(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = T.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click").select(
+      $"user_id", unix_micros($"ts").as("us"), $"event_id",
+      (get_json_object($"props", "$.k").cast("int") % 5).cast("string").as("ch"),
+      lit(0).as("tag"), lit(null).cast("long").as("pid"))
+    val purch = ev.filter($"event_type" === "purchase").select(
+      $"user_id", unix_micros($"ts").as("us"), $"event_id",
+      lit(null).cast("string").as("ch"), lit(1).as("tag"),
+      $"event_id".as("pid"))
+    val wNext = Window.partitionBy($"user_id")
+      .orderBy($"us".asc, $"tag".asc, $"event_id".asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val clicksJ = clicks.unionByName(purch)
+      .withColumn("next_pid", first($"pid", ignoreNulls = true).over(wNext))
+      .filter($"tag" === 0)
+      .withColumn("jkey", coalesce($"next_pid", lit(-1L)))
+      .localCheckpoint(true)
+    val wJ = Window.partitionBy($"user_id", $"jkey").orderBy($"us", $"event_id")
+    val wJd = Window.partitionBy($"user_id", $"jkey").orderBy($"us".desc, $"event_id".desc)
+    val withPrev = clicksJ.withColumn("prev_ch", lag($"ch", 1).over(wJ))
+    val startT = withPrev.filter($"prev_ch".isNull)
+      .select(lit("S").as("f"), $"ch".as("t"))
+    val midT = withPrev.filter($"prev_ch".isNotNull)
+      .select($"prev_ch".as("f"), $"ch".as("t"))
+    val endT = clicksJ.withColumn("rnd", row_number().over(wJd))
+      .filter($"rnd" === 1)
+      .select($"ch".as("f"), when($"jkey" >= 0, "C").otherwise("N").as("t"))
+    val directT = purch
+      .join(clicksJ.filter($"jkey" >= 0).select($"jkey".as("pid")).distinct(),
+        Seq("pid"), "left_anti")
+      .select(lit("S").as("f"), lit("C").as("t"))
+    val probs = startT.union(midT).union(endT).union(directT)
+      .groupBy($"f", $"t").agg(count(lit(1)).cast("double").as("n"))
+      .withColumn("p", $"n" / sum($"n").over(Window.partitionBy($"f")))
+      .select($"f", $"t", $"p")
+    // the matrix is bounded at states² (≤ 8×8 = 64 rows) BY
+    // CONSTRUCTION, so it reduces to ONE row and all six scenarios'
+    // 32-step absorption probabilities compute inside a single
+    // deterministic expression — the same bounded-reduction discipline
+    // as the 1-row argmax broadcasts. (The first cut ran the squarings
+    // as 5 rounds of DataFrame join+aggregate: 31 exchanges of a
+    // 40-row relation, ~4.5 s of pure stage overhead at any SF. A
+    // chain whose size is data-independent should never pay per-stage
+    // scheduling.)
+    val mat = probs.agg(collect_list(struct($"f", $"t", $"p")).as("m"))
+    val res = mat.select(markovAbsorb($"m").as("v"))
+      .select($"v".getItem(0).as("pf"),
+        posexplode(expr("slice(v, 2, 5)")).as(Seq("i", "p")))
+      .select($"i".cast("int").as("channel"),
+        round(($"pf" - $"p") / $"pf", 5).as("removal_effect"), $"pf")
+    val rem = res.localCheckpoint(true)
+    val tot = rem.agg(sum(greatest($"removal_effect", lit(0.0))).as("te"))
+    rem.crossJoin(broadcast(tot))
+      .select($"channel", $"removal_effect",
+        round(greatest($"removal_effect", lit(0.0)) / $"te", 4).as("share"),
+        round($"pf", 5).as("conv_prob"))
+      .orderBy($"channel")
+  }
+
+  val qAttributionMarkovSql: String = {
+    def sq(prev: String): String =
+      s"""SELECT a.sc, a.f, b.t, sum(a.p * b.p) AS p
+         |FROM $prev a JOIN $prev b ON b.sc = a.sc AND b.f = a.t
+         |GROUP BY 1, 2, 3""".stripMargin
+    s"""WITH e AS (SELECT event_id, user_id, event_type, value, props,
+       |             epoch_ns(ts)//1000 AS us FROM events),
+       |c AS (SELECT user_id, us, event_id,
+       |        CAST(CAST(json_extract(props, '$$.k') AS INT) % 5 AS VARCHAR) AS ch,
+       |        0 AS tag, NULL::BIGINT AS pid
+       |      FROM e WHERE event_type = 'click'),
+       |p AS (SELECT user_id, us, event_id, NULL::VARCHAR AS ch, 1 AS tag,
+       |        event_id AS pid
+       |      FROM e WHERE event_type = 'purchase'),
+       |u AS (SELECT * FROM c UNION ALL SELECT * FROM p),
+       |a AS (SELECT user_id, us, event_id, ch, tag,
+       |        first_value(pid IGNORE NULLS) OVER (PARTITION BY user_id
+       |          ORDER BY us, tag, event_id
+       |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_pid
+       |      FROM u),
+       |cj AS (SELECT user_id, us, event_id, ch,
+       |        coalesce(next_pid, -1) AS jkey
+       |      FROM a WHERE tag = 0),
+       |prev AS (SELECT user_id, jkey, us, event_id, ch,
+       |        lag(ch, 1) OVER (PARTITION BY user_id, jkey ORDER BY us, event_id) AS prev_ch,
+       |        row_number() OVER (PARTITION BY user_id, jkey ORDER BY us DESC, event_id DESC) AS rnd
+       |      FROM cj),
+       |trans AS (
+       |  SELECT 'S' AS f, ch AS t FROM prev WHERE prev_ch IS NULL
+       |  UNION ALL SELECT prev_ch, ch FROM prev WHERE prev_ch IS NOT NULL
+       |  UNION ALL SELECT ch, CASE WHEN jkey >= 0 THEN 'C' ELSE 'N' END FROM prev WHERE rnd = 1
+       |  UNION ALL SELECT 'S', 'C' FROM p
+       |    WHERE p.pid NOT IN (SELECT DISTINCT jkey FROM cj WHERE jkey >= 0)),
+       |probs AS (SELECT f, t, n / sum(n) OVER (PARTITION BY f) AS p FROM
+       |  (SELECT f, t, count(*)::DOUBLE AS n FROM trans GROUP BY 1, 2)),
+       |scen AS (SELECT unnest(['full', 'r0', 'r1', 'r2', 'r3', 'r4']) AS sc),
+       |m0 AS (
+       |  SELECT sc, f,
+       |    CASE WHEN sc <> 'full' AND t = substr(sc, 2, 1) THEN 'N' ELSE t END AS t,
+       |    sum(p) AS p
+       |  FROM probs CROSS JOIN scen
+       |  WHERE sc = 'full' OR f <> substr(sc, 2, 1)
+       |  GROUP BY 1, 2, 3
+       |  UNION ALL
+       |  SELECT sc, x.s, x.s, 1.0 FROM scen,
+       |    (SELECT 'C' AS s UNION ALL SELECT 'N') x),
+       |m1 AS (${sq("m0")}),
+       |m2 AS (${sq("m1")}),
+       |m3 AS (${sq("m2")}),
+       |m4 AS (${sq("m3")}),
+       |m5 AS (${sq("m4")}),
+       |fin AS (SELECT sc, p FROM m5 WHERE f = 'S' AND t = 'C'),
+       |base AS (SELECT p AS pf FROM fin WHERE sc = 'full'),
+       |rem AS (SELECT CAST(substr(sc, 2, 1) AS INT) AS channel,
+       |    round((b.pf - f.p) / b.pf, 5) AS removal_effect, b.pf
+       |  FROM fin f, base b WHERE sc <> 'full'),
+       |tot AS (SELECT sum(greatest(removal_effect, 0.0)) AS te FROM rem)
+       |SELECT channel, removal_effect,
+       |  round(greatest(removal_effect, 0.0) / (SELECT te FROM tot), 4) AS share,
+       |  round(pf, 5) AS conv_prob
+       |FROM rem ORDER BY channel""".stripMargin
+  }
+
   /** Two-sample Kolmogorov–Smirnov test between the order-value
     * distributions of two customer segments (BUILDING vs MACHINERY),
     * GRID-RESOLVED at $100: D = max |F₁ − F₂| evaluated at the
@@ -946,6 +1116,45 @@ object Mining extends QueryFamily {
       |      OR l_extendedprice > f.q3 + 1.5 * (f.q3 - f.q1) THEN 1 ELSE 0 END))::DOUBLE
       |    / count(*) * 100, 4) AS pct_out
       |FROM lineitem JOIN f ON f.rf = l_returnflag
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Value-at-risk and expected shortfall (CVaR) of the order-value
+    * tail per return flag: VaR₉₅ is the exact interpolated P95 from
+    * [[Quantiles.exact]] (bucketed-rank location, no value buffer);
+    * CVaR₉₅ is the mean of values at or above that cut — the number
+    * that says how bad the tail actually is once you're in it, which
+    * the quantile alone hides. One counting/summing pass against the
+    * broadcast cuts, integer-cents tail sums so the tail mean is an
+    * exact-integers division. */
+  def qCvar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cuts = Quantiles.exact(
+        T.lineitem(spark, dir).select($"l_returnflag", $"l_extendedprice"),
+        Seq("l_returnflag"), "l_extendedprice", Seq(0.95))
+      .select($"l_returnflag", $"q".as("var95"))
+    T.lineitem(spark, dir).select($"l_returnflag", $"l_extendedprice")
+      .join(broadcast(cuts), Seq("l_returnflag"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(max($"var95"), 2).as("var95"),
+        sum(when($"l_extendedprice" >= $"var95", 1L).otherwise(0L)).as("n_tail"),
+        sum(when($"l_extendedprice" >= $"var95",
+          round($"l_extendedprice" * 100).cast("long")).otherwise(0L)).as("tail_c"))
+      .select($"l_returnflag", $"n", $"var95", $"n_tail",
+        round($"tail_c" / $"n_tail" / 100.0, 2).as("cvar95"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qCvarSql: String =
+    """WITH c AS (SELECT l_returnflag AS rf,
+      |    quantile_cont(l_extendedprice, 0.95) AS var95
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, count(*) AS n, round(max(c.var95), 2) AS var95,
+      |  CAST(sum(CASE WHEN l_extendedprice >= c.var95 THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+      |  round(CAST(sum(CASE WHEN l_extendedprice >= c.var95
+      |      THEN round(l_extendedprice * 100)::BIGINT ELSE 0 END) AS BIGINT)
+      |    / sum(CASE WHEN l_extendedprice >= c.var95 THEN 1 ELSE 0 END) / 100.0, 2) AS cvar95
+      |FROM lineitem JOIN c ON c.rf = l_returnflag
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** CUPED variance reduction for experiment readouts: each user's
@@ -1388,6 +1597,8 @@ object Mining extends QueryFamily {
     QueryDef("q_diff_in_diff", qDiffInDiff, Some(qDiffInDiffSql)),
     QueryDef("q_ks_test", qKsTest, Some(qKsTestSql)),
     QueryDef("q_outlier_iqr", qOutlierIqr, Some(qOutlierIqrSql)),
+    QueryDef("q_cvar", qCvar, Some(qCvarSql)),
+    QueryDef("q_attribution_markov", qAttributionMarkov, Some(qAttributionMarkovSql)),
     QueryDef("q_heavy_hitters", qHeavyHitters, Some(qHeavyHittersSql)),
     QueryDef("q_join_cardinality", qJoinCardinality, Some(qJoinCardinalitySql)),
     QueryDef("q_naive_bayes", qNaiveBayes, Some(qNaiveBayesSql)))

@@ -215,6 +215,16 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(total === ops.T.orders(spark, sf).select("o_custkey").distinct().count())
   }
 
+  test("native session_window equals hand-rolled gap sessionization") {
+    // the fixture has no gap of exactly 30:00.000000, so the >= / >
+    // boundary convention cannot differ and the two paths must agree
+    // row-for-row
+    val native = ops.Analytics.qSessionNative(spark, sf).collect().map(_.toString)
+    val handRolled = ops.Analytics.qSessionize(spark, sf).collect().map(_.toString)
+    assert(native.length === handRolled.length)
+    assert(native.toSeq === handRolled.toSeq)
+  }
+
   test("activity heatmap cells partition all events with unit share mass") {
     val rows = ops.Analytics.qActivityHeatmap(spark, sf).collect()
     assert(rows.nonEmpty)

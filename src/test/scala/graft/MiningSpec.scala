@@ -136,6 +136,32 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("cvar dominates var and the tail is ~5% of the group") {
+    val rows = ops.Mining.qCvar(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cvar95") >= r.getAs[Double]("var95"),
+        "expected shortfall must dominate the quantile")
+      val frac = r.getAs[Long]("n_tail").toDouble / r.getAs[Long]("n")
+      assert(frac > 0.03 && frac < 0.07, s"tail fraction $frac far from 5%")
+    }
+  }
+
+  test("markov attribution: shares normalize, removal effects are relative drops") {
+    val rows = ops.Mining.qAttributionMarkov(spark, sf).collect()
+    assert(rows.length === 5)
+    val conv = rows.head.getAs[Double]("conv_prob")
+    assert(conv > 0.0 && conv < 1.0)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("channel") >= 0 && r.getAs[Int]("channel") <= 4)
+      assert(r.getAs[Double]("conv_prob") === conv)
+      assert(r.getAs[Double]("removal_effect") <= 1.0)
+      assert(r.getAs[Double]("share") >= 0.0)
+    }
+    val shares = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shares - 1.0) < 5e-3, s"shares sum to $shares")
+  }
+
   test("frequent triples are ordered itemsets whose pairs meet the same support") {
     val rows = ops.Mining.qBasketTriples(spark, sf).collect()
     rows.foreach { r =>
