@@ -732,6 +732,95 @@ object Timeseries extends QueryFamily {
       .orderBy($"duration_h")
   }
 
+  /** Log-rank (Mantel–Cox) test between the two experiment arms'
+    * time-to-conversion curves — the hypothesis test that goes with
+    * [[qSurvivalKm]]'s estimate: at every event time the observed
+    * arm-1 conversions are compared with the hypergeometric
+    * expectation given the pooled risk set, and
+    * χ² = (O−E)²/V decides whether the curves differ (95 % cut
+    * 3.841). Same per-user duration extraction (first view → first
+    * purchase, right-censored at study end, arm = user parity); the
+    * risk sets are suffix sums over the O(study-hours) grid, so the
+    * test costs one user-keyed aggregate plus bounded-grid windows. */
+  def qLogRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wUser = Window.partitionBy($"user_id")
+    val per = T.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .withColumn("v_us",
+        min(when($"event_type" === "view", $"us")).over(wUser))
+      .withColumn("p_us",
+        min(when($"event_type" === "purchase" && $"us" >= $"v_us", $"us")).over(wUser))
+      .groupBy($"user_id")
+      .agg(max($"v_us").as("v_us"), max($"p_us").as("p_us"))
+    val end = T.events(spark, dir)
+      .agg(max(unix_micros($"ts")).as("end_us"))
+    val grid = per.crossJoin(broadcast(end))
+      .filter($"v_us".isNotNull)
+      .select(($"user_id" % 2).cast("int").as("arm"),
+        floor((coalesce($"p_us", $"end_us") - $"v_us") / 3600000000.0)
+          .cast("long").as("duration_h"),
+        when($"p_us".isNotNull, 1L).otherwise(0L).as("ev"))
+      .groupBy($"duration_h")
+      .agg(sum(when($"arm" === 0, $"ev").otherwise(0L)).as("d0"),
+        sum(when($"arm" === 1, $"ev").otherwise(0L)).as("d1"),
+        sum(when($"arm" === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when($"arm" === 1, 1L).otherwise(0L)).as("c1"))
+    val wRisk = Window.orderBy($"duration_h")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid
+      .withColumn("n0", sum($"c0").over(wRisk))
+      .withColumn("n1", sum($"c1").over(wRisk))
+      .withColumn("d", $"d0" + $"d1")
+      .withColumn("n", $"n0" + $"n1")
+      .filter($"d" > 0 && $"n" > 1)
+      .withColumn("e1", $"d" * $"n1".cast("double") / $"n")
+      .withColumn("v", $"d".cast("double") * ($"n1".cast("double") / $"n")
+        * ($"n0".cast("double") / $"n")
+        * (($"n" - $"d").cast("double") / ($"n" - 1)))
+      .agg(sum($"d1").as("o1"), sum($"e1").as("se1"), sum($"v").as("sv"))
+      .select($"o1", round($"se1", 4).as("e1"),
+        round(pow($"o1" - $"se1", 2) / $"sv", 4).as("chi2"),
+        (pow($"o1" - $"se1", 2) / $"sv" > 3.841).as("significant"))
+  }
+
+  val qLogRankSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+      |w1 AS (SELECT user_id, event_type, us,
+      |  min(CASE WHEN event_type = 'view' THEN us END)
+      |    OVER (PARTITION BY user_id) AS v_us FROM e),
+      |w2 AS (SELECT user_id, v_us,
+      |  min(CASE WHEN event_type = 'purchase' AND us >= v_us THEN us END)
+      |    OVER (PARTITION BY user_id) AS p_us FROM w1),
+      |per AS (SELECT user_id, max(v_us) AS v_us, max(p_us) AS p_us
+      |  FROM w2 GROUP BY user_id),
+      |endt AS (SELECT max(us) AS end_us FROM e),
+      |durs AS (SELECT (user_id % 2)::INT AS arm,
+      |    floor((coalesce(p_us, end_us) - v_us) / 3600000000.0)::BIGINT AS duration_h,
+      |    CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM per, endt WHERE v_us IS NOT NULL),
+      |grid AS (SELECT duration_h,
+      |    CAST(sum(CASE WHEN arm = 0 THEN ev ELSE 0 END) AS BIGINT) AS d0,
+      |    CAST(sum(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+      |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      |  FROM durs GROUP BY duration_h),
+      |risk AS (SELECT duration_h, d0, d1,
+      |    sum(c0) OVER (ORDER BY duration_h
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n0,
+      |    sum(c1) OVER (ORDER BY duration_h
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n1
+      |  FROM grid),
+      |terms AS (SELECT d1, d0 + d1 AS d, n0 + n1 AS n, n0, n1,
+      |    (d0 + d1) * n1::DOUBLE / (n0 + n1) AS e1,
+      |    (d0 + d1)::DOUBLE * (n1::DOUBLE / (n0 + n1)) * (n0::DOUBLE / (n0 + n1))
+      |      * ((n0 + n1 - d0 - d1)::DOUBLE / (n0 + n1 - 1)) AS v
+      |  FROM risk WHERE d0 + d1 > 0 AND n0 + n1 > 1)
+      |SELECT CAST(sum(d1) AS BIGINT) AS o1, round(sum(e1), 4) AS e1,
+      |  round(pow(sum(d1) - sum(e1), 2) / sum(v), 4) AS chi2,
+      |  pow(sum(d1) - sum(e1), 2) / sum(v) > 3.841 AS significant
+      |FROM terms""".stripMargin
+
   val qSurvivalKmSql: String =
     """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
       |w1 AS (SELECT user_id, event_type, us,
@@ -890,6 +979,7 @@ object Timeseries extends QueryFamily {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_brown_smoothing", qBrownSmoothing, Some(qBrownSmoothingSql)),
     QueryDef("q_forecast_audit", qForecastAudit, Some(qForecastAuditSql)),
+    QueryDef("q_log_rank", qLogRank, Some(qLogRankSql)),
     QueryDef("q_survival_km", qSurvivalKm, Some(qSurvivalKmSql)),
     QueryDef("q_burstiness", qBurstiness, Some(qBurstinessSql)),
     QueryDef("q_rolling_distinct_7d", qRollingDistinct7d, Some(qRollingDistinct7dSql)),

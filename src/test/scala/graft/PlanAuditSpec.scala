@@ -82,7 +82,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // unrolled greedy MMR steps
     "q_sim_mmr",
     // 1-row study-end build for right-censoring
-    "q_survival_km",
+    "q_survival_km", "q_log_rank",
     // 1-row L1 normalizer broadcasts per HITS half-step
     "q_hits",
     // 1-row corpus-token total against the 3-row cutoff aggregate
@@ -163,6 +163,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_auc_quality" -> "4dp score grid (<=10001 rows)",
     // risk-set + product-limit windows over the O(study-hours) grid
     "q_survival_km" -> "O(hours) duration grid",
+    "q_log_rank" -> "O(hours) duration grid",
     // two-phase top-100 survivors (k x |parts| rows max)
     "q_kendall_tau" -> "top-100 ranked survivors",
     // rank assignment over the two 20-row retrieval lists

@@ -409,6 +409,20 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(math.abs(first.getAs[Double]("trend")) < 0.01)
   }
 
+  test("log-rank: chi2 recomputes from O/E and parity arms are near-null") {
+    val r = ops.Timeseries.qLogRank(spark, sf).collect().head
+    val o1 = r.getAs[Long]("o1"); val e1 = r.getAs[Double]("e1")
+    assert(o1 > 0 && e1 > 0)
+    val chi2 = r.getAs[Double]("chi2")
+    assert(chi2 >= 0.0)
+    assert(r.getAs[Boolean]("significant") === (chi2 > 3.841))
+    // arm = user parity is a null assignment: with ~15 conversions at
+    // sf0.001 the O-E gap is sampling noise, so bound the statistic
+    // loosely rather than the ratio (chi2 >= 15 would be p < 1e-4 —
+    // essentially impossible under H0)
+    assert(chi2 < 15.0, s"parity arms diverged: O=$o1 E=$e1 chi2=$chi2")
+  }
+
   test("forecast audit metrics are ordered and bounded") {
     val r = ops.Timeseries.qForecastAudit(spark, sf).collect().head
     assert(r.getAs[Long]("n_months") > 12L)
