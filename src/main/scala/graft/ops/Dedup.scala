@@ -649,26 +649,61 @@ object Dedup extends QueryFamily {
       |FROM m WHERE cont_a >= 0.5 OR cont_b >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
 
-  /** Embedding-cosine near-dup with IVF-style blocking: only vectors in
-    * the same coarse cluster (label) are compared. The cosine kernel is
-    * the native codegen'd [[graft.functions.CosineSimilarity]]
-    * expression (same sequential double accumulation as the HOF
-    * formulation, so the oracle is unchanged). */
+  /** Embedding-cosine near-dup, SemDeDup-shaped (Abbas et al. 2023):
+    * candidates come from a coarse cell, exact cosine verifies only
+    * candidates. The cell is (label, sign-prefix) where the sign-LSH
+    * prefix width is DATA-ADAPTIVE per block
+    * ([[Similarity.scaledBits]]: 0 extra bits while a label block fits
+    * the 64-vector target — so small corpora compare the whole block,
+    * byte-identical to the round-8 all-pairs answer — and
+    * ceil(log2(block/64)) bits once it outgrows it, splitting the
+    * block so per-cell pairs stay O(block x 64) instead of O(block²)).
+    * That kills the round-8 scale defect: `label` is a small FIXED
+    * set, so label-only blocking grew O(n²/|labels|); the sub-split
+    * key's cardinality grows with n. Recall trade is the SemDeDup one:
+    * true near-dups (cos >= 0.9, per-hyperplane sign agreement >= .86)
+    * stay co-celled with high probability at the shallow scaled
+    * depths; far pairs near the 0.4 floor may split — exactly the
+    * pairs a near-dup pass is free to drop. The cosine kernel is the
+    * native codegen'd [[graft.functions.CosineSimilarity]] expression
+    * (same sequential double accumulation as the HOF formulation). */
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = T.embeddings(spark, dir).select($"vec_id", $"label", $"embedding")
-    val a = e.select($"vec_id".as("a_id"), $"label", $"embedding".as("va"))
-    val b = e.select($"vec_id".as("b_id"), $"label", $"embedding".as("vb"))
-    a.join(b, Seq("label")).filter($"a_id" < $"b_id")
+    dedupEmbeddingCandidates(spark, dir)
       .withColumn("cos", graft.functions.F.cosineSimilarity($"va", $"vb"))
       .filter($"cos" >= 0.4)
       .select($"a_id", $"b_id", round($"cos", 4).as("cos"))
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Candidate pairs (a_id, va, b_id, vb) of [[qDedupEmbedding]] —
+    * split out so ScaleSpec can assert the candidate count grows
+    * sub-quadratically across the sf0.01/sf0.1 fixtures. */
+  private[graft] def dedupEmbeddingCandidates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e0 = T.embeddings(spark, dir).select($"vec_id", $"label", $"embedding")
+    val blocks = e0.groupBy($"label").agg(count(lit(1)).as("bn"))
+    val e = e0.join(broadcast(blocks), Seq("label"))
+      .withColumn("bits",
+        Similarity.scaledBits($"bn", targetBucket = 64, floor = 0, max = 16))
+      .withColumn("sg", Similarity.signBits(16))
+      .withColumn("cell", expr("substring(sg, 1, bits)"))
+    val a = e.select($"vec_id".as("a_id"), $"label", $"cell", $"embedding".as("va"))
+    val b = e.select($"vec_id".as("b_id"), $"label", $"cell", $"embedding".as("vb"))
+    a.join(b, Seq("label", "cell")).filter($"a_id" < $"b_id")
+  }
+
   val qDedupEmbeddingSql: String =
-    """WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding ea, b.embedding eb
-      |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id),
+    """WITH bl AS (SELECT label, greatest(0, least(16,
+      |    CAST(ceil(log2(count(*) / 64.0)) AS INT))) AS bits
+      |  FROM embeddings GROUP BY label),
+      |e AS (SELECT vec_id, e0.label, embedding,
+      |  substr(array_to_string(list_transform(embedding[1:16],
+      |    x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), ''), 1, bits) AS cell
+      |  FROM embeddings e0 JOIN bl USING (label)),
+      |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding ea, b.embedding eb
+      |  FROM e a JOIN e b ON a.label = b.label AND a.cell = b.cell
+      |  AND a.vec_id < b.vec_id),
       |u AS (SELECT a_id, b_id, unnest(ea) AS ax, unnest(eb) AS bx FROM p),
       |c AS (SELECT a_id, b_id, sum(ax::DOUBLE * bx::DOUBLE) AS dot,
       |        sum(ax::DOUBLE * ax::DOUBLE) AS na, sum(bx::DOUBLE * bx::DOUBLE) AS nb

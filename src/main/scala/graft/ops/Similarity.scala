@@ -31,6 +31,37 @@ object Similarity extends QueryFamily {
     * oracles match bit-for-bit. */
   private def cos = graft.functions.F.cosineSimilarity(col("qv"), col("v"))
 
+  /** THE sign-LSH hash: '0'/'1' sign string of the first `dims`
+    * embedding dimensions (a deterministic, engine-portable surrogate
+    * for random hyperplanes). Single definition shared by q_sim_lsh,
+    * the multiprobe variant, the recall audits, q_knn_graph and
+    * q_dedup_embedding (round-8 advice: hoist the copy-pasted
+    * bucketExpr so bit-scaling lands everywhere at once). */
+  private[ops] def signBits(dims: Int): Column = expr(
+    s"array_join(transform(slice(embedding, 1, $dims), x -> IF(x > CAST(0 AS float), '1', '0')), '')")
+
+  /** Corpus-scaled hyperplane count: the smallest `bits` with
+    * 2^bits >= n / targetBucket, clamped to [floor, max]. Bucket COUNT
+    * grows linearly with the data, so expected bucket SIZE stays at
+    * targetBucket and a bucket equi-self-join is O(n x targetBucket)
+    * candidates — the round-8 fix for the fixed-256-bucket O(n^2/256)
+    * plan. Both engines evaluate log2 through correctly-rounded libm,
+    * so the ceil never straddles an ulp. */
+  private[ops] def scaledBits(n: Column, targetBucket: Int, floor: Int, max: Int): Column =
+    least(lit(max), greatest(lit(floor),
+      ceil(log2(n.cast("double") / lit(targetBucket.toDouble))).cast("int")))
+
+  /** Hamming<=1 probe set over `bucket`/`bits` columns: the bucket
+    * itself (k = 0) plus each one-bit flip. Exploded on the PROBE side
+    * only, so a pair whose buckets differ in exactly one bit matches
+    * exactly once (at the flipped position) and an equal-bucket pair
+    * matches exactly once (k = 0) — no candidate dedup needed. */
+  private[ops] def hamming1Probes: Column = explode(expr(
+    """transform(sequence(0, bits), k -> CASE WHEN k = 0 THEN bucket
+      |  ELSE concat(substring(bucket, 1, k - 1),
+      |              IF(substring(bucket, k, 1) = '1', '0', '1'),
+      |              substring(bucket, k + 1, bits - k)) END)""".stripMargin))
+
   /** Exact brute-force top-5 cosine neighbors for probe vectors
     * (vec_id < 10) against the whole corpus. The probe set is tiny, so
     * a plain per-probe ranking window would drag every scored corpus row
@@ -74,9 +105,7 @@ object Similarity extends QueryFamily {
     * traded for a 2^8 candidate reduction. */
   def qSimLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bucketExpr = expr(
-      "array_join(transform(slice(embedding, 1, 8), x -> IF(x > CAST(0 AS float), '1', '0')), '')")
-    val e = T.embeddings(spark, dir).withColumn("bucket", bucketExpr)
+    val e = T.embeddings(spark, dir).withColumn("bucket", signBits(8))
     val probes = e.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"bucket")
     val corpus = e.select($"vec_id".as("n_id"), $"embedding".as("v"), $"bucket")
@@ -118,17 +147,12 @@ object Similarity extends QueryFamily {
     * equi-key join. */
   def qSimLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bucketExpr = expr(
-      "array_join(transform(slice(embedding, 1, 8), x -> IF(x > CAST(0 AS float), '1', '0')), '')")
-    val e = T.embeddings(spark, dir).withColumn("bucket", bucketExpr)
+    val e = T.embeddings(spark, dir).withColumn("bucket", signBits(8))
     val probes = e.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"bucket")
-      .withColumn("probe_bucket", explode(expr(
-        """transform(sequence(0, 8), k -> CASE WHEN k = 0 THEN bucket
-          |  ELSE concat(substring(bucket, 1, k - 1),
-          |              IF(substring(bucket, k, 1) = '1', '0', '1'),
-          |              substring(bucket, k + 1, 8 - k)) END)""".stripMargin)))
-      .drop("bucket")
+      .withColumn("bits", lit(8))
+      .withColumn("probe_bucket", hamming1Probes)
+      .drop("bucket", "bits")
     val corpus = e.select($"vec_id".as("n_id"), $"embedding".as("v"),
       $"bucket".as("probe_bucket"))
     val scored = corpus.join(broadcast(probes), Seq("probe_bucket"))
@@ -1126,24 +1150,24 @@ object Similarity extends QueryFamily {
       |ORDER BY sel_rank""".stripMargin
 
   /** Approximate kNN GRAPH over the whole corpus (top-3 cosine
-    * neighbors per vector from its sign-LSH bucket) — the artifact
-    * graph-based ANN indexes (HNSW/NSG) and semantic dedup clustering
-    * start from, where the q_sim_* family answers point queries. The
-    * candidate generator is a bucket equi-join of the corpus with
-    * itself — Σ|bucket|² pairs, never |corpus|², and the exact shape
-    * that shuffles by bucket across 1000 executors — followed by
-    * [[Skew.twoPhaseTopK]] so no per-source ranking window ever sees
-    * more than local survivors. Vectors are pruned before the ranking
-    * shuffle: only (src, nbr, cos) crosses it. */
+    * neighbors per vector from its sign-LSH neighborhood) — the
+    * artifact graph-based ANN indexes (HNSW/NSG) and semantic dedup
+    * clustering start from, where the q_sim_* family answers point
+    * queries. The hyperplane count SCALES WITH THE CORPUS
+    * ([[scaledBits]]: 2^bits ~ n/4, floor 4, cap 16), so expected
+    * bucket size is a constant ~4 vectors at any n — the round-8 fix
+    * for the fixed-256-bucket plan whose buckets grew with the corpus
+    * (O(n^2/256) candidates). Each vector probes its own bucket plus
+    * the `bits` hamming-1 flips ([[hamming1Probes]]) so graph degree
+    * survives the finer bucketing: candidates are O(n x 4 x bits) —
+    * ~log-linear, verified sub-quadratic across fixtures by ScaleSpec.
+    * Still an equi-join that shuffles by bucket across 1000 executors,
+    * followed by [[Skew.twoPhaseTopK]] so no per-source ranking window
+    * ever sees more than local survivors. Vectors are pruned before
+    * the ranking shuffle: only (src, nbr, cos) crosses it. */
   def qKnnGraph(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bucketExpr = expr(
-      "array_join(transform(slice(embedding, 1, 8), x -> IF(x > CAST(0 AS float), '1', '0')), '')")
-    val e = T.embeddings(spark, dir).withColumn("bucket", bucketExpr)
-    val l = e.select($"vec_id".as("src_id"), $"embedding".as("qv"), $"bucket")
-    val r = e.select($"vec_id".as("nbr_id"), $"embedding".as("v"), $"bucket")
-    val scored = l.join(r, Seq("bucket"))
-      .filter($"src_id" =!= $"nbr_id")
+    val scored = knnGraphCandidates(spark, dir)
       .select($"src_id", $"nbr_id",
         graft.functions.F.cosineSimilarity($"qv", $"v").as("cos"))
     Skew.twoPhaseTopK(scored, Seq($"src_id"),
@@ -1152,15 +1176,42 @@ object Similarity extends QueryFamily {
       .orderBy($"src_id", $"rank")
   }
 
+  /** Candidate edges (src_id, qv, nbr_id, v) of [[qKnnGraph]] — split
+    * out so ScaleSpec can assert the candidate count grows
+    * sub-quadratically across the sf0.01/sf0.1 fixtures. */
+  private[graft] def knnGraphCandidates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e0 = T.embeddings(spark, dir)
+    val n = e0.agg(count(lit(1)).as("n"))
+    val e = e0.crossJoin(broadcast(n))
+      .withColumn("bits", scaledBits($"n", targetBucket = 4, floor = 4, max = 16))
+      .withColumn("sg", signBits(16))
+      .withColumn("bucket", expr("substring(sg, 1, bits)"))
+    val l = e.withColumn("probe_bucket", hamming1Probes)
+      .select($"vec_id".as("src_id"), $"embedding".as("qv"), $"probe_bucket")
+    val r = e.select($"vec_id".as("nbr_id"), $"embedding".as("v"),
+      $"bucket".as("probe_bucket"))
+    l.join(r, Seq("probe_bucket")).filter($"src_id" =!= $"nbr_id")
+  }
+
   val qKnnGraphSql: String =
-    """WITH e AS (SELECT vec_id, embedding,
+    """WITH nb AS (SELECT greatest(4, least(16,
+      |    CAST(ceil(log2(count(*) / 4.0)) AS INT))) AS bits FROM embeddings),
+      |e AS (SELECT vec_id, embedding, bits,
       |  (SELECT sum(x::DOUBLE * x::DOUBLE) FROM unnest(embedding) t(x)) AS n2,
-      |  array_to_string(list_transform(embedding[1:8],
-      |    x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket
-      |  FROM embeddings),
+      |  substr(array_to_string(list_transform(embedding[1:16],
+      |    x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), ''), 1, bits) AS bucket
+      |  FROM embeddings, nb),
+      |pr AS (SELECT vec_id, embedding, n2,
+      |    unnest(list_transform(range(0, bits + 1),
+      |      k -> CASE WHEN k = 0 THEN bucket
+      |           ELSE substr(bucket, 1, k - 1) ||
+      |                (CASE WHEN substr(bucket, k, 1) = '1' THEN '0' ELSE '1' END) ||
+      |                substr(bucket, k + 1, bits - k) END)) AS pb
+      |  FROM e),
       |pairs AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
       |    a.n2 AS an2, b.n2 AS bn2, a.embedding AS ae, b.embedding AS be
-      |  FROM e a JOIN e b USING (bucket) WHERE b.vec_id <> a.vec_id),
+      |  FROM pr a JOIN e b ON b.bucket = a.pb AND b.vec_id <> a.vec_id),
       |u AS (SELECT src_id, nbr_id, an2, bn2,
       |    unnest(ae) AS ax, unnest(be) AS bx FROM pairs),
       |scored AS (SELECT src_id, nbr_id,

@@ -108,7 +108,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row base-conversion + effect-total broadcasts onto 5 channels
     "q_attribution_markov",
     // 1-row corpus-total broadcast onto the (source, token) counts
-    "q_log_odds_terms")
+    "q_log_odds_terms",
+    // 1-row corpus-count broadcast that sets the scaled sign-LSH depth
+    "q_knn_graph")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
@@ -223,7 +225,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_sim_lsh_recall" -> "LSH bucket pipeline + exact ground-truth audit pipeline",
     "q_sim_ndcg" -> "ranking pipeline + graded exact top-5 audit pipeline",
     "q_sim_pq" -> "PQ codebook train + encode + ADC + re-rank phases",
-    "q_sim_pq_recall" -> "PQ phases + exact ground-truth audit pipeline")
+    "q_sim_pq_recall" -> "PQ phases + exact ground-truth audit pipeline",
+    // scaled-LSH families: a third scan derives the corpus/block count
+    // that sets the hash depth, alongside the self-join's two sides
+    "q_knn_graph" -> "corpus-count branch (1 row) + the bucket self-join's two sides",
+    "q_dedup_embedding" -> "per-label block-count branch (|labels| rows) + the cell self-join's two sides")
 
   test("no registered query scans one source relation more than twice") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -270,6 +276,94 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty,
       s"value-buffering aggregate outside the bounded-group whitelist: ${offenders.sorted.mkString(", ")}")
+  }
+
+  // Bounded-bucket equi-self-joins — the round-8 defect class
+  // (q_knn_graph's fixed 256-bucket sign key, q_dedup_embedding's small
+  // fixed label set): when a relation equi-joins WITH ITSELF on a key
+  // whose cardinality does NOT grow with the data, per-key buckets grow
+  // ~ n and candidates grow ~ n^2. The gate finds every equi-join whose
+  // two sides scan the same parquet relation, checks whether both sides
+  // are SF-scaled (each side's row count at sf0.1 is >= 2x its sf0.01
+  // count — a side bounded by construction, like a 10-probe set, is
+  // exempt by measurement), and for scaled self-joins MEASURES the
+  // join-key distinct count on each side at both fixtures: the key
+  // cardinality must grow too. Blind spot, by design: relations behind
+  // localCheckpoint() surface as LogicalRDD leaves, not parquet scans
+  // (the iterative graph/cluster family) — those plans are hand-audited
+  // per round. Whitelist carries the joins whose key domain is bounded
+  // by the operator's own semantics, with reasons:
+  private val selfJoinAllowed: Map[String, String] = Map.empty
+
+  test("equi-self-join keys scale with the data (no bounded-bucket self-joins)") {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, And => CAnd, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+    def leafNames(p: LogicalPlan): Set[String] = p.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.getName).toSet
+        case _ => Set("non-fs")
+      }
+    }.flatten.toSet
+
+    def splitConj(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => splitConj(l) ++ splitConj(r)
+      case x          => Seq(x)
+    }
+
+    def ofRows(p: LogicalPlan) = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, p)
+
+    // (left child, left keys, right child, right keys) of every
+    // parquet-self equi-join in the query's optimized plan at `dir`
+    def selfJoins(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+                  dir: String): Seq[(LogicalPlan, Seq[Expression], LogicalPlan, Seq[Expression])] =
+      fn(spark, dir).queryExecution.optimizedPlan.collect {
+        case j: Join if j.condition.isDefined &&
+            (leafNames(j.left) intersect leafNames(j.right)).nonEmpty =>
+          val eqs = splitConj(j.condition.get).collect {
+            case EqualTo(a, b) if a.references.subsetOf(j.left.outputSet) &&
+                b.references.subsetOf(j.right.outputSet) => (a, b)
+            case EqualTo(a, b) if b.references.subsetOf(j.left.outputSet) &&
+                a.references.subsetOf(j.right.outputSet) => (b, a)
+          }
+          (j.left, eqs.map(_._1), j.right, eqs.map(_._2))
+      }.filter(_._2.nonEmpty)
+
+    def keyCard(child: LogicalPlan, keys: Seq[Expression]): Long =
+      ofRows(Project(keys.zipWithIndex.map { case (e, i) => Alias(e, s"__k$i")() },
+        child)).distinct().count()
+
+    val small = "/root/testdata/sf0.01"
+    val big = "/root/testdata/sf0.1"
+    // cheap pre-scan at the tiny test fixture: only queries that show a
+    // parquet self-join there pay the sf0.01/sf0.1 measurement
+    val withSelfJoins = SparkEntry.queries.toSeq.filter { case (_, fn) =>
+      selfJoins(fn, sf).nonEmpty
+    }
+    val offenders = withSelfJoins.flatMap { case (name, fn) =>
+      if (selfJoinAllowed.contains(name)) None
+      else {
+        val js = selfJoins(fn, small)
+        val jb = selfJoins(fn, big)
+        // plan shape is deterministic per code path; joins pair by index
+        val bad = js.zip(jb).exists { case ((ls, ks1, rs, ks2), (lb, kb1, rb, kb2)) =>
+          val sideScaled = Seq((ls, lb), (rs, rb)).map { case (s, b) =>
+            val (cs, cb) = (ofRows(s).count(), ofRows(b).count())
+            cb >= 2L * cs
+          }
+          if (!sideScaled.forall(identity)) false // a bounded side caps the join
+          else {
+            val lGrow = keyCard(lb, kb1).toDouble / math.max(1L, keyCard(ls, ks1))
+            val rGrow = keyCard(rb, kb2).toDouble / math.max(1L, keyCard(rs, ks2))
+            math.min(lGrow, rGrow) < 1.5 // key cardinality flat => buckets grow ~ n
+          }
+        }
+        if (bad) Some(name) else None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"bounded-bucket equi-self-join (key cardinality does not scale with data) outside the whitelist: ${offenders.sorted.mkString(", ")}")
   }
 
   test("fact-table scans never broadcast: no BroadcastExchange feeds from lineitem scan directly") {

@@ -183,6 +183,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(plain.exceptAll(skewed).count() === 0)
   }
 
+  test("scaled sign-LSH candidate generation grows sub-quadratically with the corpus") {
+    // The round-8 defect class: fixed-width LSH keys (256 sign buckets,
+    // a small fixed label set) made the candidate self-joins O(n^2).
+    // The scaled-bits fix must show 4x the corpus (sf0.01 -> sf0.1
+    // embeddings: 500 -> 2000) produces far fewer than 16x the
+    // candidates — assert under half of quadratic growth.
+    val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val ns = dirs.map(d => spark.read.parquet(s"$d/embeddings.parquet").count())
+    val growth = ns(1).toDouble / ns(0)
+    assert(growth >= 2.0, s"fixtures no longer differ in size: $ns")
+    val quad = growth * growth
+    val knn = dirs.map(d => ops.Similarity.knnGraphCandidates(spark, d).count())
+    assert(knn(1).toDouble / knn(0) < quad / 2,
+      s"knn-graph candidate growth is quadratic-class: $knn for corpus growth $growth")
+    val ded = dirs.map(d => ops.Dedup.dedupEmbeddingCandidates(spark, d).count())
+    assert(ded(1).toDouble / ded(0) < quad / 2,
+      s"embedding-dedup candidate growth is quadratic-class: $ded for corpus growth $growth")
+  }
+
   test("key histogram surfaces the heaviest keys in order") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val hist = ops.Skew.keyHistogram(li, col("l_suppkey"), topN = 5).collect()
