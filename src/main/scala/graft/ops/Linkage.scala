@@ -105,8 +105,9 @@ object Linkage extends QueryFamily {
           |ELSE array() END""".stripMargin)).as("t"))
       .distinct()
       .cache() // consumed by freq, prefix build, and the verify join
-    // one row per doc: its sorted distinct-bigram ARRAY (bounded by
-    // doc length, ~130 entries — never an unbounded value buffer).
+    // one row per doc: its sorted distinct 4-token-shingle ARRAY
+    // (bounded by doc length, ~130 entries — never an unbounded value
+    // buffer).
     // Verification is then a per-candidate array_intersect instead of
     // re-joining every candidate pair against every token of both
     // docs — the join that made the first cut of this query 46 s at

@@ -863,9 +863,10 @@ object Mining extends QueryFamily {
     * forward-looking-window path segmentation (clicks after the last
     * purchase form the NULL-absorbed journey; purchases with no prior
     * click contribute START→CONV directly). The 32-step horizon
-    * absorbs all realistic path lengths; both engines run the
-    * identical arithmetic, so the oracle matches bit-for-bit before
-    * display rounding. */
+    * absorbs all realistic path lengths; the two engines accumulate
+    * the squaring sums in different orders (hash-aggregate vs
+    * sorted-key), so agreement is up to the 5-dp display rounding —
+    * which is what the differential asserts. */
   /** All six absorption probabilities ([full, r0..r4]) of the bounded
     * transition matrix, M³² by 5 in-memory squarings per scenario.
     * Runs once, on one row, over ≤ 64 entries — deterministic

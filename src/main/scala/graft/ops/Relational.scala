@@ -458,6 +458,41 @@ object Relational extends QueryFamily {
       .orderBy($"l_returnflag")
   }
 
+  /** Self-verifying audit of [[qApproxDistinct]]'s HLL++ estimates
+    * (round-8 advice: the last meaningfully-oracle-able rows-only
+    * entry): per-returnflag `approx_count_distinct(rsd = 0.01)` is
+    * checked against the exact distinct from the same scan; the
+    * emitted row is (flag, exact counts, within-bound booleans) with
+    * the bound at 3x the requested rsd (HLL++'s rsd is a standard
+    * error — 3 sigma absorbs per-group variance). The oracle
+    * reproduces the exact counts and pins the booleans at true, so
+    * the hash compare IS the accuracy-contract check — the
+    * q_hll_union_audit / q_kll_quantile_audit design. One scan: both
+    * the approximate and exact aggregates ride the same hash
+    * aggregate over (returnflag). */
+  def qApproxDistinctAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val eps = 0.03
+    T.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey", 0.01).as("apx_parts"),
+        countDistinct($"l_partkey").as("n_parts"),
+        approx_count_distinct($"l_orderkey", 0.01).as("apx_orders"),
+        countDistinct($"l_orderkey").as("n_orders"))
+      .select($"l_returnflag", $"n_parts", $"n_orders",
+        (abs($"apx_parts" - $"n_parts") <= lit(eps) * $"n_parts").as("ok_parts"),
+        (abs($"apx_orders" - $"n_orders") <= lit(eps) * $"n_orders").as("ok_orders"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qApproxDistinctAuditSql: String =
+    """SELECT l_returnflag,
+      | count(DISTINCT l_partkey) AS n_parts,
+      | count(DISTINCT l_orderkey) AS n_orders,
+      | true AS ok_parts, true AS ok_orders
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Self-verifying audit of Datasketches-HLL partial-sketch merge —
     * the distributed distinct-count shape at 100 TB: each supplier
     * shard builds its own sketch INDEPENDENTLY (hll_sketch_agg, a
@@ -1405,7 +1440,7 @@ object Relational extends QueryFamily {
     * rows BEFORE the join shuffle; the exact equi-join afterwards
     * removes the sketch's false positives, so the result is
     * bit-identical to the plain join (which is exactly what the
-    * oracle runs). The sketch is one 4 MiB mergeable aggregate
+    * oracle runs). The sketch is one 512 KiB (2^22-bit) mergeable aggregate
     * ([[graft.functions.Aggregators.bloomSketch]]); the probe is the
     * codegen'd [[graft.functions.F.bloomMightContain]] projection —
     * zero shuffle added, shuffle volume cut to the semi-join's
@@ -1476,6 +1511,7 @@ object Relational extends QueryFamily {
     QueryDef("q_union_drift", qUnionDrift, Some(qUnionDriftSql)),
     QueryDef("q_distinct_counts", qDistinctCounts, Some(qDistinctCountsSql)),
     QueryDef("q_approx_distinct", qApproxDistinct, None),
+    QueryDef("q_approx_distinct_audit", qApproxDistinctAudit, Some(qApproxDistinctAuditSql)),
     QueryDef("q_hll_union_audit", qHllUnionAudit, Some(qHllUnionAuditSql)),
     QueryDef("q_kll_quantile_audit", qKllQuantileAudit, Some(qKllQuantileAuditSql)),
     QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),

@@ -23,11 +23,18 @@ object T {
     * the session timezone pinned to UTC the NTZ wall-clock IS the instant.
     * The DuckDB oracles use `make_timestamp(epoch_ns(ts)//1000)`, which
     * yields the identical microsecond instant for both physical shapes.
-    */
+    *
+    * The `nanosAsLong` session conf is flipped ONLY when the parquet
+    * footer actually declares TIMESTAMP(NANOS) (round-8 advice: no
+    * global-state mutation on every loader call — the modern
+    * timestamp[us] fixture never touches session conf, so loader order
+    * cannot change unrelated reads). The footer probe is memoized per
+    * fixture directory. */
   def eventsTs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampType}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (eventsTsIsNanos(spark, dir))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(spark, dir, "events")
     df.schema("ts").dataType match {
       case LongType      => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -35,6 +42,38 @@ object T {
       case _             => df.withColumn("ts", col("ts").cast(TimestampType))
     }
   }
+
+  private val tsNanosCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** True iff `{dir}/events.parquet`'s footer declares `ts` as
+    * TIMESTAMP(NANOS). Reads one footer through the Hadoop FileSystem
+    * API (object-store-safe), handling both a single parquet file and
+    * a directory of part files. */
+  private def eventsTsIsNanos(spark: SparkSession, dir: String): Boolean =
+    tsNanosCache.computeIfAbsent(dir, _ => {
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new Path(s"$dir/events.parquet")
+      val fs = p.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath)
+            .find(_.getName.endsWith(".parquet")).getOrElse(p)
+        else p
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        schema.containsField("ts") &&
+          (schema.getType(schema.getFieldIndex("ts")).getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+            case _ => false
+          })
+      } finally reader.close()
+    })
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -863,9 +863,10 @@ object Timeseries extends QueryFamily {
     * power-of-two weight form (8 terms, coverage > 99.6 %), so each is
     * a fixed-width window expression, never a recursive state: the
     * fact table grain-reduces to O(months) FIRST, and the two
-    * partitionless windows only ever see that bounded series. Both
-    * engines evaluate the identical left-associated double sums, so
-    * the smoothed values agree bit-for-bit before display rounding. */
+    * partitionless windows only ever see that bounded series. The two
+    * engines may accumulate the window sums in different orders
+    * (double addition is not associative), so the smoothed values
+    * agree within the display rounding the differential asserts. */
   def qBrownSmoothing(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = Window.orderBy($"mon")

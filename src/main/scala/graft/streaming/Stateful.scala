@@ -94,13 +94,22 @@ object Stateful {
         .agg(max_by(col("total"), col("b")).as("total"))
     }
 
-    private def batchIds: Seq[Long] = {
-      val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(root))
-      try {
-        import scala.jdk.CollectionConverters._
-        dirs.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("b=")).map(_.stripPrefix("b=").toLong).toSeq
-      } finally dirs.close()
+    // All directory manipulation goes through the Hadoop FileSystem
+    // API resolved from the table root's own scheme, so the sink works
+    // unchanged on HDFS/object stores, not just the local FS (the
+    // round-8 advice item). On rename atomicity: HDFS/local renames
+    // are atomic; object stores emulate rename, but the compaction's
+    // rename ORDER (stage in dot-prefix -> trash olds -> publish ->
+    // purge) keeps every intermediate state readable regardless.
+    private def fsAndPath(spark: SparkSession): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+
+    private def batchIds(spark: SparkSession): Seq[Long] = {
+      val (fs, p) = fsAndPath(spark)
+      fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("b=")).map(_.stripPrefix("b=").toLong)
     }
 
     /** Collapse every batch directory BELOW the head batch into one.
@@ -127,15 +136,14 @@ object Stateful {
       * (either fully old or fully new). Returns the number of
       * directories compacted away (0 = nothing to do). */
     def compact(spark: SparkSession): Int = {
-      import java.nio.file.{Files => F, Paths, StandardCopyOption}
-      val ids = batchIds.sorted
+      import org.apache.hadoop.fs.Path
+      val (fs, rootPath) = fsAndPath(spark)
+      val ids = batchIds(spark).sorted
       if (ids.length <= 2) return 0
       val head = ids.last
       val olds = ids.dropRight(1)
-      val stage = Paths.get(root, ".compact-stage")
-      if (F.exists(stage))
-        F.walk(stage).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => F.delete(p))
+      val stage = new Path(rootPath, ".compact-stage")
+      if (fs.exists(stage)) fs.delete(stage, true)
       import org.apache.spark.sql.functions._
       spark.read.option("basePath", root).parquet(
           olds.map(id => s"$root/b=$id"): _*)
@@ -143,17 +151,13 @@ object Stateful {
         .agg(max_by(col("total"), col("b")).as("total"))
         .write.parquet(stage.toString)
       val trash = olds.map { id =>
-        val from = Paths.get(root, s"b=$id")
-        val to = Paths.get(root, s".trash-b=$id")
-        F.move(from, to, StandardCopyOption.ATOMIC_MOVE)
+        val from = new Path(rootPath, s"b=$id")
+        val to = new Path(rootPath, s".trash-b=$id")
+        fs.rename(from, to)
         to
       }
-      F.move(stage, Paths.get(root, s"b=${head - 1}"),
-        StandardCopyOption.ATOMIC_MOVE)
-      trash.foreach { t =>
-        F.walk(t).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => F.delete(p))
-      }
+      fs.rename(stage, new Path(rootPath, s"b=${head - 1}"))
+      trash.foreach(t => fs.delete(t, true))
       olds.length - 1
     }
   }

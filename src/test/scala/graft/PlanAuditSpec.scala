@@ -259,7 +259,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_path_trigrams" -> "collect of rank<=3 rows per user (rank filter bounds the group)",
     "q_collect_agg" -> "collect_list over <=25 nations per region (dimension-bounded)",
     "q_basket_triples" -> "collect_set over per-order baskets (<=7 parts, TPC-H)",
-    "q_set_sim_join" -> "collect_list of per-doc distinct bigrams (bounded by doc length)",
+    "q_set_sim_join" -> "collect_list of per-doc distinct 4-token shingles (bounded by doc length)",
     "q_attribution_markov" -> "collect_list of the states^2-bounded (<=64 rows) transition matrix")
 
   test("no registered query buffers group values (exact percentile / collect) over an unbounded input") {

@@ -77,7 +77,7 @@ class RelationalSpec extends AnyFunSuite {
     val nSurvive = survivors.count()
     val nTrue = li.join(urgentKeys, $"l_orderkey" === $"o_orderkey", "left_semi").count()
     // no false negatives ever; false-positive slack stays small at
-    // 4 MiB for this key cardinality
+    // 512 KiB (2^22 bits) for this key cardinality
     assert(nSurvive >= nTrue)
     assert(nSurvive < total, "bloom must drop non-matching fact rows")
     assert(nSurvive <= (nTrue * 1.1 + 100).toLong, s"FP rate too high: $nSurvive vs $nTrue")
