@@ -18,7 +18,7 @@ object SparkEntry {
   private val families: Seq[QueryFamily] = Seq(
     Relational, Tpch, Text, Dedup, Similarity, Multimodal, StreamingOps,
     ExportOps, Curation, Safety, Graph, Analytics, Mining, Timeseries,
-    Linkage
+    Linkage, Stats
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,334 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Statistical-test operators (SURVEY.md §2 Tier B analytics): the
+  * hypothesis-testing layer a data platform runs on top of its
+  * aggregates — rank tests, mean tests, multiple-testing control,
+  * rank correlation, robust regression, lagged cross-correlation.
+  *
+  * Scale design shared by the family: every test reduces the fact
+  * table to a BOUNDED relation first (a value grid, a per-group
+  * moment table, a monthly/daily grain), in ONE map-side-combined
+  * aggregate; the test statistic is then closed-form arithmetic on
+  * that bounded relation. Partitionless windows appear only over
+  * those bounded grids (whitelisted in PlanAuditSpec with row
+  * bounds); nothing rank-orders raw facts globally. Where a statistic
+  * flows through floating-point sums of SF-scaled data, outputs are
+  * rounded to absorb cross-engine accumulation-order noise; where
+  * exactness is cheap (integer cents, midranks in halves), the
+  * pipeline keeps values exact so both engines agree bit-for-bit.
+  */
+object Stats extends QueryFamily {
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) with tie-corrected normal
+    * approximation: urgent vs low-priority order values. Values are
+    * bucketed to a $1k grid FIRST (the defined statistic — midranks
+    * of the bucketed value), so ranking is a cumulative count over a
+    * ~$600-cell grid, never a global sort of raw orders: one hash
+    * aggregate + one bounded window at any SF. Midranks are exact
+    * multiples of 0.5 and tie terms are exact integers, so U and the
+    * tie-corrected sigma agree bit-for-bit across engines; only the
+    * final z is rounded. */
+  def qMannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grid = T.orders(spark, dir)
+      .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+      .groupBy(floor($"o_totalprice" / 1000).cast("long").as("v"))
+      .agg(
+        sum(when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L)).as("n1"),
+        sum(when($"o_orderpriority" === "5-LOW", 1L).otherwise(0L)).as("n2"))
+      .withColumn("t", $"n1" + $"n2")
+    val w = Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, 0)
+    val mid = grid.withColumn("cum", sum($"t").over(w))
+      .withColumn("mid", $"cum" - ($"t" - lit(1)) / 2.0)
+    mid.agg(
+        sum($"n1").as("na"), sum($"n2").as("nb"),
+        sum($"n1" * $"mid").as("r1"),
+        sum($"t" * $"t" * $"t" - $"t").as("tie"))
+      .select($"na", $"nb",
+        ($"r1" - $"na" * ($"na" + 1) / lit(2.0)).as("u1"),
+        $"tie", ($"na" + $"nb").as("nn"))
+      .select($"na", $"nb", round($"u1", 1).as("u1"),
+        round(($"u1" - $"na" * $"nb" / lit(2.0)) /
+          sqrt($"na" * $"nb" / lit(12.0) *
+            (($"nn" + 1) - $"tie" / ($"nn" * ($"nn" - lit(1.0))))), 4).as("z"))
+  }
+
+  val qMannWhitneySql: String =
+    """WITH grid AS (
+      |  SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS v,
+      |    sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS n1,
+      |    sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS n2
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      |  GROUP BY 1),
+      |mid AS (SELECT n1, n2, n1 + n2 AS t,
+      |    sum(n1 + n2) OVER (ORDER BY v) - (n1 + n2 - 1) / 2.0 AS mid
+      |  FROM grid),
+      |agg AS (SELECT sum(n1)::BIGINT AS na, sum(n2)::BIGINT AS nb,
+      |    sum(n1 * mid) AS r1, sum(t * t * t - t)::BIGINT AS tie
+      |  FROM mid),
+      |u AS (SELECT na, nb, r1 - na * (na + 1) / 2.0 AS u1, tie, na + nb AS nn FROM agg)
+      |SELECT na, nb, round(u1, 1) AS u1,
+      |  round((u1 - na * nb / 2.0) /
+      |    sqrt(na * nb / 12.0 * ((nn + 1) - tie / (nn * (nn - 1.0)))), 4) AS z
+      |FROM u""".stripMargin
+
+  /** Welch's unequal-variance t-test: returned ('R') vs accepted
+    * ('A') line-item prices. One 2-group hash aggregate carries
+    * count/mean/sample-variance; t and the Welch-Satterthwaite df are
+    * arithmetic on the 2-row relation. Rounded at 4dp (t) / 1dp (df):
+    * the moments ride SF-scaled double sums whose accumulation order
+    * differs across engines. */
+  def qWelchTtest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = T.lineitem(spark, dir)
+      .filter($"l_returnflag".isin("R", "A"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), avg($"l_extendedprice").as("m"),
+        var_samp($"l_extendedprice").as("s2"))
+    val wide = g.agg(
+      max(when($"l_returnflag" === "R", $"n")).as("n_r"),
+      max(when($"l_returnflag" === "R", $"m")).as("m_r"),
+      max(when($"l_returnflag" === "R", $"s2")).as("s2_r"),
+      max(when($"l_returnflag" === "A", $"n")).as("n_a"),
+      max(when($"l_returnflag" === "A", $"m")).as("m_a"),
+      max(when($"l_returnflag" === "A", $"s2")).as("s2_a"))
+    val vr = $"s2_r" / $"n_r"
+    val va = $"s2_a" / $"n_a"
+    wide.select($"n_r", $"n_a",
+      round($"m_r" - $"m_a", 4).as("mean_diff"),
+      round(($"m_r" - $"m_a") / sqrt(vr + va), 4).as("t_welch"),
+      round((vr + va) * (vr + va) /
+        (vr * vr / ($"n_r" - 1) + va * va / ($"n_a" - 1)), 1).as("df"))
+  }
+
+  val qWelchTtestSql: String =
+    """WITH g AS (SELECT l_returnflag, count(*)::BIGINT AS n,
+      |    avg(l_extendedprice) AS m, var_samp(l_extendedprice) AS s2
+      |  FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1),
+      |wide AS (SELECT
+      |    max(CASE WHEN l_returnflag = 'R' THEN n END) AS n_r,
+      |    max(CASE WHEN l_returnflag = 'R' THEN m END) AS m_r,
+      |    max(CASE WHEN l_returnflag = 'R' THEN s2 END) AS s2_r,
+      |    max(CASE WHEN l_returnflag = 'A' THEN n END) AS n_a,
+      |    max(CASE WHEN l_returnflag = 'A' THEN m END) AS m_a,
+      |    max(CASE WHEN l_returnflag = 'A' THEN s2 END) AS s2_a
+      |  FROM g)
+      |SELECT n_r, n_a, round(m_r - m_a, 4) AS mean_diff,
+      |  round((m_r - m_a) / sqrt(s2_r / n_r + s2_a / n_a), 4) AS t_welch,
+      |  round((s2_r / n_r + s2_a / n_a) * (s2_r / n_r + s2_a / n_a) /
+      |    ((s2_r / n_r) * (s2_r / n_r) / (n_r - 1)
+      |     + (s2_a / n_a) * (s2_a / n_a) / (n_a - 1)), 1) AS df
+      |FROM wide""".stripMargin
+
+  /** Abramowitz-Stegun 7.1.26 erf polynomial (max abs error 1.5e-7),
+    * written with the IDENTICAL nesting in the DuckDB oracles so both
+    * engines execute the same IEEE operation sequence (only exp() may
+    * differ by an ulp between libms — absorbed by output rounding).
+    * The elementary-function route is the point: no SciPy on a Spark
+    * executor, p-values straight from codegen'd column arithmetic. */
+  private def erfAS(x: Column): Column = {
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t
+      + lit(1.421413741)) * t - lit(0.284496736)) * t + lit(0.254829592)) * t
+    lit(1.0) - poly * exp(-x * x)
+  }
+
+  /** Benjamini-Hochberg FDR over per-nation mean-order-value z-tests:
+    * the multiple-testing control step every metrics platform needs
+    * when it fans one test out over dimensions. Per-nation moments
+    * (n, sum, sum-of-squares) come from ONE fact aggregate; the
+    * global mean/variance derive from the SAME 25-row relation by
+    * window totals (no second scan, no 1-row broadcast); two-sided
+    * p = 1 - erf(|z|/sqrt(2)) via [[erfAS]]; the BH step ranks the 25
+    * p-values and rejects ranks <= max{k : p_(k) <= k*alpha/m} at
+    * alpha = 0.05. Every window runs over the 25-nation relation. */
+  def qFdrBh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perNation = T.orders(spark, dir)
+      .join(broadcast(T.customer(spark, dir)
+        .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(T.nation(spark, dir)
+        .select($"n_nationkey", $"n_name")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n"), sum($"o_totalprice").as("s"),
+        sum($"o_totalprice" * $"o_totalprice").as("sq"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val g = perNation
+      .withColumn("gn", sum($"n").over(all))
+      .withColumn("gm", sum($"s").over(all) / $"gn")
+      .withColumn("gv", sum($"sq").over(all) / $"gn" -
+        (sum($"s").over(all) / $"gn") * (sum($"s").over(all) / $"gn"))
+      .withColumn("z", ($"s" / $"n" - $"gm") / sqrt($"gv" / $"n"))
+      .withColumn("p", lit(1.0) - erfAS(abs($"z") / sqrt(lit(2.0))))
+    val m = 25
+    val ranked = g.withColumn("k",
+        row_number().over(Window.orderBy($"p", $"n_name")))
+      .withColumn("pass", $"p" <= $"k" * lit(0.05) / m)
+      .withColumn("kmax", max(when($"pass", $"k").otherwise(0)).over(all))
+    ranked.select($"n_name", $"n", round($"z", 4).as("z"),
+        round($"p", 4).as("p"), ($"k" <= $"kmax").as("bh_reject"))
+      .orderBy($"n_name")
+  }
+
+  val qFdrBhSql: String =
+    """WITH pn AS (SELECT n_name, count(*)::BIGINT AS n, sum(o_totalprice) AS s,
+      |    sum(o_totalprice * o_totalprice) AS sq
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey GROUP BY 1),
+      |g AS (SELECT n_name, n,
+      |    (s / n - sum(s) OVER () / sum(n) OVER ()) /
+      |      sqrt((sum(sq) OVER () / sum(n) OVER ()
+      |        - (sum(s) OVER () / sum(n) OVER ()) * (sum(s) OVER () / sum(n) OVER ()))
+      |        / n) AS z
+      |  FROM pn),
+      |p AS (SELECT n_name, n, z,
+      |    1.0 - ((1.0 - (((((1.061405429 * (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+      |      - 1.453152027) * (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+      |      + 1.421413741) * (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+      |      - 0.284496736) * (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+      |      + 0.254829592) * (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+      |      * exp(-(abs(z) / sqrt(2.0)) * (abs(z) / sqrt(2.0)))))) AS p
+      |  FROM g),
+      |r AS (SELECT n_name, n, z, p,
+      |    row_number() OVER (ORDER BY p, n_name) AS k FROM p),
+      |kk AS (SELECT *, max(CASE WHEN p <= k * 0.05 / 25 THEN k ELSE 0 END) OVER () AS kmax
+      |  FROM r)
+      |SELECT n_name, n, round(z, 4) AS z, round(p, 4) AS p,
+      |  k <= kmax AS bh_reject
+      |FROM kk ORDER BY n_name""".stripMargin
+
+  /** Spearman rank correlation between quantity and discount, exactly
+    * (midranks for ties) but without ever ranking raw rows: both
+    * variables live on small grids (quantity 1..50, discount 0..10%),
+    * so the JOINT distribution is one <=550-cell hash aggregate,
+    * marginal midranks are cumulative counts over each grid, and rho
+    * is weighted-Pearson arithmetic over the cells. The identical
+    * computation at 100 TB touches the fact table once. */
+  def qSpearman(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val joint = T.lineitem(spark, dir)
+      .groupBy($"l_quantity".cast("int").as("x"),
+        round($"l_discount" * 100).cast("int").as("y"))
+      .agg(count(lit(1)).as("cnt"))
+      .cache() // marginals + the weighted-corr pass reuse the cells
+    def midranks(key: String): DataFrame = {
+      val marg = joint.groupBy(col(key)).agg(sum($"cnt").as("t"))
+      val w = Window.orderBy(col(key)).rowsBetween(Window.unboundedPreceding, 0)
+      marg.withColumn("cum", sum($"t").over(w))
+        .select(col(key), ($"cum" - ($"t" - lit(1)) / 2.0).as(s"r$key"))
+    }
+    val cells = joint
+      .join(broadcast(midranks("x")), Seq("x"))
+      .join(broadcast(midranks("y")), Seq("y"))
+    cells.agg(sum($"cnt").as("n"),
+        sum($"cnt" * $"rx").as("sx"), sum($"cnt" * $"ry").as("sy"),
+        sum($"cnt" * $"rx" * $"ry").as("sxy"),
+        sum($"cnt" * $"rx" * $"rx").as("sxx"),
+        sum($"cnt" * $"ry" * $"ry").as("syy"))
+      .select($"n", round(
+        ($"sxy" - $"sx" * $"sy" / $"n") /
+          sqrt(($"sxx" - $"sx" * $"sx" / $"n") * ($"syy" - $"sy" * $"sy" / $"n")),
+        4).as("rho_s"))
+  }
+
+  val qSpearmanSql: String =
+    """WITH joint AS (SELECT CAST(l_quantity AS INT) AS x,
+      |    CAST(round(l_discount * 100) AS INT) AS y, count(*)::BIGINT AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |mx AS (SELECT x, sum(t) OVER (ORDER BY x) - (t - 1) / 2.0 AS rx
+      |  FROM (SELECT x, sum(cnt)::BIGINT AS t FROM joint GROUP BY 1)),
+      |my AS (SELECT y, sum(t) OVER (ORDER BY y) - (t - 1) / 2.0 AS ry
+      |  FROM (SELECT y, sum(cnt)::BIGINT AS t FROM joint GROUP BY 1)),
+      |cells AS (SELECT cnt, rx, ry FROM joint JOIN mx USING (x) JOIN my USING (y)),
+      |agg AS (SELECT sum(cnt)::BIGINT AS n, sum(cnt * rx) AS sx, sum(cnt * ry) AS sy,
+      |    sum(cnt * rx * ry) AS sxy, sum(cnt * rx * rx) AS sxx,
+      |    sum(cnt * ry * ry) AS syy
+      |  FROM cells)
+      |SELECT n, round((sxy - sx * sy / n) /
+      |    sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 4) AS rho_s
+      |FROM agg""".stripMargin
+
+  /** Theil-Sen robust slope of monthly revenue: median of all
+    * pairwise slopes over the O(months) grain — the estimator that
+    * shrugs off outlier months where OLS (q_forecast's fit) does not.
+    * Revenue is aggregated to exact integer cents (deterministic
+    * across engines), the fact table reduces to <=84 monthly rows in
+    * one aggregate, and the pairwise-slope relation is bounded at
+    * C(84,2) ~ 3.5k rows — the non-equi self-join and median ranking
+    * are grain-bounded, never SF-scaled. */
+  def qTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val monthly = T.orders(spark, dir)
+      .groupBy((year($"o_orderdate") * 12 + month($"o_orderdate")).as("mon"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val a = monthly.select($"mon".as("m1"), $"cents".as("c1"))
+    val b = monthly.select($"mon".as("m2"), $"cents".as("c2"))
+    val slopes = a.join(b, $"m1" < $"m2")
+      .select((($"c2" - $"c1") / lit(100.0) / ($"m2" - $"m1")).as("slope"),
+        $"m1", $"m2")
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = slopes
+      .withColumn("r", row_number().over(Window.orderBy($"slope", $"m1", $"m2")))
+      .withColumn("c", count(lit(1)).over(all))
+    // Column./ is double division — the median ranks need integer DIV
+    ranked.filter(expr("r = (c + 1) DIV 2 OR r = c DIV 2 + 1"))
+      .agg(max($"c").as("n_pairs"), round(avg($"slope"), 2).as("sen_slope"))
+  }
+
+  val qTheilSenSql: String =
+    """WITH m AS (SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mon,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+      |  FROM orders GROUP BY 1),
+      |sl AS (SELECT (b.cents - a.cents) / 100.0 / (b.mon - a.mon) AS slope,
+      |    a.mon AS m1, b.mon AS m2
+      |  FROM m a JOIN m b ON a.mon < b.mon),
+      |r AS (SELECT slope, row_number() OVER (ORDER BY slope, m1, m2) AS r,
+      |    count(*) OVER () AS c FROM sl)
+      |SELECT max(c)::BIGINT AS n_pairs, round(avg(slope), 2) AS sen_slope
+      |FROM r WHERE r = (c + 1) // 2 OR r = c // 2 + 1""".stripMargin
+
+  /** Lagged cross-correlation between daily order volume and daily
+    * revenue (lags -3..+3): the lead/lag diagnostic behind
+    * cause-precedes-effect checks on operational series. The fact
+    * table grain-reduces to O(days) once (counts + exact revenue
+    * cents), each lag is an equi-join of the day spine against its
+    * shifted self (explode of a 7-element lag list — no cross join),
+    * and Pearson corr runs per lag over the bounded day count. */
+  def qCrossCorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = T.orders(spark, dir)
+      .groupBy($"o_orderdate".as("d"))
+      .agg(count(lit(1)).cast("double").as("x"),
+        sum(round($"o_totalprice" * 100).cast("long")).cast("double").as("y"))
+    val l = daily.select($"d", $"x")
+      .withColumn("lag", explode(expr("sequence(-3, 3)")))
+      .withColumn("d2", expr("date_add(d, lag)"))
+    val r = daily.select($"d".as("d2"), $"y")
+    l.join(r, Seq("d2"))
+      .groupBy($"lag")
+      .agg(count(lit(1)).as("n_days"), round(corr($"x", $"y"), 4).as("xcorr"))
+      .orderBy($"lag")
+  }
+
+  val qCrossCorrSql: String =
+    """WITH daily AS (SELECT o_orderdate AS d, count(*)::DOUBLE AS x,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::DOUBLE AS y
+      |  FROM orders GROUP BY 1),
+      |l AS (SELECT d, x, unnest(range(-3, 4)) AS lag FROM daily),
+      |j AS (SELECT l.lag, l.x, r.y FROM l
+      |  JOIN daily r ON r.d = l.d + to_days(CAST(l.lag AS INT)))
+      |SELECT lag, count(*)::BIGINT AS n_days, round(corr(x, y), 4) AS xcorr
+      |FROM j GROUP BY lag ORDER BY lag""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_mann_whitney", qMannWhitney, Some(qMannWhitneySql)),
+    QueryDef("q_welch_ttest", qWelchTtest, Some(qWelchTtestSql)),
+    QueryDef("q_fdr_bh", qFdrBh, Some(qFdrBhSql)),
+    QueryDef("q_spearman", qSpearman, Some(qSpearmanSql)),
+    QueryDef("q_theil_sen", qTheilSen, Some(qTheilSenSql)),
+    QueryDef("q_cross_corr", qCrossCorr, Some(qCrossCorrSql)))
+}

@@ -110,7 +110,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row corpus-total broadcast onto the (source, token) counts
     "q_log_odds_terms",
     // 1-row corpus-count broadcast that sets the scaled sign-LSH depth
-    "q_knn_graph")
+    "q_knn_graph",
+    // O(months) x O(months) bounded pairwise-slope join (<= C(84,2))
+    "q_theil_sen")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
@@ -171,7 +173,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // rank assignment over the two 20-row retrieval lists
     "q_rrf_fusion" -> "top-20 retrieval lists",
     // cumulative shares over the $100-bucketed value grid (<=6k rows)
-    "q_ks_test" -> "$100 value grid")
+    "q_ks_test" -> "$100 value grid",
+    // midrank cumulatives over bounded value grids; BH rank over the
+    // 25-nation relation; median rank over the C(months,2) slope set
+    "q_mann_whitney" -> "$1k value grid (<=~600 rows)",
+    "q_spearman" -> "quantity/discount marginal grids (<=51 rows)",
+    "q_fdr_bh" -> "25-nation moment table",
+    "q_theil_sen" -> "pairwise-slope set (<=C(84,2) ~ 3.5k rows)")
 
   test("no registered query plans a partitionless Window over an unbounded input") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the statistical-test family — the DuckDB
+  * differential proves cross-engine equality; these pin the
+  * STATISTICS themselves to known properties. */
+class StatsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("mann-whitney: U within [0, n1*n2] and z finite") {
+    val r = ops.Stats.qMannWhitney(spark, sf).collect().head
+    val (na, nb) = (r.getAs[Long]("na"), r.getAs[Long]("nb"))
+    val u1 = r.getAs[Double]("u1")
+    assert(na > 0 && nb > 0)
+    assert(u1 >= 0.0 && u1 <= na.toDouble * nb)
+    assert(!r.getAs[Double]("z").isNaN)
+  }
+
+  test("welch t: df between min(n)-1 and n_r+n_a-2") {
+    val r = ops.Stats.qWelchTtest(spark, sf).collect().head
+    val (nr, na) = (r.getAs[Long]("n_r"), r.getAs[Long]("n_a"))
+    val df = r.getAs[Double]("df")
+    assert(df >= math.min(nr, na) - 1.0 && df <= (nr + na - 2).toDouble)
+  }
+
+  test("BH rejections form a prefix of the p-ordered list") {
+    val rows = ops.Stats.qFdrBh(spark, sf).collect()
+    assert(rows.length === 25)
+    val byP = rows.sortBy(_.getAs[Double]("p"))
+    val flags = byP.map(_.getAs[Boolean]("bh_reject"))
+    // once a false appears, no true may follow (prefix property)
+    val firstFalse = flags.indexOf(false)
+    if (firstFalse >= 0)
+      assert(flags.drop(firstFalse).forall(_ == false),
+        s"BH rejections not a prefix: ${flags.mkString(",")}")
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+  }
+
+  test("erf-based p agrees with the exact normal tail on known quantiles") {
+    // A-S 7.1.26 abs error <= 1.5e-7: check two-sided p at z = 1.96
+    // and z = 2.5758 against textbook values
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(1.959963985, 2.575829304).toDF("z")
+    // reuse the family's construction through a tiny local pipeline:
+    // p = 1 - erf(z / sqrt(2)) computed the same way the query does
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * ($"z" / sqrt(lit(2.0))))
+    val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t
+      + lit(1.421413741)) * t - lit(0.284496736)) * t + lit(0.254829592)) * t
+    val p = lit(1.0) - (lit(1.0) - poly * exp(-($"z" / sqrt(lit(2.0))) * ($"z" / sqrt(lit(2.0)))))
+    val ps = df.select(p.as("p")).collect().map(_.getAs[Double]("p"))
+    assert(math.abs(ps(0) - 0.05) < 1e-5)
+    assert(math.abs(ps(1) - 0.01) < 1e-5)
+  }
+
+  test("spearman rho in [-1, 1]") {
+    val r = ops.Stats.qSpearman(spark, sf).collect().head
+    val rho = r.getAs[Double]("rho_s")
+    assert(rho >= -1.0 && rho <= 1.0)
+  }
+
+  test("theil-sen: pair count is C(months, 2)") {
+    import org.apache.spark.sql.functions._
+    val months = spark.read.parquet(s"$sf/orders.parquet")
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+      .distinct().count()
+    val r = ops.Stats.qTheilSen(spark, sf).collect().head
+    assert(r.getAs[Long]("n_pairs") === months * (months - 1) / 2)
+  }
+
+  test("cross-correlation emits all 7 lags with |corr| <= 1") {
+    val rows = ops.Stats.qCrossCorr(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("lag")).toSeq === (-3 to 3))
+    rows.foreach { r =>
+      val c = r.getAs[Double]("xcorr")
+      assert(math.abs(c) <= 1.0)
+    }
+  }
+}
