@@ -812,7 +812,60 @@ object Curation extends QueryFamily {
       |SELECT g, df, n_sources, round(df / (SELECT n_total FROM nt), 6) AS share
       |FROM top ORDER BY df DESC, g""".stripMargin
 
+  /** BERT-style MLM masking plan: deterministically select ~15% of
+    * token positions per document and split the selection 80/10/10
+    * into [MASK] / random-token / keep-original roles — the plan a
+    * masked-LM data loader materializes ahead of training so every
+    * epoch and every re-run sees the identical mask (reproducibility
+    * is the operator's whole point; T5/BERT's RNG becomes a content
+    * hash). Selection is a lexicographic threshold on the md5 hex of
+    * (doc_id:pos) — both engines produce the identical digest, so the
+    * plan is engine-portable with no RNG contract: first hex byte
+    * <= 0x25 selects (38/256 = 14.84%); the next hex byte splits
+    * roles at 0xcd (80.1%) and 0xe6 (+9.8%). One corpus scan, one
+    * token explode, one per-source rollup — embarrassingly parallel
+    * at any SF. */
+  def qMlmMaskPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = T.documents(spark, dir)
+      .select($"source", $"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+      .withColumn("h", md5(concat($"doc_id", lit(":"), $"pos").cast("binary")))
+      .withColumn("sel", substring($"h", 1, 2) <= "25")
+      .withColumn("role", when(!$"sel", lit(null).cast("string"))
+        .when(substring($"h", 3, 2) < "cd", "mask")
+        .when(substring($"h", 3, 2) < "e6", "random")
+        .otherwise("keep"))
+    toks.groupBy($"source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"sel", 1L).otherwise(0L)).as("n_selected"),
+        sum(when($"role" === "mask", 1L).otherwise(0L)).as("n_mask"),
+        sum(when($"role" === "random", 1L).otherwise(0L)).as("n_random"),
+        sum(when($"role" === "keep", 1L).otherwise(0L)).as("n_keep"),
+        round(avg(when($"sel", 1.0).otherwise(0.0)), 4).as("sel_rate"))
+      .orderBy($"source")
+  }
+
+  val qMlmMaskPlanSql: String =
+    """WITH toks AS (SELECT source, doc_id,
+      |    unnest(list_transform(range(0, len(string_split(text, ' ')), 1),
+      |      i -> {'pos': i, 'h': md5(doc_id || ':' || i)}), recursive := true)
+      |  FROM documents),
+      |r AS (SELECT source, substr(h, 1, 2) <= '25' AS sel,
+      |    CASE WHEN substr(h, 1, 2) > '25' THEN NULL
+      |         WHEN substr(h, 3, 2) < 'cd' THEN 'mask'
+      |         WHEN substr(h, 3, 2) < 'e6' THEN 'random'
+      |         ELSE 'keep' END AS role
+      |  FROM toks)
+      |SELECT source, count(*)::BIGINT AS n_tokens,
+      |  sum(CASE WHEN sel THEN 1 ELSE 0 END)::BIGINT AS n_selected,
+      |  sum(CASE WHEN role = 'mask' THEN 1 ELSE 0 END)::BIGINT AS n_mask,
+      |  sum(CASE WHEN role = 'random' THEN 1 ELSE 0 END)::BIGINT AS n_random,
+      |  sum(CASE WHEN role = 'keep' THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+      |  round(avg(CASE WHEN sel THEN 1.0 ELSE 0.0 END), 4) AS sel_rate
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_mlm_mask_plan", qMlmMaskPlan, Some(qMlmMaskPlanSql)),
     QueryDef("q_boilerplate", qBoilerplate, Some(qBoilerplateSql)),
     QueryDef("q_sample_weighted", qSampleWeighted, Some(qSampleWeightedSql)),
     QueryDef("q_poststrat_audit", qPoststratAudit, Some(qPoststratAuditSql)),

@@ -818,7 +818,73 @@ object Dedup extends QueryFamily {
       |  round(sum(span)::DOUBLE / max(n_tok), 4) AS dup_ratio
       |FROM sp GROUP BY doc_id ORDER BY dup_tokens DESC, doc_id LIMIT 100""".stripMargin
 
+  /** Corpus duplication health report, RefinedWeb-style: per SOURCE,
+    * what fraction of 8-token windows also occurs in another document
+    * (the "duplicate text ratio" a curation pipeline tracks per crawl
+    * before deciding how hard to dedup). Same positioned-window-hash
+    * machinery as [[qDupPassages]], different rollup: window-level
+    * coverage per doc, then per-source micro (window-weighted) and
+    * macro (doc-averaged) rates plus the share of docs that are >20%
+    * duplicated. One corpus scan builds the cached gram relation; the
+    * df aggregate and the semi-join are keyed on the gram hash —
+    * everything shuffles by gram or doc_id, nothing pairwise. */
+  def qDupNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = 8
+    val parts = (0 until W).map(k => expr(s"element_at(w, pos + $k)"))
+    val grams = T.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", explode(expr(
+        s"CASE WHEN size(w) >= $W THEN sequence(1, size(w) - ${W - 1}) ELSE array() END")).as("pos"),
+        $"w")
+      .select($"doc_id", $"pos",
+        substring(md5(concat_ws(" ", parts: _*).cast("binary")), 1, 16).as("g"))
+      .cache()
+    val shared = grams.groupBy($"g")
+      .agg(countDistinct($"doc_id").as("df")).filter($"df" > 1).select($"g")
+    val dupPerDoc = grams.join(shared, Seq("g"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("dup_w"))
+    val perDoc = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_w"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .withColumn("dup_w", coalesce($"dup_w", lit(0L)))
+      .withColumn("frac", $"dup_w".cast("double") / $"n_w")
+    perDoc
+      .join(T.documents(spark, dir).select($"doc_id", $"source"), Seq("doc_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_w").as("n_windows"),
+        sum($"dup_w").as("dup_windows"),
+        round(sum($"dup_w").cast("double") / sum($"n_w"), 4).as("micro_dup"),
+        round(avg($"frac"), 4).as("macro_dup"),
+        round(avg(when($"frac" > 0.2, 1.0).otherwise(0.0)), 4).as("share_gt20"))
+      .orderBy($"source")
+  }
+
+  val qDupNgramCoverageSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id,
+      |  unnest(list_transform(range(1, len(w) - 6), i ->
+      |    {'pos': i, 'g': substr(md5(w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]), 1, 16)}), recursive := true)
+      |  FROM tok WHERE len(w) >= 8),
+      |dup AS (SELECT doc_id, count(*)::BIGINT AS dup_w FROM sh
+      |  WHERE g IN (SELECT g FROM sh GROUP BY g HAVING count(DISTINCT doc_id) > 1)
+      |  GROUP BY doc_id),
+      |per AS (SELECT s.doc_id, count(*)::BIGINT AS n_w,
+      |    coalesce(any_value(dup.dup_w), 0)::BIGINT AS dup_w
+      |  FROM sh s LEFT JOIN dup ON dup.doc_id = s.doc_id
+      |  GROUP BY s.doc_id),
+      |j AS (SELECT d.source, per.n_w, per.dup_w,
+      |    per.dup_w::DOUBLE / per.n_w AS frac
+      |  FROM per JOIN documents d ON d.doc_id = per.doc_id)
+      |SELECT source, count(*)::BIGINT AS n_docs,
+      |  sum(n_w)::BIGINT AS n_windows, sum(dup_w)::BIGINT AS dup_windows,
+      |  round(sum(dup_w)::DOUBLE / sum(n_w), 4) AS micro_dup,
+      |  round(avg(frac), 4) AS macro_dup,
+      |  round(avg(CASE WHEN frac > 0.2 THEN 1.0 ELSE 0.0 END), 4) AS share_gt20
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_dup_ngram_coverage", qDupNgramCoverage, Some(qDupNgramCoverageSql)),
     QueryDef("q_dup_passages", qDupPassages, Some(qDupPassagesSql)),
     QueryDef("q_fuzzy_join", qFuzzyJoin, Some(qFuzzyJoinSql)),
     QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactSql)),

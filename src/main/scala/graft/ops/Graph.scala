@@ -197,10 +197,10 @@ object Graph extends QueryFamily {
        |e AS (SELECT DISTINCT event_type AS u, next_type AS v
        |      FROM seq WHERE next_type IS NOT NULL),
        |nodes AS (SELECT DISTINCT t FROM (SELECT u AS t FROM e UNION SELECT v FROM e)),
-       |d0 AS (SELECT t, CASE WHEN t = (SELECT min(t) FROM nodes)
+       |d0 AS MATERIALIZED (SELECT t, CASE WHEN t = (SELECT min(t) FROM nodes)
        |                      THEN CAST(0 AS BIGINT) END AS d FROM nodes),
-       |d1 AS (${iter("d0")}),
-       |d2 AS (${iter("d1")}),
+       |d1 AS MATERIALIZED (${iter("d0")}),
+       |d2 AS MATERIALIZED (${iter("d1")}),
        |d3 AS (${iter("d2")}),
        |d4 AS (${iter("d3")})
        |SELECT t, d FROM d4 ORDER BY t""".stripMargin
@@ -457,7 +457,7 @@ object Graph extends QueryFamily {
        |und AS (SELECT least(u, v) AS a, greatest(u, v) AS b, sum(n) AS w
        |       FROM de GROUP BY 1, 2),
        |m AS (SELECT sum(w)::DOUBLE AS m FROM und),
-       |e2 AS (SELECT und.w, la.community AS ca, lb.community AS cb
+       |e2 AS MATERIALIZED (SELECT und.w, la.community AS ca, lb.community AS cb
        |      FROM und JOIN lab la ON la.t = und.a JOIN lab lb ON lb.t = und.b),
        |intra AS (SELECT ca AS community, CAST(sum(w) AS BIGINT) AS intra_w
        |      FROM e2 WHERE ca = cb GROUP BY 1),
@@ -500,7 +500,91 @@ object Graph extends QueryFamily {
       |       FROM nodes n LEFT JOIN b2 b USING (node))
       |SELECT node AS t, lab AS community FROM l2 ORDER BY t""".stripMargin
 
+  /** k-core peeling (three rounds) over the part co-purchase graph —
+    * the density-pruning primitive under community mining and
+    * fraud-ring detection. Nodes are parts; an edge joins two parts
+    * that ever share an order (the bounded per-order self-join of the
+    * basket family: <= C(7,2) pairs per TPC-H order, so edges are
+    * O(orders), never O(parts²)). k is DATA-DERIVED — ceil of the
+    * unpeeled graph's mean degree — so the peel bites at any SF (a
+    * fixed constant saturates as density grows with scale: measured
+    * mean degree ~116 at sf0.01, ~120 at sf0.1). Each round drops
+    * nodes with degree < k and keeps only edges between survivors —
+    * one degree aggregate plus two endpoint semi-joins, all keyed on
+    * the node, the Pregel shape that scales to web graphs. The edge
+    * relation is localCheckpoint-ed per round (each round reads it
+    * three times; lineage stays linear). Output: per-round node/edge
+    * counts — the peeling curve — which the oracle reproduces by
+    * unrolling the identical three rounds. */
+  def qKcorePeel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val items = T.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val a = items.select($"l_orderkey".as("o"), $"l_partkey".as("pa"))
+    val b = items.select($"l_orderkey".as("o"), $"l_partkey".as("pb"))
+    var edges = a.join(b, Seq("o")).filter($"pa" < $"pb")
+      .select($"pa", $"pb").distinct()
+      .localCheckpoint(true)
+    def degrees(ed: DataFrame): DataFrame =
+      ed.select($"pa".as("t")).union(ed.select($"pb".as("t")))
+        .groupBy($"t").agg(count(lit(1)).as("d"))
+    val kRow = degrees(edges).agg(ceil(avg($"d")).cast("long").as("k"))
+    def stats(round: Int, ed: DataFrame): DataFrame =
+      ed.select(explode(array($"pa", $"pb")).as("t"))
+        .agg(lit(round).as("peel_round"),
+          countDistinct($"t").as("n_nodes"),
+          (count(lit(1)) / 2).cast("long").as("n_edges"))
+    var out = stats(0, edges)
+    for (r <- 1 to 3) {
+      val keep = degrees(edges).crossJoin(broadcast(kRow))
+        .filter($"d" >= $"k").select($"t")
+      edges = edges
+        .join(keep.withColumnRenamed("t", "pa"), Seq("pa"), "left_semi")
+        .join(keep.withColumnRenamed("t", "pb"), Seq("pb"), "left_semi")
+        .localCheckpoint(true)
+      out = out.unionByName(stats(r, edges))
+    }
+    out.orderBy($"peel_round")
+  }
+
+  val qKcorePeelSql: String =
+    """WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |d0 AS MATERIALIZED (SELECT t, count(*) AS d FROM (
+      |    SELECT pa AS t FROM e0 UNION ALL SELECT pb FROM e0) GROUP BY t),
+      |kk AS (SELECT CAST(ceil(avg(d)) AS BIGINT) AS k FROM d0),
+      |k0 AS MATERIALIZED (SELECT t FROM d0 WHERE d >= (SELECT k FROM kk)),
+      |e1 AS MATERIALIZED (SELECT pa, pb FROM e0
+      |  WHERE pa IN (SELECT t FROM k0) AND pb IN (SELECT t FROM k0)),
+      |d1 AS MATERIALIZED (SELECT t, count(*) AS d FROM (
+      |    SELECT pa AS t FROM e1 UNION ALL SELECT pb FROM e1) GROUP BY t),
+      |k1 AS MATERIALIZED (SELECT t FROM d1 WHERE d >= (SELECT k FROM kk)),
+      |e2 AS MATERIALIZED (SELECT pa, pb FROM e1
+      |  WHERE pa IN (SELECT t FROM k1) AND pb IN (SELECT t FROM k1)),
+      |d2 AS MATERIALIZED (SELECT t, count(*) AS d FROM (
+      |    SELECT pa AS t FROM e2 UNION ALL SELECT pb FROM e2) GROUP BY t),
+      |k2 AS MATERIALIZED (SELECT t FROM d2 WHERE d >= (SELECT k FROM kk)),
+      |e3 AS MATERIALIZED (SELECT pa, pb FROM e2
+      |  WHERE pa IN (SELECT t FROM k2) AND pb IN (SELECT t FROM k2)),
+      |s AS (
+      |  SELECT 0 AS peel_round,
+      |    (SELECT count(DISTINCT t) FROM (SELECT pa AS t FROM e0 UNION ALL SELECT pb FROM e0)) AS n_nodes,
+      |    (SELECT count(*) FROM e0) AS n_edges
+      |  UNION ALL SELECT 1,
+      |    (SELECT count(DISTINCT t) FROM (SELECT pa AS t FROM e1 UNION ALL SELECT pb FROM e1)),
+      |    (SELECT count(*) FROM e1)
+      |  UNION ALL SELECT 2,
+      |    (SELECT count(DISTINCT t) FROM (SELECT pa AS t FROM e2 UNION ALL SELECT pb FROM e2)),
+      |    (SELECT count(*) FROM e2)
+      |  UNION ALL SELECT 3,
+      |    (SELECT count(DISTINCT t) FROM (SELECT pa AS t FROM e3 UNION ALL SELECT pb FROM e3)),
+      |    (SELECT count(*) FROM e3))
+      |SELECT peel_round, n_nodes::BIGINT AS n_nodes, n_edges::BIGINT AS n_edges
+      |FROM s ORDER BY peel_round""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_kcore_peel", qKcorePeel, Some(qKcorePeelSql)),
     QueryDef("q_pagerank", qPagerank, Some(qPagerankSql)),
     QueryDef("q_hits", qHits, Some(qHitsSql)),
     QueryDef("q_label_prop", qLabelProp, Some(qLabelPropSql)),

@@ -597,6 +597,51 @@ object Relational extends QueryFamily {
       |   WHERE c.user_id = p.user_id AND c.c_ts <= p.p_ts) AS click_us
       |FROM p ORDER BY p.event_id""".stripMargin
 
+  /** As-of join WITH TOLERANCE (pandas merge_asof's `tolerance`
+    * knob): each purchase matches its latest prior click only if that
+    * click landed within the last hour — beyond it the match is NULL,
+    * which is the attribution-window semantics ad systems bill on.
+    * Same single-shuffle union + running-max-window plan as
+    * [[qAsofJoin]]; the tolerance is a post-filter on the matched
+    * timestamp, so the scale shape is unchanged (no inequality join,
+    * no per-row range scan). */
+  def qAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tolUs = 3600000000L // 1 hour
+    val ev = T.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click").select(
+      $"user_id", $"ts".as("c_ts"),
+      lit(null).cast("timestamp").as("p_ts"), lit(null).cast("long").as("event_id"),
+      lit(0).as("tag"))
+    val purchases = ev.filter($"event_type" === "purchase").select(
+      $"user_id", lit(null).cast("timestamp").as("c_ts"),
+      $"ts".as("p_ts"), $"event_id", lit(1).as("tag"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy(coalesce($"c_ts", $"p_ts").asc, $"tag".asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    clicks.unionByName(purchases)
+      .withColumn("last_click", max($"c_ts").over(w))
+      .filter($"tag" === 1)
+      .select($"event_id",
+        unix_micros($"p_ts").as("p_us"),
+        when(unix_micros($"p_ts") - unix_micros($"last_click") <= tolUs,
+          unix_micros($"last_click")).as("click_us"))
+      .orderBy($"event_id")
+  }
+
+  val qAsofToleranceSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |             make_timestamp(epoch_ns(ts)//1000) AS ts FROM events),
+      | c AS (SELECT user_id, ts AS c_ts FROM e WHERE event_type = 'click'),
+      | p AS (SELECT event_id, user_id, ts AS p_ts FROM e WHERE event_type = 'purchase'),
+      | m AS (SELECT p.event_id, epoch_us(p.p_ts) AS p_us,
+      |   (SELECT max(epoch_us(c.c_ts)) FROM c
+      |     WHERE c.user_id = p.user_id AND c.c_ts <= p.p_ts) AS raw_click
+      |  FROM p)
+      |SELECT event_id, p_us,
+      |  CASE WHEN p_us - raw_click <= 3600000000 THEN raw_click END AS click_us
+      |FROM m ORDER BY event_id""".stripMargin
+
   /** As-of join through the native operator ([[graft.plans.AsOfJoin]]:
     * custom logical plan + planner strategy + sort-merge physical exec)
     * instead of the union + running-max window of [[qAsofJoin]]. The
@@ -1511,6 +1556,7 @@ object Relational extends QueryFamily {
     QueryDef("q_union_drift", qUnionDrift, Some(qUnionDriftSql)),
     QueryDef("q_distinct_counts", qDistinctCounts, Some(qDistinctCountsSql)),
     QueryDef("q_approx_distinct", qApproxDistinct, None),
+    QueryDef("q_asof_tolerance", qAsofTolerance, Some(qAsofToleranceSql)),
     QueryDef("q_approx_distinct_audit", qApproxDistinctAudit, Some(qApproxDistinctAuditSql)),
     QueryDef("q_hll_union_audit", qHllUnionAudit, Some(qHllUnionAuditSql)),
     QueryDef("q_kll_quantile_audit", qKllQuantileAudit, Some(qKllQuantileAuditSql)),

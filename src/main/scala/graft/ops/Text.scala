@@ -1314,7 +1314,38 @@ object Text extends QueryFamily {
       |FROM ta FULL OUTER JOIN tb ON ta.doc_id = tb.doc_id
       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Tokenizer fertility (subwords per word) per source under a fixed
+    * 4-chars-per-subword budget — the capacity-planning number that
+    * converts a word-count corpus estimate into a TRAINING-TOKEN
+    * estimate (and flags sources whose long words will blow the
+    * context budget). ceil(len/4) is a deterministic stand-in for a
+    * BPE segmenter (the real vocabulary's merge table lives in
+    * [[qTokenBpe]]); the shape — token explode, elementary per-token
+    * arithmetic, per-source rollup — is exactly the production plan
+    * with the segmenter swapped in. */
+  def qTokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = T.documents(spark, dir)
+      .select($"source", explode(split($"text", " ")).as("t"))
+      .withColumn("sub", ceil(length($"t") / lit(4.0)).cast("long"))
+    words.groupBy($"source")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"sub").as("n_subwords"),
+        round(sum($"sub").cast("double") / count(lit(1)), 4).as("fertility"),
+        round(avg(length($"t").cast("double")), 4).as("avg_word_len"))
+      .orderBy($"source")
+  }
+
+  val qTokenizerFertilitySql: String =
+    """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+      |s AS (SELECT source, t, CAST(ceil(len(t) / 4.0) AS BIGINT) AS sub FROM w)
+      |SELECT source, count(*)::BIGINT AS n_words, sum(sub)::BIGINT AS n_subwords,
+      |  round(sum(sub)::DOUBLE / count(*), 4) AS fertility,
+      |  round(avg(len(t)::DOUBLE), 4) AS avg_word_len
+      |FROM s GROUP BY source ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_tokenizer_fertility", qTokenizerFertility, Some(qTokenizerFertilitySql)),
     QueryDef("q_vocab_coverage", qVocabCoverage, Some(qVocabCoverageSql)),
     QueryDef("q_calibration", qCalibration, Some(qCalibrationSql)),
     QueryDef("q_rrf_fusion", qRrfFusion, Some(qRrfFusionSql)),

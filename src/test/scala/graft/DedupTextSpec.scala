@@ -211,4 +211,57 @@ class DedupTextSpec extends AnyFunSuite {
       assert(r.getAs[String]("g").split(" ").length === 5)
     }
   }
+
+  test("dup-ngram coverage rates are consistent fractions") {
+    val rows = ops.Dedup.qDupNgramCoverage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dup_windows") <= r.getAs[Long]("n_windows"))
+      val micro = r.getAs[Double]("micro_dup")
+      val macroD = r.getAs[Double]("macro_dup")
+      val share = r.getAs[Double]("share_gt20")
+      assert(micro >= 0.0 && micro <= 1.0)
+      assert(macroD >= 0.0 && macroD <= 1.0)
+      assert(share >= 0.0 && share <= 1.0)
+    }
+  }
+
+  test("MLM mask plan: ~15% selection, roles partition the selected set") {
+    val rows = ops.Curation.qMlmMaskPlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val (tot, sel) = rows.map(r =>
+      (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_selected")))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    val rate = sel.toDouble / tot
+    assert(rate > 0.12 && rate < 0.18, s"corpus selection rate $rate")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_mask") + r.getAs[Long]("n_random")
+        + r.getAs[Long]("n_keep") === r.getAs[Long]("n_selected"))
+      // 80/10/10 split within sampling noise per source
+      assert(r.getAs[Long]("n_mask") > r.getAs[Long]("n_random"))
+    }
+  }
+
+  test("tokenizer fertility >= 1 subword per word") {
+    val rows = ops.Text.qTokenizerFertility(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("fertility") >= 1.0 - 1e-9)
+      assert(r.getAs[Long]("n_subwords") >= r.getAs[Long]("n_words"))
+    }
+  }
+
+  test("as-of tolerance: matches are within the hour, supersets stay null") {
+    import org.apache.spark.sql.functions._
+    val df = ops.Relational.qAsofTolerance(spark, sf)
+    assert(df.filter(col("click_us").isNotNull &&
+      (col("p_us") - col("click_us") > 3600000000L ||
+       col("click_us") > col("p_us"))).count() === 0)
+    // tolerance can only null out matches relative to the untolerated asof
+    val plain = ops.Relational.qAsofJoin(spark, sf)
+      .select(col("event_id"), col("click_us").as("plain_click"))
+    val j = df.join(plain, Seq("event_id"))
+    assert(j.filter(col("click_us").isNotNull &&
+      col("click_us") =!= col("plain_click")).count() === 0)
+  }
 }

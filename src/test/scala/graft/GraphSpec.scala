@@ -112,4 +112,16 @@ class GraphSpec extends AnyFunSuite {
     val nNodes = ops.Graph.qLabelProp(spark, sf).count()
     assert(rows.map(_.getAs[Long]("n_nodes")).sum === nNodes)
   }
+
+  test("k-core peel: 4-round curve, monotonically non-increasing, strictly peeling") {
+    val rows = ops.Graph.qKcorePeel(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("peel_round")).toSeq === Seq(0, 1, 2, 3))
+    val nodes = rows.map(_.getAs[Long]("n_nodes"))
+    val edges = rows.map(_.getAs[Long]("n_edges"))
+    assert(nodes.zip(nodes.tail).forall { case (a, b) => a >= b })
+    assert(edges.zip(edges.tail).forall { case (a, b) => a >= b })
+    // the data-derived k (mean degree) must actually remove something
+    assert(edges.head > edges.last,
+      s"peel threshold never bit: ${edges.mkString(",")}")
+  }
 }

@@ -112,7 +112,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row corpus-count broadcast that sets the scaled sign-LSH depth
     "q_knn_graph",
     // O(months) x O(months) bounded pairwise-slope join (<= C(84,2))
-    "q_theil_sen")
+    "q_theil_sen",
+    // 1-row mean-degree broadcast that sets the peel threshold k
+    "q_kcore_peel")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
