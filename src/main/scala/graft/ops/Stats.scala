@@ -324,7 +324,102 @@ object Stats extends QueryFamily {
       |SELECT lag, count(*)::BIGINT AS n_days, round(corr(x, y), 4) AS xcorr
       |FROM j GROUP BY lag ORDER BY lag""".stripMargin
 
+  /** Population Stability Index between the early (<= 1997) and late
+    * (>= 1998) order-value distributions on a capped $25k bucket grid
+    * — THE model-monitoring drift metric (PSI < 0.1 stable, > 0.25
+    * action). One scan bins both periods into <= 20 cells; shares,
+    * the 1e-6 zero-cell clamp, and the (cur-base)*ln(cur/base) terms
+    * are arithmetic over the bounded grid (window totals over the
+    * 20-cell relation). Emits the per-bucket decomposition plus the
+    * repeated total — the drill-down a drift alert links to. */
+  def qPsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = T.orders(spark, dir)
+      .select(least(floor($"o_totalprice" / 25000), lit(19)).cast("long").as("bucket"),
+        (year($"o_orderdate") <= 1997).as("is_base"))
+      .groupBy($"bucket")
+      .agg(sum(when($"is_base", 1L).otherwise(0L)).as("nb"),
+        sum(when(!$"is_base", 1L).otherwise(0L)).as("nc"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("sb", greatest($"nb".cast("double") / sum($"nb").over(all), lit(1e-6)))
+      .withColumn("sc", greatest($"nc".cast("double") / sum($"nc").over(all), lit(1e-6)))
+      .withColumn("term", ($"sc" - $"sb") * log($"sc" / $"sb"))
+      .select($"bucket", $"nb", $"nc",
+        round($"sb", 6).as("base_share"), round($"sc", 6).as("cur_share"),
+        round($"term", 6).as("psi_term"),
+        round(sum($"term").over(all), 6).as("psi_total"))
+      .orderBy($"bucket")
+  }
+
+  val qPsiDriftSql: String =
+    """WITH b AS (SELECT least(CAST(floor(o_totalprice / 25000) AS BIGINT), 19) AS bucket,
+      |    year(o_orderdate) <= 1997 AS is_base FROM orders),
+      |c AS (SELECT bucket,
+      |    sum(CASE WHEN is_base THEN 1 ELSE 0 END)::BIGINT AS nb,
+      |    sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END)::BIGINT AS nc
+      |  FROM b GROUP BY bucket),
+      |s AS (SELECT bucket, nb, nc,
+      |    greatest(nb::DOUBLE / sum(nb) OVER (), 1e-6) AS sb,
+      |    greatest(nc::DOUBLE / sum(nc) OVER (), 1e-6) AS sc
+      |  FROM c),
+      |t AS (SELECT bucket, nb, nc, sb, sc, (sc - sb) * ln(sc / sb) AS term FROM s)
+      |SELECT bucket, nb, nc, round(sb, 6) AS base_share, round(sc, 6) AS cur_share,
+      |  round(term, 6) AS psi_term, round(sum(term) OVER (), 6) AS psi_total
+      |FROM t ORDER BY bucket""".stripMargin
+
+  /** Simpson's-paradox audit: does the returned-vs-accepted discount
+    * gap reverse sign inside any line-status segment relative to the
+    * pooled gap? The aggregation-trap check a metrics platform runs
+    * before anyone ships a pooled number. Per-segment sums and counts
+    * come from ONE scan; the pooled rates derive from the same
+    * bounded segment relation by window totals, so pooled and
+    * per-segment arithmetic share inputs exactly (no second scan, no
+    * fp drift between the two paths). `reversed` compares unrounded
+    * products, robust to accumulation-order noise at these effect
+    * sizes. */
+  def qSimpsonCheck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seg = T.lineitem(spark, dir)
+      .filter($"l_returnflag".isin("R", "A"))
+      .groupBy($"l_linestatus".as("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"l_returnflag" === "R", $"l_discount")).as("sr"),
+        sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("nr"),
+        sum(when($"l_returnflag" === "A", $"l_discount")).as("sa"),
+        sum(when($"l_returnflag" === "A", 1L).otherwise(0L)).as("na"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    seg
+      .withColumn("seg_diff", $"sr" / $"nr" - $"sa" / $"na")
+      .withColumn("pooled_diff",
+        sum($"sr").over(all) / sum($"nr").over(all) -
+          sum($"sa").over(all) / sum($"na").over(all))
+      .select($"segment", $"n",
+        round($"seg_diff", 6).as("seg_diff"),
+        round($"pooled_diff", 6).as("pooled_diff"),
+        ($"seg_diff" * $"pooled_diff" < 0).as("reversed"))
+      .orderBy($"segment")
+  }
+
+  val qSimpsonCheckSql: String =
+    """WITH seg AS (SELECT l_linestatus AS segment, count(*)::BIGINT AS n,
+      |    sum(CASE WHEN l_returnflag = 'R' THEN l_discount END) AS sr,
+      |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS nr,
+      |    sum(CASE WHEN l_returnflag = 'A' THEN l_discount END) AS sa,
+      |    sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)::BIGINT AS na
+      |  FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1),
+      |d AS (SELECT segment, n, sr / nr - sa / na AS seg_diff,
+      |    sum(sr) OVER () / sum(nr) OVER ()
+      |      - sum(sa) OVER () / sum(na) OVER () AS pooled_diff
+      |  FROM seg)
+      |SELECT segment, n, round(seg_diff, 6) AS seg_diff,
+      |  round(pooled_diff, 6) AS pooled_diff,
+      |  seg_diff * pooled_diff < 0 AS reversed
+      |FROM d ORDER BY segment""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_psi_drift", qPsiDrift, Some(qPsiDriftSql)),
+    QueryDef("q_simpson_check", qSimpsonCheck, Some(qSimpsonCheckSql)),
     QueryDef("q_mann_whitney", qMannWhitney, Some(qMannWhitneySql)),
     QueryDef("q_welch_ttest", qWelchTtest, Some(qWelchTtestSql)),
     QueryDef("q_fdr_bh", qFdrBh, Some(qFdrBhSql)),

@@ -977,7 +977,80 @@ object Timeseries extends QueryFamily {
       |  round(avg(abs(e) / abs(y)), 4) AS mape
       |FROM e""".stripMargin
 
+  /** Nelson-Aalen cumulative hazard (and its Fleming-Harrington
+    * survival transform exp(-H)) over the same first-view →
+    * first-purchase durations as [[qSurvivalKm]] — the estimator of
+    * choice when hazard RATE, not survival probability, is the
+    * decision variable (capacity planning, churn intervention
+    * timing), and numerically steadier than KM near exhausted risk
+    * sets: H(t) = Σ d_i/n_i needs no log and absorbs d = n_i without
+    * a zero guard. Identical per-user window extraction and
+    * O(study-hours) suffix/prefix grid windows; one user-keyed
+    * aggregate at any SF. */
+  def qNelsonAalen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wUser = Window.partitionBy($"user_id")
+    val per = T.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .withColumn("v_us",
+        min(when($"event_type" === "view", $"us")).over(wUser))
+      .withColumn("p_us",
+        min(when($"event_type" === "purchase" && $"us" >= $"v_us", $"us")).over(wUser))
+      .groupBy($"user_id")
+      .agg(max($"v_us").as("v_us"), max($"p_us").as("p_us"))
+    val end = T.events(spark, dir)
+      .agg(max(unix_micros($"ts")).as("end_us"))
+    val grid = per.crossJoin(broadcast(end))
+      .filter($"v_us".isNotNull)
+      .select(
+        floor((coalesce($"p_us", $"end_us") - $"v_us") / 3600000000.0)
+          .cast("long").as("duration_h"),
+        when($"p_us".isNotNull, 1L).otherwise(0L).as("ev"))
+      .groupBy($"duration_h")
+      .agg(sum($"ev").as("d"), count(lit(1)).as("c"))
+    val wRisk = Window.orderBy($"duration_h")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy($"duration_h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("n_risk", sum($"c").over(wRisk))
+      .withColumn("cum_haz", sum($"d".cast("double") / $"n_risk").over(wCum))
+      .filter($"d" > 0)
+      .select($"duration_h", $"n_risk", $"d".as("n_event"),
+        round($"cum_haz", 6).as("cum_haz"),
+        round(exp(-$"cum_haz"), 6).as("s_fh"))
+      .orderBy($"duration_h")
+  }
+
+  val qNelsonAalenSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+      |w1 AS (SELECT user_id, event_type, us,
+      |  min(CASE WHEN event_type = 'view' THEN us END)
+      |    OVER (PARTITION BY user_id) AS v_us FROM e),
+      |w2 AS (SELECT user_id, v_us,
+      |  min(CASE WHEN event_type = 'purchase' AND us >= v_us THEN us END)
+      |    OVER (PARTITION BY user_id) AS p_us FROM w1),
+      |per AS (SELECT user_id, max(v_us) AS v_us, max(p_us) AS p_us
+      |  FROM w2 GROUP BY user_id),
+      |endt AS (SELECT max(us) AS end_us FROM e),
+      |durs AS (SELECT
+      |  floor((coalesce(p_us, end_us) - v_us) / 3600000000.0)::BIGINT AS duration_h,
+      |  CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM per, endt WHERE v_us IS NOT NULL),
+      |grid AS (SELECT duration_h, sum(ev)::BIGINT AS d, count(*) AS c
+      |  FROM durs GROUP BY 1),
+      |r1 AS (SELECT duration_h, d,
+      |  sum(c) OVER (ORDER BY duration_h
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk FROM grid),
+      |na AS (SELECT duration_h, d, n_risk,
+      |  sum(d::DOUBLE / n_risk) OVER (ORDER BY duration_h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_haz FROM r1)
+      |SELECT duration_h, n_risk::BIGINT AS n_risk, d AS n_event,
+      |  round(cum_haz, 6) AS cum_haz, round(exp(-cum_haz), 6) AS s_fh
+      |FROM na WHERE d > 0 ORDER BY duration_h""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_nelson_aalen", qNelsonAalen, Some(qNelsonAalenSql)),
     QueryDef("q_brown_smoothing", qBrownSmoothing, Some(qBrownSmoothingSql)),
     QueryDef("q_forecast_audit", qForecastAudit, Some(qForecastAuditSql)),
     QueryDef("q_log_rank", qLogRank, Some(qLogRankSql)),

@@ -82,7 +82,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // unrolled greedy MMR steps
     "q_sim_mmr",
     // 1-row study-end build for right-censoring
-    "q_survival_km", "q_log_rank",
+    "q_survival_km", "q_log_rank", "q_nelson_aalen",
     // 1-row L1 normalizer broadcasts per HITS half-step
     "q_hits",
     // 1-row corpus-token total against the 3-row cutoff aggregate
@@ -181,7 +181,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_mann_whitney" -> "$1k value grid (<=~600 rows)",
     "q_spearman" -> "quantity/discount marginal grids (<=51 rows)",
     "q_fdr_bh" -> "25-nation moment table",
-    "q_theil_sen" -> "pairwise-slope set (<=C(84,2) ~ 3.5k rows)")
+    "q_theil_sen" -> "pairwise-slope set (<=C(84,2) ~ 3.5k rows)",
+    "q_psi_drift" -> "20-bucket PSI grid",
+    "q_simpson_check" -> "2-row line-status segment relation",
+    "q_nelson_aalen" -> "O(hours) duration grid")
 
   test("no registered query plans a partitionless Window over an unbounded input") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}

@@ -72,6 +72,31 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_pairs") === months * (months - 1) / 2)
   }
 
+  test("PSI: per-bucket terms are non-negative and sum to the reported total") {
+    val rows = ops.Stats.qPsiDrift(spark, sf).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val terms = rows.map(_.getAs[Double]("psi_term"))
+    // (a-b)ln(a/b) >= 0 always
+    terms.foreach(t => assert(t >= -1e-9))
+    val total = rows.head.getAs[Double]("psi_total")
+    assert(math.abs(terms.sum - total) < 1e-4)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("base_share") > 0 && r.getAs[Double]("cur_share") > 0)
+    }
+  }
+
+  test("simpson check: reversal flag matches the sign comparison") {
+    val rows = ops.Stats.qSimpsonCheck(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val seg = r.getAs[Double]("seg_diff")
+      val pooled = r.getAs[Double]("pooled_diff")
+      // rounded values can sit at 0; only assert where the sign is clear
+      if (math.abs(seg) > 1e-5 && math.abs(pooled) > 1e-5)
+        assert(r.getAs[Boolean]("reversed") === (seg * pooled < 0))
+    }
+  }
+
   test("cross-correlation emits all 7 lags with |corr| <= 1") {
     val rows = ops.Stats.qCrossCorr(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("lag")).toSeq === (-3 to 3))

@@ -432,4 +432,26 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(wape > 0 && wape < 1.0, s"trend fit should beat a zero forecast: wape=$wape")
     assert(mape > 0 && mape < 1.0)
   }
+
+  test("nelson-aalen: hazard accumulates monotonically and bounds the KM curve") {
+    val na = ops.Timeseries.qNelsonAalen(spark, sf).collect()
+    assert(na.nonEmpty)
+    val hz = na.map(_.getAs[Double]("cum_haz"))
+    assert(hz.zip(hz.tail).forall { case (a, b) => b >= a }, "H(t) must be non-decreasing")
+    na.foreach { r =>
+      val s = r.getAs[Double]("s_fh")
+      assert(s > 0.0 && s <= 1.0)
+      assert(r.getAs[Long]("n_event") <= r.getAs[Long]("n_risk"))
+    }
+    // Fleming-Harrington exp(-H) >= Kaplan-Meier product-limit at
+    // every event time (1-x <= e^-x termwise)
+    val km = ops.Timeseries.qSurvivalKm(spark, sf).collect()
+      .map(r => r.getAs[Long]("duration_h") -> r.getAs[Double]("surv")).toMap
+    na.foreach { r =>
+      km.get(r.getAs[Long]("duration_h")).foreach { s_km =>
+        assert(r.getAs[Double]("s_fh") >= s_km - 1e-6,
+          s"FH below KM at t=${r.getAs[Long]("duration_h")}")
+      }
+    }
+  }
 }
