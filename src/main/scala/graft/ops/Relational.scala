@@ -467,19 +467,25 @@ object Relational extends QueryFamily {
     * error — 3 sigma absorbs per-group variance). The oracle
     * reproduces the exact counts and pins the booleans at true, so
     * the hash compare IS the accuracy-contract check — the
-    * q_hll_union_audit / q_kll_quantile_audit design. One scan: both
-    * the approximate and exact aggregates ride the same hash
-    * aggregate over (returnflag). */
+    * q_hll_union_audit / q_kll_quantile_audit design. The exact and
+    * approximate sides run as SEPARATE aggregates joined on the 3-row
+    * flag key: mixing countDistinct with approx_count_distinct in one
+    * agg makes Catalyst route the HLL++ buffers through the
+    * count-distinct Expand — a 16 KB sketch per (flag, key) group,
+    * gigabytes of buffer at sf0.1 (measured 63 s; split form is
+    * sub-second). */
   def qApproxDistinctAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val eps = 0.03
-    T.lineitem(spark, dir)
-      .groupBy($"l_returnflag")
-      .agg(
-        approx_count_distinct($"l_partkey", 0.01).as("apx_parts"),
-        countDistinct($"l_partkey").as("n_parts"),
-        approx_count_distinct($"l_orderkey", 0.01).as("apx_orders"),
+    val li = T.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_partkey", $"l_orderkey")
+    val exact = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("n_parts"),
         countDistinct($"l_orderkey").as("n_orders"))
+    val apx = li.groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey", 0.01).as("apx_parts"),
+        approx_count_distinct($"l_orderkey", 0.01).as("apx_orders"))
+    exact.join(apx, Seq("l_returnflag"))
       .select($"l_returnflag", $"n_parts", $"n_orders",
         (abs($"apx_parts" - $"n_parts") <= lit(eps) * $"n_parts").as("ok_parts"),
         (abs($"apx_orders" - $"n_orders") <= lit(eps) * $"n_orders").as("ok_orders"))

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** PII detection / redaction operator family for LLM-data pipelines
@@ -261,7 +262,68 @@ object Safety extends QueryFamily {
       |  round(noise, 4) AS noise, 1.0 AS epsilon
       |FROM z ORDER BY lang""".stripMargin
 
+  /** t-closeness audit — the third leg of the anonymity trio
+    * ([[qKAnonymity]] k, [[qLDiversity]] l): a class can be large AND
+    * diverse yet still leak if its sensitive-value DISTRIBUTION skews
+    * far from the corpus (an attacker learns the skew). t here is
+    * total variation distance (EMD under the discrete metric, the
+    * standard choice for categorical attributes) between each
+    * (source, length-bucket) class's language distribution and the
+    * global one, including the mass of languages absent from the
+    * class: TVD = ½(Σ_present |p_c − p| + (1 − Σ_present p)). Shape:
+    * one (qid, lang)-keyed cell aggregate; class totals and global
+    * shares DERIVE from the cells (no rescan); the deviation rollup
+    * is class-keyed. Banding thresholds sit at 0.25/0.55, away from
+    * round rational values a tiny fixture could land on exactly. */
+  def qTCloseness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = T.documents(spark, dir)
+      .groupBy($"source", floor($"n_chars" / 100).cast("long").as("len_bucket"), $"lang")
+      .agg(count(lit(1)).as("n"))
+      .cache() // class totals + global shares + deviations all read the cells
+    val cls = cells.groupBy($"source", $"len_bucket").agg(sum($"n").as("cn"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val gl = cells.groupBy($"lang").agg(sum($"n").as("gn"))
+      .withColumn("p", $"gn".cast("double") / sum($"gn").over(all))
+      .select($"lang", $"p")
+    val t = cells
+      .join(cls, Seq("source", "len_bucket"))
+      .join(broadcast(gl), Seq("lang"))
+      .groupBy($"source", $"len_bucket")
+      .agg(max($"cn").as("cn"),
+        (lit(0.5) * (sum(abs($"n".cast("double") / $"cn" - $"p"))
+          + (lit(1.0) - sum($"p")))).as("tvd"))
+    t.groupBy(
+        when($"tvd" < 0.25, lit("1:close(<0.25)"))
+          .when($"tvd" < 0.55, lit("2:moderate(0.25-0.55)"))
+          .otherwise(lit("3:far(0.55+)")).as("band"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum($"cn").as("n_docs"),
+        round(min($"tvd"), 4).as("min_t"),
+        round(max($"tvd"), 4).as("max_t"))
+      .orderBy($"band")
+  }
+
+  val qTClosenessSql: String =
+    """WITH cells AS (SELECT source, (n_chars // 100)::BIGINT AS len_bucket, lang,
+      |    count(*)::BIGINT AS n FROM documents GROUP BY 1, 2, 3),
+      |cls AS (SELECT source, len_bucket, sum(n)::BIGINT AS cn FROM cells GROUP BY 1, 2),
+      |gl AS (SELECT lang, sum(n)::DOUBLE / sum(sum(n)) OVER () AS p FROM cells GROUP BY lang),
+      |j AS (SELECT c.source, c.len_bucket, cls.cn,
+      |    abs(c.n::DOUBLE / cls.cn - g.p) AS dev, g.p
+      |  FROM cells c JOIN cls USING (source, len_bucket) JOIN gl g USING (lang)),
+      |t AS (SELECT source, len_bucket, max(cn) AS cn,
+      |    0.5 * (sum(dev) + (1.0 - sum(p))) AS tvd
+      |  FROM j GROUP BY 1, 2)
+      |SELECT CASE WHEN tvd < 0.25 THEN '1:close(<0.25)'
+      |            WHEN tvd < 0.55 THEN '2:moderate(0.25-0.55)'
+      |            ELSE '3:far(0.55+)' END AS band,
+      |  count(*)::BIGINT AS n_classes, sum(cn)::BIGINT AS n_docs,
+      |  round(min(tvd), 4) AS min_t, round(max(tvd), 4) AS max_t
+      |FROM t GROUP BY 1 ORDER BY band""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_t_closeness", qTCloseness, Some(qTClosenessSql)),
     QueryDef("q_dp_histogram", qDpHistogram, Some(qDpHistogramSql)),
     QueryDef("q_pii_scrub", qPiiScrub, Some(qPiiScrubSql)),
     QueryDef("q_pii_stats", qPiiStats, Some(qPiiStatsSql)),

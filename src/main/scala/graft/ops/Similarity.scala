@@ -1223,7 +1223,63 @@ object Similarity extends QueryFamily {
       |SELECT src_id, rank, nbr_id, round(cos, 4) AS cos FROM ranked
       |WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin
 
+  /** Radius (range) search: ALL corpus neighbors with cos >= 0.3 of
+    * each probe — the query shape behind "find everything similar
+    * enough" (dedup candidate pull, retrieval recall floors), where
+    * the q_sim_* top-k family answers "the best k". Candidates come
+    * from the corpus-scaled sign buckets with hamming-1 multiprobe
+    * ([[scaledBits]]/[[hamming1Probes]] — the round-9 shared
+    * machinery), so the probe-side explode is 1+bits rows per probe
+    * and the join stays equi-key on the bucket; recall < 1 by design
+    * (ANN), the oracle applies the identical banding. */
+  def qSimRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e0 = T.embeddings(spark, dir)
+    val n = e0.agg(count(lit(1)).as("n"))
+    val e = e0.crossJoin(broadcast(n))
+      .withColumn("bits", scaledBits($"n", targetBucket = 4, floor = 4, max = 16))
+      .withColumn("sg", signBits(16))
+      .withColumn("bucket", expr("substring(sg, 1, bits)"))
+    val probes = e.filter($"vec_id" < 10)
+      .withColumn("probe_bucket", hamming1Probes)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"probe_bucket")
+    val corpus = e.select($"vec_id".as("n_id"), $"embedding".as("v"),
+      $"bucket".as("probe_bucket"))
+    corpus.join(broadcast(probes), Seq("probe_bucket"))
+      .filter($"q_id" =!= $"n_id")
+      .select($"q_id", $"n_id", cos.as("cos"))
+      .filter($"cos" >= 0.3)
+      .select($"q_id", $"n_id", round($"cos", 4).as("cos"))
+      .orderBy($"q_id", $"n_id")
+  }
+
+  val qSimRangeSearchSql: String =
+    """WITH nb AS (SELECT greatest(4, least(16,
+      |    CAST(ceil(log2(count(*) / 4.0)) AS INT))) AS bits FROM embeddings),
+      |e AS (SELECT vec_id, embedding, bits,
+      |  (SELECT sum(x::DOUBLE * x::DOUBLE) FROM unnest(embedding) t(x)) AS n2,
+      |  substr(array_to_string(list_transform(embedding[1:16],
+      |    x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), ''), 1, bits) AS bucket
+      |  FROM embeddings, nb),
+      |pr AS (SELECT vec_id, embedding, n2,
+      |    unnest(list_transform(range(0, bits + 1),
+      |      k -> CASE WHEN k = 0 THEN bucket
+      |           ELSE substr(bucket, 1, k - 1) ||
+      |                (CASE WHEN substr(bucket, k, 1) = '1' THEN '0' ELSE '1' END) ||
+      |                substr(bucket, k + 1, bits - k) END)) AS pb
+      |  FROM e WHERE vec_id < 10),
+      |pairs AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+      |    a.n2 AS an2, b.n2 AS bn2, a.embedding AS ae, b.embedding AS be
+      |  FROM pr a JOIN e b ON b.bucket = a.pb AND b.vec_id <> a.vec_id),
+      |u AS (SELECT q_id, n_id, an2, bn2, unnest(ae) AS ax, unnest(be) AS bx FROM pairs),
+      |scored AS (SELECT q_id, n_id,
+      |    sum(ax::DOUBLE * bx::DOUBLE) / sqrt(any_value(an2) * any_value(bn2)) AS cos
+      |  FROM u GROUP BY 1, 2)
+      |SELECT q_id, n_id, round(cos, 4) AS cos FROM scored
+      |WHERE cos >= 0.3 ORDER BY q_id, n_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_sim_range_search", qSimRangeSearch, Some(qSimRangeSearchSql)),
     QueryDef("q_knn_graph", qKnnGraph, Some(qKnnGraphSql)),
     QueryDef("q_embed_norm_audit", qEmbedNormAudit, Some(qEmbedNormAuditSql)),
     QueryDef("q_sim_mmr", qSimMmr, Some(qSimMmrSql)),

@@ -1049,7 +1049,45 @@ object Timeseries extends QueryFamily {
       |  round(cum_haz, 6) AS cum_haz, round(exp(-cum_haz), 6) AS s_fh
       |FROM na WHERE d > 0 ORDER BY duration_h""".stripMargin
 
+  /** One-sided CUSUM drift detector on daily revenue (Page 1954,
+    * k = 0.5σ slack): where [[qChangepoint]] finds the single best
+    * split retrospectively, CUSUM is the SEQUENTIAL detector — the
+    * statistic a monitor evaluates every day. The max(0, S + z − k)
+    * recursion is not window-expressible, but its reflection identity
+    * is: S⁺_t = C_t − min(0, min_{j≤t} C_j) with C_t = Σ(z_i − k) —
+    * two running windows over the O(days) grain, exact. Revenue
+    * aggregates to exact integer cents first; standardization and the
+    * cumulative walk are arithmetic over the bounded daily relation.
+    * Emits the 10 highest-statistic days with the h = 5σ alarm
+    * flag. */
+  def qCusum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = T.orders(spark, dir)
+      .groupBy($"o_orderdate".as("d"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).cast("double").as("y"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = Window.orderBy($"d").rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("z", ($"y" - avg($"y").over(all)) / stddev_samp($"y").over(all))
+      .withColumn("c", sum($"z" - lit(0.5)).over(wCum))
+      .withColumn("s_pos", $"c" - least(lit(0.0), min($"c").over(wCum)))
+      .select($"d", round($"s_pos", 4).as("cusum"), ($"s_pos" > 5.0).as("alarm"))
+      .orderBy(desc("cusum"), asc("d"))
+      .limit(10)
+  }
+
+  val qCusumSql: String =
+    """WITH daily AS (SELECT o_orderdate AS d,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::DOUBLE AS y
+      |  FROM orders GROUP BY 1),
+      |st AS (SELECT d, (y - avg(y) OVER ()) / stddev_samp(y) OVER () AS z FROM daily),
+      |cs AS (SELECT d, sum(z - 0.5) OVER (ORDER BY d) AS c FROM st),
+      |dd AS (SELECT d, c - least(0.0, min(c) OVER (ORDER BY d)) AS s_pos FROM cs)
+      |SELECT d, round(s_pos, 4) AS cusum, s_pos > 5.0 AS alarm
+      |FROM dd ORDER BY s_pos DESC, d LIMIT 10""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_cusum", qCusum, Some(qCusumSql)),
     QueryDef("q_nelson_aalen", qNelsonAalen, Some(qNelsonAalenSql)),
     QueryDef("q_brown_smoothing", qBrownSmoothing, Some(qBrownSmoothingSql)),
     QueryDef("q_forecast_audit", qForecastAudit, Some(qForecastAuditSql)),

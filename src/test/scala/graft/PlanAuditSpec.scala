@@ -114,7 +114,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // O(months) x O(months) bounded pairwise-slope join (<= C(84,2))
     "q_theil_sen",
     // 1-row mean-degree broadcast that sets the peel threshold k
-    "q_kcore_peel")
+    "q_kcore_peel",
+    // 1-row corpus-count broadcast that sets the scaled sign-LSH depth
+    "q_sim_range_search")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
@@ -184,7 +186,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_theil_sen" -> "pairwise-slope set (<=C(84,2) ~ 3.5k rows)",
     "q_psi_drift" -> "20-bucket PSI grid",
     "q_simpson_check" -> "2-row line-status segment relation",
-    "q_nelson_aalen" -> "O(hours) duration grid")
+    "q_nelson_aalen" -> "O(hours) duration grid",
+    "q_cusum" -> "daily grain",
+    "q_t_closeness" -> "global language-share table (|langs| rows)")
 
   test("no registered query plans a partitionless Window over an unbounded input") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
@@ -242,7 +246,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // scaled-LSH families: a third scan derives the corpus/block count
     // that sets the hash depth, alongside the self-join's two sides
     "q_knn_graph" -> "corpus-count branch (1 row) + the bucket self-join's two sides",
-    "q_dedup_embedding" -> "per-label block-count branch (|labels| rows) + the cell self-join's two sides")
+    "q_dedup_embedding" -> "per-label block-count branch (|labels| rows) + the cell self-join's two sides",
+    "q_sim_range_search" -> "corpus-count branch (1 row) + probe/corpus bucket sides")
 
   test("no registered query scans one source relation more than twice") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}

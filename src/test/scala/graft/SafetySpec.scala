@@ -114,4 +114,19 @@ class SafetySpec extends AnyFunSuite {
     val again = ops.Safety.qDpHistogram(spark, sf).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("t-closeness: bands partition all quasi-identifier classes") {
+    val rows = ops.Safety.qTCloseness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi) = (r.getAs[Double]("min_t"), r.getAs[Double]("max_t"))
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= hi, s"TVD out of [0,1]: $lo..$hi")
+    }
+    // class count must equal the k-anonymity view of the SAME qid grid
+    // restricted to (source, len_bucket): recompute directly
+    import org.apache.spark.sql.functions._
+    val expect = ops.T.documents(spark, sf)
+      .groupBy(col("source"), floor(col("n_chars") / 100)).count().count()
+    assert(rows.map(_.getAs[Long]("n_classes")).sum === expect)
+  }
 }

@@ -75,4 +75,23 @@ class SimilaritySpec extends AnyFunSuite {
     // the fixture's label clusters are real: mean cohesion is positive
     assert(rows.map(r => r.getAs[Double]("mean_s") * r.getAs[Long]("n")).sum / total > 0.0)
   }
+
+  test("range search returns a subset of brute-force range results at the same radius") {
+    import org.apache.spark.sql.functions._
+    val approx = ops.Similarity.qSimRangeSearch(spark, sf)
+      .select(col("q_id"), col("n_id"), col("cos"))
+    // every returned pair genuinely clears the radius
+    assert(approx.filter(col("cos") < 0.3).count() === 0)
+    // ANN candidates are a subset of the exact radius set: verify via
+    // exact cosine recompute on the returned ids
+    val e = ops.T.embeddings(spark, sf)
+    val exact = e.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .filter(col("q_id") < 10)
+      .join(e.select(col("vec_id").as("n_id"), col("embedding").as("v")),
+        col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(graft.functions.F.cosineSimilarity(col("qv"), col("v")), 4).as("cos"))
+      .filter(col("cos") >= 0.3)
+    assert(approx.exceptAll(exact).count() === 0)
+  }
 }

@@ -454,4 +454,16 @@ class TimeseriesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("cusum: statistic non-negative, alarm consistent with the 5-sigma cut") {
+    val rows = ops.Timeseries.qCusum(spark, sf).collect()
+    assert(rows.length === 10)
+    val stats = rows.map(_.getAs[Double]("cusum"))
+    assert(stats.zip(stats.tail).forall { case (a, b) => a >= b }, "top-10 must be sorted")
+    rows.foreach { r =>
+      val s = r.getAs[Double]("cusum")
+      assert(s >= 0.0, "reflection identity keeps S+ >= 0")
+      assert(r.getAs[Boolean]("alarm") === (s > 5.0))
+    }
+  }
 }
