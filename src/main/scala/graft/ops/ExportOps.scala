@@ -35,6 +35,40 @@ object ExportOps extends QueryFamily {
     """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Schema-evolution merge read — the long-lived-table reality every
+    * export layout eventually hits: files written before a column
+    * existed sit next to files written after. Two generations of the
+    * nation table land in one root (v1: key+name for even keys; v2:
+    * adds n_regionkey for odd keys); `mergeSchema` unions the footers
+    * so the old files surface the new column as NULL. The audit
+    * aggregates row count and per-generation column coverage — the
+    * oracle states the expected semantics directly from the source
+    * table (all rows survive; the evolved column is populated exactly
+    * on the v2 rows). At 100 TB the same read path handles years of
+    * schema drift without a rewrite. */
+  def qSchemaMerge(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft-schema-merge")
+    val nation = T.nation(spark, dir)
+    nation.filter(col("n_nationkey") % 2 === 0)
+      .select(col("n_nationkey"), col("n_name"))
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    nation.filter(col("n_nationkey") % 2 === 1)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(out.toString)
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("n_regionkey")).as("with_region"),
+        countDistinct(col("n_name")).as("n_names"))
+  }
+
+  val qSchemaMergeSql: String =
+    """SELECT count(*) AS n_rows,
+      |  sum(CASE WHEN n_nationkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS with_region,
+      |  count(DISTINCT n_name) AS n_names
+      |FROM nation""".stripMargin
+
   /** Single-pass column profile — the post-export data-quality audit:
     * row count, null count, exact NDV, min/max/avg per profiled column,
     * all computed in ONE scan of the table (Catalyst expands the
@@ -501,6 +535,7 @@ object ExportOps extends QueryFamily {
     QueryDef("q_incremental_agg", qIncrementalAgg, Some(qIncrementalAggSql)),
     QueryDef("q_benford", qBenford, Some(qBenfordSql)),
     QueryDef("q_export_roundtrip", qExportRoundtrip, Some(qExportRoundtripSql)),
+    QueryDef("q_schema_merge", qSchemaMerge, Some(qSchemaMergeSql)),
     QueryDef("q_upsert_latest", qUpsertLatest, Some(qUpsertLatestSql)),
     QueryDef("q_jsonl_roundtrip", qJsonlRoundtrip, Some(qJsonlRoundtripSql)),
     QueryDef("q_csv_roundtrip", qCsvRoundtrip, Some(qCsvRoundtripSql)),

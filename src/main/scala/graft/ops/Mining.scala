@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -298,6 +298,70 @@ object Mining extends QueryFamily {
       |FROM bi JOIN uni u1 ON w1 = u1.w JOIN uni u2 ON w2 = u2.w, tot
       |WHERE c_ab >= 25
       |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin
+
+  /** Dunning log-likelihood-ratio (G²) collocations — the
+    * statistically-grounded companion to [[qPmiBigrams]]: PMI inflates
+    * rare pairs, G² weighs the full 2x2 contingency (bigram present /
+    * absent in each slot) so high scores need both association AND
+    * evidence. Same one-cached-pair-relation discipline as PMI (the
+    * round-6 lesson): slot marginals c1 (first-word) and c2
+    * (second-word) both derive from the bigram relation, nothing
+    * re-tokenizes the corpus. G² = 2 Σ k ln(kN / (row col)) over the
+    * four cells with the 0 ln 0 = 0 convention; both engines evaluate
+    * the identical expression tree. */
+  def qLlrCollocations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bi = T.documents(spark, dir)
+      .withColumn("w", split($"text", " "))
+      .select(explode(expr(
+        "transform(slice(w, 1, size(w) - 1), (x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))"))
+        .as("t"))
+      .select($"t.w1", $"t.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("k11"))
+      .cache()
+    val c1 = bi.groupBy($"w1").agg(sum($"k11").as("c1"))
+    val c2 = bi.groupBy($"w2").agg(sum($"k11").as("c2"))
+    val n = bi.agg(sum($"k11").as("nn"))
+    def term(k: Column, e: Column): Column =
+      when(k > 0, k.cast("double") * log(k.cast("double") / e)).otherwise(lit(0.0))
+    bi.filter($"k11" >= 25)
+      .join(c1, Seq("w1")).join(c2, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("k12", $"c1" - $"k11")
+      .withColumn("k21", $"c2" - $"k11")
+      .withColumn("k22", $"nn" - $"c1" - $"c2" + $"k11")
+      .withColumn("g2", lit(2.0) * (
+        term($"k11", ($"c1" * $"c2").cast("double") / $"nn") +
+        term($"k12", ($"c1" * ($"nn" - $"c2")).cast("double") / $"nn") +
+        term($"k21", (($"nn" - $"c1") * $"c2").cast("double") / $"nn") +
+        term($"k22", (($"nn" - $"c1") * ($"nn" - $"c2")).cast("double") / $"nn")))
+      .select($"w1", $"w2", $"k11", round($"g2", 4).as("g2"))
+      .orderBy(desc("g2"), asc("w1"), asc("w2"))
+      .limit(30)
+  }
+
+  val qLlrCollocationsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |bi AS (SELECT a.tok AS w1, b.tok AS w2, count(*)::BIGINT AS k11
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |  GROUP BY 1, 2),
+      |m1 AS (SELECT w1, sum(k11)::BIGINT AS c1 FROM bi GROUP BY 1),
+      |m2 AS (SELECT w2, sum(k11)::BIGINT AS c2 FROM bi GROUP BY 1),
+      |tot AS (SELECT sum(k11)::BIGINT AS nn FROM bi),
+      |g AS (SELECT w1, w2, k11, c1, c2, nn,
+      |    c1 - k11 AS k12, c2 - k11 AS k21, nn - c1 - c2 + k11 AS k22
+      |  FROM bi JOIN m1 USING (w1) JOIN m2 USING (w2), tot
+      |  WHERE k11 >= 25)
+      |SELECT w1, w2, k11, round(2.0 * (
+      |    (CASE WHEN k11 > 0 THEN k11::DOUBLE * ln(k11::DOUBLE / ((c1 * c2)::DOUBLE / nn)) ELSE 0.0 END) +
+      |    (CASE WHEN k12 > 0 THEN k12::DOUBLE * ln(k12::DOUBLE / ((c1 * (nn - c2))::DOUBLE / nn)) ELSE 0.0 END) +
+      |    (CASE WHEN k21 > 0 THEN k21::DOUBLE * ln(k21::DOUBLE / (((nn - c1) * c2)::DOUBLE / nn)) ELSE 0.0 END) +
+      |    (CASE WHEN k22 > 0 THEN k22::DOUBLE * ln(k22::DOUBLE / (((nn - c1) * (nn - c2))::DOUBLE / nn)) ELSE 0.0 END)
+      |  ), 4) AS g2
+      |FROM g ORDER BY g2 DESC, w1, w2 LIMIT 30""".stripMargin
 
   /** Last-touch attribution: each purchase credits the latest click (by
     * event time; ties -> lowest channel) from the same user, revenue
@@ -1590,6 +1654,7 @@ object Mining extends QueryFamily {
     QueryDef("q_corr_matrix", qCorrMatrix, Some(qCorrMatrixSql)),
     QueryDef("q_doc_deciles", qDocDeciles, Some(qDocDecilesSql)),
     QueryDef("q_pmi_bigrams", qPmiBigrams, Some(qPmiBigramsSql)),
+    QueryDef("q_llr_collocations", qLlrCollocations, Some(qLlrCollocationsSql)),
     QueryDef("q_attribution", qAttribution, Some(qAttributionSql)),
     QueryDef("q_attribution_ushape", qAttributionUshape, Some(qAttributionUshapeSql)),
     QueryDef("q_kendall_tau", qKendallTau, Some(qKendallTauSql)),

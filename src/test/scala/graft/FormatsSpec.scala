@@ -40,4 +40,13 @@ class FormatsSpec extends AnyFunSuite {
     assert(back.exceptAll(docs).count() === 0)
     assert(docs.exceptAll(back).count() === 0)
   }
+
+  test("schema-evolution merge read keeps every row and nulls the pre-evolution column") {
+    val r = ops.ExportOps.qSchemaMerge(spark, sf).collect().head
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    assert(r.getAs[Long]("n_rows") === nation.count())
+    import org.apache.spark.sql.functions._
+    val odd = nation.filter(col("n_nationkey") % 2 === 1).count()
+    assert(r.getAs[Long]("with_region") === odd)
+  }
 }

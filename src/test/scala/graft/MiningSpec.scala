@@ -192,4 +192,15 @@ class MiningSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("LLR collocations: G2 non-negative, evidence floor respected, sorted") {
+    val rows = ops.Mining.qLlrCollocations(spark, sf).collect()
+    assert(rows.length <= 30 && rows.nonEmpty)
+    val g2s = rows.map(_.getAs[Double]("g2"))
+    assert(g2s.zip(g2s.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Double]("g2") >= -1e-9, "G2 is a deviance, never negative")
+      assert(r.getAs[Long]("k11") >= 25L)
+    }
+  }
 }

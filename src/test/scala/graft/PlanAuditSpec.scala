@@ -43,8 +43,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // Q15 max revenue, Q22 global average balance
     "q11_important_value", "q15_top_supplier", "q22_idle_balance",
     // 1-row builds in the mining family: decile cut points, PMI corpus
-    // totals
-    "q_doc_deciles", "q_pmi_bigrams",
+    // totals, G² contingency total
+    "q_doc_deciles", "q_pmi_bigrams", "q_llr_collocations",
     // 1-row builds: KL corpus total, Benford row count, RFM quartile
     // cuts
     "q_source_divergence", "q_benford", "q_rfm",
