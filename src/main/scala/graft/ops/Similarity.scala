@@ -1278,7 +1278,101 @@ object Similarity extends QueryFamily {
       |SELECT q_id, n_id, round(cos, 4) AS cos FROM scored
       |WHERE cos >= 0.3 ORDER BY q_id, n_id""".stripMargin
 
+  /** Contrastive-triplet mining (anchor, positive, hard negative) —
+    * the data-prep operator behind embedding-model training: each
+    * anchor pairs with its nearest SAME-label vector (positive) and
+    * the most-similar DIFFERENT-label vector among its scaled-LSH
+    * bucket candidates (the hard negative — the near-miss that
+    * actually moves a contrastive loss; a random negative is trivially
+    * easy). Positives scan only the anchor's label block against the
+    * broadcast anchor set (O(1) anchors x block); negatives reuse the
+    * corpus-scaled sign buckets + hamming-1 multiprobe, so candidate
+    * generation is the same equi-key join the whole LSH family
+    * shuffles on. The cached bucketed relation feeds anchors,
+    * positives and candidates from one corpus scan. Anchors whose
+    * probed buckets hold no cross-label vector emit a NULL negative
+    * (the miner's honest answer; the trainer resamples those). */
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e0 = T.embeddings(spark, dir)
+    val n = e0.agg(count(lit(1)).as("n"))
+    val e = e0.crossJoin(broadcast(n))
+      .withColumn("bits", scaledBits($"n", targetBucket = 4, floor = 4, max = 16))
+      .withColumn("sg", signBits(16))
+      .withColumn("bucket", expr("substring(sg, 1, bits)"))
+      .select($"vec_id", $"label", $"embedding", $"bits", $"bucket")
+      .cache() // anchors + positives + negative candidates, one scan
+    val anchors = e.filter($"vec_id" < 10)
+    val kernel = graft.functions.F.cosineSimilarity($"qv", $"v")
+    val pos = e.select($"vec_id".as("p_id"), $"label", $"embedding".as("v"))
+      .join(broadcast(anchors.select($"vec_id".as("q_id"),
+        $"embedding".as("qv"), $"label")), Seq("label"))
+      .filter($"p_id" =!= $"q_id")
+      .select($"q_id", $"p_id", kernel.as("cos"))
+    val wq = Window.partitionBy($"q_id").orderBy(desc("cos"), asc("p_id"))
+    val pos1 = pos.withColumn("r", row_number().over(wq)).filter($"r" === 1)
+      .select($"q_id", $"p_id".as("pos_id"), round($"cos", 4).as("pos_cos"))
+    val probes = anchors
+      .withColumn("probe_bucket", hamming1Probes)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"),
+        $"label".as("q_label"), $"probe_bucket")
+    val cand = e.select($"vec_id".as("n_id"), $"label", $"embedding".as("v"),
+        $"bucket".as("probe_bucket"))
+      .join(broadcast(probes), Seq("probe_bucket"))
+      .filter($"n_id" =!= $"q_id" && $"label" =!= $"q_label")
+      .select($"q_id", $"n_id", kernel.as("cos"))
+    val wn = Window.partitionBy($"q_id").orderBy(desc("cos"), asc("n_id"))
+    val neg1 = cand.withColumn("r", row_number().over(wn)).filter($"r" === 1)
+      .select($"q_id", $"n_id".as("neg_id"), round($"cos", 4).as("neg_cos"))
+    pos1.join(neg1, Seq("q_id"), "left")
+      .select($"q_id", $"pos_id", $"pos_cos", $"neg_id", $"neg_cos")
+      .orderBy($"q_id")
+  }
+
+  val qHardNegativesSql: String =
+    """WITH nb AS (SELECT greatest(4, least(16,
+      |    CAST(ceil(log2(count(*) / 4.0)) AS INT))) AS bits FROM embeddings),
+      |e AS (SELECT vec_id, label, embedding, bits,
+      |  (SELECT sum(x::DOUBLE * x::DOUBLE) FROM unnest(embedding) t(x)) AS n2,
+      |  substr(array_to_string(list_transform(embedding[1:16],
+      |    x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), ''), 1, bits) AS bucket
+      |  FROM embeddings, nb),
+      |anch AS (SELECT * FROM e WHERE vec_id < 10),
+      |pp AS (SELECT a.vec_id AS q_id, b.vec_id AS p_id,
+      |    a.n2 AS an2, b.n2 AS bn2, a.embedding AS ae, b.embedding AS be
+      |  FROM anch a JOIN e b ON b.label = a.label AND b.vec_id <> a.vec_id),
+      |pu AS (SELECT q_id, p_id, an2, bn2, unnest(ae) AS ax, unnest(be) AS bx FROM pp),
+      |ps AS (SELECT q_id, p_id,
+      |    sum(ax::DOUBLE * bx::DOUBLE) / sqrt(any_value(an2) * any_value(bn2)) AS cos
+      |  FROM pu GROUP BY 1, 2),
+      |p1 AS (SELECT q_id, p_id AS pos_id, round(cos, 4) AS pos_cos FROM (
+      |    SELECT q_id, p_id, cos,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, p_id) AS r
+      |    FROM ps) WHERE r = 1),
+      |pr AS (SELECT vec_id, label, embedding, n2,
+      |    unnest(list_transform(range(0, bits + 1),
+      |      k -> CASE WHEN k = 0 THEN bucket
+      |           ELSE substr(bucket, 1, k - 1) ||
+      |                (CASE WHEN substr(bucket, k, 1) = '1' THEN '0' ELSE '1' END) ||
+      |                substr(bucket, k + 1, bits - k) END)) AS pb
+      |  FROM anch),
+      |np AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+      |    a.n2 AS an2, b.n2 AS bn2, a.embedding AS ae, b.embedding AS be
+      |  FROM pr a JOIN e b ON b.bucket = a.pb AND b.vec_id <> a.vec_id
+      |    AND b.label <> a.label),
+      |nu AS (SELECT q_id, n_id, an2, bn2, unnest(ae) AS ax, unnest(be) AS bx FROM np),
+      |ns AS (SELECT q_id, n_id,
+      |    sum(ax::DOUBLE * bx::DOUBLE) / sqrt(any_value(an2) * any_value(bn2)) AS cos
+      |  FROM nu GROUP BY 1, 2),
+      |n1 AS (SELECT q_id, n_id AS neg_id, round(cos, 4) AS neg_cos FROM (
+      |    SELECT q_id, n_id, cos,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS r
+      |    FROM ns) WHERE r = 1)
+      |SELECT q_id, pos_id, pos_cos, neg_id, neg_cos
+      |FROM p1 LEFT JOIN n1 USING (q_id) ORDER BY q_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_hard_negatives", qHardNegatives, Some(qHardNegativesSql)),
     QueryDef("q_sim_range_search", qSimRangeSearch, Some(qSimRangeSearchSql)),
     QueryDef("q_knn_graph", qKnnGraph, Some(qKnnGraphSql)),
     QueryDef("q_embed_norm_audit", qEmbedNormAudit, Some(qEmbedNormAuditSql)),

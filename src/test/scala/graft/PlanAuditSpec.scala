@@ -116,7 +116,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row mean-degree broadcast that sets the peel threshold k
     "q_kcore_peel",
     // 1-row corpus-count broadcast that sets the scaled sign-LSH depth
-    "q_sim_range_search")
+    "q_sim_range_search", "q_hard_negatives")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>

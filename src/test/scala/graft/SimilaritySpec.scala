@@ -94,4 +94,26 @@ class SimilaritySpec extends AnyFunSuite {
       .filter(col("cos") >= 0.3)
     assert(approx.exceptAll(exact).count() === 0)
   }
+
+  test("hard negatives: positive shares the anchor's label, negative never does") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Similarity.qHardNegatives(spark, sf)
+    assert(rows.count() === 10)
+    val lab = ops.T.embeddings(spark, sf).select(col("vec_id"), col("label"))
+    val j = rows
+      .join(lab.select(col("vec_id").as("q_id"), col("label").as("ql")), Seq("q_id"))
+      .join(lab.select(col("vec_id").as("pos_id"), col("label").as("pl")), Seq("pos_id"))
+      .join(lab.select(col("vec_id").as("neg_id"), col("label").as("nl")),
+        Seq("neg_id"), "left")
+    assert(j.filter(col("pl") =!= col("ql")).count() === 0,
+      "a positive must share the anchor's label")
+    assert(j.filter(col("nl").isNotNull && col("nl") === col("ql")).count() === 0,
+      "a hard negative must not share the anchor's label")
+    // the triplet is trainable: positive at least as close as the negative
+    // is NOT guaranteed (that's what makes it hard) — but both must be
+    // real similarities
+    rows.collect().foreach { r =>
+      assert(r.getAs[Double]("pos_cos") >= -1.0 && r.getAs[Double]("pos_cos") <= 1.0)
+    }
+  }
 }
