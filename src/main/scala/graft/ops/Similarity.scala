@@ -1371,7 +1371,45 @@ object Similarity extends QueryFamily {
       |SELECT q_id, pos_id, pos_cos, neg_id, neg_cos
       |FROM p1 LEFT JOIN n1 USING (q_id) ORDER BY q_id""".stripMargin
 
+  /** Recall audit of [[qKnnGraph]] against the exact top-3 graph on
+    * the probe subset — the same measure-the-approximation discipline
+    * as q_sim_lsh_recall, applied to the graph artifact (the round-8
+    * verdict's ask: when the hash depth scales with the corpus,
+    * recall is the observable that proves the trade stayed sane).
+    * Ground truth reuses the brute-force ranking on the 10-probe set;
+    * the approximate side is the graph's own edges for those
+    * sources. */
+  def qKnnGraphRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = qSimBruteforce(spark, dir).filter($"rank" <= 3)
+      .select($"q_id".as("src_id"), $"n_id".as("nbr_id"))
+    val approx = qKnnGraph(spark, dir).filter($"src_id" < 10)
+      .select($"src_id", $"nbr_id")
+    val hits = exact.join(approx, Seq("src_id", "nbr_id"), "left_semi")
+      .groupBy($"src_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy($"src_id").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("src_id"), "left")
+      .select($"src_id",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        round(coalesce($"n_hits", lit(0L)).cast("double") / $"n_true", 4).as("recall"))
+      .orderBy($"src_id")
+  }
+
+  val qKnnGraphRecallSql: String =
+    s"""WITH exact AS (SELECT q_id AS src_id, n_id AS nbr_id
+       |  FROM ($qSimBruteforceSql) WHERE rank <= 3),
+       |approx AS (SELECT src_id, nbr_id FROM ($qKnnGraphSql) WHERE src_id < 10),
+       |hits AS (SELECT e.src_id, count(*) AS n_hits FROM exact e
+       |  JOIN approx a ON a.src_id = e.src_id AND a.nbr_id = e.nbr_id
+       |  GROUP BY e.src_id),
+       |tr AS (SELECT src_id, count(*) AS n_true FROM exact GROUP BY src_id)
+       |SELECT tr.src_id, coalesce(n_hits, 0) AS n_hits,
+       |  round(coalesce(n_hits, 0)::DOUBLE / n_true, 4) AS recall
+       |FROM tr LEFT JOIN hits ON hits.src_id = tr.src_id
+       |ORDER BY tr.src_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_knn_graph_recall", qKnnGraphRecall, Some(qKnnGraphRecallSql)),
     QueryDef("q_hard_negatives", qHardNegatives, Some(qHardNegativesSql)),
     QueryDef("q_sim_range_search", qSimRangeSearch, Some(qSimRangeSearchSql)),
     QueryDef("q_knn_graph", qKnnGraph, Some(qKnnGraphSql)),

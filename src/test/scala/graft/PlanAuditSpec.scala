@@ -116,7 +116,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row mean-degree broadcast that sets the peel threshold k
     "q_kcore_peel",
     // 1-row corpus-count broadcast that sets the scaled sign-LSH depth
-    "q_sim_range_search", "q_hard_negatives")
+    "q_sim_range_search", "q_hard_negatives",
+    // inherits the brute-force probe-side non-equi join of its exact
+    // ground-truth pipeline + the scaled-depth corpus-count broadcast
+    "q_knn_graph_recall")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
@@ -247,7 +250,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // that sets the hash depth, alongside the self-join's two sides
     "q_knn_graph" -> "corpus-count branch (1 row) + the bucket self-join's two sides",
     "q_dedup_embedding" -> "per-label block-count branch (|labels| rows) + the cell self-join's two sides",
-    "q_sim_range_search" -> "corpus-count branch (1 row) + probe/corpus bucket sides")
+    "q_sim_range_search" -> "corpus-count branch (1 row) + probe/corpus bucket sides",
+    "q_knn_graph_recall" -> "graph pipeline + exact ground-truth audit pipeline")
 
   test("no registered query scans one source relation more than twice") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
