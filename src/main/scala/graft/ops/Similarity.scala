@@ -1154,13 +1154,18 @@ object Similarity extends QueryFamily {
     * artifact graph-based ANN indexes (HNSW/NSG) and semantic dedup
     * clustering start from, where the q_sim_* family answers point
     * queries. The hyperplane count SCALES WITH THE CORPUS
-    * ([[scaledBits]]: 2^bits ~ n/4, floor 4, cap 16), so expected
-    * bucket size is a constant ~4 vectors at any n — the round-8 fix
+    * ([[scaledBits]]: 2^bits ~ n/64, floor 2, cap 16), so expected
+    * bucket size is a constant ~64 vectors at any n — the round-8 fix
     * for the fixed-256-bucket plan whose buckets grew with the corpus
     * (O(n^2/256) candidates). Each vector probes its own bucket plus
     * the `bits` hamming-1 flips ([[hamming1Probes]]) so graph degree
-    * survives the finer bucketing: candidates are O(n x 4 x bits) —
-    * ~log-linear, verified sub-quadratic across fixtures by ScaleSpec.
+    * survives the finer bucketing: candidates are O(n x 64 x bits) —
+    * ~log-linear, verified sub-quadratic across fixtures by ScaleSpec
+    * (measured 125k -> 749k for a 4x corpus, ratio 6 vs quadratic 16),
+    * with candidate recall of the exact top-3 at 0.67/0.43
+    * (sf0.01/sf0.1, q_knn_graph_recall audits the graph itself) — the
+    * bucket-4 first cut measured 0.33/0.03, the classic
+    * too-deep-hash recall collapse.
     * Still an equi-join that shuffles by bucket across 1000 executors,
     * followed by [[Skew.twoPhaseTopK]] so no per-source ranking window
     * ever sees more than local survivors. Vectors are pruned before
@@ -1184,7 +1189,7 @@ object Similarity extends QueryFamily {
     val e0 = T.embeddings(spark, dir)
     val n = e0.agg(count(lit(1)).as("n"))
     val e = e0.crossJoin(broadcast(n))
-      .withColumn("bits", scaledBits($"n", targetBucket = 4, floor = 4, max = 16))
+      .withColumn("bits", scaledBits($"n", targetBucket = 64, floor = 2, max = 16))
       .withColumn("sg", signBits(16))
       .withColumn("bucket", expr("substring(sg, 1, bits)"))
     val l = e.withColumn("probe_bucket", hamming1Probes)
@@ -1195,8 +1200,8 @@ object Similarity extends QueryFamily {
   }
 
   val qKnnGraphSql: String =
-    """WITH nb AS (SELECT greatest(4, least(16,
-      |    CAST(ceil(log2(count(*) / 4.0)) AS INT))) AS bits FROM embeddings),
+    """WITH nb AS (SELECT greatest(2, least(16,
+      |    CAST(ceil(log2(count(*) / 64.0)) AS INT))) AS bits FROM embeddings),
       |e AS (SELECT vec_id, embedding, bits,
       |  (SELECT sum(x::DOUBLE * x::DOUBLE) FROM unnest(embedding) t(x)) AS n2,
       |  substr(array_to_string(list_transform(embedding[1:16],
@@ -1237,7 +1242,7 @@ object Similarity extends QueryFamily {
     val e0 = T.embeddings(spark, dir)
     val n = e0.agg(count(lit(1)).as("n"))
     val e = e0.crossJoin(broadcast(n))
-      .withColumn("bits", scaledBits($"n", targetBucket = 4, floor = 4, max = 16))
+      .withColumn("bits", scaledBits($"n", targetBucket = 64, floor = 2, max = 16))
       .withColumn("sg", signBits(16))
       .withColumn("bucket", expr("substring(sg, 1, bits)"))
     val probes = e.filter($"vec_id" < 10)
@@ -1254,8 +1259,8 @@ object Similarity extends QueryFamily {
   }
 
   val qSimRangeSearchSql: String =
-    """WITH nb AS (SELECT greatest(4, least(16,
-      |    CAST(ceil(log2(count(*) / 4.0)) AS INT))) AS bits FROM embeddings),
+    """WITH nb AS (SELECT greatest(2, least(16,
+      |    CAST(ceil(log2(count(*) / 64.0)) AS INT))) AS bits FROM embeddings),
       |e AS (SELECT vec_id, embedding, bits,
       |  (SELECT sum(x::DOUBLE * x::DOUBLE) FROM unnest(embedding) t(x)) AS n2,
       |  substr(array_to_string(list_transform(embedding[1:16],
@@ -1297,7 +1302,7 @@ object Similarity extends QueryFamily {
     val e0 = T.embeddings(spark, dir)
     val n = e0.agg(count(lit(1)).as("n"))
     val e = e0.crossJoin(broadcast(n))
-      .withColumn("bits", scaledBits($"n", targetBucket = 4, floor = 4, max = 16))
+      .withColumn("bits", scaledBits($"n", targetBucket = 64, floor = 2, max = 16))
       .withColumn("sg", signBits(16))
       .withColumn("bucket", expr("substring(sg, 1, bits)"))
       .select($"vec_id", $"label", $"embedding", $"bits", $"bucket")
@@ -1330,8 +1335,8 @@ object Similarity extends QueryFamily {
   }
 
   val qHardNegativesSql: String =
-    """WITH nb AS (SELECT greatest(4, least(16,
-      |    CAST(ceil(log2(count(*) / 4.0)) AS INT))) AS bits FROM embeddings),
+    """WITH nb AS (SELECT greatest(2, least(16,
+      |    CAST(ceil(log2(count(*) / 64.0)) AS INT))) AS bits FROM embeddings),
       |e AS (SELECT vec_id, label, embedding, bits,
       |  (SELECT sum(x::DOUBLE * x::DOUBLE) FROM unnest(embedding) t(x)) AS n2,
       |  substr(array_to_string(list_transform(embedding[1:16],

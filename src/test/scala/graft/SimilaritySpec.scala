@@ -95,6 +95,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.exceptAll(exact).count() === 0)
   }
 
+  test("knn-graph recall stays above the measured floor (depth-change tripwire)") {
+    // B=64/floor=2 measured 0.67 (sf0.001/0.01 shape) — a depth change
+    // that collapses recall (the bucket-4 first cut hit 0.03 at sf0.1)
+    // must fail here, the LshBandingSpec discipline for the sign family
+    import org.apache.spark.sql.functions._
+    val mean = ops.Similarity.qKnnGraphRecall(spark, sf)
+      .agg(avg(col("recall"))).collect().head.getDouble(0)
+    assert(mean >= 0.4, s"knn-graph candidate recall collapsed: $mean")
+  }
+
   test("hard negatives: positive shares the anchor's label, negative never does") {
     import org.apache.spark.sql.functions._
     val rows = ops.Similarity.qHardNegatives(spark, sf)
