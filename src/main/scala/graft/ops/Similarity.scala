@@ -1413,7 +1413,35 @@ object Similarity extends QueryFamily {
        |FROM tr LEFT JOIN hits ON hits.src_id = tr.src_id
        |ORDER BY tr.src_id""".stripMargin
 
+  /** Mutual-kNN edges: the symmetric core of [[qKnnGraph]] — keep
+    * (a, b) only when each lists the other in its top-3. Mutual
+    * edges are the standard robust backbone for graph clustering and
+    * agglomerative semantic dedup (one-directional edges are where
+    * hubs pollute neighborhoods). The directed graph is
+    * localCheckpoint-ed once, so the reversal join reads the
+    * materialized edge set instead of recomputing the LSH pipeline
+    * twice; the join is edge-keyed, O(|edges|). */
+  def qMutualKnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = qKnnGraph(spark, dir)
+      .select($"src_id", $"nbr_id", $"cos")
+      .localCheckpoint(true)
+    g.filter($"src_id" < $"nbr_id")
+      .join(g.select($"nbr_id".as("src_id"), $"src_id".as("nbr_id")),
+        Seq("src_id", "nbr_id"), "left_semi")
+      .select($"src_id".as("a_id"), $"nbr_id".as("b_id"), $"cos")
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val qMutualKnnSql: String =
+    s"""WITH g AS (${qKnnGraphSql.replace("\n", "\n  ")}),
+       |m AS (SELECT a.src_id AS a_id, a.nbr_id AS b_id, a.cos
+       |  FROM g a JOIN g b ON b.src_id = a.nbr_id AND b.nbr_id = a.src_id
+       |  WHERE a.src_id < a.nbr_id)
+       |SELECT a_id, b_id, cos FROM m ORDER BY a_id, b_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_mutual_knn", qMutualKnn, Some(qMutualKnnSql)),
     QueryDef("q_knn_graph_recall", qKnnGraphRecall, Some(qKnnGraphRecallSql)),
     QueryDef("q_hard_negatives", qHardNegatives, Some(qHardNegativesSql)),
     QueryDef("q_sim_range_search", qSimRangeSearch, Some(qSimRangeSearchSql)),

@@ -417,7 +417,129 @@ object Stats extends QueryFamily {
       |  seg_diff * pooled_diff < 0 AS reversed
       |FROM d ORDER BY segment""".stripMargin
 
+  /** Partial correlation of quantity and line price CONTROLLING for
+    * discount — the confounder-adjusted association a metrics review
+    * asks for after the raw correlation ships. All three pairwise
+    * Pearson r's ride ONE hash aggregate (Spark's corr is a partial-
+    * combining aggregate, so one fact scan at any SF); the partial-r
+    * formula runs on the 1-row moment relation. */
+  def qPartialCorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = T.lineitem(spark, dir).agg(
+      count(lit(1)).as("n"),
+      corr($"l_quantity", $"l_extendedprice").as("rxy"),
+      corr($"l_quantity", $"l_discount").as("rxz"),
+      corr($"l_extendedprice", $"l_discount").as("ryz"))
+    m.select($"n", round($"rxy", 4).as("r_raw"),
+      round(($"rxy" - $"rxz" * $"ryz") /
+        sqrt((lit(1.0) - $"rxz" * $"rxz") * (lit(1.0) - $"ryz" * $"ryz")), 4)
+        .as("r_partial"))
+  }
+
+  val qPartialCorrSql: String =
+    """WITH m AS (SELECT count(*)::BIGINT AS n,
+      |    corr(l_quantity, l_extendedprice) AS rxy,
+      |    corr(l_quantity, l_discount) AS rxz,
+      |    corr(l_extendedprice, l_discount) AS ryz
+      |  FROM lineitem)
+      |SELECT n, round(rxy, 4) AS r_raw,
+      |  round((rxy - rxz * ryz) /
+      |    sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 4) AS r_partial
+      |FROM m""".stripMargin
+
+  /** Cronbach's alpha over three comparably-scaled line-item measures
+    * (quantity, discount%, tax%) — the internal-consistency
+    * coefficient α = k/(k−1) · (1 − Σvar_i / var(Σx)): one aggregate
+    * carrying the three item variances plus the composite variance,
+    * closed-form on the 1-row result. The measures are deliberately
+    * near-independent here, so α ~ 0 — the audit's value is the
+    * machinery (any k items, one scan), not this fixture's score. */
+  def qCronbachAlpha(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = $"l_quantity"
+    val d = $"l_discount" * 100
+    val t = $"l_tax" * 100
+    val m = T.lineitem(spark, dir).agg(
+      count(lit(1)).as("n"),
+      var_samp(q).as("v1"), var_samp(d).as("v2"), var_samp(t).as("v3"),
+      var_samp(q + d + t).as("vt"))
+    m.select($"n",
+      round(lit(3.0 / 2.0) * (lit(1.0) - ($"v1" + $"v2" + $"v3") / $"vt"), 4)
+        .as("alpha"))
+  }
+
+  val qCronbachAlphaSql: String =
+    """WITH m AS (SELECT count(*)::BIGINT AS n,
+      |    var_samp(l_quantity) AS v1,
+      |    var_samp(l_discount * 100) AS v2,
+      |    var_samp(l_tax * 100) AS v3,
+      |    var_samp(l_quantity + l_discount * 100 + l_tax * 100) AS vt
+      |  FROM lineitem)
+      |SELECT n, round(1.5 * (1.0 - (v1 + v2 + v3) / vt), 4) AS alpha
+      |FROM m""".stripMargin
+
+  /** Decision-stump training at scale: the best quantity threshold
+    * for predicting a returned line (l_returnflag = 'R') by weighted
+    * Gini impurity — the split-finding primitive under every
+    * tree/GBM trainer, expressed as: one grid aggregate (quantity is
+    * a 1..50 grid), cumulative class counts over the grid, impurity
+    * arithmetic per candidate threshold, argmin. The fact table is
+    * touched once; candidate evaluation is O(grid), not O(rows). */
+  def qGiniStump(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grid = T.lineitem(spark, dir)
+      .groupBy($"l_quantity".cast("int").as("q"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("r"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = Window.orderBy($"q").rowsBetween(Window.unboundedPreceding, 0)
+    def gini(pos: Column, tot: Column): Column = {
+      val p = pos.cast("double") / tot
+      lit(1.0) - p * p - (lit(1.0) - p) * (lit(1.0) - p)
+    }
+    val scored = grid
+      .withColumn("nl", sum($"n").over(wCum))
+      .withColumn("rl", sum($"r").over(wCum))
+      .withColumn("nt", sum($"n").over(all))
+      .withColumn("rt", sum($"r").over(all))
+      .filter($"nl" < $"nt") // a split must leave a non-empty right side
+      .withColumn("g",
+        ($"nl" / $"nt".cast("double")) * gini($"rl", $"nl") +
+          (($"nt" - $"nl") / $"nt".cast("double")) * gini($"rt" - $"rl", $"nt" - $"nl"))
+      .withColumn("g0", gini($"rt", $"nt"))
+    scored
+      .select($"q".as("threshold"), round($"g", 6).as("gini_split"),
+        round($"g0", 6).as("gini_parent"),
+        round($"g0" - $"g", 6).as("gain"))
+      .orderBy(desc("gain"), asc("threshold"))
+      .limit(1)
+  }
+
+  val qGiniStumpSql: String =
+    """WITH grid AS (SELECT CAST(l_quantity AS INT) AS q, count(*)::BIGINT AS n,
+      |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS r
+      |  FROM lineitem GROUP BY 1),
+      |c AS (SELECT q,
+      |    sum(n) OVER (ORDER BY q) AS nl, sum(r) OVER (ORDER BY q) AS rl,
+      |    sum(n) OVER () AS nt, sum(r) OVER () AS rt
+      |  FROM grid),
+      |s AS (SELECT q, nl, rl, nt, rt,
+      |    (nl / nt::DOUBLE) * (1.0 - (rl::DOUBLE / nl) * (rl::DOUBLE / nl)
+      |      - (1.0 - rl::DOUBLE / nl) * (1.0 - rl::DOUBLE / nl))
+      |    + ((nt - nl) / nt::DOUBLE) * (1.0
+      |      - ((rt - rl)::DOUBLE / (nt - nl)) * ((rt - rl)::DOUBLE / (nt - nl))
+      |      - (1.0 - (rt - rl)::DOUBLE / (nt - nl)) * (1.0 - (rt - rl)::DOUBLE / (nt - nl))) AS g,
+      |    1.0 - (rt::DOUBLE / nt) * (rt::DOUBLE / nt)
+      |      - (1.0 - rt::DOUBLE / nt) * (1.0 - rt::DOUBLE / nt) AS g0
+      |  FROM c WHERE nl < nt)
+      |SELECT q AS threshold, round(g, 6) AS gini_split,
+      |  round(g0, 6) AS gini_parent, round(g0 - g, 6) AS gain
+      |FROM s ORDER BY g0 - g DESC, q LIMIT 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_partial_corr", qPartialCorr, Some(qPartialCorrSql)),
+    QueryDef("q_cronbach_alpha", qCronbachAlpha, Some(qCronbachAlphaSql)),
+    QueryDef("q_gini_stump", qGiniStump, Some(qGiniStumpSql)),
     QueryDef("q_psi_drift", qPsiDrift, Some(qPsiDriftSql)),
     QueryDef("q_simpson_check", qSimpsonCheck, Some(qSimpsonCheckSql)),
     QueryDef("q_mann_whitney", qMannWhitney, Some(qMannWhitneySql)),

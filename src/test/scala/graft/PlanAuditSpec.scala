@@ -191,7 +191,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_simpson_check" -> "2-row line-status segment relation",
     "q_nelson_aalen" -> "O(hours) duration grid",
     "q_cusum" -> "daily grain",
-    "q_t_closeness" -> "global language-share table (|langs| rows)")
+    "q_t_closeness" -> "global language-share table (|langs| rows)",
+    "q_gini_stump" -> "quantity grid (<=50 candidate thresholds)")
 
   test("no registered query plans a partitionless Window over an unbounded input") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}

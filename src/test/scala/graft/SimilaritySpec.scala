@@ -126,4 +126,18 @@ class SimilaritySpec extends AnyFunSuite {
       assert(r.getAs[Double]("pos_cos") >= -1.0 && r.getAs[Double]("pos_cos") <= 1.0)
     }
   }
+
+  test("mutual-knn edges are symmetric members of the directed graph") {
+    import org.apache.spark.sql.functions._
+    val g = ops.Similarity.qKnnGraph(spark, sf)
+      .select(col("src_id"), col("nbr_id"))
+    val m = ops.Similarity.qMutualKnn(spark, sf)
+    assert(m.count() > 0)
+    assert(m.filter(col("a_id") >= col("b_id")).count() === 0)
+    // both directions must exist in the directed graph
+    val fwd = m.select(col("a_id").as("src_id"), col("b_id").as("nbr_id"))
+    val bwd = m.select(col("b_id").as("src_id"), col("a_id").as("nbr_id"))
+    assert(fwd.exceptAll(g).count() === 0)
+    assert(bwd.exceptAll(g).count() === 0)
+  }
 }

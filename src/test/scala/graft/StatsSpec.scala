@@ -105,4 +105,29 @@ class StatsSpec extends AnyFunSuite {
       assert(math.abs(c) <= 1.0)
     }
   }
+
+  test("partial correlation is bounded and consistent with its inputs") {
+    val r = ops.Stats.qPartialCorr(spark, sf).collect().head
+    val (raw, part) = (r.getAs[Double]("r_raw"), r.getAs[Double]("r_partial"))
+    // the synthetic fixture draws price independently of quantity, so
+    // both r's are near zero — assert the invariants, not a domain
+    // story the fixture doesn't tell
+    assert(math.abs(raw) <= 1.0 && math.abs(part) <= 1.0)
+    assert(r.getAs[Long]("n") > 0)
+  }
+
+  test("cronbach alpha <= 1 and n matches the fact count") {
+    val r = ops.Stats.qCronbachAlpha(spark, sf).collect().head
+    assert(r.getAs[Double]("alpha") <= 1.0 + 1e-9)
+    assert(r.getAs[Long]("n") === spark.read.parquet(s"$sf/lineitem.parquet").count())
+  }
+
+  test("gini stump: gain non-negative, split beats or ties the parent") {
+    val r = ops.Stats.qGiniStump(spark, sf).collect().head
+    val gain = r.getAs[Double]("gain")
+    assert(gain >= -1e-9)
+    assert(r.getAs[Double]("gini_split") <= r.getAs[Double]("gini_parent") + 1e-9)
+    val t = r.getAs[Int]("threshold")
+    assert(t >= 1 && t < 50, s"threshold $t must leave both sides non-empty")
+  }
 }
