@@ -286,7 +286,52 @@ object StreamingOps extends QueryFamily {
       |  round(sum(value), 2) AS sum_value
       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Hourly per-type revenue — the streamable aggregation under the
+    * windowed top-k. */
+  def hourlyRevenue(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(round(sum(col("value")), 2).as("rev"))
+      .select(unix_micros(col("win.start")).as("win_start_us"),
+        col("event_type"), col("rev"))
+
+  /** Rank stage of the windowed top-k, applied DOWNSTREAM of the
+    * streaming aggregate: Spark (correctly) refuses rank windows on a
+    * streaming relation, so production ranks each trigger's
+    * complete-mode state in foreachBatch / on the sink table — which
+    * is exactly how the StreamingSpec parity test runs it. Batch and
+    * stream share this function, so the ranking semantics cannot
+    * drift between the two paths. */
+  def topkOf(hourly: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("win_start_us"))
+      .orderBy(desc("rev"), asc("event_type"))
+    hourly.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+  }
+
+  /** Top-3 event types per tumbling hour by revenue — the windowed
+    * leaderboard (trending topics / top sellers per window), the
+    * canonical two-stage streaming top-k: incremental time-window
+    * aggregation feeding a bounded rank over |types| rows per
+    * window. */
+  def qStreamTopk(spark: SparkSession, dir: String): DataFrame =
+    topkOf(hourlyRevenue(T.events(spark, dir)))
+      .orderBy(col("win_start_us"), col("rank"))
+
+  val qStreamTopkSql: String =
+    """WITH e AS (SELECT event_type, value,
+      |             make_timestamp(epoch_ns(ts)//1000) AS ts FROM events),
+      |h AS (SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
+      |        round(sum(value), 2) AS rev
+      |      FROM e GROUP BY 1, 2),
+      |r AS (SELECT win_start_us, event_type, rev,
+      |        row_number() OVER (PARTITION BY win_start_us
+      |          ORDER BY rev DESC, event_type) AS rank
+      |      FROM h)
+      |SELECT win_start_us, event_type, rev, rank FROM r
+      |WHERE rank <= 3 ORDER BY win_start_us, rank""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_stream_topk", qStreamTopk, Some(qStreamTopkSql)),
     QueryDef("q_stream_static", qStreamStatic, Some(qStreamStaticSql)),
     QueryDef("q_stream_tumbling", qStreamTumbling, Some(qStreamTumblingSql)),
     QueryDef("q_stream_sliding", qStreamSliding, Some(qStreamSlidingSql)),

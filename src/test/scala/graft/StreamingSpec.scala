@@ -41,6 +41,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed top-k: rank over the streamed complete-mode state matches batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val data = Seq(
+      Ev(t("2024-01-01 00:10:00"), "click", 1.0, 1L),
+      Ev(t("2024-01-01 00:20:00"), "view", 9.0, 2L),
+      Ev(t("2024-01-01 00:30:00"), "purchase", 5.0, 1L),
+      Ev(t("2024-01-01 00:40:00"), "cart", 3.0, 3L),
+      Ev(t("2024-01-01 01:10:00"), "view", 2.0, 1L),
+      Ev(t("2024-01-01 01:15:00"), "click", 7.0, 2L))
+    val ms = MemoryStream[Ev]
+    ms.addData(data: _*)
+    // stage 1 streams (incremental agg); stage 2 ranks the sink table —
+    // the production streaming-top-k shape (rank in foreachBatch /
+    // downstream of the stateful agg)
+    val q = ops.StreamingOps.hourlyRevenue(ms.toDF())
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("topk_hourly").start()
+    try {
+      q.processAllAvailable()
+      val streamed = ops.StreamingOps.topkOf(spark.table("topk_hourly"))
+        .orderBy("win_start_us", "rank").collect().toSeq
+      val batch = ops.StreamingOps.topkOf(
+          ops.StreamingOps.hourlyRevenue(data.toDF()))
+        .orderBy("win_start_us", "rank").collect().toSeq
+      assert(streamed === batch)
+      // hour 0 has 4 types -> exactly 3 survive; the dropped one is the
+      // minimum-revenue type
+      val hour0 = streamed.filter(_.getAs[Long]("win_start_us") ===
+        t("2024-01-01 00:00:00").getTime * 1000L)
+      assert(hour0.map(_.getAs[String]("event_type")).toSet ===
+        Set("view", "purchase", "cart"))
+    } finally q.stop()
+  }
+
   test("engine watermark drops equal the batch late-drop transform per event") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
