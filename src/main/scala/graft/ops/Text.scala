@@ -1344,7 +1344,80 @@ object Text extends QueryFamily {
       |  round(avg(len(t)::DOUBLE), 4) AS avg_word_len
       |FROM s GROUP BY source ORDER BY source""".stripMargin
 
+  /** Pairwise vocabulary Jaccard between sources — the corpus-mixing
+    * diagnostic ("how much does crawl A's vocabulary overlap crawl
+    * B's?") that informs dedup budgets and mixing temperatures. The
+    * corpus reduces to the DISTINCT (source, token) relation first —
+    * bounded by |sources| x |vocab|, saturating rather than
+    * SF-scaling — so the token-keyed self-join that counts
+    * intersections is bounded work at any corpus size; union sizes
+    * come from the same relation via inclusion-exclusion. Top-15
+    * most-overlapping pairs keep the output a report, not a dump. */
+  def qSourceJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val st = T.documents(spark, dir)
+      .select($"source", explode(split($"text", " ")).as("t"))
+      .distinct()
+      .cache() // per-source sizes + the intersection self-join
+    val sizes = st.groupBy($"source").agg(count(lit(1)).as("v"))
+    val inter = st.select($"source".as("src_a"), $"t")
+      .join(st.select($"source".as("src_b"), $"t"), Seq("t"))
+      .filter($"src_a" < $"src_b")
+      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(broadcast(sizes.select($"source".as("src_a"), $"v".as("va"))), Seq("src_a"))
+      .join(broadcast(sizes.select($"source".as("src_b"), $"v".as("vb"))), Seq("src_b"))
+      .select($"src_a", $"src_b", $"i",
+        round($"i".cast("double") / ($"va" + $"vb" - $"i"), 4).as("jaccard"))
+      .orderBy(desc("jaccard"), asc("src_a"), asc("src_b"))
+      .limit(15)
+  }
+
+  val qSourceJaccardSql: String =
+    """WITH st AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |sz AS (SELECT source, count(*)::BIGINT AS v FROM st GROUP BY 1),
+      |it AS (SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS i
+      |  FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, i,
+      |  round(i::DOUBLE / (sa.v + sb.v - i), 4) AS jaccard
+      |FROM it JOIN sz sa ON sa.source = src_a JOIN sz sb ON sb.source = src_b
+      |ORDER BY jaccard DESC, src_a, src_b LIMIT 15""".stripMargin
+
+  /** Herfindahl-Hirschman concentration of the training mix: Σ share²
+    * over source token shares (1/|sources| = perfectly balanced, 1 =
+    * single-source), with the effective source count 1/HHI — the
+    * one-number diversity check on a mixing plan. One aggregate to
+    * per-source token counts, window total over the 20-row relation,
+    * closed-form rollup. */
+  def qHhiConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perSource = T.documents(spark, dir)
+      .select($"source", size(split($"text", " ")).cast("long").as("toks"))
+      .groupBy($"source").agg(sum($"toks").as("n"))
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    perSource
+      .withColumn("share", $"n".cast("double") / sum($"n").over(all))
+      .agg(count(lit(1)).as("n_sources"),
+        round(sum($"share" * $"share"), 6).as("hhi"),
+        round(lit(1.0) / sum($"share" * $"share"), 2).as("effective_sources"))
+  }
+
+  val qHhiConcentrationSql: String =
+    """WITH ps AS (SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n
+      |  FROM documents GROUP BY 1),
+      |sh AS (SELECT n::DOUBLE / sum(n) OVER () AS share FROM ps)
+      |SELECT count(*)::BIGINT AS n_sources,
+      |  round(sum(share * share), 6) AS hhi,
+      |  round(1.0 / sum(share * share), 2) AS effective_sources
+      |FROM sh""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_source_jaccard", qSourceJaccard, Some(qSourceJaccardSql)),
+    QueryDef("q_hhi_concentration", qHhiConcentration, Some(qHhiConcentrationSql)),
     QueryDef("q_tokenizer_fertility", qTokenizerFertility, Some(qTokenizerFertilitySql)),
     QueryDef("q_vocab_coverage", qVocabCoverage, Some(qVocabCoverageSql)),
     QueryDef("q_calibration", qCalibration, Some(qCalibrationSql)),

@@ -264,4 +264,19 @@ class DedupTextSpec extends AnyFunSuite {
     assert(j.filter(col("click_us").isNotNull &&
       col("click_us") =!= col("plain_click")).count() === 0)
   }
+
+  test("source jaccard in (0,1]; HHI between 1/k and 1") {
+    val j = ops.Text.qSourceJaccard(spark, sf).collect()
+    assert(j.nonEmpty && j.length <= 15)
+    j.foreach { r =>
+      val v = r.getAs[Double]("jaccard")
+      assert(v > 0.0 && v <= 1.0)
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+    }
+    val h = ops.Text.qHhiConcentration(spark, sf).collect().head
+    val k = h.getAs[Long]("n_sources")
+    val hhi = h.getAs[Double]("hhi")
+    assert(hhi >= 1.0 / k - 1e-9 && hhi <= 1.0)
+    assert(math.abs(h.getAs[Double]("effective_sources") - 1.0 / hhi) < 0.01)
+  }
 }

@@ -192,7 +192,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_nelson_aalen" -> "O(hours) duration grid",
     "q_cusum" -> "daily grain",
     "q_t_closeness" -> "global language-share table (|langs| rows)",
-    "q_gini_stump" -> "quantity grid (<=50 candidate thresholds)")
+    "q_gini_stump" -> "quantity grid (<=50 candidate thresholds)",
+    "q_hhi_concentration" -> "per-source token totals (20 rows)")
 
   test("no registered query plans a partitionless Window over an unbounded input") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
