@@ -47,7 +47,11 @@ object Stats extends QueryFamily {
     mid.agg(
         sum($"n1").as("na"), sum($"n2").as("nb"),
         sum($"n1" * $"mid").as("r1"),
-        sum($"t" * $"t" * $"t" - $"t").as("tie"))
+        // Cube in DECIMAL(38,0): a long cube wraps silently past 2^63
+        // (a ~2.1M-row $1k bucket at large SF) while DuckDB raises —
+        // decimal keeps the tie term an exact integer at any SF in
+        // both engines (round-9 advice; oracle cubes in HUGEINT).
+        sum($"t".cast("decimal(38,0)") * $"t" * $"t" - $"t").as("tie"))
       .select($"na", $"nb",
         ($"r1" - $"na" * ($"na" + 1) / lit(2.0)).as("u1"),
         $"tie", ($"na" + $"nb").as("nn"))
@@ -68,7 +72,7 @@ object Stats extends QueryFamily {
       |    sum(n1 + n2) OVER (ORDER BY v) - (n1 + n2 - 1) / 2.0 AS mid
       |  FROM grid),
       |agg AS (SELECT sum(n1)::BIGINT AS na, sum(n2)::BIGINT AS nb,
-      |    sum(n1 * mid) AS r1, sum(t * t * t - t)::BIGINT AS tie
+      |    sum(n1 * mid) AS r1, sum(t::HUGEINT * t * t - t) AS tie
       |  FROM mid),
       |u AS (SELECT na, nb, r1 - na * (na + 1) / 2.0 AS u1, tie, na + nb AS nn FROM agg)
       |SELECT na, nb, round(u1, 1) AS u1,
@@ -534,7 +538,7 @@ object Stats extends QueryFamily {
       |  FROM c WHERE nl < nt)
       |SELECT q AS threshold, round(g, 6) AS gini_split,
       |  round(g0, 6) AS gini_parent, round(g0 - g, 6) AS gain
-      |FROM s ORDER BY g0 - g DESC, q LIMIT 1""".stripMargin
+      |FROM s ORDER BY round(g0 - g, 6) DESC, q LIMIT 1""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_partial_corr", qPartialCorr, Some(qPartialCorrSql)),

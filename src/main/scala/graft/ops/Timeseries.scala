@@ -1071,7 +1071,12 @@ object Timeseries extends QueryFamily {
       .withColumn("z", ($"y" - avg($"y").over(all)) / stddev_samp($"y").over(all))
       .withColumn("c", sum($"z" - lit(0.5)).over(wCum))
       .withColumn("s_pos", $"c" - least(lit(0.0), min($"c").over(wCum)))
-      .select($"d", round($"s_pos", 4).as("cusum"), ($"s_pos" > 5.0).as("alarm"))
+      // Rank, display, and alarm all read the SAME rounded statistic:
+      // ordering by the unrounded s_pos while emitting round(s_pos, 4)
+      // let days differing only beyond 4dp order differently across
+      // engines at the top-10 boundary (round-9 advice).
+      .select($"d", round($"s_pos", 4).as("cusum"))
+      .withColumn("alarm", $"cusum" > 5.0)
       .orderBy(desc("cusum"), asc("d"))
       .limit(10)
   }
@@ -1082,9 +1087,10 @@ object Timeseries extends QueryFamily {
       |  FROM orders GROUP BY 1),
       |st AS (SELECT d, (y - avg(y) OVER ()) / stddev_samp(y) OVER () AS z FROM daily),
       |cs AS (SELECT d, sum(z - 0.5) OVER (ORDER BY d) AS c FROM st),
-      |dd AS (SELECT d, c - least(0.0, min(c) OVER (ORDER BY d)) AS s_pos FROM cs)
-      |SELECT d, round(s_pos, 4) AS cusum, s_pos > 5.0 AS alarm
-      |FROM dd ORDER BY s_pos DESC, d LIMIT 10""".stripMargin
+      |dd AS (SELECT d, c - least(0.0, min(c) OVER (ORDER BY d)) AS s_pos FROM cs),
+      |r AS (SELECT d, round(s_pos, 4) AS cusum FROM dd)
+      |SELECT d, cusum, cusum > 5.0 AS alarm
+      |FROM r ORDER BY cusum DESC, d LIMIT 10""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_cusum", qCusum, Some(qCusumSql)),

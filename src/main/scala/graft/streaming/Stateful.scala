@@ -150,13 +150,30 @@ object Stateful {
         .groupBy(col("user_id"))
         .agg(max_by(col("total"), col("b")).as("total"))
         .write.parquet(stage.toString)
+      // FileSystem.rename signals failure by returning false (it only
+      // throws on some IO errors), so every rename's result is checked
+      // and a false aborts BEFORE any delete — a failed publish rename
+      // must not fall through to purging the trash dirs, or the only
+      // surviving copy of history would be the dot-prefixed stage dir
+      // that snapshot() never reads. On any failure the trash renames
+      // done so far are rolled back, so the abort leaves the table in
+      // the all-old state (fully readable, compaction re-runnable);
+      // only a confirmed publish unlocks the trash delete.
+      val done = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+      def renameOrAbort(from: Path, to: Path): Unit =
+        if (!fs.rename(from, to)) {
+          done.reverseIterator.foreach { case (f, t) => fs.rename(t, f) }
+          throw new java.io.IOException(
+            s"compact: rename $from -> $to returned false; rolled back, nothing deleted")
+        }
       val trash = olds.map { id =>
         val from = new Path(rootPath, s"b=$id")
         val to = new Path(rootPath, s".trash-b=$id")
-        fs.rename(from, to)
+        renameOrAbort(from, to)
+        done += ((from, to))
         to
       }
-      fs.rename(stage, new Path(rootPath, s"b=${head - 1}"))
+      renameOrAbort(stage, new Path(rootPath, s"b=${head - 1}"))
       trash.foreach(t => fs.delete(t, true))
       olds.length - 1
     }

@@ -282,6 +282,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(dirs() === Set("b=3", "b=4"))
   }
 
+  test("compaction aborts and rolls back when a rename fails; nothing is deleted") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-compact-fail").toString
+    val sink = new graft.streaming.Stateful.BatchUpsertSink(root)
+    sink.merge(Seq((1L, 10.0), (2L, 1.0)).toDF("user_id", "total"), 0L)
+    sink.merge(Seq((1L, 12.5)).toDF("user_id", "total"), 1L)
+    sink.merge(Seq((2L, 6.0)).toDF("user_id", "total"), 2L)
+    sink.merge(Seq((3L, 9.0)).toDF("user_id", "total"), 3L)
+    def snap(): Map[Long, Double] =
+      sink.snapshot(spark).collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("total")).toMap
+    def visible(): Set[String] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("b=")).toSet
+      } finally s.close()
+    }
+    val before = snap()
+    // Block the SECOND trash rename (olds are renamed in id order, so
+    // b=0 succeeds first): a plain file squatting on .trash-b=1 makes
+    // FileSystem.rename return false, which must abort the run, roll
+    // the b=0 trash rename back, and delete nothing.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, ".trash-b=1"), Array[Byte](1))
+    val ex = intercept[java.io.IOException](sink.compact(spark))
+    assert(ex.getMessage.contains("rolled back"))
+    assert(visible() === Set("b=0", "b=1", "b=2", "b=3"),
+      "failed compaction must leave the table all-old")
+    assert(snap() === before)
+    // clear the blocker: the same compaction then succeeds end-to-end
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, ".trash-b=1"))
+    assert(sink.compact(spark) === 2)
+    assert(visible() === Set("b=2", "b=3"))
+    assert(snap() === before)
+  }
+
   test("session windows on a stream merge events within the gap") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
