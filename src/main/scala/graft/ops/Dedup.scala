@@ -883,7 +883,130 @@ object Dedup extends QueryFamily {
       |  round(avg(CASE WHEN frac > 0.2 THEN 1.0 ELSE 0.0 END), 4) AS share_gt20
       |FROM j GROUP BY source ORDER BY source""".stripMargin
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): positioned 4-token-gram hashes, and from every window
+    * of 4 consecutive grams keep the minimum hash (rightmost wins
+    * ties) — guaranteeing any shared run of >= 7 tokens leaves at
+    * least one common fingerprint while storing only ~1/4 of the
+    * grams. The tie rule is encoded in the comparison key itself
+    * (hash || reversed-position), so selection is a plain string `min`
+    * over a per-doc ROWS window — deterministic on both engines, no
+    * argmin ambiguity. Reported per source: distinct fingerprints,
+    * how many also occur in another source (the cross-source overlap
+    * a plagiarism/contamination sweep flags), and mean fingerprint
+    * density. Per-doc windows + hash-keyed aggregates only — at 100 TB
+    * the fingerprint index is the ~n/4-row relation this query builds,
+    * never an all-pairs comparison. */
+  def qWinnowing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val K = 4; val W = 4
+    val parts = (0 until K).map(k => expr(s"element_at(w, pos + $k)"))
+    val grams = T.documents(spark, dir)
+      .select($"doc_id", $"source", split($"text", " ").as("w"))
+      .select($"doc_id", $"source", $"w", size($"w").as("n_w"), explode(expr(
+        s"CASE WHEN size(w) >= $K THEN sequence(1, size(w) - ${K - 1}) ELSE array() END")).as("pos"))
+      .select($"doc_id", $"source", ($"n_w" - lit(K - 1)).as("n_g"), $"pos",
+        substring(md5(concat_ws(" ", parts: _*).cast("binary")), 1, 16).as("g"))
+    val wSel = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.currentRow, W - 1)
+    val sel = grams
+      .withColumn("key",
+        concat($"g", lit("#"), lpad((lit(1000000000L) - $"pos").cast("string"), 10, "0")))
+      .withColumn("selkey", min($"key").over(wSel))
+      .filter($"pos" <= $"n_g" - lit(W - 1))
+      .select($"doc_id", $"source", $"n_g", substring($"selkey", 1, 16).as("fp"))
+    val docFps = sel.groupBy($"doc_id", $"source")
+      .agg(max($"n_g").as("n_g"), countDistinct($"fp").as("n_fp")).cache()
+    val srcFps = sel.select($"source", $"fp").distinct().cache()
+    val spread = srcFps.groupBy($"fp")
+      .agg(countDistinct($"source").as("n_src"))
+    val shared = srcFps.join(spread, Seq("fp"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_fp_distinct"),
+        sum(when($"n_src" > 1, 1L).otherwise(0L)).as("n_shared"))
+    docFps.groupBy($"source")
+      .agg(round(avg($"n_fp".cast("double") / $"n_g"), 4).as("avg_density"))
+      .join(shared, Seq("source"))
+      .select($"source", $"n_fp_distinct", $"n_shared",
+        round($"n_shared".cast("double") / $"n_fp_distinct", 4).as("shared_ratio"),
+        $"avg_density")
+      .orderBy($"source")
+  }
+
+  val qWinnowingSql: String =
+    """WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      |g AS MATERIALIZED (SELECT doc_id, source, len(w) - 3 AS n_g,
+      |    unnest(list_transform(range(1, len(w) - 2), i ->
+      |      {'pos': i, 'gh': substr(md5(w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]), 1, 16)}), recursive := true)
+      |  FROM tok WHERE len(w) >= 4),
+      |k AS (SELECT doc_id, source, n_g, pos,
+      |    gh || '#' || lpad((1000000000 - pos)::VARCHAR, 10, '0') AS key FROM g),
+      |s AS MATERIALIZED (SELECT doc_id, source, n_g,
+      |    substr(min(key) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING), 1, 16) AS fp,
+      |    pos
+      |  FROM k),
+      |sel AS MATERIALIZED (SELECT doc_id, source, n_g, fp FROM s WHERE pos <= n_g - 3),
+      |docfp AS (SELECT doc_id, source, max(n_g) AS n_g,
+      |    count(DISTINCT fp)::BIGINT AS n_fp FROM sel GROUP BY 1, 2),
+      |srcfp AS MATERIALIZED (SELECT DISTINCT source, fp FROM sel),
+      |spread AS (SELECT fp, count(DISTINCT source) AS n_src FROM srcfp GROUP BY 1),
+      |shared AS (SELECT source, count(*)::BIGINT AS n_fp_distinct,
+      |    sum(CASE WHEN n_src > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+      |  FROM srcfp JOIN spread USING (fp) GROUP BY 1),
+      |dens AS (SELECT source, round(avg(n_fp::DOUBLE / n_g), 4) AS avg_density
+      |  FROM docfp GROUP BY 1)
+      |SELECT source, n_fp_distinct, n_shared,
+      |  round(n_shared::DOUBLE / n_fp_distinct, 4) AS shared_ratio, avg_density
+      |FROM dens JOIN shared USING (source) ORDER BY source""".stripMargin
+
+  /** Sentence-level duplication profile (the CCNet/RefinedWeb line-dedup
+    * signal): split every document into sentences, hash each, count
+    * corpus-wide occurrences, and report per source how much of its
+    * text is boilerplate — sentences that appear elsewhere in the
+    * corpus. The whole pipeline is explode + two hash aggregates keyed
+    * on the sentence hash: candidate discovery is exact-match
+    * bucketing, never pairwise, so it runs at corpus scale (this IS
+    * the first pass CCNet runs over Common Crawl). */
+  def qLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sents = T.documents(spark, dir)
+      .select($"doc_id", $"source", explode(split($"text", "\\. ")).as("s0"))
+      .select($"doc_id", $"source", trim($"s0").as("s"))
+      .filter(length($"s") > 0)
+      .select($"doc_id", $"source", md5($"s").as("h"))
+    val freq = sents.groupBy($"h").agg(count(lit(1)).as("cf"))
+    val perDoc = sents.join(freq, Seq("h"))
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_sent"),
+        sum(when($"cf" > 1, 1L).otherwise(0L)).as("n_dup"))
+    perDoc.groupBy($"source")
+      .agg(sum($"n_sent").as("n_sents"),
+        sum($"n_dup").as("n_dup_sents"),
+        round(sum($"n_dup").cast("double") / sum($"n_sent"), 4).as("dup_ratio"),
+        sum(when($"n_dup" > 0, 1L).otherwise(0L)).as("docs_with_dup"))
+      .orderBy($"source")
+  }
+
+  val qLineDedupSql: String =
+    """WITH sent AS MATERIALIZED (
+      |  SELECT doc_id, source, md5(trim(s)) AS h
+      |  FROM (SELECT doc_id, source, unnest(string_split(text, '. ')) AS s
+      |        FROM documents)
+      |  WHERE len(trim(s)) > 0),
+      |freq AS (SELECT h, count(*)::BIGINT AS cf FROM sent GROUP BY 1),
+      |perdoc AS (SELECT doc_id, source, count(*)::BIGINT AS n_sent,
+      |    sum(CASE WHEN cf > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+      |  FROM sent JOIN freq USING (h) GROUP BY 1, 2)
+      |SELECT source, sum(n_sent)::BIGINT AS n_sents,
+      |  sum(n_dup)::BIGINT AS n_dup_sents,
+      |  round(sum(n_dup)::DOUBLE / sum(n_sent), 4) AS dup_ratio,
+      |  sum(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_dup
+      |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_winnowing", qWinnowing, Some(qWinnowingSql)),
+    QueryDef("q_line_dedup", qLineDedup, Some(qLineDedupSql)),
     QueryDef("q_dup_ngram_coverage", qDupNgramCoverage, Some(qDupNgramCoverageSql)),
     QueryDef("q_dup_passages", qDupPassages, Some(qDupPassagesSql)),
     QueryDef("q_fuzzy_join", qFuzzyJoin, Some(qFuzzyJoinSql)),

@@ -1415,7 +1415,100 @@ object Text extends QueryFamily {
       |  round(1.0 / sum(share * share), 2) AS effective_sources
       |FROM sh""".stripMargin
 
+  /** Good-Turing frequency-of-frequencies over trigrams: for counts
+    * r = 1..10, the number of distinct trigrams seen exactly r times
+    * (N_r), the smoothed count r* = (r+1)·N_{r+1}/N_r, each r's share
+    * of corpus mass, and the missing-mass estimate P0 = N_1/N — the
+    * classic unseen-event correction under every back-off LM.
+    * Trigrams, not unigrams: the fixture's unigram vocabulary is
+    * closed (every word frequent), while the trigram tail is where
+    * singletons live — exactly the regime Good-Turing exists for. Two
+    * nested hash aggregates reduce the corpus to the O(max count)
+    * freq-of-freq relation; N_{r+1} is aligned by a self-join of that
+    * bounded relation (no window, no gap bugs when some r is
+    * absent). */
+  def qGoodTuring(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = T.documents(spark, dir)
+      .select(split($"text", " ").as("w"))
+      .select($"w", explode(expr(
+        "CASE WHEN size(w) >= 3 THEN sequence(1, size(w) - 2) ELSE array() END")).as("i"))
+      .select(concat_ws(" ", expr("element_at(w, i)"),
+        expr("element_at(w, i + 1)"), expr("element_at(w, i + 2)")).as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("r"))
+    val fof = counts.groupBy($"r").agg(count(lit(1)).as("n_r")).cache()
+    val tot = counts.agg(sum($"r").cast("double").as("n"))
+    val n1 = fof.filter($"r" === 1)
+      .agg(coalesce(sum($"n_r"), lit(0L)).cast("double").as("n1"))
+    val next = fof.select(($"r" - 1).as("r"), $"n_r".as("n_r1"))
+    fof.filter($"r" <= 10)
+      .join(next, Seq("r"), "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(n1))
+      .select($"r", $"n_r",
+        round((($"r" + lit(1L)) * coalesce($"n_r1", lit(0L))).cast("double") / $"n_r", 6).as("r_star"),
+        round(($"r" * $"n_r").cast("double") / $"n", 6).as("mass_share"),
+        round($"n1" / $"n", 6).as("p0"))
+      .orderBy($"r")
+  }
+
+  val qGoodTuringSql: String =
+    """WITH tok AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |tri AS (SELECT unnest(list_transform(range(1, len(w) - 1), i ->
+      |    w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t
+      |  FROM tok WHERE len(w) >= 3),
+      |cnt AS (SELECT t, count(*)::BIGINT AS r FROM tri GROUP BY 1),
+      |fof AS MATERIALIZED (SELECT r, count(*)::BIGINT AS n_r FROM cnt GROUP BY 1),
+      |tot AS (SELECT sum(r)::DOUBLE AS n FROM cnt),
+      |n1 AS (SELECT coalesce(sum(n_r), 0)::DOUBLE AS n1 FROM fof WHERE r = 1)
+      |SELECT f.r, f.n_r,
+      |  round(((f.r + 1) * coalesce(f2.n_r, 0))::DOUBLE / f.n_r, 6) AS r_star,
+      |  round((f.r * f.n_r)::DOUBLE / tot.n, 6) AS mass_share,
+      |  round(n1.n1 / tot.n, 6) AS p0
+      |FROM fof f LEFT JOIN fof f2 ON f2.r = f.r + 1, tot, n1
+      |WHERE f.r <= 10 ORDER BY f.r""".stripMargin
+
+  /** Heaps'-law fit: vocabulary growth V = K·N^beta estimated from the
+    * per-source (tokens, distinct-tokens) points by least squares in
+    * log-log space — the planning constant that answers "how much new
+    * vocabulary does another 10x of corpus buy". One explode + one
+    * hash aggregate reduce the corpus to |sources| points; the fit is
+    * closed-form sums over that bounded relation (the q_forecast
+    * discipline — identical arithmetic on both engines). */
+  def qHeapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = T.documents(spark, dir)
+      .select($"source", explode(split($"text", " ")).as("t"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_tok"), countDistinct($"t").as("vocab"))
+      .select(log($"n_tok".cast("double")).as("x"),
+        log($"vocab".cast("double")).as("y"))
+    pts.agg(
+        count(lit(1)).cast("double").as("m"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sx2"))
+      .select($"m".cast("long").as("n_sources"),
+        round(($"m" * $"sxy" - $"sx" * $"sy") /
+          ($"m" * $"sx2" - $"sx" * $"sx"), 4).as("beta"),
+        round(exp(($"sy" - ($"m" * $"sxy" - $"sx" * $"sy") /
+          ($"m" * $"sx2" - $"sx" * $"sx") * $"sx") / $"m"), 4).as("k"))
+  }
+
+  val qHeapsLawSql: String =
+    """WITH pts AS (
+      |  SELECT ln(count(*)::DOUBLE) AS x,
+      |    ln(count(DISTINCT t)::DOUBLE) AS y
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+      |  GROUP BY source),
+      |s AS (SELECT count(*)::DOUBLE AS m, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * y) AS sxy, sum(x * x) AS sx2 FROM pts)
+      |SELECT m::BIGINT AS n_sources,
+      |  round((m * sxy - sx * sy) / (m * sx2 - sx * sx), 4) AS beta,
+      |  round(exp((sy - (m * sxy - sx * sy) / (m * sx2 - sx * sx) * sx) / m), 4) AS k
+      |FROM s""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_good_turing", qGoodTuring, Some(qGoodTuringSql)),
+    QueryDef("q_heaps_law", qHeapsLaw, Some(qHeapsLawSql)),
     QueryDef("q_source_jaccard", qSourceJaccard, Some(qSourceJaccardSql)),
     QueryDef("q_hhi_concentration", qHhiConcentration, Some(qHhiConcentrationSql)),
     QueryDef("q_tokenizer_fertility", qTokenizerFertility, Some(qTokenizerFertilitySql)),

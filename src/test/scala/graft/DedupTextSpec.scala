@@ -279,4 +279,64 @@ class DedupTextSpec extends AnyFunSuite {
     assert(hhi >= 1.0 / k - 1e-9 && hhi <= 1.0)
     assert(math.abs(h.getAs[Double]("effective_sources") - 1.0 / hhi) < 0.01)
   }
+
+  test("winnowing: density near the 2/(w+1) theoretical rate, shares bounded, deterministic") {
+    val rows = ops.Dedup.qWinnowing(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // random-hash winnowing selects ~2/(w+1) = 0.4 of grams; distinct
+      // fingerprints only shrink that, so density lives well inside (0, 1]
+      val d = r.getAs[Double]("avg_density")
+      assert(d > 0.0 && d <= 1.0, s"density $d out of range")
+      val nFp = r.getAs[Long]("n_fp_distinct")
+      val nSh = r.getAs[Long]("n_shared")
+      assert(nSh >= 0 && nSh <= nFp)
+      val ratio = r.getAs[Double]("shared_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+    val again = ops.Dedup.qWinnowing(spark, sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("good-turing: probabilities bounded, rows ordered, singleton mass = p0") {
+    val rows = ops.Text.qGoodTuring(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val p0 = rows.head.getAs[Double]("p0")
+    assert(p0 > 0.0 && p0 < 1.0)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("p0") === p0, "p0 is a corpus constant")
+      assert(r.getAs[Long]("n_r") > 0)
+      val ms = r.getAs[Double]("mass_share")
+      assert(ms > 0.0 && ms < 1.0)
+      assert(r.getAs[Double]("r_star") >= 0.0)
+    }
+    assert(rows.map(_.getAs[Long]("r")).toSeq === rows.map(_.getAs[Long]("r")).toSeq.sorted)
+    // the r=1 row's mass share IS the missing-mass estimate: 1*N_1/N
+    rows.find(_.getAs[Long]("r") == 1L).foreach { r1 =>
+      assert(math.abs(r1.getAs[Double]("mass_share") - p0) < 1e-5)
+    }
+  }
+
+  test("heaps-law fit: sublinear growth exponent in (0, 1]") {
+    val r = ops.Text.qHeapsLaw(spark, sf).collect().head
+    val beta = r.getAs[Double]("beta")
+    val k = r.getAs[Double]("k")
+    assert(r.getAs[Long]("n_sources") > 1)
+    // vocabulary grows, but no faster than the corpus itself
+    assert(beta > 0.0 && beta <= 1.0, s"beta $beta outside (0,1]")
+    assert(k > 0.0)
+  }
+
+  test("line dedup: per-source counts consistent and ratios bounded") {
+    val rows = ops.Dedup.qLineDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_sents")
+      val d = r.getAs[Long]("n_dup_sents")
+      assert(n > 0 && d >= 0 && d <= n)
+      val ratio = r.getAs[Double]("dup_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(math.abs(ratio - d.toDouble / n) < 1e-3)
+    }
+  }
 }

@@ -119,7 +119,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_sim_range_search", "q_hard_negatives",
     // inherits the brute-force probe-side non-equi join of its exact
     // ground-truth pipeline + the scaled-depth corpus-count broadcast
-    "q_knn_graph_recall")
+    "q_knn_graph_recall",
+    // 1-row corpus-total + singleton-mass builds onto the <=10-row
+    // freq-of-freq relation
+    "q_good_turing")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
