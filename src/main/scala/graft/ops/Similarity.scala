@@ -1440,7 +1440,155 @@ object Similarity extends QueryFamily {
        |  WHERE a.src_id < a.nbr_id)
        |SELECT a_id, b_id, cos FROM m ORDER BY a_id, b_id""".stripMargin
 
+  /** The shared int8 scalar-quantization codec: per-dimension min/max
+    * learned in ONE hash aggregate over the exploded (dim, value)
+    * pairs, then each vector mapped through the affine
+    * quantize→dequantize roundtrip with an indexed `transform` —
+    * per-row work, no join fan-out. Constant dimensions (mx = mn)
+    * roundtrip to themselves. Returns (vec_id, label, e) with e the
+    * dequantized double vector. */
+  private def sqDequantized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = T.embeddings(spark, dir)
+    val dims = e.select(posexplode($"embedding").as(Seq("i", "x")))
+      .groupBy($"i")
+      .agg(min($"x".cast("double")).as("mn"), max($"x".cast("double")).as("mx"))
+    val rng = dims
+      .agg(sort_array(collect_list(struct($"i", $"mn"))).as("smn"),
+        sort_array(collect_list(struct($"i", $"mx"))).as("smx"))
+      .select(expr("transform(smn, s -> s.mn)").as("mn"),
+        expr("transform(smx, s -> s.mx)").as("mx"))
+    e.crossJoin(broadcast(rng))
+      .select($"vec_id", $"label", $"embedding", expr(
+        """transform(embedding, (x, i) ->
+          |  CASE WHEN element_at(mx, i + 1) = element_at(mn, i + 1)
+          |       THEN CAST(x AS double)
+          |       ELSE element_at(mn, i + 1)
+          |         + round(255D * (CAST(x AS double) - element_at(mn, i + 1))
+          |                 / (element_at(mx, i + 1) - element_at(mn, i + 1)))
+          |           * (element_at(mx, i + 1) - element_at(mn, i + 1)) / 255D
+          |  END)""".stripMargin).as("e"))
+  }
+
+  /** Int8 scalar-quantization error audit: MSE, worst per-dimension
+    * absolute error, and the self-cosine between each vector and its
+    * quantize→dequantize image — the distortion numbers that decide
+    * whether a 4x-smaller int8 index is usable before any recall test.
+    * One aggregate over per-row HOF arithmetic; the audit costs one
+    * corpus pass at any scale. */
+  def qSqErrorAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sqDequantized(spark, dir)
+      .select($"vec_id", size($"e").as("dim"),
+        expr("""aggregate(zip_with(embedding, e, (a, b) -> (CAST(a AS double) - b) * (CAST(a AS double) - b)),
+               |  0D, (acc, v) -> acc + v)""".stripMargin).as("err2"),
+        expr("array_max(transform(zip_with(embedding, e, (a, b) -> abs(CAST(a AS double) - b)), v -> v))").as("maxerr"),
+        expr("aggregate(zip_with(embedding, e, (a, b) -> CAST(a AS double) * b), 0D, (acc, v) -> acc + v)").as("dot"),
+        expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS double) * CAST(x AS double))").as("na"),
+        expr("aggregate(e, 0D, (acc, x) -> acc + x * x)").as("nb"))
+      .agg(max($"dim").cast("long").as("dim"),
+        round(avg($"err2" / $"dim"), 8).as("mse"),
+        round(max($"maxerr"), 6).as("max_abs_err"),
+        round(avg($"dot" / sqrt($"na" * $"nb")), 6).as("avg_self_cos"),
+        round(min($"dot" / sqrt($"na" * $"nb")), 6).as("min_self_cos"))
+  }
+
+  // embeddings joined back to their dequantized image: zip in SQL via
+  // parallel unnest, sum per (vec, dim) pairs — same accumulation
+  // order as the Spark fold (list order), so doubles agree exactly.
+  private val sqDequantSqlCte: String =
+    """rng AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx
+      |  FROM (SELECT i, min(x::DOUBLE) AS mn, max(x::DOUBLE) AS mx
+      |        FROM (SELECT unnest(embedding) AS x,
+      |                unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
+      |        GROUP BY i)),
+      |qe AS MATERIALIZED (SELECT vec_id, label, embedding,
+      |    list_transform(range(1, len(embedding) + 1), i ->
+      |      CASE WHEN mx[i] = mn[i] THEN embedding[i]::DOUBLE
+      |           ELSE mn[i] + round(255 * (embedding[i]::DOUBLE - mn[i]) / (mx[i] - mn[i]))
+      |             * (mx[i] - mn[i]) / 255 END) AS e
+      |  FROM embeddings, rng)""".stripMargin
+
+  val qSqErrorAuditSql: String =
+    s"""WITH $sqDequantSqlCte,
+       |per AS (SELECT vec_id, len(e) AS dim,
+       |    (SELECT sum((a.x::DOUBLE - e[a.i]) * (a.x::DOUBLE - e[a.i]))
+       |     FROM (SELECT unnest(embedding) AS x, unnest(range(1, len(embedding) + 1)) AS i) a) AS err2,
+       |    (SELECT max(abs(a.x::DOUBLE - e[a.i]))
+       |     FROM (SELECT unnest(embedding) AS x, unnest(range(1, len(embedding) + 1)) AS i) a) AS maxerr,
+       |    (SELECT sum(a.x::DOUBLE * e[a.i])
+       |     FROM (SELECT unnest(embedding) AS x, unnest(range(1, len(embedding) + 1)) AS i) a) AS dot,
+       |    (SELECT sum(a.x::DOUBLE * a.x::DOUBLE)
+       |     FROM (SELECT unnest(embedding) AS x) a) AS na,
+       |    (SELECT sum(a.x * a.x) FROM (SELECT unnest(e) AS x) a) AS nb
+       |  FROM qe)
+       |SELECT max(dim) AS dim, round(avg(err2 / dim), 8) AS mse,
+       |  round(max(maxerr), 6) AS max_abs_err,
+       |  round(avg(dot / sqrt(na * nb)), 6) AS avg_self_cos,
+       |  round(min(dot / sqrt(na * nb)), 6) AS min_self_cos
+       |FROM per""".stripMargin
+
+  /** Recall@3 of exact search over int8-dequantized vectors against
+    * exact search over the originals — the accept/reject metric for
+    * swapping the full-precision index for the 4x-smaller one (the
+    * same audit discipline as [[qSimLshRecall]]: every approximation
+    * ships with its measured loss). Both rankings are broadcast-probe
+    * scans; at 100 TB the quantized side is the cheap one — that is
+    * the point of the codec. */
+  def qSqRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = qSimBruteforce(spark, dir).filter($"rank" <= 3)
+      .select($"q_id", $"n_id")
+    val dq = sqDequantized(spark, dir)
+    val probes = dq.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"e".as("qv"))
+    val corpus = dq.select($"vec_id".as("n_id"), $"e".as("v"))
+    val scored = corpus.join(broadcast(probes), $"q_id" =!= $"n_id")
+      .select($"q_id", $"n_id",
+        expr("aggregate(zip_with(qv, v, (a, b) -> a * b), 0D, (acc, x) -> acc + x)").as("dot"),
+        expr("aggregate(qv, 0D, (acc, x) -> acc + x * x)").as("qn"),
+        expr("aggregate(v, 0D, (acc, x) -> acc + x * x)").as("nn"))
+      .select($"q_id", $"n_id", ($"dot" / sqrt($"qn" * $"nn")).as("cos"))
+    val approx = Skew.twoPhaseTopK(scored, Seq($"q_id"),
+        Seq(desc("cos"), asc("n_id")), k = 3, rankName = "rank")
+      .select($"q_id", $"n_id")
+    val hits = exact.join(approx, Seq("q_id", "n_id"), "left_semi")
+      .groupBy($"q_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy($"q_id").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("q_id"), "left")
+      .select($"q_id",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        round(coalesce($"n_hits", lit(0L)).cast("double") / $"n_true", 4).as("recall"))
+      .orderBy($"q_id")
+  }
+
+  val qSqRecallSql: String =
+    s"""WITH $sqDequantSqlCte,
+       |exact AS (SELECT q_id, n_id FROM ($qSimBruteforceSql) WHERE rank <= 3),
+       |qn AS (SELECT vec_id, e,
+       |    (SELECT sum(a.x * a.x) FROM (SELECT unnest(e) AS x) a) AS n2 FROM qe),
+       |q AS (SELECT vec_id AS q_id, e AS qv, n2 AS qn2 FROM qn WHERE vec_id < 10),
+       |pairs AS (SELECT q_id, qn.vec_id AS n_id, qn2, n2, qv, e AS nv
+       |  FROM q JOIN qn ON qn.vec_id <> q_id),
+       |u AS (SELECT q_id, n_id, qn2, n2, unnest(qv) AS qx, unnest(nv) AS nx FROM pairs),
+       |scored AS (SELECT q_id, n_id,
+       |    sum(qx * nx) / sqrt(any_value(qn2) * any_value(n2)) AS cos
+       |  FROM u GROUP BY q_id, n_id),
+       |ranked AS (SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM scored),
+       |approx AS (SELECT q_id, n_id FROM ranked WHERE rank <= 3),
+       |hits AS (SELECT e.q_id, count(*) AS n_hits FROM exact e
+       |  JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+       |  GROUP BY e.q_id)
+       |SELECT e.q_id, coalesce(any_value(h.n_hits), 0) AS n_hits,
+       |  round(coalesce(any_value(h.n_hits), 0)::DOUBLE / count(*), 4) AS recall
+       |FROM exact e LEFT JOIN hits h ON h.q_id = e.q_id
+       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_sq_error_audit", qSqErrorAudit, Some(qSqErrorAuditSql)),
+    QueryDef("q_sq_recall", qSqRecall, Some(qSqRecallSql)),
     QueryDef("q_mutual_knn", qMutualKnn, Some(qMutualKnnSql)),
     QueryDef("q_knn_graph_recall", qKnnGraphRecall, Some(qKnnGraphRecallSql)),
     QueryDef("q_hard_negatives", qHardNegatives, Some(qHardNegativesSql)),

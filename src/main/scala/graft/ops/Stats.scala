@@ -540,7 +540,142 @@ object Stats extends QueryFamily {
       |  round(g0, 6) AS gini_parent, round(g0 - g, 6) AS gain
       |FROM s ORDER BY round(g0 - g, 6) DESC, q LIMIT 1""".stripMargin
 
+  /** Cohen's kappa between two labeling rules — the chance-corrected
+    * inter-annotator agreement every labeled-data pipeline reports
+    * before trusting its raters. The two "annotators" are
+    * deterministic document heuristics (a char-length rule and a
+    * token-count rule); the whole statistic reduces to ONE hash
+    * aggregate producing the 2x2 confusion counts, then closed-form
+    * arithmetic on that single row — O(1) memory at any corpus
+    * size. */
+  def qCohenKappa(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labeled = T.documents(spark, dir)
+      .select(($"n_chars" > 300).as("a"),
+        (size(split($"text", " ")) > 55).as("b"))
+    val conf = labeled.agg(
+      count(lit(1)).as("n"),
+      sum(when($"a" && $"b", 1L).otherwise(0L)).as("n11"),
+      sum(when($"a" && !$"b", 1L).otherwise(0L)).as("n10"),
+      sum(when(!$"a" && $"b", 1L).otherwise(0L)).as("n01"),
+      sum(when(!$"a" && !$"b", 1L).otherwise(0L)).as("n00"))
+    conf
+      .withColumn("po", ($"n11" + $"n00").cast("double") / $"n")
+      .withColumn("pa", ($"n11" + $"n10").cast("double") / $"n")
+      .withColumn("pb", ($"n11" + $"n01").cast("double") / $"n")
+      .withColumn("pe",
+        $"pa" * $"pb" + (lit(1.0) - $"pa") * (lit(1.0) - $"pb"))
+      .select($"n", $"n11", $"n10", $"n01", $"n00",
+        round($"po", 4).as("po"), round($"pe", 4).as("pe"),
+        round(($"po" - $"pe") / (lit(1.0) - $"pe"), 4).as("kappa"))
+  }
+
+  val qCohenKappaSql: String =
+    """WITH lab AS (SELECT n_chars > 300 AS a,
+      |    len(string_split(text, ' ')) > 55 AS b FROM documents),
+      |c AS (SELECT count(*)::BIGINT AS n,
+      |    sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n11,
+      |    sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n10,
+      |    sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS n01,
+      |    sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n00
+      |  FROM lab),
+      |p AS (SELECT n, n11, n10, n01, n00,
+      |    (n11 + n00)::DOUBLE / n AS po,
+      |    (n11 + n10)::DOUBLE / n AS pa,
+      |    (n11 + n01)::DOUBLE / n AS pb
+      |  FROM c)
+      |SELECT n, n11, n10, n01, n00, round(po, 4) AS po,
+      |  round(pa * pb + (1.0 - pa) * (1.0 - pb), 4) AS pe,
+      |  round((po - (pa * pb + (1.0 - pa) * (1.0 - pb)))
+      |    / (1.0 - (pa * pb + (1.0 - pa) * (1.0 - pb))), 4) AS kappa
+      |FROM p""".stripMargin
+
+  /** Split-conformal prediction threshold: fit a linear predictor of
+    * token count from char count on a hash-assigned fit split, take
+    * the k = ceil(0.9·(n+1))-th smallest absolute residual on a
+    * disjoint calibration split (the finite-sample-valid conformal
+    * quantile), and report empirical coverage of `|resid| <= t` on a
+    * third held-out split — the distribution-free uncertainty
+    * machinery quality-estimation pipelines wrap around any scorer.
+    * Exactness discipline: every regression sum is integer arithmetic
+    * widened to DECIMAL(38,0) (exact at any SF, the q_mann_whitney
+    * rule), so residuals are bit-identical across engines; the order
+    * statistic comes from the distributed Skew.globalRowNumber rank,
+    * never a partitionless window over the calibration rows. */
+  def qConformalThreshold(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cell = conv(substring(md5($"text".cast("binary")), 1, 2), 16, 10).cast("int")
+    val docs = T.documents(spark, dir)
+      .select($"doc_id", $"n_chars".as("x"),
+        size(split($"text", " ")).cast("long").as("y"),
+        when(cell < 128, "fit").when(cell < 192, "cal").otherwise("test").as("split"))
+      .cache()
+    val d38 = "decimal(38,0)"
+    // widen per-row, then sum in decimal: sum-of-longs would wrap long
+    // before the cast at extreme SF (the q_mann_whitney overflow rule)
+    val fitSums = docs.filter($"split" === "fit").agg(
+      count(lit(1)).cast(d38).as("m"),
+      sum($"x".cast(d38)).as("sx"), sum($"y".cast(d38)).as("sy"),
+      sum($"x".cast(d38) * $"y").as("sxy"), sum($"x".cast(d38) * $"x").as("sx2"))
+    val fit = fitSums.select(
+      $"m".cast("long").as("n_fit"),
+      (($"m" * $"sxy" - $"sx" * $"sy").cast("double") /
+        ($"m" * $"sx2" - $"sx" * $"sx").cast("double")).as("b"),
+      (($"sy" * $"sx2" - $"sx" * $"sxy").cast("double") /
+        ($"m" * $"sx2" - $"sx" * $"sx").cast("double")).as("a"))
+    val cal = docs.filter($"split" === "cal").crossJoin(broadcast(fit))
+      .select($"doc_id", $"n_fit", $"a", $"b",
+        abs($"y" - $"a" - $"b" * $"x").as("s"))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+      .withColumn("k", ceil(lit(0.9) * ($"n_cal" + 1)).cast("long"))
+      .withColumn("k", least($"k", $"n_cal"))
+    val thr = Skew.globalRowNumber(cal, Seq($"s", $"doc_id"), rankName = "rn")
+      .crossJoin(broadcast(nCal))
+      .filter($"rn" === $"k")
+      .select($"n_fit", $"n_cal", $"k", $"a", $"b", $"s".as("t"))
+    docs.filter($"split" === "test").crossJoin(broadcast(thr))
+      .agg(
+        max($"n_fit").as("n_fit"), max($"n_cal").as("n_cal"),
+        count(lit(1)).as("n_test"), max($"k").as("k"),
+        round(max($"t"), 4).as("threshold"),
+        round(avg(when(abs($"y" - $"a" - $"b" * $"x") <= $"t", 1.0)
+          .otherwise(0.0)), 4).as("coverage"))
+  }
+
+  val qConformalThresholdSql: String =
+    """WITH d AS MATERIALIZED (SELECT doc_id, n_chars AS x,
+      |    len(string_split(text, ' '))::BIGINT AS y,
+      |    (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS cell
+      |  FROM documents),
+      |s AS (SELECT doc_id, x, y,
+      |    CASE WHEN cell < 128 THEN 'fit' WHEN cell < 192 THEN 'cal'
+      |         ELSE 'test' END AS split FROM d),
+      |fs AS (SELECT count(*)::HUGEINT AS m, sum(x)::HUGEINT AS sx,
+      |    sum(y)::HUGEINT AS sy, sum(x * y)::HUGEINT AS sxy,
+      |    sum(x * x)::HUGEINT AS sx2
+      |  FROM s WHERE split = 'fit'),
+      |fit AS (SELECT m::BIGINT AS n_fit,
+      |    (m * sxy - sx * sy)::DOUBLE / (m * sx2 - sx * sx)::DOUBLE AS b,
+      |    (sy * sx2 - sx * sxy)::DOUBLE / (m * sx2 - sx * sx)::DOUBLE AS a
+      |  FROM fs),
+      |cal AS MATERIALIZED (SELECT doc_id, n_fit, a, b, abs(y - a - b * x) AS s2
+      |  FROM s, fit WHERE split = 'cal'),
+      |nc AS (SELECT count(*)::BIGINT AS n_cal,
+      |    least(ceil(0.9 * (count(*) + 1))::BIGINT, count(*)::BIGINT) AS k
+      |  FROM cal),
+      |thr AS (SELECT n_fit, n_cal, k, a, b, s2 AS t
+      |  FROM (SELECT *, row_number() OVER (ORDER BY s2, doc_id) AS rn FROM cal), nc
+      |  WHERE rn = k)
+      |SELECT max(n_fit) AS n_fit, max(n_cal) AS n_cal,
+      |  count(*)::BIGINT AS n_test, max(k) AS k,
+      |  round(max(t), 4) AS threshold,
+      |  round(avg(CASE WHEN abs(y - a - b * x) <= t THEN 1.0 ELSE 0.0 END), 4) AS coverage
+      |FROM s, thr WHERE split = 'test'""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_cohen_kappa", qCohenKappa, Some(qCohenKappaSql)),
+    QueryDef("q_conformal_threshold", qConformalThreshold, Some(qConformalThresholdSql)),
     QueryDef("q_partial_corr", qPartialCorr, Some(qPartialCorrSql)),
     QueryDef("q_cronbach_alpha", qCronbachAlpha, Some(qCronbachAlphaSql)),
     QueryDef("q_gini_stump", qGiniStump, Some(qGiniStumpSql)),

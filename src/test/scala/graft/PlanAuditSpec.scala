@@ -122,7 +122,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_knn_graph_recall",
     // 1-row corpus-total + singleton-mass builds onto the <=10-row
     // freq-of-freq relation
-    "q_good_turing")
+    "q_good_turing",
+    // 1-row per-dim min/max range build (the shared SQ codec); the
+    // recall variant adds the 10-row probe-side non-equi join
+    "q_sq_error_audit", "q_sq_recall",
+    // 1-row OLS-fit / n-cal / threshold builds onto the split scans
+    "q_conformal_threshold")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
@@ -196,7 +201,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_cusum" -> "daily grain",
     "q_t_closeness" -> "global language-share table (|langs| rows)",
     "q_gini_stump" -> "quantity grid (<=50 candidate thresholds)",
-    "q_hhi_concentration" -> "per-source token totals (20 rows)")
+    "q_hhi_concentration" -> "per-source token totals (20 rows)",
+    "q_conformal_threshold" -> "globalRowNumber offsets (32 rows)")
 
   test("no registered query plans a partitionless Window over an unbounded input") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
@@ -256,7 +262,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_knn_graph" -> "corpus-count branch (1 row) + the bucket self-join's two sides",
     "q_dedup_embedding" -> "per-label block-count branch (|labels| rows) + the cell self-join's two sides",
     "q_sim_range_search" -> "corpus-count branch (1 row) + probe/corpus bucket sides",
-    "q_knn_graph_recall" -> "graph pipeline + exact ground-truth audit pipeline")
+    "q_knn_graph_recall" -> "graph pipeline + exact ground-truth audit pipeline",
+    "q_sq_recall" -> "SQ codec train+apply pipeline + exact ground-truth audit pipeline")
 
   test("no registered query scans one source relation more than twice") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -287,7 +294,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_collect_agg" -> "collect_list over <=25 nations per region (dimension-bounded)",
     "q_basket_triples" -> "collect_set over per-order baskets (<=7 parts, TPC-H)",
     "q_set_sim_join" -> "collect_list of per-doc distinct 4-token shingles (bounded by doc length)",
-    "q_attribution_markov" -> "collect_list of the states^2-bounded (<=64 rows) transition matrix")
+    "q_attribution_markov" -> "collect_list of the states^2-bounded (<=64 rows) transition matrix",
+    "q_sq_error_audit" -> "collect_list of the 64-row per-dimension min/max stats (dim-bounded)",
+    "q_sq_recall" -> "collect_list of the 64-row per-dimension min/max stats (dim-bounded)")
 
   test("no registered query buffers group values (exact percentile / collect) over an unbounded input") {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet, Percentile}

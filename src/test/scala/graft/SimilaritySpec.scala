@@ -140,4 +140,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fwd.exceptAll(g).count() === 0)
     assert(bwd.exceptAll(g).count() === 0)
   }
+
+  test("int8 scalar quantization: distortion within the codec's budget") {
+    val r = ops.Similarity.qSqErrorAudit(spark, sf).collect().head
+    assert(r.getAs[Long]("dim") === 64L)
+    // 8-bit affine quantization: per-dim error <= step/2 = range/510,
+    // so with O(1)-range dims MSE stays far below 1e-4
+    assert(r.getAs[Double]("mse") < 1e-4)
+    assert(r.getAs[Double]("max_abs_err") < 0.05)
+    assert(r.getAs[Double]("avg_self_cos") > 0.999)
+    assert(r.getAs[Double]("min_self_cos") > 0.99)
+  }
+
+  test("int8 quantized search keeps recall@3 usable") {
+    val rows = ops.Similarity.qSqRecall(spark, sf).collect()
+    assert(rows.length === 10)
+    val avg = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    // measured 0.93 at sf0.1 / 1.0 at sf0.01; 0.7 is the never-regress floor
+    assert(avg >= 0.7, s"avg recall@3 $avg below the int8 floor")
+  }
 }

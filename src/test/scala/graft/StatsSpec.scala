@@ -130,4 +130,33 @@ class StatsSpec extends AnyFunSuite {
     val t = r.getAs[Int]("threshold")
     assert(t >= 1 && t < 50, s"threshold $t must leave both sides non-empty")
   }
+
+  test("cohen kappa: cells partition the corpus, agreement beats chance") {
+    val r = ops.Stats.qCohenKappa(spark, sf).collect().head
+    val n = r.getAs[Long]("n")
+    assert(n === spark.read.parquet(s"$sf/documents.parquet").count())
+    assert(r.getAs[Long]("n11") + r.getAs[Long]("n10") +
+      r.getAs[Long]("n01") + r.getAs[Long]("n00") === n)
+    val po = r.getAs[Double]("po"); val pe = r.getAs[Double]("pe")
+    val kappa = r.getAs[Double]("kappa")
+    assert(po >= 0.0 && po <= 1.0 && pe >= 0.0 && pe <= 1.0)
+    assert(kappa >= -1.0 && kappa <= 1.0)
+    // the two length heuristics are correlated by construction, so
+    // agreement must be real, not chance-level
+    assert(po > pe && kappa > 0.5, s"po=$po pe=$pe kappa=$kappa")
+  }
+
+  test("conformal threshold: k is the finite-sample rank, coverage near the 0.9 target") {
+    val r = ops.Stats.qConformalThreshold(spark, sf).collect().head
+    val nCal = r.getAs[Long]("n_cal")
+    assert(r.getAs[Long]("k") === math.min(math.ceil(0.9 * (nCal + 1)).toLong, nCal))
+    assert(r.getAs[Double]("threshold") > 0.0)
+    val cov = r.getAs[Double]("coverage")
+    // finite-sample conformal guarantee: coverage >= 0.9 in expectation;
+    // sampling noise at the fixture scale justifies the loose floor
+    assert(cov > 0.8 && cov <= 1.0, s"coverage $cov far from the 0.9 target")
+    // splits are disjoint and exhaustive
+    val total = r.getAs[Long]("n_fit") + nCal + r.getAs[Long]("n_test")
+    assert(total === spark.read.parquet(s"$sf/documents.parquet").count())
+  }
 }
