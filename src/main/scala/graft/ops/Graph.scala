@@ -583,7 +583,91 @@ object Graph extends QueryFamily {
       |SELECT peel_round, n_nodes::BIGINT AS n_nodes, n_edges::BIGINT AS n_edges
       |FROM s ORDER BY peel_round""".stripMargin
 
+  /** Personalized PageRank: the random walk restarts at ONE seed node
+    * (the data-adaptive choice: highest out-strength, name asc on
+    * ties) instead of teleporting uniformly — the "related to X"
+    * primitive under recommendation and local-community search.
+    * Same 3-iteration unrolled power method as [[qPagerank]] with two
+    * deltas: the restart mass (1−d) and each round's dangling mass
+    * both flow to the seed only. The seed is a 1-row broadcast; each
+    * iteration is one edge join + hash aggregate with per-round
+    * `localCheckpoint` lineage truncation — node-keyed shuffles only,
+    * nothing driver-side, so the plan is the one you'd run per-seed
+    * at 100 TB (batched seeds = one extra seed-id key column). */
+  def qPpr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = Relational.qTransitions(spark, dir)
+      .select($"from_type".as("u"), $"to_type".as("v"), $"n")
+      .cache()
+    val nodes = edges.select($"u".as("t"))
+      .union(edges.select($"v".as("t"))).distinct().cache()
+    val outw = edges.groupBy($"u").agg(sum($"n").cast("double").as("w"))
+    val seed = outw.orderBy(desc("w"), asc("u")).limit(1)
+      .select($"u".as("seed"))
+    val p = edges.join(outw, "u")
+      .select($"u", $"v", ($"n".cast("double") / $"w").as("p"))
+      .cache()
+    val sources = edges.select($"u").distinct()
+    val nodeMeta = nodes
+      .join(sources.select($"u".as("t"), lit(true).as("has_out")), Seq("t"), "left_outer")
+      .crossJoin(broadcast(seed))
+      .select($"t", coalesce($"has_out", lit(false)).as("has_out"),
+        ($"t" === $"seed").as("is_seed"))
+      .cache()
+
+    var ranks = nodeMeta
+      .select($"t", $"has_out", $"is_seed",
+        when($"is_seed", 1.0).otherwise(0.0).as("r"))
+    for (_ <- 1 to 3) {
+      val r = ranks.localCheckpoint(true)
+      val dangling = r.filter(!$"has_out")
+        .agg(coalesce(sum($"r"), lit(0.0)).as("dang"))
+      val contrib = p.join(r, p("u") === r("t"))
+        .groupBy($"v").agg(sum($"r" * $"p").as("c"))
+      ranks = nodeMeta
+        .join(contrib, nodeMeta("t") === contrib("v"), "left_outer")
+        .crossJoin(broadcast(dangling))
+        .select($"t", $"has_out", $"is_seed",
+          (when($"is_seed", lit(1.0 - D)).otherwise(lit(0.0))
+            + lit(D) * (coalesce($"c", lit(0.0))
+              + when($"is_seed", $"dang").otherwise(lit(0.0)))).as("r"))
+    }
+    ranks.select($"t", $"is_seed", round($"r", 6).as("rank"))
+      .orderBy(desc("rank"), asc("t"))
+  }
+
+  val qPprSql: String = {
+    def iter(prev: String): String =
+      s"""SELECT n.t, n.is_seed,
+         |  (CASE WHEN n.is_seed THEN 1 - 0.85 ELSE 0 END)
+         |    + 0.85 * (coalesce(c.s, 0)
+         |      + CASE WHEN n.is_seed THEN d.dang ELSE 0 END) AS r
+         |FROM nodes n
+         |LEFT JOIN (SELECT p.v, sum($prev.r * p.p) AS s
+         |           FROM p JOIN $prev ON $prev.t = p.u GROUP BY p.v) c ON c.v = n.t
+         |CROSS JOIN (SELECT coalesce(sum(r), 0) AS dang FROM $prev
+         |            WHERE t NOT IN (SELECT u FROM p)) d""".stripMargin
+    s"""WITH ev AS (SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+       |seq AS (SELECT event_type,
+       |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_type
+       |  FROM ev),
+       |e AS (SELECT event_type AS u, next_type AS v, count(*) AS n
+       |      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+       |outw AS (SELECT u, sum(n)::DOUBLE AS w FROM e GROUP BY u),
+       |sd AS (SELECT u AS seed FROM outw ORDER BY w DESC, u LIMIT 1),
+       |nodes AS (SELECT t, t = (SELECT seed FROM sd) AS is_seed
+       |  FROM (SELECT DISTINCT t FROM (SELECT u AS t FROM e UNION SELECT v FROM e))),
+       |p AS (SELECT e.u, e.v, e.n::DOUBLE / outw.w AS p FROM e JOIN outw ON outw.u = e.u),
+       |r0 AS (SELECT t, is_seed, CASE WHEN is_seed THEN 1.0 ELSE 0.0 END AS r FROM nodes),
+       |r1 AS (${iter("r0")}),
+       |r2 AS (${iter("r1")}),
+       |r3 AS (${iter("r2")})
+       |SELECT t, is_seed, round(r, 6) AS rank FROM r3
+       |ORDER BY round(r, 6) DESC, t""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_ppr", qPpr, Some(qPprSql)),
     QueryDef("q_kcore_peel", qKcorePeel, Some(qKcorePeelSql)),
     QueryDef("q_pagerank", qPagerank, Some(qPagerankSql)),
     QueryDef("q_hits", qHits, Some(qHitsSql)),

@@ -322,7 +322,65 @@ object Safety extends QueryFamily {
       |  round(min(tvd), 4) AS min_t, round(max(tvd), 4) AS max_t
       |FROM t GROUP BY 1 ORDER BY band""".stripMargin
 
+  /** DP mean release per language: the Laplace-mechanism mean of
+    * document length with explicit clipping — contributions are capped
+    * at C = 500 chars (bounding per-record sensitivity), the clipped
+    * SUM gets Laplace(C/(ε/2)) noise, the COUNT gets Laplace(1/(ε/2))
+    * (ε split across the two queries by basic composition), and the
+    * released mean is their post-processed ratio. The mechanism the
+    * ε-budgeted corpus-statistics reports (average doc length by
+    * slice) actually ship. Noise draws are deterministic inverse-CDF
+    * Laplace from per-(cell, query) content hashes — reproducible and
+    * cross-engine testable, swap for a cryptographic draw in
+    * production (plan unchanged; same contract as [[qDpHistogram]]).
+    * One hash aggregate; noise is a zero-shuffle projection over
+    * |langs| rows. */
+  def qDpMean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val eps = 1.0
+    val cap = 500.0
+    def u(salt: String) =
+      expr(s"cast(conv(substring(md5(cast(concat(lang, '$salt') as binary)), 1, 12), 16, 10) AS bigint)")
+        .cast("double") / lit(math.pow(16.0, 12))
+    def lap(uu: Column, scale: Double): Column =
+      -lit(scale) * signum(uu - 0.5) * log(lit(1.0) - lit(2.0) * abs(uu - 0.5))
+    T.documents(spark, dir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"),
+        sum(least($"n_chars".cast("double"), lit(cap))).as("csum"),
+        round(avg(least($"n_chars".cast("double"), lit(cap))), 4).as("clipped_mean"))
+      .withColumn("noisy_sum", $"csum" + lap(u("|sum"), cap / (eps / 2)))
+      .withColumn("noisy_n",
+        greatest($"n" + lap(u("|cnt"), 1.0 / (eps / 2)), lit(1.0)))
+      .select($"lang", $"n", $"clipped_mean",
+        round($"noisy_sum" / $"noisy_n", 4).as("dp_mean"),
+        lit(eps).as("epsilon"), lit(cap).as("clip"))
+      .orderBy($"lang")
+  }
+
+  val qDpMeanSql: String =
+    """WITH g AS (SELECT lang, count(*)::BIGINT AS n,
+      |    sum(least(n_chars::DOUBLE, 500.0)) AS csum,
+      |    round(avg(least(n_chars::DOUBLE, 500.0)), 4) AS clipped_mean
+      |  FROM documents GROUP BY lang),
+      |u AS (SELECT lang, n, csum, clipped_mean,
+      |    (list_sum(list_transform(range(1, 13),
+      |       i -> (strpos('0123456789abcdef', substr(md5(lang || '|sum'), i, 1)) - 1) * pow(16.0, 12 - i)))::BIGINT)::DOUBLE
+      |      / pow(16.0, 12) AS us,
+      |    (list_sum(list_transform(range(1, 13),
+      |       i -> (strpos('0123456789abcdef', substr(md5(lang || '|cnt'), i, 1)) - 1) * pow(16.0, 12 - i)))::BIGINT)::DOUBLE
+      |      / pow(16.0, 12) AS uc
+      |  FROM g),
+      |z AS (SELECT lang, n, clipped_mean,
+      |    csum + (-1000.0 * sign(us - 0.5) * ln(1.0 - 2.0 * abs(us - 0.5))) AS noisy_sum,
+      |    greatest(n + (-2.0 * sign(uc - 0.5) * ln(1.0 - 2.0 * abs(uc - 0.5))), 1.0) AS noisy_n
+      |  FROM u)
+      |SELECT lang, n, clipped_mean, round(noisy_sum / noisy_n, 4) AS dp_mean,
+      |  1.0 AS epsilon, 500.0 AS clip
+      |FROM z ORDER BY lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_dp_mean", qDpMean, Some(qDpMeanSql)),
     QueryDef("q_t_closeness", qTCloseness, Some(qTClosenessSql)),
     QueryDef("q_dp_histogram", qDpHistogram, Some(qDpHistogramSql)),
     QueryDef("q_pii_scrub", qPiiScrub, Some(qPiiScrubSql)),

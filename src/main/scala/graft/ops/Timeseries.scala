@@ -1092,7 +1092,90 @@ object Timeseries extends QueryFamily {
       |SELECT d, cusum, cusum > 5.0 AS alarm
       |FROM r ORDER BY cusum DESC, d LIMIT 10""".stripMargin
 
+  /** Hurst exponent by rescaled-range (R/S) analysis of daily revenue:
+    * partition the day-indexed series into blocks of m ∈ {8, 16, 32},
+    * compute each complete block's range-of-cumulative-deviations over
+    * its standard deviation, average R/S per block size, and fit
+    * ln(R/S) ~ ln(m) — slope H classifies the series (H≈0.5 random
+    * walk, >0.5 trending/persistent, <0.5 mean-reverting), the
+    * long-memory diagnostic that decides whether naive day-over-day
+    * forecasting is even admissible. Exactness discipline: daily
+    * totals are integer cents, block moments are explicit
+    * integer/DECIMAL sums divided once, and the cumulative deviation
+    * walks an ORDERED window — every double on both engines is the
+    * result of the same operation sequence, so only the display is
+    * rounded. Everything after the daily aggregate is O(days). */
+  def qHurst(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d38 = "decimal(38,0)"
+    val daily = T.orders(spark, dir)
+      .groupBy($"o_orderdate".as("d"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("yc"))
+    val idx = daily
+      .withColumn("idx", row_number().over(Window.orderBy($"d")))
+      .withColumn("m", explode(expr("array(8, 16, 32)")))
+      .withColumn("blk", expr("(idx - 1) DIV m"))
+    val wBlk = Window.partitionBy($"m", $"blk")
+    val wCum = wBlk.orderBy($"idx").rowsBetween(Window.unboundedPreceding, 0)
+    val dev = idx
+      .withColumn("bn", count(lit(1)).over(wBlk))
+      .withColumn("bsum", sum($"yc".cast(d38)).over(wBlk))
+      .withColumn("bsum2", sum($"yc".cast(d38) * $"yc").over(wBlk))
+      .filter($"bn" === $"m")
+      .withColumn("bm", $"bsum".cast("double") / $"m")
+      .withColumn("cum", sum($"yc".cast("double") - $"bm").over(wCum))
+    val rs = dev.groupBy($"m", $"blk")
+      .agg((max($"cum") - min($"cum")).as("r"),
+        sqrt(max($"bsum2").cast("double") / max($"m")
+          - max($"bm") * max($"bm")).as("s"))
+      .filter($"s" > 0)
+      .groupBy($"m")
+      .agg(count(lit(1)).as("n_blocks"), avg($"r" / $"s").as("mean_rs"))
+    val fit = rs.agg(
+        count(lit(1)).cast("double").as("k"),
+        sum(log($"m".cast("double"))).as("sx"),
+        sum(log($"mean_rs")).as("sy"),
+        sum(log($"m".cast("double")) * log($"mean_rs")).as("sxy"),
+        sum(log($"m".cast("double")) * log($"m".cast("double"))).as("sx2"))
+      .select((($"k" * $"sxy" - $"sx" * $"sy") /
+        ($"k" * $"sx2" - $"sx" * $"sx")).as("hurst"))
+    rs.crossJoin(broadcast(fit))
+      .select($"m", $"n_blocks", round($"mean_rs", 4).as("mean_rs"),
+        round($"hurst", 4).as("hurst"))
+      .orderBy($"m")
+  }
+
+  val qHurstSql: String =
+    """WITH daily AS (SELECT o_orderdate AS d,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS yc
+      |  FROM orders GROUP BY 1),
+      |ix AS MATERIALIZED (SELECT d, yc, row_number() OVER (ORDER BY d) AS idx FROM daily),
+      |mm AS (SELECT ix.*, m, (idx - 1) // m AS blk
+      |  FROM ix CROSS JOIN (SELECT unnest([8, 16, 32]) AS m)),
+      |st AS (SELECT m, blk, idx, yc,
+      |    count(*) OVER (PARTITION BY m, blk) AS bn,
+      |    sum(yc::HUGEINT) OVER (PARTITION BY m, blk) AS bsum,
+      |    sum(yc::HUGEINT * yc) OVER (PARTITION BY m, blk) AS bsum2
+      |  FROM mm),
+      |dev AS (SELECT m, blk, idx, yc, bsum2,
+      |    bsum::DOUBLE / m AS bm,
+      |    sum(yc::DOUBLE - bsum::DOUBLE / m)
+      |      OVER (PARTITION BY m, blk ORDER BY idx) AS cum
+      |  FROM st WHERE bn = m),
+      |rsb AS (SELECT m, blk, max(cum) - min(cum) AS r,
+      |    sqrt(max(bsum2)::DOUBLE / max(m) - max(bm) * max(bm)) AS s
+      |  FROM dev GROUP BY 1, 2),
+      |rs AS MATERIALIZED (SELECT m, count(*)::BIGINT AS n_blocks,
+      |    avg(r / s) AS mean_rs FROM rsb WHERE s > 0 GROUP BY 1),
+      |fit AS (SELECT
+      |    (count(*) * sum(ln(m::DOUBLE) * ln(mean_rs)) - sum(ln(m::DOUBLE)) * sum(ln(mean_rs)))
+      |    / (count(*) * sum(ln(m::DOUBLE) * ln(m::DOUBLE)) - sum(ln(m::DOUBLE)) * sum(ln(m::DOUBLE))) AS hurst
+      |  FROM rs)
+      |SELECT m, n_blocks, round(mean_rs, 4) AS mean_rs, round(hurst, 4) AS hurst
+      |FROM rs, fit ORDER BY m""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_hurst", qHurst, Some(qHurstSql)),
     QueryDef("q_cusum", qCusum, Some(qCusumSql)),
     QueryDef("q_nelson_aalen", qNelsonAalen, Some(qNelsonAalenSql)),
     QueryDef("q_brown_smoothing", qBrownSmoothing, Some(qBrownSmoothingSql)),

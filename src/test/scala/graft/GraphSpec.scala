@@ -124,4 +124,17 @@ class GraphSpec extends AnyFunSuite {
     assert(edges.head > edges.last,
       s"peel threshold never bit: ${edges.mkString(",")}")
   }
+
+  test("personalized pagerank: mass conserved, seed dominates its own walk") {
+    val rows = ops.Graph.qPpr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Double]("rank")).sum
+    // restart + damping conserve unit mass (up to display rounding)
+    assert(math.abs(total - 1.0) < 1e-3, s"mass $total drifted")
+    rows.foreach(r => assert(r.getAs[Double]("rank") >= 0.0))
+    // output is rank-desc; the seed's restart mass keeps it on top here
+    assert(rows.head.getAs[Boolean]("is_seed"),
+      "seed must outrank non-seeds in its own personalized walk")
+    assert(rows.count(_.getAs[Boolean]("is_seed")) === 1)
+  }
 }

@@ -202,7 +202,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_t_closeness" -> "global language-share table (|langs| rows)",
     "q_gini_stump" -> "quantity grid (<=50 candidate thresholds)",
     "q_hhi_concentration" -> "per-source token totals (20 rows)",
-    "q_conformal_threshold" -> "globalRowNumber offsets (32 rows)")
+    "q_conformal_threshold" -> "globalRowNumber offsets (32 rows)",
+    "q_hurst" -> "daily grain")
 
   test("no registered query plans a partitionless Window over an unbounded input") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}

@@ -129,4 +129,22 @@ class SafetySpec extends AnyFunSuite {
       .groupBy(col("source"), floor(col("n_chars") / 100)).count().count()
     assert(rows.map(_.getAs[Long]("n_classes")).sum === expect)
   }
+
+  test("dp mean: clipping bounds the release, epsilon recorded") {
+    val rows = ops.Safety.qDpMean(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cm = r.getAs[Double]("clipped_mean")
+      assert(cm > 0.0 && cm <= 500.0, s"clipped mean $cm escapes the cap")
+      // Laplace(1000) noise over a >=48-char floor cannot push the
+      // released mean negative at fixture group sizes
+      val dp = r.getAs[Double]("dp_mean")
+      assert(dp > 0.0)
+      assert(r.getAs[Double]("epsilon") === 1.0)
+      assert(r.getAs[Double]("clip") === 500.0)
+    }
+    // determinism: the content-hash noise makes the release reproducible
+    val again = ops.Safety.qDpMean(spark, sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
 }

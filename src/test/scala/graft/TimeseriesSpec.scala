@@ -466,4 +466,17 @@ class TimeseriesSpec extends AnyFunSuite {
       assert(r.getAs[Boolean]("alarm") === (s > 5.0))
     }
   }
+
+  test("hurst: R/S grows with block size, exponent in the open unit interval") {
+    val rows = ops.Timeseries.qHurst(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("m")).toSeq === Seq(8, 16, 32))
+    val rs = rows.map(_.getAs[Double]("mean_rs"))
+    assert(rs.forall(_ > 0.0))
+    assert(rs.zip(rs.tail).forall { case (a, b) => a < b },
+      "rescaled range must grow with window size")
+    val h = rows.map(_.getAs[Double]("hurst")).distinct
+    assert(h.length === 1, "hurst is a series constant")
+    assert(h.head > 0.0 && h.head < 1.0, s"hurst ${h.head} outside (0,1)")
+    rows.foreach(r => assert(r.getAs[Long]("n_blocks") > 0))
+  }
 }
