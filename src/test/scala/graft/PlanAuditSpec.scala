@@ -127,7 +127,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // recall variant adds the 10-row probe-side non-equi join
     "q_sq_error_audit", "q_sq_recall",
     // 1-row OLS-fit / n-cal / threshold builds onto the split scans
-    "q_conformal_threshold")
+    "q_conformal_threshold",
+    // 1-row log-log-fit (hurst) build onto the 3-row R/S relation
+    "q_hurst")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
