@@ -129,7 +129,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row OLS-fit / n-cal / threshold builds onto the split scans
     "q_conformal_threshold",
     // 1-row log-log-fit (hurst) build onto the 3-row R/S relation
-    "q_hurst")
+    "q_hurst",
+    // 1-row seed + per-round dangling-mass builds (same class as
+    // q_pagerank)
+    "q_ppr")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
