@@ -668,6 +668,91 @@ object Similarity extends QueryFamily {
        |LEFT JOIN dcg d ON d.q_id = q.q_id
        |ORDER BY q.q_id""".stripMargin
 
+  /** MAP@3 of the single-bucket sign-LSH ranking against the exact
+    * top-5 relevant set — the third leg of the retrieval-audit triad
+    * (recall = coverage, NDCG = graded order, MAP = binary-relevance
+    * order): AP@3 per probe = (1/3) Σ_{p≤3} hit_p · (hits≤p / p), and
+    * the corpus MAP is the probe mean, broadcast back onto the per-
+    * probe rows the way q_calibration carries its ECE. The join is
+    * |probes|·k rows on (q_id, n_id); the running-hit window is
+    * partitioned per probe (3 rows each), so nothing here grows with
+    * the corpus — audit cost is O(probes · k) at any SF. */
+  def qMapAtK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = qSimBruteforce(spark, dir).select($"q_id", $"n_id", lit(1).as("rel"))
+    val approx = qSimLsh(spark, dir).select($"q_id", $"rank".as("pos"), $"n_id")
+    val w = Window.partitionBy($"q_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ap = approx.join(exact, Seq("q_id", "n_id"), "left")
+      .withColumn("hit", coalesce($"rel".cast("double"), lit(0.0)))
+      .withColumn("cumhit", sum($"hit").over(w))
+      .groupBy($"q_id")
+      .agg((sum($"hit" * $"cumhit" / $"pos") / 3.0).as("ap"))
+    val perQ = exact.select($"q_id").distinct()
+      .join(ap, Seq("q_id"), "left")
+      .select($"q_id", coalesce($"ap", lit(0.0)).as("ap"))
+      .localCheckpoint(true)
+    val map = perQ.agg(avg($"ap").as("map"))
+    perQ.crossJoin(broadcast(map))
+      .select($"q_id", round($"ap", 4).as("ap"), round($"map", 4).as("map"))
+      .orderBy($"q_id")
+  }
+
+  val qMapAtKSql: String =
+    s"""WITH exact AS (SELECT q_id, n_id, 1 AS rel FROM ($qSimBruteforceSql)),
+       |approx AS (SELECT q_id, rank AS pos, n_id FROM ($qSimLshSql)),
+       |hits AS (SELECT a.q_id, a.pos,
+       |    coalesce(e.rel, 0)::DOUBLE AS hit
+       |  FROM approx a LEFT JOIN exact e
+       |    ON e.q_id = a.q_id AND e.n_id = a.n_id),
+       |runs AS (SELECT q_id, pos, hit,
+       |    sum(hit) OVER (PARTITION BY q_id ORDER BY pos) AS cumhit
+       |  FROM hits),
+       |ap AS (SELECT q_id, sum(hit * cumhit / pos) / 3.0 AS ap
+       |  FROM runs GROUP BY q_id),
+       |perq AS (SELECT q.q_id, coalesce(ap.ap, 0.0) AS ap
+       |  FROM (SELECT DISTINCT q_id FROM exact) q
+       |  LEFT JOIN ap ON ap.q_id = q.q_id),
+       |m AS (SELECT avg(ap) AS map FROM perq)
+       |SELECT q_id, round(ap, 4) AS ap, round(m.map, 4) AS map
+       |FROM perq, m ORDER BY q_id""".stripMargin
+
+  /** MRR@3 of the single-bucket sign-LSH ranking — mean reciprocal
+    * rank of the FIRST exact-top-5 hit per probe, the metric that
+    * matters when a retrieval consumer only reads one result (RAG
+    * context slot 1). Same audit shape as MAP/NDCG: the join is
+    * |probes|·k rows, the first-hit reduction is a per-probe min, and
+    * the corpus MRR broadcasts back as one row — O(probes·k) at any
+    * SF. */
+  def qSimMrr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = qSimBruteforce(spark, dir).select($"q_id", $"n_id")
+    val approx = qSimLsh(spark, dir).select($"q_id", $"rank".as("pos"), $"n_id")
+    val firstHit = approx.join(exact, Seq("q_id", "n_id"))
+      .groupBy($"q_id").agg(min($"pos").as("fp"))
+    val perQ = exact.select($"q_id").distinct()
+      .join(firstHit, Seq("q_id"), "left")
+      .select($"q_id", coalesce(lit(1.0) / $"fp", lit(0.0)).as("rr"))
+      .localCheckpoint(true)
+    val mrr = perQ.agg(avg($"rr").as("mrr"))
+    perQ.crossJoin(broadcast(mrr))
+      .select($"q_id", round($"rr", 4).as("rr"), round($"mrr", 4).as("mrr"))
+      .orderBy($"q_id")
+  }
+
+  val qSimMrrSql: String =
+    s"""WITH exact AS (SELECT q_id, n_id FROM ($qSimBruteforceSql)),
+       |approx AS (SELECT q_id, rank AS pos, n_id FROM ($qSimLshSql)),
+       |fh AS (SELECT a.q_id, min(a.pos) AS fp
+       |  FROM approx a JOIN exact e ON e.q_id = a.q_id AND e.n_id = a.n_id
+       |  GROUP BY a.q_id),
+       |perq AS (SELECT q.q_id, coalesce(1.0 / fp, 0.0) AS rr
+       |  FROM (SELECT DISTINCT q_id FROM exact) q
+       |  LEFT JOIN fh ON fh.q_id = q.q_id),
+       |m AS (SELECT avg(rr) AS mrr FROM perq)
+       |SELECT q_id, round(rr, 4) AS rr, round(m.mrr, 4) AS mrr
+       |FROM perq, m ORDER BY q_id""".stripMargin
+
   /** Product-quantization ANN: vectors split into 4 subspaces of 16
     * dims; per-subspace codebooks (label-mean centroids, 10 codes,
     * mirroring the IVF/k-means seeding convention) encode every corpus
@@ -1603,6 +1688,8 @@ object Similarity extends QueryFamily {
     QueryDef("q_kmeans_update", qKmeansUpdate, Some(qKmeansUpdateSql)),
     QueryDef("q_kmeans_iterated", qKmeansIterated, Some(qKmeansIteratedSql)),
     QueryDef("q_sim_ndcg", qSimNdcg, Some(qSimNdcgSql)),
+    QueryDef("q_sim_map", qMapAtK, Some(qMapAtKSql)),
+    QueryDef("q_sim_mrr", qSimMrr, Some(qSimMrrSql)),
     QueryDef("q_sim_pq", qSimPq, Some(qSimPqSql)),
     QueryDef("q_sim_pq_recall", qSimPqRecall, Some(qSimPqRecallSql)),
     QueryDef("q_sim_ivfpq", qSimIvfPq, Some(qSimIvfPqSql)),
