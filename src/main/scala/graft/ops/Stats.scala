@@ -673,7 +673,362 @@ object Stats extends QueryFamily {
       |  round(avg(CASE WHEN abs(y - a - b * x) <= t THEN 1.0 ELSE 0.0 END), 4) AS coverage
       |FROM s, thr WHERE split = 'test'""".stripMargin
 
+  /** McNemar's test (with continuity correction) comparing two
+    * document classifiers against the source label on PAIRED
+    * predictions — the right test when two filters score the same
+    * corpus (a two-proportion z-test would ignore the pairing). The
+    * statistic needs only the two discordant-cell counts, so the whole
+    * fact table reduces in ONE map-side-combined aggregate; every term
+    * is an exact integer until the final division. */
+  def qMcNemar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lab = T.documents(spark, dir).select(
+      ($"source" === "src0").as("y"),
+      ($"n_chars" > 300).as("ca"),
+      (size(split($"text", " ")) > 55).as("cb"))
+    lab.select(($"ca" === $"y").as("aok"), ($"cb" === $"y").as("bok"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"aok" && !$"bok", 1L).otherwise(0L)).as("n10"),
+        sum(when(!$"aok" && $"bok", 1L).otherwise(0L)).as("n01"))
+      .select($"n", $"n10", $"n01",
+        round(pow(greatest(abs($"n10" - $"n01") - lit(1.0), lit(0.0)), 2) /
+          ($"n10" + $"n01"), 4).as("chi2_cc"))
+  }
+
+  val qMcNemarSql: String =
+    """WITH lab AS (SELECT (source = 'src0') AS y, (n_chars > 300) AS ca,
+      |    (len(string_split(text, ' ')) > 55) AS cb FROM documents),
+      |ok AS (SELECT (ca = y) AS aok, (cb = y) AS bok FROM lab),
+      |c AS (SELECT count(*)::BIGINT AS n,
+      |    sum(CASE WHEN aok AND NOT bok THEN 1 ELSE 0 END)::BIGINT AS n10,
+      |    sum(CASE WHEN NOT aok AND bok THEN 1 ELSE 0 END)::BIGINT AS n01
+      |  FROM ok)
+      |SELECT n, n10, n01,
+      |  round(pow(greatest(abs(n10 - n01) - 1.0, 0.0), 2) / (n10 + n01), 4) AS chi2_cc
+      |FROM c""".stripMargin
+
+  /** Fleiss' kappa over THREE deterministic raters (char-length,
+    * token-count, and letter-frequency gates) labeling every document
+    * — the multi-rater agreement statistic annotation pipelines report
+    * where Cohen's kappa only handles two raters. With r=3 raters and
+    * 2 categories, per-item agreement P_i = (s² + (r−s)² − r) / (r(r−1))
+    * where s = raters voting 1; summing 6·P_i keeps the numerator an
+    * exact integer, so the corpus reduces in one aggregate and the only
+    * floating-point steps are the three final divisions. */
+  def qFleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = ($"n_chars" > 300).cast("long") +
+      (size(split($"text", " ")) > 55).cast("long") +
+      ((length($"text") - length(translate($"text", "e", ""))) > 20).cast("long")
+    T.documents(spark, dir).select(s.as("s"))
+      .agg(count(lit(1)).as("n"), sum($"s").as("votes"),
+        sum($"s" * $"s" + (lit(3) - $"s") * (lit(3) - $"s") - lit(3)).as("p6"))
+      .select($"n",
+        ($"p6" / ($"n" * lit(6.0))).as("pbar"),
+        ($"votes" / ($"n" * lit(3.0))).as("p1"))
+      .select($"n", round($"pbar", 4).as("p_obs"),
+        round($"p1" * $"p1" + (lit(1.0) - $"p1") * (lit(1.0) - $"p1"), 4).as("p_exp"),
+        round(($"pbar" - ($"p1" * $"p1" + (lit(1.0) - $"p1") * (lit(1.0) - $"p1"))) /
+          (lit(1.0) - ($"p1" * $"p1" + (lit(1.0) - $"p1") * (lit(1.0) - $"p1"))), 4)
+          .as("kappa"))
+  }
+
+  val qFleissKappaSql: String =
+    """WITH v AS (SELECT
+      |    (n_chars > 300)::BIGINT + (len(string_split(text, ' ')) > 55)::BIGINT +
+      |    ((len(text) - len(replace(text, 'e', ''))) > 20)::BIGINT AS s
+      |  FROM documents),
+      |c AS (SELECT count(*)::BIGINT AS n, sum(s)::BIGINT AS votes,
+      |    sum(s * s + (3 - s) * (3 - s) - 3)::BIGINT AS p6 FROM v),
+      |p AS (SELECT n, p6 / (n * 6.0) AS pbar, votes / (n * 3.0) AS p1 FROM c)
+      |SELECT n, round(pbar, 4) AS p_obs,
+      |  round(p1 * p1 + (1.0 - p1) * (1.0 - p1), 4) AS p_exp,
+      |  round((pbar - (p1 * p1 + (1.0 - p1) * (1.0 - p1))) /
+      |    (1.0 - (p1 * p1 + (1.0 - p1) * (1.0 - p1))), 4) AS kappa
+      |FROM p""".stripMargin
+
+  /** One-way ANOVA F across the five order priorities on order value
+    * — the >2-group mean test Welch's t can't cover. Values are fixed
+    * to EXACT integer cents (round-then-widen to DECIMAL(38,0), the
+    * cross-engine cast rule), so per-group (n, Σc, Σc²) are exact at
+    * any SF; the five-row moment table then yields SSB/SSW closed-form
+    * and only F itself is floating-point. One map-side-combined
+    * aggregate over the facts, zero windows. */
+  def qAnovaF(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d38 = "decimal(38,0)"
+    val g = T.orders(spark, dir)
+      .select($"o_orderpriority".as("grp"),
+        round($"o_totalprice" * 100).cast(d38).as("c"))
+      .groupBy($"grp")
+      .agg(count(lit(1)).as("nj"),
+        sum($"c").cast("double").as("sj"),
+        sum($"c" * $"c").cast("double").as("qj"))
+    g.agg(count(lit(1)).as("k"), sum($"nj").as("n"),
+        sum($"sj").as("s"), sum($"qj").as("q"),
+        sum($"sj" * $"sj" / $"nj").as("b"))
+      .select($"k", $"n", ($"k" - 1).as("df1"), ($"n" - $"k").as("df2"),
+        round((($"b" - $"s" * $"s" / $"n") / ($"k" - 1)) /
+          (($"q" - $"b") / ($"n" - $"k")), 4).as("f"))
+  }
+
+  val qAnovaFSql: String =
+    """WITH c AS (SELECT o_orderpriority AS grp,
+      |    CAST(round(o_totalprice * 100) AS DECIMAL(38,0)) AS c FROM orders),
+      |g AS (SELECT grp, count(*)::BIGINT AS nj, sum(c)::DOUBLE AS sj,
+      |    sum(c * c)::DOUBLE AS qj FROM c GROUP BY grp),
+      |a AS (SELECT count(*)::BIGINT AS k, sum(nj)::BIGINT AS n,
+      |    sum(sj) AS s, sum(qj) AS q, sum(sj * sj / nj) AS b FROM g)
+      |SELECT k, n, k - 1 AS df1, n - k AS df2,
+      |  round(((b - s * s / n) / (k - 1)) / ((q - b) / (n - k)), 4) AS f
+      |FROM a""".stripMargin
+
+  /** Kruskal-Wallis H (tie-corrected) across all five order priorities
+    * — the rank-based ANOVA for when value distributions are skewed.
+    * Same grid discipline as q_mann_whitney: the defined statistic is
+    * midranks of the $1k-bucketed value, so ranking is one cumulative
+    * window over a ~500-cell grid. Doubled midranks (2·mid = 2·cum −
+    * t + 1) keep every rank sum an exact DECIMAL integer at any SF;
+    * tie cubes widen to decimal before cubing (the Mann-Whitney
+    * overflow rule — HUGEINT in the oracle). */
+  def qKruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pris = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val cnts = pris.zipWithIndex.map { case (p, i) =>
+      sum(when($"o_orderpriority" === p, 1L).otherwise(0L)).as(s"n$i")
+    }
+    val grid = T.orders(spark, dir)
+      .groupBy(floor($"o_totalprice" / 1000).cast("long").as("v"))
+      .agg(cnts.head, cnts.tail: _*)
+      .withColumn("t", $"n0" + $"n1" + $"n2" + $"n3" + $"n4")
+    val w = Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, 0)
+    val mid = grid.withColumn("mid2", lit(2) * sum($"t").over(w) - $"t" + 1)
+    val d38 = "decimal(38,0)"
+    val aggs = (0 to 4).flatMap(i => Seq(
+      sum(col(s"n$i")).as(s"nn$i"),
+      sum(col(s"n$i").cast(d38) * $"mid2").as(s"r2_$i"))) :+
+      sum($"t".cast(d38) * $"t" * $"t" - $"t").as("tie")
+    val agg = mid.agg(aggs.head, aggs.tail: _*)
+    agg
+      .withColumn("n", (0 to 4).map(i => col(s"nn$i")).reduce(_ + _))
+      .withColumn("rterm", (0 to 4).map(i =>
+        col(s"r2_$i").cast("double") * col(s"r2_$i").cast("double") / col(s"nn$i"))
+        .reduce(_ + _))
+      .select($"n", lit(4L).as("df"),
+        round(((lit(3.0) * $"rterm" / ($"n" * ($"n" + lit(1.0))) -
+          lit(3.0) * ($"n" + 1)) /
+          (lit(1.0) - $"tie".cast("double") /
+            ($"n".cast("double") * $"n" * $"n" - $"n"))), 4).as("h"))
+  }
+
+  val qKruskalWallisSql: String =
+    """WITH grid AS (SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS v,
+      |    sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS n0,
+      |    sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)::BIGINT AS n1,
+      |    sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)::BIGINT AS n2,
+      |    sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)::BIGINT AS n3,
+      |    sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS n4
+      |  FROM orders GROUP BY 1),
+      |mid AS (SELECT n0, n1, n2, n3, n4, n0 + n1 + n2 + n3 + n4 AS t,
+      |    2 * sum(n0 + n1 + n2 + n3 + n4) OVER (ORDER BY v)
+      |      - (n0 + n1 + n2 + n3 + n4) + 1 AS mid2
+      |  FROM grid),
+      |a AS (SELECT
+      |    sum(n0)::BIGINT AS nn0, sum(n0::HUGEINT * mid2) AS r2_0,
+      |    sum(n1)::BIGINT AS nn1, sum(n1::HUGEINT * mid2) AS r2_1,
+      |    sum(n2)::BIGINT AS nn2, sum(n2::HUGEINT * mid2) AS r2_2,
+      |    sum(n3)::BIGINT AS nn3, sum(n3::HUGEINT * mid2) AS r2_3,
+      |    sum(n4)::BIGINT AS nn4, sum(n4::HUGEINT * mid2) AS r2_4,
+      |    sum(t::HUGEINT * t * t - t) AS tie
+      |  FROM mid),
+      |h AS (SELECT nn0 + nn1 + nn2 + nn3 + nn4 AS n,
+      |    r2_0::DOUBLE * r2_0 / nn0 + r2_1::DOUBLE * r2_1 / nn1 +
+      |    r2_2::DOUBLE * r2_2 / nn2 + r2_3::DOUBLE * r2_3 / nn3 +
+      |    r2_4::DOUBLE * r2_4 / nn4 AS rterm, tie::DOUBLE AS tie
+      |  FROM a)
+      |SELECT n, 4::BIGINT AS df,
+      |  round((3.0 * rterm / (n * (n + 1.0)) - 3.0 * (n + 1)) /
+      |    (1.0 - tie / (n::DOUBLE * n * n - n)), 4) AS h
+      |FROM h""".stripMargin
+
+  /** Brown-Forsythe (median-centered Levene) test for equal spread
+    * across the five priorities. The defined statistic lives on the
+    * $1k value grid: group medians come from a per-group cumulative
+    * count over the grid (lower median — smallest bucket reaching
+    * ceil(n_j/2)), absolute deviations are integer bucket distances
+    * weighted by cell counts, and the final one-way F over deviations
+    * is closed-form from per-group (Σn, Σnz, Σnz²) — all exact
+    * integers. ONE scan of orders; everything after is grid-sized. */
+  def qLevene(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grid = T.orders(spark, dir)
+      .groupBy($"o_orderpriority".as("grp"),
+        floor($"o_totalprice" / 1000).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .cache()
+    val wg = Window.partitionBy($"grp").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withCum = grid
+      .withColumn("cum", sum($"c").over(wg))
+      .withColumn("nj", sum($"c").over(Window.partitionBy($"grp")))
+    val med = withCum
+      .filter($"cum" >= ceil($"nj" / lit(2.0)))
+      .groupBy($"grp").agg(min($"v").as("med"))
+    val z = grid.join(med, Seq("grp"))
+      .select($"grp", abs($"v" - $"med").as("z"), $"c")
+    val g = z.groupBy($"grp")
+      .agg(sum($"c").as("nj"),
+        sum($"z" * $"c").cast("double").as("sj"),
+        sum($"z" * $"z" * $"c").cast("double").as("qj"))
+    g.agg(count(lit(1)).as("k"), sum($"nj").as("n"),
+        sum($"sj").as("s"), sum($"qj").as("q"),
+        sum($"sj" * $"sj" / $"nj").as("b"))
+      .select($"k", $"n", ($"k" - 1).as("df1"), ($"n" - $"k").as("df2"),
+        round((($"b" - $"s" * $"s" / $"n") / ($"k" - 1)) /
+          (($"q" - $"b") / ($"n" - $"k")), 4).as("f"))
+  }
+
+  val qLeveneSql: String =
+    """WITH grid AS (SELECT o_orderpriority AS grp,
+      |    CAST(floor(o_totalprice / 1000) AS BIGINT) AS v, count(*)::BIGINT AS c
+      |  FROM orders GROUP BY 1, 2),
+      |cums AS (SELECT grp, v, c,
+      |    sum(c) OVER (PARTITION BY grp ORDER BY v) AS cum,
+      |    sum(c) OVER (PARTITION BY grp) AS nj
+      |  FROM grid),
+      |med AS (SELECT grp, min(v) AS med FROM cums
+      |  WHERE cum >= ceil(nj / 2.0) GROUP BY grp),
+      |z AS (SELECT grid.grp, abs(v - med) AS z, c
+      |  FROM grid JOIN med ON grid.grp = med.grp),
+      |g AS (SELECT grp, sum(c)::BIGINT AS nj, sum(z * c)::DOUBLE AS sj,
+      |    sum(z * z * c)::DOUBLE AS qj FROM z GROUP BY grp),
+      |a AS (SELECT count(*)::BIGINT AS k, sum(nj)::BIGINT AS n,
+      |    sum(sj) AS s, sum(qj) AS q, sum(sj * sj / nj) AS b FROM g)
+      |SELECT k, n, k - 1 AS df1, n - k AS df2,
+      |  round(((b - s * s / n) / (k - 1)) / ((q - b) / (n - k)), 4) AS f
+      |FROM a""".stripMargin
+
+  /** Cramér's V — effect size for the priority × status association
+    * (chi-square alone grows with n; V is the [0,1]-normalized version
+    * a 100 TB report can actually compare across tables). One hash
+    * aggregate to the 15-cell contingency table; marginals and the
+    * chi-square come from re-aggregating that bounded relation. Counts
+    * stay exact integers; only the final χ²/V are floating-point. */
+  def qCramersV(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = T.orders(spark, dir)
+      .groupBy($"o_orderpriority".as("r"), $"o_orderstatus".as("s"))
+      .agg(count(lit(1)).as("o"))
+      .cache()
+    val rt = cells.groupBy($"r").agg(sum($"o").as("rn"))
+    val ct = cells.groupBy($"s").agg(sum($"o").as("cn"))
+    val n1 = cells.agg(sum($"o").as("n"),
+      countDistinct($"r").as("nr"), countDistinct($"s").as("ns"))
+    cells.join(rt, Seq("r")).join(ct, Seq("s")).crossJoin(broadcast(n1))
+      .select($"o", ($"rn".cast("double") * $"cn" / $"n").as("e"),
+        $"n", $"nr", $"ns")
+      .agg(max($"n").as("n"), max($"nr").as("n_rows"), max($"ns").as("n_cols"),
+        sum(($"o" - $"e") * ($"o" - $"e") / $"e").as("chi2"),
+        max(least($"nr", $"ns") - 1).as("mindim"))
+      .select($"n", $"n_rows", $"n_cols", round($"chi2", 4).as("chi2"),
+        round(sqrt($"chi2" / ($"n" * $"mindim")), 4).as("cramers_v"))
+  }
+
+  val qCramersVSql: String =
+    """WITH cells AS (SELECT o_orderpriority AS r, o_orderstatus AS s,
+      |    count(*)::BIGINT AS o FROM orders GROUP BY 1, 2),
+      |rt AS (SELECT r, sum(o)::BIGINT AS rn FROM cells GROUP BY r),
+      |ct AS (SELECT s, sum(o)::BIGINT AS cn FROM cells GROUP BY s),
+      |n1 AS (SELECT sum(o)::BIGINT AS n, count(DISTINCT r)::BIGINT AS nr,
+      |    count(DISTINCT s)::BIGINT AS ns FROM cells),
+      |j AS (SELECT o, rn::DOUBLE * cn / n AS e, n, nr, ns
+      |  FROM cells JOIN rt USING (r) JOIN ct USING (s) CROSS JOIN n1),
+      |a AS (SELECT max(n) AS n, max(nr) AS n_rows, max(ns) AS n_cols,
+      |    sum((o - e) * (o - e) / e) AS chi2,
+      |    max(least(nr, ns) - 1) AS mindim FROM j)
+      |SELECT n, n_rows, n_cols, round(chi2, 4) AS chi2,
+      |  round(sqrt(chi2 / (n * mindim)), 4) AS cramers_v
+      |FROM a""".stripMargin
+
+  /** Cook's distance — the top-10 most influential documents in the
+    * chars→tokens OLS fit, the regression-diagnostic pass a data-quality
+    * pipeline runs to surface fit-dominating outliers. The fit AND the
+    * error variance close in ONE exact decimal-moment aggregate (SSE =
+    * Syy − b·Sxy, no residual pass), broadcast as one row; the second
+    * scan scores every document with its leverage h_i = 1/n +
+    * (x−x̄)²/Sxx and D_i = e²h / (p·s²·(1−h)²). Both engines rank by
+    * the same rounded key (round-9 tie-break rule). */
+  def qCooksDistance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d38 = "decimal(38,0)"
+    val docs = T.documents(spark, dir)
+      .select($"doc_id", $"n_chars".as("x"),
+        size(split($"text", " ")).cast("long").as("y"))
+    val fit = docs.agg(
+        count(lit(1)).cast(d38).as("m"),
+        sum($"x".cast(d38)).as("sx"), sum($"y".cast(d38)).as("sy"),
+        sum($"x".cast(d38) * $"y").as("sxy"),
+        sum($"x".cast(d38) * $"x").as("sx2"),
+        sum($"y".cast(d38) * $"y").as("sy2"))
+      .select($"m".cast("long").as("n"),
+        ($"sx".cast("double") / $"m".cast("double")).as("xbar"),
+        // every centered moment is an EXACT decimal (·m) cast once to
+        // double, then divided in double — decimal division rounds
+        // differently across engines, so it never appears here
+        (($"m" * $"sx2" - $"sx" * $"sx").cast("double") /
+          $"m".cast("double")).as("sxx"),
+        (($"m" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"m" * $"sx2" - $"sx" * $"sx").cast("double")).as("b"),
+        (($"sy" * $"sx2" - $"sx" * $"sxy").cast("double") /
+          ($"m" * $"sx2" - $"sx" * $"sx").cast("double")).as("a"),
+        (($"m" * $"sy2" - $"sy" * $"sy").cast("double") / $"m".cast("double") -
+          (($"m" * $"sxy" - $"sx" * $"sy").cast("double") /
+            ($"m" * $"sx2" - $"sx" * $"sx").cast("double")) *
+          (($"m" * $"sxy" - $"sx" * $"sy").cast("double") /
+            $"m".cast("double"))).as("sse"))
+    docs.crossJoin(broadcast(fit))
+      .select($"doc_id",
+        ($"y" - $"a" - $"b" * $"x").as("e"),
+        (lit(1.0) / $"n" + ($"x" - $"xbar") * ($"x" - $"xbar") / $"sxx").as("h"),
+        ($"sse" / ($"n" - 2)).as("s2"))
+      .select($"doc_id", round($"e", 4).as("resid"), round($"h", 6).as("leverage"),
+        round($"e" * $"e" * $"h" / (lit(2.0) * $"s2" * (lit(1.0) - $"h") *
+          (lit(1.0) - $"h")), 6).as("cooks_d"))
+      .orderBy(desc("cooks_d"), asc("doc_id"))
+      .limit(10)
+  }
+
+  val qCooksDistanceSql: String =
+    """WITH d AS (SELECT doc_id, n_chars AS x,
+      |    len(string_split(text, ' '))::BIGINT AS y FROM documents),
+      |ms AS (SELECT count(*)::HUGEINT AS m,
+      |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+      |    sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sx2,
+      |    sum(y::HUGEINT * y) AS sy2 FROM d),
+      |fit AS (SELECT m::BIGINT AS n,
+      |    sx::DOUBLE / m::DOUBLE AS xbar,
+      |    (m * sx2 - sx * sx)::DOUBLE / m::DOUBLE AS sxx,
+      |    (m * sxy - sx * sy)::DOUBLE / (m * sx2 - sx * sx)::DOUBLE AS b,
+      |    (sy * sx2 - sx * sxy)::DOUBLE / (m * sx2 - sx * sx)::DOUBLE AS a,
+      |    ((m * sy2 - sy * sy)::DOUBLE / m::DOUBLE -
+      |      ((m * sxy - sx * sy)::DOUBLE / (m * sx2 - sx * sx)::DOUBLE) *
+      |      ((m * sxy - sx * sy)::DOUBLE / m::DOUBLE)) AS sse
+      |  FROM ms),
+      |sc AS (SELECT doc_id, y - a - b * x AS e,
+      |    1.0 / n + (x - xbar) * (x - xbar) / sxx AS h,
+      |    sse / (n - 2) AS s2 FROM d, fit)
+      |SELECT doc_id, round(e, 4) AS resid, round(h, 6) AS leverage,
+      |  round(e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)), 6) AS cooks_d
+      |FROM sc ORDER BY cooks_d DESC, doc_id LIMIT 10""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_mcnemar", qMcNemar, Some(qMcNemarSql)),
+    QueryDef("q_fleiss_kappa", qFleissKappa, Some(qFleissKappaSql)),
+    QueryDef("q_anova_f", qAnovaF, Some(qAnovaFSql)),
+    QueryDef("q_kruskal_wallis", qKruskalWallis, Some(qKruskalWallisSql)),
+    QueryDef("q_levene", qLevene, Some(qLeveneSql)),
+    QueryDef("q_cramers_v", qCramersV, Some(qCramersVSql)),
+    QueryDef("q_cooks_distance", qCooksDistance, Some(qCooksDistanceSql)),
     QueryDef("q_cohen_kappa", qCohenKappa, Some(qCohenKappaSql)),
     QueryDef("q_conformal_threshold", qConformalThreshold, Some(qConformalThresholdSql)),
     QueryDef("q_partial_corr", qPartialCorr, Some(qPartialCorrSql)),

@@ -909,6 +909,54 @@ object Text extends QueryFamily {
        |        / (sum(np) * (sum(c) - sum(np))), 6) AS auc
        |FROM o""".stripMargin
 
+  /** Area under the precision-recall curve (average precision) of the
+    * same heuristic quality score against the source label — the
+    * class-imbalance-honest companion to q_auc_quality's ROC-AUC (at
+    * 100 TB the positive class is often <1% and ROC-AUC saturates).
+    * Identical grid discipline: one hash aggregate to the ≤10001-row
+    * 4dp score grid, one cumulative window ordered by score DESC, and
+    * AP = Σ np_i·(cumTP_i/cumN_i) / n_pos — the positive total factors
+    * out, so ONE final aggregate closes it with no scalar broadcast. */
+  def qPrAuc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = T.documents(spark, dir)
+      .withColumn("w", split($"text", " "))
+      .withColumn("n_stop",
+        size(filter($"w", x => array_contains(stopArr, x))))
+      .select(
+        round(least(lit(1.0), size($"w") / lit(100.0)) *
+          (lit(1.0) - $"n_stop".cast("double") / size($"w")), 4).as("score"),
+        when($"source" === "src0", 1L).otherwise(0L).as("y"))
+    val grid = scored.groupBy($"score")
+      .agg(count(lit(1)).as("c"), sum($"y").as("np"))
+    val w = Window.orderBy(desc("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cumn", sum($"c").over(w))
+      .withColumn("cumtp", sum($"np").over(w))
+      .agg(sum($"c").as("n_docs"), sum($"np").as("n_pos"),
+        round(sum($"np" * $"cumtp" / $"cumn") / sum($"np"), 6).as("pr_auc"))
+  }
+
+  val qPrAucSql: String =
+    s"""WITH s AS (SELECT
+       |  round(least(1.0, len(w) / 100.0) * (1.0 - n_stop::DOUBLE / len(w)), 4)
+       |    AS score,
+       |  CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y
+       |  FROM (SELECT source, w,
+       |          len(list_filter(w, x -> list_contains($stopListSql, x))) AS n_stop
+       |        FROM (SELECT source, string_split(text, ' ') AS w FROM documents))),
+       |g AS (SELECT score, count(*) AS c, sum(y) AS np FROM s GROUP BY score),
+       |o AS (SELECT c, np,
+       |  sum(c) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |    CURRENT ROW) AS cumn,
+       |  sum(np) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |    CURRENT ROW) AS cumtp FROM g)
+       |SELECT sum(c)::BIGINT AS n_docs, sum(np)::BIGINT AS n_pos,
+       |  round(sum(np * cumtp / cumn) / sum(np), 6) AS pr_auc
+       |FROM o""".stripMargin
+
   /** Skip-gram window co-occurrence counts (window ±2, self excluded) —
     * the (center, context) statistic word2vec/GloVe-style embedding
     * training consumes, where PMI over ADJACENT pairs (q_pmi_bigrams)
@@ -1522,6 +1570,7 @@ object Text extends QueryFamily {
     QueryDef("q_cooccur_window", qCooccurWindow, Some(qCooccurWindowSql)),
     QueryDef("q_logreg_steps", qLogregSteps, Some(qLogregStepsSql)),
     QueryDef("q_auc_quality", qAucQuality, Some(qAucQualitySql)),
+    QueryDef("q_pr_auc", qPrAuc, Some(qPrAucSql)),
     QueryDef("q_mutual_info", qMutualInfo, Some(qMutualInfoSql)),
     QueryDef("q_kneser_ney", qKneserNey, Some(qKneserNeySql)),
     QueryDef("q_tail_index", qTailIndex, Some(qTailIndexSql)),

@@ -1060,6 +1060,98 @@ object Timeseries extends QueryFamily {
     * cumulative walk are arithmetic over the bounded daily relation.
     * Emits the 10 highest-statistic days with the h = 5σ alarm
     * flag. */
+  /** MASE (mean absolute scaled error) of the weekly seasonal-naive
+    * forecast on daily revenue — the scale-free forecast-accuracy
+    * metric that lets a 100 TB platform compare models across series
+    * of different magnitudes. The statistic is defined over OBSERVED
+    * days: forecast = revenue 7 observations back, scale = the naive
+    * one-step error; both errors are exact integer cents (round-then-
+    * widen), so the ratio is exact until the single final division.
+    * One fact pass to the O(days) grid; lags run on that grid only. */
+  def qMase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = T.orders(spark, dir)
+      .groupBy($"o_orderdate".as("d"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("y"))
+    val w = Window.orderBy($"d")
+    daily
+      .withColumn("f", lag($"y", 7).over(w))
+      .withColumn("p", lag($"y", 1).over(w))
+      .filter($"f".isNotNull && $"p".isNotNull)
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs($"y" - $"f")).as("se"), sum(abs($"y" - $"p")).as("sn"))
+      .select($"n_days",
+        round($"se".cast("double") / lit(100.0) / $"n_days", 2).as("mae_seasonal"),
+        round($"sn".cast("double") / lit(100.0) / $"n_days", 2).as("mae_naive"),
+        round($"se".cast("double") / $"sn", 6).as("mase"))
+  }
+
+  val qMaseSql: String =
+    """WITH daily AS (SELECT o_orderdate AS d,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+      |  FROM orders GROUP BY 1),
+      |l AS (SELECT y, lag(y, 7) OVER (ORDER BY d) AS f,
+      |    lag(y, 1) OVER (ORDER BY d) AS p FROM daily),
+      |a AS (SELECT count(*)::BIGINT AS n_days,
+      |    sum(abs(y - f))::BIGINT AS se, sum(abs(y - p))::BIGINT AS sn
+      |  FROM l WHERE f IS NOT NULL AND p IS NOT NULL)
+      |SELECT n_days, round(se::DOUBLE / 100.0 / n_days, 2) AS mae_seasonal,
+      |  round(sn::DOUBLE / 100.0 / n_days, 2) AS mae_naive,
+      |  round(se::DOUBLE / sn, 6) AS mase
+      |FROM a""".stripMargin
+
+  /** Ljung-Box portmanteau test (lags 1..7) for autocorrelation in
+    * daily revenue — the whiteness check run before trusting any
+    * forecast residual. Autocorrelations ρ_k = Σ z_t·z_{t−k} / Σ z_t²
+    * come from seven lag columns over the demeaned O(days) grid; the
+    * statistic Q = n(n+2) Σ ρ_k²/(n−k) closes in one aggregate over
+    * that grid. The only fact-sized work is the daily hash aggregate. */
+  def qLjungBox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = T.orders(spark, dir)
+      .groupBy($"o_orderdate".as("d"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).cast("double").as("y"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val w = Window.orderBy($"d")
+    val z = daily.withColumn("z", $"y" - avg($"y").over(all))
+    val lagged = (1 to 7).foldLeft(z) { (df, k) =>
+      df.withColumn(s"l$k", $"z" * lag($"z", k).over(w))
+    }
+    val aggs = Seq(count(lit(1)).as("n"), sum($"z" * $"z").as("s0")) ++
+      (1 to 7).map(k => sum(col(s"l$k")).as(s"s$k"))
+    val a = lagged.agg(aggs.head, aggs.tail: _*)
+    a.select($"n", lit(7L).as("df"),
+      round($"n" * ($"n" + lit(2.0)) * (1 to 7).map(k =>
+        (col(s"s$k") / $"s0") * (col(s"s$k") / $"s0") / ($"n" - lit(k)))
+        .reduce(_ + _), 4).as("q"))
+  }
+
+  val qLjungBoxSql: String =
+    """WITH daily AS (SELECT o_orderdate AS d,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::DOUBLE AS y
+      |  FROM orders GROUP BY 1),
+      |z AS (SELECT d, y - avg(y) OVER () AS z FROM daily),
+      |l AS (SELECT z,
+      |    z * lag(z, 1) OVER (ORDER BY d) AS l1,
+      |    z * lag(z, 2) OVER (ORDER BY d) AS l2,
+      |    z * lag(z, 3) OVER (ORDER BY d) AS l3,
+      |    z * lag(z, 4) OVER (ORDER BY d) AS l4,
+      |    z * lag(z, 5) OVER (ORDER BY d) AS l5,
+      |    z * lag(z, 6) OVER (ORDER BY d) AS l6,
+      |    z * lag(z, 7) OVER (ORDER BY d) AS l7
+      |  FROM z),
+      |a AS (SELECT count(*)::BIGINT AS n, sum(z * z) AS s0,
+      |    sum(l1) AS s1, sum(l2) AS s2, sum(l3) AS s3, sum(l4) AS s4,
+      |    sum(l5) AS s5, sum(l6) AS s6, sum(l7) AS s7
+      |  FROM l)
+      |SELECT n, 7::BIGINT AS df,
+      |  round(n * (n + 2.0) * (
+      |    (s1 / s0) * (s1 / s0) / (n - 1) + (s2 / s0) * (s2 / s0) / (n - 2) +
+      |    (s3 / s0) * (s3 / s0) / (n - 3) + (s4 / s0) * (s4 / s0) / (n - 4) +
+      |    (s5 / s0) * (s5 / s0) / (n - 5) + (s6 / s0) * (s6 / s0) / (n - 6) +
+      |    (s7 / s0) * (s7 / s0) / (n - 7)), 4) AS q
+      |FROM a""".stripMargin
+
   def qCusum(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val daily = T.orders(spark, dir)
@@ -1175,6 +1267,8 @@ object Timeseries extends QueryFamily {
       |FROM rs, fit ORDER BY m""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_mase", qMase, Some(qMaseSql)),
+    QueryDef("q_ljung_box", qLjungBox, Some(qLjungBoxSql)),
     QueryDef("q_hurst", qHurst, Some(qHurstSql)),
     QueryDef("q_cusum", qCusum, Some(qCusumSql)),
     QueryDef("q_nelson_aalen", qNelsonAalen, Some(qNelsonAalenSql)),

@@ -91,6 +91,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_kendall_tau",
     // 1-row ECE broadcast back onto the <=10-row bin table
     "q_calibration",
+    // inherits the brute-force probe-side non-equi join of its exact
+    // relevant set, plus the 1-row corpus-MAP broadcast onto the
+    // |probes|-row AP table
+    "q_sim_map", "q_sim_mrr",
+    // 1-row OLS fit + error-variance broadcast onto the scoring scan
+    "q_cooks_distance",
+    // 1-row (n, |rows|, |cols|) broadcast onto the 15-cell contingency
+    "q_cramers_v",
     // 1-row corpus-count broadcast onto the 20-row boilerplate list
     "q_boilerplate",
     // 1-row total-edge-weight broadcast onto the |communities| rows
@@ -185,6 +193,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_doc_deciles" -> "Quantiles.exact histogram (<=4096 rows)",
     // midrank cumulative over the distinct-4dp-score grid, never facts
     "q_auc_quality" -> "4dp score grid (<=10001 rows)",
+    "q_pr_auc" -> "4dp score grid (<=10001 rows)",
     // risk-set + product-limit windows over the O(study-hours) grid
     "q_survival_km" -> "O(hours) duration grid",
     "q_log_rank" -> "O(hours) duration grid",
@@ -197,6 +206,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // midrank cumulatives over bounded value grids; BH rank over the
     // 25-nation relation; median rank over the C(months,2) slope set
     "q_mann_whitney" -> "$1k value grid (<=~600 rows)",
+    "q_kruskal_wallis" -> "$1k value grid (<=~600 rows)",
     "q_spearman" -> "quantity/discount marginal grids (<=51 rows)",
     "q_fdr_bh" -> "25-nation moment table",
     "q_theil_sen" -> "pairwise-slope set (<=C(84,2) ~ 3.5k rows)",
@@ -204,6 +214,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_simpson_check" -> "2-row line-status segment relation",
     "q_nelson_aalen" -> "O(hours) duration grid",
     "q_cusum" -> "daily grain",
+    "q_mase" -> "daily grain",
+    "q_ljung_box" -> "daily grain",
     "q_t_closeness" -> "global language-share table (|langs| rows)",
     "q_gini_stump" -> "quantity grid (<=50 candidate thresholds)",
     "q_hhi_concentration" -> "per-source token totals (20 rows)",
@@ -261,6 +273,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_sim_ivfpq" -> "IVF train + PQ codebook train + encode + probe phases",
     "q_sim_lsh_recall" -> "LSH bucket pipeline + exact ground-truth audit pipeline",
     "q_sim_ndcg" -> "ranking pipeline + graded exact top-5 audit pipeline",
+    "q_sim_map" -> "ranking pipeline + exact relevant-set audit pipeline",
+    "q_sim_mrr" -> "ranking pipeline + exact relevant-set audit pipeline",
     "q_sim_pq" -> "PQ codebook train + encode + ADC + re-rank phases",
     "q_sim_pq_recall" -> "PQ phases + exact ground-truth audit pipeline",
     // scaled-LSH families: a third scan derives the corpus/block count

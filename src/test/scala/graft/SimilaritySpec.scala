@@ -159,4 +159,33 @@ class SimilaritySpec extends AnyFunSuite {
     // measured 0.93 at sf0.1 / 1.0 at sf0.01; 0.7 is the never-regress floor
     assert(avg >= 0.7, s"avg recall@3 $avg below the int8 floor")
   }
+
+  test("MAP@3 is a bounded mean of per-probe APs and agrees with a hand fold") {
+    val rows = ops.Similarity.qMapAtK(spark, sf).collect()
+    assert(rows.length === 10)
+    val aps = rows.map(_.getAs[Double]("ap"))
+    aps.foreach(ap => assert(ap >= 0.0 && ap <= 1.0 + 1e-9))
+    val map = rows.map(_.getAs[Double]("map")).distinct
+    assert(map.length === 1, "corpus MAP must be one broadcast scalar")
+    // 4dp display rounding on both ap and map: the mean of rounded APs
+    // can differ from the rounded mean by at most 5e-5 per term
+    assert(math.abs(map.head - aps.sum / aps.length) <= 5e-4,
+      "broadcast MAP must equal the mean of the per-probe APs")
+  }
+
+  test("MRR@3 dominates MAP@3 probe-by-probe (binary-relevance identity)") {
+    val mapRows = ops.Similarity.qMapAtK(spark, sf).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("ap")).toMap
+    val mrrRows = ops.Similarity.qSimMrr(spark, sf).collect()
+    assert(mrrRows.length === 10)
+    mrrRows.foreach { r =>
+      val rr = r.getAs[Double]("rr")
+      assert(rr >= 0.0 && rr <= 1.0)
+      // with K=3 and binary relevance, AP@3 <= RR per probe
+      assert(rr + 1e-9 >= mapRows(r.getAs[Long]("q_id")),
+        s"probe ${r.getAs[Long]("q_id")}: rr $rr < ap")
+    }
+    val mrr = mrrRows.map(_.getAs[Double]("mrr")).distinct
+    assert(mrr.length === 1, "corpus MRR must be one broadcast scalar")
+  }
 }

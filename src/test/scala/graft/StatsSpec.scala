@@ -159,4 +159,58 @@ class StatsSpec extends AnyFunSuite {
     val total = r.getAs[Long]("n_fit") + nCal + r.getAs[Long]("n_test")
     assert(total === spark.read.parquet(s"$sf/documents.parquet").count())
   }
+
+  test("mcnemar: discordant cells bounded by n, statistic non-negative") {
+    val r = ops.Stats.qMcNemar(spark, sf).collect().head
+    val (n, n10, n01) = (r.getAs[Long]("n"), r.getAs[Long]("n10"), r.getAs[Long]("n01"))
+    assert(n10 + n01 <= n && n10 >= 0 && n01 >= 0)
+    assert(r.getAs[Double]("chi2_cc") >= 0.0)
+  }
+
+  test("fleiss kappa: agreement probabilities and kappa within bounds") {
+    val r = ops.Stats.qFleissKappa(spark, sf).collect().head
+    val (po, pe, k) = (r.getAs[Double]("p_obs"), r.getAs[Double]("p_exp"),
+      r.getAs[Double]("kappa"))
+    // with r=3 raters and 2 categories P_i >= 1/3, so p_obs >= 1/3
+    assert(po >= 1.0 / 3 - 1e-9 && po <= 1.0)
+    assert(pe >= 0.5 - 1e-9 && pe <= 1.0) // p1²+(1-p1)² minimized at 1/2
+    assert(k >= -1.0 && k <= 1.0)
+  }
+
+  test("anova F and levene F: positive with k=5 groups and consistent dfs") {
+    for (df <- Seq(ops.Stats.qAnovaF(spark, sf), ops.Stats.qLevene(spark, sf))) {
+      val r = df.collect().head
+      assert(r.getAs[Long]("k") === 5L)
+      assert(r.getAs[Long]("df1") === 4L)
+      assert(r.getAs[Long]("df2") === r.getAs[Long]("n") - 5)
+      assert(r.getAs[Double]("f") >= 0.0)
+    }
+  }
+
+  test("kruskal-wallis: H non-negative, covers every order") {
+    val r = ops.Stats.qKruskalWallis(spark, sf).collect().head
+    assert(r.getAs[Double]("h") >= 0.0)
+    assert(r.getAs[Long]("n") ===
+      spark.read.parquet(s"$sf/orders.parquet").count())
+  }
+
+  test("cramers V within [0,1] on the 5x3 priority-status table") {
+    val r = ops.Stats.qCramersV(spark, sf).collect().head
+    assert(r.getAs[Long]("n_rows") === 5L && r.getAs[Long]("n_cols") === 3L)
+    val v = r.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0)
+    assert(r.getAs[Double]("chi2") >= 0.0)
+  }
+
+  test("cooks distance: top-10 descending, leverage within (0,1)") {
+    val rows = ops.Stats.qCooksDistance(spark, sf).collect()
+    assert(rows.length === 10)
+    val ds = rows.map(_.getAs[Double]("cooks_d"))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b }, "not descending")
+    rows.foreach { r =>
+      val h = r.getAs[Double]("leverage")
+      assert(h > 0.0 && h < 1.0, s"leverage $h out of (0,1)")
+      assert(r.getAs[Double]("cooks_d") >= 0.0)
+    }
+  }
 }

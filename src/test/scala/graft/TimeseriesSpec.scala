@@ -479,4 +479,22 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(h.head > 0.0 && h.head < 1.0, s"hurst ${h.head} outside (0,1)")
     rows.foreach(r => assert(r.getAs[Long]("n_blocks") > 0))
   }
+
+  test("mase: positive errors, ratio consistent with the two MAEs") {
+    val r = ops.Timeseries.qMase(spark, sf).collect().head
+    val (ms, mn, mase) = (r.getAs[Double]("mae_seasonal"),
+      r.getAs[Double]("mae_naive"), r.getAs[Double]("mase"))
+    assert(r.getAs[Long]("n_days") > 0)
+    assert(ms > 0.0 && mn > 0.0 && mase > 0.0)
+    // ratio recomputes from the (2dp-rounded) MAEs to ~rounding error
+    assert(math.abs(mase - ms / mn) < 0.01,
+      s"mase $mase inconsistent with $ms / $mn")
+  }
+
+  test("ljung-box: Q non-negative with 7 dof over the full day grid") {
+    val r = ops.Timeseries.qLjungBox(spark, sf).collect().head
+    assert(r.getAs[Long]("df") === 7L)
+    assert(r.getAs[Double]("q") >= 0.0)
+    assert(r.getAs[Long]("n") > 14)
+  }
 }
