@@ -804,7 +804,95 @@ object Analytics extends QueryFamily {
       |FROM s GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** DAU/WAU stickiness per week — the engagement ratio (avg daily
+    * active users over weekly active users) every product dashboard
+    * carries. Two scans of events (per-day distinct and per-week
+    * distinct are different reductions — ≤2 scans by design); both are
+    * single map-side-combinable distinct aggregates keyed on bounded
+    * time grains, so each is one shuffle of (grain, user) pairs at any
+    * SF. Integer distinct counts make the averages exact. */
+  def qStickiness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = T.events(spark, dir)
+    val dau = ev
+      .groupBy(date_trunc("week", $"ts").as("wk"), to_date($"ts").as("d"))
+      .agg(countDistinct($"user_id").as("dau"))
+      .groupBy($"wk")
+      .agg(count(lit(1)).as("n_days"), round(avg($"dau"), 4).as("avg_dau"))
+    val wau = ev.groupBy(date_trunc("week", $"ts").as("wk"))
+      .agg(countDistinct($"user_id").as("wau"))
+    dau.join(wau, Seq("wk"))
+      .select($"wk", $"n_days", $"avg_dau", $"wau",
+        round($"avg_dau" / $"wau", 4).as("stickiness"))
+      .orderBy($"wk")
+  }
+
+  val qStickinessSql: String =
+    """WITH ev AS (SELECT make_timestamp(epoch_ns(ts)//1000) AS ts, user_id FROM events),
+      |dd AS (SELECT date_trunc('week', ts) AS wk, ts::DATE AS d,
+      |    count(DISTINCT user_id)::BIGINT AS dau
+      |  FROM ev GROUP BY 1, 2),
+      |dau AS (SELECT wk, count(*)::BIGINT AS n_days,
+      |    round(avg(dau), 4) AS avg_dau FROM dd GROUP BY wk),
+      |wau AS (SELECT date_trunc('week', ts) AS wk,
+      |    count(DISTINCT user_id)::BIGINT AS wau FROM ev GROUP BY 1)
+      |SELECT dau.wk AS wk, n_days, avg_dau, wau,
+      |  round(avg_dau / wau, 4) AS stickiness
+      |FROM dau JOIN wau ON dau.wk = wau.wk
+      |ORDER BY wk""".stripMargin
+
+  /** Bucketed price elasticity of demand — the OLS slope of
+    * ln(total quantity) on ln(unit price) across half-decade price
+    * bands. Band edges are literal double comparisons (a CASE ladder),
+    * never floor(log(p)): a unit price landing exactly on a boundary
+    * (25000.0/25 = 1000.0 is representable) would flip buckets on the
+    * 1-ulp log differences between engines. The x coordinate is the
+    * band index times ln(10)/2 — a constant — so the only
+    * transcendental on data is ln of the band's exact quantity total.
+    * One fact scan to ≤9 band rows; the fit closes in one aggregate. */
+  def qPriceElasticity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = $"l_extendedprice" / $"l_quantity"
+    val band = when(p < 31.6227766017, 0).when(p < 100.0, 1)
+      .when(p < 316.227766017, 2).when(p < 1000.0, 3)
+      .when(p < 3162.27766017, 4).when(p < 10000.0, 5)
+      .when(p < 31622.7766017, 6).when(p < 100000.0, 7).otherwise(8)
+    val halfDecade = 1.1512925464970228 // ln(10)/2
+    val bands = T.lineitem(spark, dir)
+      .groupBy(band.as("band"))
+      .agg(count(lit(1)).as("n_items"),
+        sum($"l_quantity".cast("long")).as("qty"))
+      .select($"band", $"n_items", $"qty",
+        ($"band" * halfDecade).as("x"), log($"qty".cast("double")).as("y"))
+    bands.agg(count(lit(1)).as("n_bands"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sx2"))
+      .select($"n_bands",
+        round(($"n_bands" * $"sxy" - $"sx" * $"sy") /
+          ($"n_bands" * $"sx2" - $"sx" * $"sx"), 4).as("elasticity"))
+  }
+
+  val qPriceElasticitySql: String =
+    """WITH li AS (SELECT l_extendedprice / l_quantity AS p, l_quantity FROM lineitem),
+      |b AS (SELECT CASE WHEN p < 31.6227766017 THEN 0 WHEN p < 100.0 THEN 1
+      |    WHEN p < 316.227766017 THEN 2 WHEN p < 1000.0 THEN 3
+      |    WHEN p < 3162.27766017 THEN 4 WHEN p < 10000.0 THEN 5
+      |    WHEN p < 31622.7766017 THEN 6 WHEN p < 100000.0 THEN 7
+      |    ELSE 8 END AS band, l_quantity FROM li),
+      |bands AS (SELECT band, count(*)::BIGINT AS n_items,
+      |    sum(l_quantity::BIGINT)::BIGINT AS qty FROM b GROUP BY band),
+      |xy AS (SELECT band * 1.1512925464970228 AS x, ln(qty::DOUBLE) AS y
+      |  FROM bands),
+      |a AS (SELECT count(*)::BIGINT AS n_bands, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * y) AS sxy, sum(x * x) AS sx2 FROM xy)
+      |SELECT n_bands,
+      |  round((n_bands * sxy - sx * sy) / (n_bands * sx2 - sx * sx), 4)
+      |    AS elasticity
+      |FROM a""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_stickiness", qStickiness, Some(qStickinessSql)),
+    QueryDef("q_price_elasticity", qPriceElasticity, Some(qPriceElasticitySql)),
     QueryDef("q_session_native", qSessionNative, Some(qSessionNativeSql)),
     QueryDef("q_activity_heatmap", qActivityHeatmap, Some(qActivityHeatmapSql)),
     QueryDef("q_cohort_ltv", qCohortLtv, Some(qCohortLtvSql)),

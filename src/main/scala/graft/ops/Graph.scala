@@ -676,5 +676,113 @@ object Graph extends QueryFamily {
     QueryDef("q_graph_degrees", qGraphDegrees, Some(qGraphDegreesSql)),
     QueryDef("q_graph_bfs", qGraphBfs, Some(qGraphBfsSql)),
     QueryDef("q_graph_jaccard", qGraphJaccard, Some(qGraphJaccardSql)),
-    QueryDef("q_graph_triangles", qGraphTriangles, Some(qGraphTrianglesSql)))
+    QueryDef("q_graph_triangles", qGraphTriangles, Some(qGraphTrianglesSql)),
+    QueryDef("q_clustering_coeff", qClusteringCoeff, Some(qClusteringCoeffSql)),
+    QueryDef("q_assortativity", qAssortativity, Some(qAssortativitySql)))
+
+  /** Local clustering coefficient per node — 2·T_v / (deg_v·(deg_v−1)),
+    * the per-node closure statistic (q_graph_triangles gives only the
+    * global count). Triangle enumeration reuses the oriented wedge join
+    * (each triangle found exactly once as a < b < c... actually as the
+    * ordered (x,y,z) wedge with one closing edge), then EXPLODES each
+    * triangle to its three corners and counts per corner — so per-node
+    * counts cost one extra |triangles|-sized aggregate, never a second
+    * enumeration. Scale path: same degree-capped wedge bound as the
+    * triangle/jaccard family. */
+  def qClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = edgeList(spark, dir)
+      .filter($"u" =!= $"v")
+      .select(least($"u", $"v").as("a"), greatest($"u", $"v").as("b"))
+      .distinct()
+      .cache()
+    val nbr = e.select($"a".as("node"))
+      .union(e.select($"b".as("node")))
+    val deg = nbr.groupBy($"node").agg(count(lit(1)).as("deg"))
+    val wedges = e.as("e1")
+      .join(e.as("e2"), $"e1.b" === $"e2.a")
+      .select($"e1.a".as("x"), $"e1.b".as("y"), $"e2.b".as("z"))
+    val perNode = wedges.join(e.as("e3"), $"x" === $"e3.a" && $"z" === $"e3.b")
+      .select(explode(array($"x", $"y", $"z")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select($"node", $"deg", coalesce($"tri", lit(0L)).as("tri"))
+      .withColumn("cc",
+        when($"deg" >= 2,
+          round(lit(2.0) * $"tri" / ($"deg" * ($"deg" - 1)), 4))
+          .otherwise(lit(0.0)))
+      .orderBy($"node")
+  }
+
+  val qClusteringCoeffSql: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+      |seq AS (SELECT event_type,
+      |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_type
+      |  FROM ev),
+      |de AS (SELECT DISTINCT event_type AS u, next_type AS v
+      |       FROM seq WHERE next_type IS NOT NULL AND event_type <> next_type),
+      |e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM de),
+      |deg AS (SELECT node, count(*)::BIGINT AS deg FROM
+      |  (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node),
+      |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |pn AS (SELECT node, count(*)::BIGINT AS tri FROM
+      |  (SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY node)
+      |SELECT deg.node AS node, deg, coalesce(tri, 0)::BIGINT AS tri,
+      |  CASE WHEN deg >= 2 THEN round(2.0 * coalesce(tri, 0) / (deg * (deg - 1)), 4)
+      |       ELSE 0.0 END AS cc
+      |FROM deg LEFT JOIN pn ON pn.node = deg.node
+      |ORDER BY node""".stripMargin
+
+  /** Strength assortativity of the directed transition graph — the
+    * Pearson correlation between source out-STRENGTH (total outgoing
+    * transition weight) and target in-strength across distinct edges.
+    * Positive r = heavy emitters feed heavy receivers; the one-number
+    * mixing diagnostic link-graph curation reports alongside PageRank.
+    * Strength (not unweighted degree) is the statistic because a
+    * near-complete type graph has zero degree variance — weights carry
+    * the signal. Strengths come from two bounded per-node aggregates
+    * joined back onto the edge list; the correlation closes in one
+    * aggregate with exact integer moments. */
+  def qAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val de = Relational.qTransitions(spark, dir)
+      .select($"from_type".as("u"), $"to_type".as("v"), $"n")
+      .filter($"u" =!= $"v")
+      .cache()
+    val outs = de.groupBy($"u").agg(sum($"n").as("sout"))
+    val ins = de.groupBy($"v").agg(sum($"n").as("sin"))
+    de.join(outs, Seq("u")).join(ins, Seq("v"))
+      .agg(count(lit(1)).as("m"),
+        sum($"sout").as("sx"), sum($"sin").as("sy"),
+        sum($"sout" * $"sin").as("sxy"),
+        sum($"sout" * $"sout").as("sx2"),
+        sum($"sin" * $"sin").as("sy2"))
+      .select($"m".as("n_edges"),
+        round(($"m" * $"sxy" - $"sx" * $"sy") /
+          sqrt(($"m" * $"sx2" - $"sx" * $"sx").cast("double") *
+            ($"m" * $"sy2" - $"sy" * $"sy")), 4).as("assortativity"))
+  }
+
+  val qAssortativitySql: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+      |seq AS (SELECT event_type,
+      |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_type
+      |  FROM ev),
+      |de AS (SELECT event_type AS u, next_type AS v, count(*)::BIGINT AS n
+      |       FROM seq WHERE next_type IS NOT NULL AND event_type <> next_type
+      |       GROUP BY 1, 2),
+      |outs AS (SELECT u, sum(n)::BIGINT AS sout FROM de GROUP BY u),
+      |ins AS (SELECT v, sum(n)::BIGINT AS sin FROM de GROUP BY v),
+      |a AS (SELECT count(*)::BIGINT AS m,
+      |    sum(sout)::BIGINT AS sx, sum(sin)::BIGINT AS sy,
+      |    sum(sout * sin)::BIGINT AS sxy,
+      |    sum(sout * sout)::BIGINT AS sx2, sum(sin * sin)::BIGINT AS sy2
+      |  FROM de JOIN outs USING (u) JOIN ins USING (v))
+      |SELECT m AS n_edges,
+      |  round((m * sxy - sx * sy) /
+      |    sqrt((m * sx2 - sx * sx)::DOUBLE * (m * sy2 - sy * sy)), 4)
+      |    AS assortativity
+      |FROM a""".stripMargin
 }

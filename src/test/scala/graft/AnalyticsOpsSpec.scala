@@ -236,4 +236,22 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n")).sum === ops.T.events(spark, sf).count())
     assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-3)
   }
+
+  test("stickiness: avg DAU never exceeds WAU, weeks have <= 7 days") {
+    val rows = ops.Analytics.qStickiness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("stickiness")
+      assert(s > 0.0 && s <= 1.0, s"stickiness $s out of (0,1]")
+      assert(r.getAs[Long]("n_days") >= 1 && r.getAs[Long]("n_days") <= 7)
+      assert(r.getAs[Double]("avg_dau") <= r.getAs[Long]("wau").toDouble)
+    }
+  }
+
+  test("price elasticity: demand slopes down across the full band ladder") {
+    val r = ops.Analytics.qPriceElasticity(spark, sf).collect().head
+    assert(r.getAs[Long]("n_bands") >= 3, "need >=3 price bands for a slope")
+    assert(r.getAs[Double]("elasticity") < 0.0,
+      "fixture demand curve must slope down")
+  }
 }

@@ -137,4 +137,26 @@ class GraphSpec extends AnyFunSuite {
       "seed must outrank non-seeds in its own personalized walk")
     assert(rows.count(_.getAs[Boolean]("is_seed")) === 1)
   }
+
+  test("clustering coefficient: bounded, zero iff no triangle at the node") {
+    val rows = ops.Graph.qClusteringCoeff(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // corner sum over nodes = 3x the global triangle count
+    val globalTri = ops.Graph.qGraphTriangles(spark, sf)
+      .collect().head.getAs[Long]("n_triangles")
+    assert(rows.map(_.getAs[Long]("tri")).sum === 3 * globalTri)
+    rows.foreach { r =>
+      val cc = r.getAs[Double]("cc")
+      assert(cc >= 0.0 && cc <= 1.0, s"cc $cc out of [0,1]")
+      assert((cc == 0.0) == (r.getAs[Long]("tri") == 0L ||
+        r.getAs[Long]("deg") < 2))
+    }
+  }
+
+  test("assortativity is a correlation: within [-1, 1]") {
+    val r = ops.Graph.qAssortativity(spark, sf).collect().head
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0 && a <= 1.0, s"assortativity $a out of [-1,1]")
+    assert(r.getAs[Long]("n_edges") > 0)
+  }
 }
