@@ -232,6 +232,63 @@ object Safety extends QueryFamily {
     * count is resolved before release (rounded, floored at 0) per
     * standard post-processing. One hash aggregate; the noise is a
     * zero-shuffle projection over the |cells|-row result. */
+  /** DP median release via the EXPONENTIAL MECHANISM over the $1k
+    * value grid: utility u(b) = −|cumrank(b) − n/2| (sensitivity 1),
+    * score = ε·u/2 + Gumbel — the Gumbel-max trick samples the
+    * exponential mechanism exactly. Like the family's other releases
+    * the noise source is deterministic (inverse-CDF Gumbel from a
+    * per-bucket md5 hash) so both engines release the same bucket —
+    * swap in a seeded RNG for production ε-DP. The whole mechanism is
+    * grid-sized: one fact aggregate, one cumulative window over ≤600
+    * cells, one argmax. Reports the released bucket next to the true
+    * median bucket and the realized rank error. */
+  def qDpQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val eps = 0.01
+    val grid = T.orders(spark, dir)
+      .groupBy(floor($"o_totalprice" / 1000).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = grid.withColumn("cum", sum($"c").over(w))
+      .withColumn("n", sum($"c").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .cache()
+    val uni = expr("cast(conv(substring(md5(cast(v as string)), 1, 12), 16, 10) AS bigint)")
+      .cast("double") / lit(math.pow(16.0, 12))
+    val scored = cum
+      .withColumn("u", -abs($"cum" - $"n" / lit(2.0)))
+      .withColumn("g", -log(-log(uni)))
+      .withColumn("score", round(lit(eps / 2) * $"u" + $"g", 6))
+    val dp = scored.orderBy(desc("score"), asc("v")).limit(1)
+      .select($"v".as("v_dp"), $"n",
+        abs($"cum" - $"n" / lit(2.0)).as("rank_err"))
+    val truth = cum.filter($"cum" >= ceil($"n" / lit(2.0)))
+      .agg(min($"v").as("v_true"))
+    dp.crossJoin(broadcast(truth))
+      .select($"n", $"v_dp", $"v_true", round($"rank_err", 1).as("rank_err"),
+        lit(eps).as("epsilon"))
+  }
+
+  val qDpQuantileSql: String =
+    """WITH grid AS (SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS v,
+      |    count(*)::BIGINT AS c FROM orders GROUP BY 1),
+      |cum AS MATERIALIZED (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum,
+      |    sum(c) OVER () AS n FROM grid),
+      |sc AS (SELECT v, cum, n,
+      |    round(0.005 * (-abs(cum - n / 2.0)) +
+      |      (-ln(-ln((list_sum(list_transform(range(1, 13),
+      |         i -> (strpos('0123456789abcdef', substr(md5(v::VARCHAR), i, 1)) - 1)
+      |           * pow(16.0, 12 - i)))::BIGINT)::DOUBLE / pow(16.0, 12)))), 6)
+      |      AS score
+      |  FROM cum),
+      |dp AS (SELECT v AS v_dp, n, abs(cum - n / 2.0) AS rank_err
+      |  FROM sc ORDER BY score DESC, v LIMIT 1),
+      |tr AS (SELECT min(v) AS v_true FROM cum WHERE cum >= ceil(n / 2.0))
+      |SELECT n::BIGINT AS n, v_dp, v_true, round(rank_err, 1) AS rank_err,
+      |  0.01 AS epsilon
+      |FROM dp, tr""".stripMargin
+
   def qDpHistogram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val eps = 1.0
@@ -380,6 +437,7 @@ object Safety extends QueryFamily {
       |FROM z ORDER BY lang""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_dp_quantile", qDpQuantile, Some(qDpQuantileSql)),
     QueryDef("q_dp_mean", qDpMean, Some(qDpMeanSql)),
     QueryDef("q_t_closeness", qTCloseness, Some(qTClosenessSql)),
     QueryDef("q_dp_histogram", qDpHistogram, Some(qDpHistogramSql)),

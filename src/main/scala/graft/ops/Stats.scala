@@ -1021,7 +1021,61 @@ object Stats extends QueryFamily {
       |  round(e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)), 6) AS cooks_d
       |FROM sc ORDER BY cooks_d DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Jarque-Bera normality test on order values — skewness/excess-
+    * kurtosis via raw power sums of EXACT integer cents widened to
+    * DECIMAL(38,0) (HUGEINT in the oracle; c⁴ ≈ 10³⁰ per row keeps
+    * Σc⁴ within 38 digits through SF ≈ 100), cast to double ONCE and
+    * combined into central moments with identical IEEE arithmetic on
+    * both engines. One map-side-combined aggregate; JB = n/6·(S² +
+    * K²/4) closes in a select. */
+  def qJarqueBera(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d38 = "decimal(38,0)"
+    val c = round($"o_totalprice" * 100).cast(d38)
+    val raw = T.orders(spark, dir)
+      .select(c.as("c"))
+      .agg(count(lit(1)).as("n"),
+        sum($"c").cast("double").as("s1"),
+        sum($"c" * $"c").cast("double").as("s2"),
+        sum($"c" * $"c" * $"c").cast("double").as("s3"),
+        sum($"c" * $"c" * $"c" * $"c").cast("double").as("s4"))
+    raw
+      .withColumn("mu", $"s1" / $"n")
+      .withColumn("m2", $"s2" / $"n" - $"mu" * $"mu")
+      .withColumn("m3",
+        $"s3" / $"n" - lit(3.0) * $"mu" * $"s2" / $"n" +
+          lit(2.0) * $"mu" * $"mu" * $"mu")
+      .withColumn("m4",
+        $"s4" / $"n" - lit(4.0) * $"mu" * $"s3" / $"n" +
+          lit(6.0) * $"mu" * $"mu" * $"s2" / $"n" -
+          lit(3.0) * $"mu" * $"mu" * $"mu" * $"mu")
+      .withColumn("skew", $"m3" / pow($"m2", 1.5))
+      .withColumn("kurt", $"m4" / ($"m2" * $"m2") - lit(3.0))
+      .select($"n", round($"skew", 4).as("skew"), round($"kurt", 4).as("kurt"),
+        round($"n" / lit(6.0) *
+          ($"skew" * $"skew" + $"kurt" * $"kurt" / lit(4.0)), 4).as("jb"))
+  }
+
+  val qJarqueBeraSql: String =
+    """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS HUGEINT) AS c FROM orders),
+      |raw AS (SELECT count(*)::BIGINT AS n, sum(c)::DOUBLE AS s1,
+      |    sum(c * c)::DOUBLE AS s2, sum(c * c * c)::DOUBLE AS s3,
+      |    sum(c * c * c * c)::DOUBLE AS s4 FROM c),
+      |m AS (SELECT n, s1 / n AS mu, s2, s3, s4 FROM raw),
+      |cm AS (SELECT n,
+      |    s2 / n - mu * mu AS m2,
+      |    s3 / n - 3.0 * mu * s2 / n + 2.0 * mu * mu * mu AS m3,
+      |    s4 / n - 4.0 * mu * s3 / n + 6.0 * mu * mu * s2 / n
+      |      - 3.0 * mu * mu * mu * mu AS m4
+      |  FROM m),
+      |sk AS (SELECT n, m3 / pow(m2, 1.5) AS skew,
+      |    m4 / (m2 * m2) - 3.0 AS kurt FROM cm)
+      |SELECT n, round(skew, 4) AS skew, round(kurt, 4) AS kurt,
+      |  round(n / 6.0 * (skew * skew + kurt * kurt / 4.0), 4) AS jb
+      |FROM sk""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_jarque_bera", qJarqueBera, Some(qJarqueBeraSql)),
     QueryDef("q_mcnemar", qMcNemar, Some(qMcNemarSql)),
     QueryDef("q_fleiss_kappa", qFleissKappa, Some(qFleissKappaSql)),
     QueryDef("q_anova_f", qAnovaF, Some(qAnovaFSql)),

@@ -957,6 +957,123 @@ object Text extends QueryFamily {
        |  round(sum(np * cumtp / cumn) / sum(np), 6) AS pr_auc
        |FROM o""".stripMargin
 
+  /** TextRank keyword extraction — weighted PageRank (d=0.85, 3
+    * unrolled iterations) over the ±2-window token co-occurrence graph
+    * restricted to the top-200 non-stopword vocabulary. The corpus-
+    * sized work is exactly two hash aggregates (token counts for the
+    * vocabulary cut; pair counts for the edges); everything after is
+    * ≤200-node / ≤200²-edge bounded, so the iteration cost is constant
+    * at any SF. Pair building reuses the shifted-zip directed-offsets
+    * shape of q_cooccur_window (symmetrized after the aggregate).
+    * Reports the top-15 keywords by rank. */
+  def qTextrank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = T.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("cnt"))
+      .filter(!array_contains(stopArr, $"t") && length($"t") > 2)
+      .orderBy(desc("cnt"), asc("t")).limit(200)
+      .select($"t").cache()
+    def shifted(d: Int) =
+      s"transform(slice(w, 1, size(w) - $d), (x, i) -> struct(x AS center, element_at(w, i + 1 + $d) AS context))"
+    val directed = T.documents(spark, dir)
+      .withColumn("w", split($"text", " "))
+      .select(explode(expr(s"concat(${shifted(1)}, ${shifted(2)})")).as("p"))
+      .groupBy($"p.center", $"p.context")
+      .agg(count(lit(1)).as("n"))
+    val sym = directed
+      .union(directed.select($"context".as("center"), $"center".as("context"), $"n"))
+      .groupBy($"center", $"context").agg(sum($"n").as("wt"))
+    val edges = sym
+      .join(broadcast(vocab.withColumnRenamed("t", "center")), Seq("center"))
+      .join(broadcast(vocab.withColumnRenamed("t", "context")), Seq("context"))
+      .cache()
+    val p = edges
+      .join(edges.groupBy($"center").agg(sum($"wt").as("wsum")), Seq("center"))
+      .select($"center", $"context", ($"wt".cast("double") / $"wsum").as("p"))
+      .cache()
+    var r = vocab.select($"t", lit(1.0).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = p
+        .join(r.withColumnRenamed("t", "center").withColumnRenamed("r", "rc"),
+          Seq("center"))
+        .groupBy($"context".as("t")).agg(sum($"p" * $"rc").as("mass"))
+      r = vocab.join(contrib, Seq("t"), "left")
+        .select($"t",
+          (lit(0.15) + lit(0.85) * coalesce($"mass", lit(0.0))).as("r"))
+        .localCheckpoint(true)
+    }
+    r.select($"t".as("token"), round($"r", 6).as("score"))
+      .orderBy(desc("score"), asc("token")).limit(15)
+  }
+
+  val qTextrankSql: String =
+    s"""WITH toks AS MATERIALIZED (SELECT t, count(*)::BIGINT AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+       |  GROUP BY t),
+       |vocab AS MATERIALIZED (SELECT t FROM toks
+       |  WHERE NOT list_contains($stopListSql, t) AND len(t) > 2
+       |  ORDER BY cnt DESC, t LIMIT 200),
+       |d AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |a AS (SELECT w, unnest(range(1, len(w) + 1)) AS i FROM d),
+       |b AS (SELECT w, i,
+       |        unnest(range(greatest(i - 2, 1), least(i + 2, len(w)) + 1)) AS j
+       |      FROM a),
+       |sym AS (SELECT w[i] AS center, w[j] AS context, count(*)::BIGINT AS wt
+       |  FROM b WHERE j != i GROUP BY 1, 2),
+       |edges AS MATERIALIZED (SELECT center, context, wt FROM sym
+       |  WHERE center IN (SELECT t FROM vocab) AND context IN (SELECT t FROM vocab)),
+       |p AS MATERIALIZED (SELECT center, context,
+       |    wt::DOUBLE / (sum(wt) OVER (PARTITION BY center)) AS p
+       |  FROM edges),
+       |r0 AS MATERIALIZED (SELECT t, 1.0 AS r FROM vocab),
+       |r1 AS MATERIALIZED (SELECT v.t,
+       |    0.15 + 0.85 * coalesce(sum(p.p * r0.r), 0.0) AS r
+       |  FROM vocab v LEFT JOIN p ON p.context = v.t
+       |  LEFT JOIN r0 ON r0.t = p.center GROUP BY v.t),
+       |r2 AS MATERIALIZED (SELECT v.t,
+       |    0.15 + 0.85 * coalesce(sum(p.p * r1.r), 0.0) AS r
+       |  FROM vocab v LEFT JOIN p ON p.context = v.t
+       |  LEFT JOIN r1 ON r1.t = p.center GROUP BY v.t),
+       |r3 AS MATERIALIZED (SELECT v.t,
+       |    0.15 + 0.85 * coalesce(sum(p.p * r2.r), 0.0) AS r
+       |  FROM vocab v LEFT JOIN p ON p.context = v.t
+       |  LEFT JOIN r2 ON r2.t = p.center GROUP BY v.t)
+       |SELECT t AS token, round(r, 6) AS score
+       |FROM r3 ORDER BY score DESC, token LIMIT 15""".stripMargin
+
+  /** Chao1 species-richness estimate of the corpus vocabulary — the
+    * "how many word types exist that we haven't seen yet" projection
+    * (bias-corrected: V + f1(f1−1)/(2(f2+1))) that complements the
+    * Heaps-law fit with a nonparametric asymptote. Singleton and
+    * doubleton counts come from re-aggregating the vocab-bounded
+    * count-of-counts relation; one corpus scan, exact integers until
+    * the final division. */
+  def qChao1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    T.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("v"),
+        sum(when($"cnt" === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when($"cnt" === 2, 1L).otherwise(0L)).as("f2"))
+      .select($"v", $"f1", $"f2",
+        round($"v" + $"f1" * ($"f1" - 1) / (lit(2.0) * ($"f2" + 1)), 2)
+          .as("chao1"))
+  }
+
+  val qChao1Sql: String =
+    """WITH c AS (SELECT t, count(*)::BIGINT AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      |  GROUP BY t),
+      |a AS (SELECT count(*)::BIGINT AS v,
+      |    sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+      |    sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+      |  FROM c)
+      |SELECT v, f1, f2,
+      |  round(v + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 2) AS chao1
+      |FROM a""".stripMargin
+
   /** Skip-gram window co-occurrence counts (window ±2, self excluded) —
     * the (center, context) statistic word2vec/GloVe-style embedding
     * training consumes, where PMI over ADJACENT pairs (q_pmi_bigrams)
@@ -1571,6 +1688,8 @@ object Text extends QueryFamily {
     QueryDef("q_logreg_steps", qLogregSteps, Some(qLogregStepsSql)),
     QueryDef("q_auc_quality", qAucQuality, Some(qAucQualitySql)),
     QueryDef("q_pr_auc", qPrAuc, Some(qPrAucSql)),
+    QueryDef("q_textrank", qTextrank, Some(qTextrankSql)),
+    QueryDef("q_chao1", qChao1, Some(qChao1Sql)),
     QueryDef("q_mutual_info", qMutualInfo, Some(qMutualInfoSql)),
     QueryDef("q_kneser_ney", qKneserNey, Some(qKneserNeySql)),
     QueryDef("q_tail_index", qTailIndex, Some(qTailIndexSql)),

@@ -1152,6 +1152,65 @@ object Timeseries extends QueryFamily {
       |    (s7 / s0) * (s7 / s0) / (n - 7)), 4) AS q
       |FROM a""".stripMargin
 
+  /** Partial autocorrelation (lags 1–3) of daily revenue via the
+    * Durbin-Levinson recursion unrolled in closed form — the AR-order
+    * diagnostic read next to the ACF (q_autocorr) and Ljung-Box Q.
+    * φ11 = ρ1; φ22 = (ρ2−ρ1²)/(1−ρ1²); φ33 closes the level-3
+    * recursion from φ21 = φ11−φ22·φ11. The autocorrelations come from
+    * three lag products over the demeaned O(days) grid (the
+    * q_ljung_box shape); the recursion is pure column arithmetic on
+    * one row. */
+  def qPacf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = T.orders(spark, dir)
+      .groupBy($"o_orderdate".as("d"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).cast("double").as("y"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val w = Window.orderBy($"d")
+    val z = daily.withColumn("z", $"y" - avg($"y").over(all))
+    val lagged = (1 to 3).foldLeft(z) { (df, k) =>
+      df.withColumn(s"l$k", $"z" * lag($"z", k).over(w))
+    }
+    lagged
+      .agg(count(lit(1)).as("n"), sum($"z" * $"z").as("s0"),
+        sum($"l1").as("s1"), sum($"l2").as("s2"), sum($"l3").as("s3"))
+      .select($"n", ($"s1" / $"s0").as("r1"), ($"s2" / $"s0").as("r2"),
+        ($"s3" / $"s0").as("r3"))
+      .withColumn("p1", $"r1")
+      .withColumn("p2", ($"r2" - $"r1" * $"r1") / (lit(1.0) - $"r1" * $"r1"))
+      .withColumn("p21", $"p1" - $"p2" * $"p1")
+      .withColumn("p3",
+        ($"r3" - $"p21" * $"r2" - $"p2" * $"r1") /
+          (lit(1.0) - $"p21" * $"r1" - $"p2" * $"r2"))
+      .select($"n", round($"r1", 4).as("rho1"), round($"r2", 4).as("rho2"),
+        round($"r3", 4).as("rho3"), round($"p1", 4).as("pacf1"),
+        round($"p2", 4).as("pacf2"), round($"p3", 4).as("pacf3"))
+  }
+
+  val qPacfSql: String =
+    """WITH daily AS (SELECT o_orderdate AS d,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::DOUBLE AS y
+      |  FROM orders GROUP BY 1),
+      |z AS (SELECT d, y - avg(y) OVER () AS z FROM daily),
+      |l AS (SELECT z,
+      |    z * lag(z, 1) OVER (ORDER BY d) AS l1,
+      |    z * lag(z, 2) OVER (ORDER BY d) AS l2,
+      |    z * lag(z, 3) OVER (ORDER BY d) AS l3
+      |  FROM z),
+      |a AS (SELECT count(*)::BIGINT AS n, sum(z * z) AS s0,
+      |    sum(l1) AS s1, sum(l2) AS s2, sum(l3) AS s3 FROM l),
+      |r AS (SELECT n, s1 / s0 AS r1, s2 / s0 AS r2, s3 / s0 AS r3 FROM a),
+      |p2 AS (SELECT n, r1, r2, r3, r1 AS p1,
+      |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS p2 FROM r),
+      |p21 AS (SELECT n, r1, r2, r3, p1, p2, p1 - p2 * p1 AS p21 FROM p2),
+      |p3 AS (SELECT n, r1, r2, r3, p1, p2,
+      |    (r3 - p21 * r2 - p2 * r1) / (1.0 - p21 * r1 - p2 * r2) AS p3
+      |  FROM p21)
+      |SELECT n, round(r1, 4) AS rho1, round(r2, 4) AS rho2,
+      |  round(r3, 4) AS rho3, round(p1, 4) AS pacf1,
+      |  round(p2, 4) AS pacf2, round(p3, 4) AS pacf3
+      |FROM p3""".stripMargin
+
   def qCusum(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val daily = T.orders(spark, dir)
@@ -1268,6 +1327,7 @@ object Timeseries extends QueryFamily {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_mase", qMase, Some(qMaseSql)),
+    QueryDef("q_pacf", qPacf, Some(qPacfSql)),
     QueryDef("q_ljung_box", qLjungBox, Some(qLjungBoxSql)),
     QueryDef("q_hurst", qHurst, Some(qHurstSql)),
     QueryDef("q_cusum", qCusum, Some(qCusumSql)),

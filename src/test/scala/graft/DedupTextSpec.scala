@@ -339,4 +339,22 @@ class DedupTextSpec extends AnyFunSuite {
       assert(math.abs(ratio - d.toDouble / n) < 1e-3)
     }
   }
+
+  test("textrank: 15 keywords, no stopwords, scores above the damping floor") {
+    val rows = ops.Text.qTextrank(spark, sf).collect()
+    assert(rows.length === 15)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "keywords not rank-ordered")
+    // every surviving node keeps at least the (1-d) restart mass
+    scores.foreach(s => assert(s >= 0.15 - 1e-9))
+    rows.foreach(r => assert(r.getAs[String]("token").length > 2))
+  }
+
+  test("chao1 dominates the observed vocabulary size") {
+    val r = ops.Text.qChao1(spark, sf).collect().head
+    val (v, f1, f2) = (r.getAs[Long]("v"), r.getAs[Long]("f1"), r.getAs[Long]("f2"))
+    assert(f1 + f2 <= v)
+    assert(r.getAs[Double]("chao1") >= v.toDouble, "estimate below observed richness")
+  }
 }

@@ -99,6 +99,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_cooks_distance",
     // 1-row (n, |rows|, |cols|) broadcast onto the 15-cell contingency
     "q_cramers_v",
+    // 1-row true-median build against the 1-row DP release
+    "q_dp_quantile",
     // 1-row corpus-count broadcast onto the 20-row boilerplate list
     "q_boilerplate",
     // 1-row total-edge-weight broadcast onto the |communities| rows
@@ -216,6 +218,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_cusum" -> "daily grain",
     "q_mase" -> "daily grain",
     "q_ljung_box" -> "daily grain",
+    "q_pacf" -> "daily grain",
+    "q_dp_quantile" -> "$1k value grid (<=~600 rows)",
     "q_t_closeness" -> "global language-share table (|langs| rows)",
     "q_gini_stump" -> "quantity grid (<=50 candidate thresholds)",
     "q_hhi_concentration" -> "per-source token totals (20 rows)",

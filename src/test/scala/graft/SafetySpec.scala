@@ -147,4 +147,18 @@ class SafetySpec extends AnyFunSuite {
     val again = ops.Safety.qDpMean(spark, sf).collect()
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("dp quantile: released bucket exists on the grid, rank error sane") {
+    val r = ops.Safety.qDpQuantile(spark, sf).collect().head
+    val n = r.getAs[Long]("n")
+    assert(n === spark.read.parquet(s"$sf/orders.parquet").count())
+    // the exponential mechanism picks SOME bucket; its rank error is
+    // bounded by the worst utility (n/2) and the true bucket's is ~0
+    val err = r.getAs[Double]("rank_err")
+    assert(err >= 0.0 && err <= n / 2.0)
+    assert(r.getAs[Double]("epsilon") === 0.01)
+    // determinism of the hash-Gumbel release
+    val again = ops.Safety.qDpQuantile(spark, sf).collect().head
+    assert(r.toString === again.toString)
+  }
 }

@@ -202,6 +202,16 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("chi2") >= 0.0)
   }
 
+  test("jarque-bera: moments finite, JB recomputes from skew/kurt") {
+    val r = ops.Stats.qJarqueBera(spark, sf).collect().head
+    val (n, s, k, jb) = (r.getAs[Long]("n"), r.getAs[Double]("skew"),
+      r.getAs[Double]("kurt"), r.getAs[Double]("jb"))
+    assert(!s.isNaN && !k.isNaN && jb >= 0.0)
+    // recompute from the 4dp-rounded components: tolerance scales with n
+    assert(math.abs(jb - n / 6.0 * (s * s + k * k / 4.0)) <= n * 1e-4,
+      s"jb $jb inconsistent with skew/kurt")
+  }
+
   test("cooks distance: top-10 descending, leverage within (0,1)") {
     val rows = ops.Stats.qCooksDistance(spark, sf).collect()
     assert(rows.length === 10)

@@ -491,6 +491,15 @@ class TimeseriesSpec extends AnyFunSuite {
       s"mase $mase inconsistent with $ms / $mn")
   }
 
+  test("pacf: lag-1 equals rho1, all values are correlations") {
+    val r = ops.Timeseries.qPacf(spark, sf).collect().head
+    assert(r.getAs[Double]("pacf1") === r.getAs[Double]("rho1"))
+    for (c <- Seq("rho1", "rho2", "rho3", "pacf1", "pacf2", "pacf3")) {
+      val v = r.getAs[Double](c)
+      assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9, s"$c = $v out of [-1,1]")
+    }
+  }
+
   test("ljung-box: Q non-negative with 7 dof over the full day grid") {
     val r = ops.Timeseries.qLjungBox(spark, sf).collect().head
     assert(r.getAs[Long]("df") === 7L)
