@@ -1042,6 +1042,240 @@ object Text extends QueryFamily {
        |SELECT t AS token, round(r, 6) AS score
        |FROM r3 ORDER BY score DESC, token LIMIT 15""".stripMargin
 
+  /** Kolmogorov-Smirnov statistic of the quality-score classifier —
+    * max |TPR−FPR| over thresholds, the industry-standard separation
+    * measure next to ROC-AUC (q_auc_quality) and PR-AUC (q_pr_auc).
+    * Same 4dp score-grid discipline; because the CDF terms are exact
+    * integer ratios (no running float sums), D is bit-identical across
+    * engines and the argmax threshold is picked by the rounded key
+    * with a score tie-break. */
+  def qKsClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = T.documents(spark, dir)
+      .withColumn("w", split($"text", " "))
+      .withColumn("n_stop",
+        size(filter($"w", x => array_contains(stopArr, x))))
+      .select(
+        round(least(lit(1.0), size($"w") / lit(100.0)) *
+          (lit(1.0) - $"n_stop".cast("double") / size($"w")), 4).as("score"),
+        when($"source" === "src0", 1L).otherwise(0L).as("y"))
+    val grid = scored.groupBy($"score")
+      .agg(count(lit(1)).as("c"), sum($"y").as("np"))
+    val w = Window.orderBy($"score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    grid
+      .withColumn("cp", sum($"np").over(w))
+      .withColumn("cn", sum($"c" - $"np").over(w))
+      .withColumn("npos", sum($"np").over(all))
+      .withColumn("nneg", sum($"c" - $"np").over(all))
+      .withColumn("d",
+        abs($"cp".cast("double") / $"npos" - $"cn".cast("double") / $"nneg"))
+      .orderBy(desc("d"), asc("score")).limit(1)
+      .select(($"npos" + $"nneg").as("n_docs"), $"npos".as("n_pos"),
+        round($"d", 6).as("ks"), $"score".as("ks_score"))
+  }
+
+  val qKsClassifierSql: String =
+    s"""WITH s AS (SELECT
+       |  round(least(1.0, len(w) / 100.0) * (1.0 - n_stop::DOUBLE / len(w)), 4)
+       |    AS score,
+       |  CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y
+       |  FROM (SELECT source, w,
+       |          len(list_filter(w, x -> list_contains($stopListSql, x))) AS n_stop
+       |        FROM (SELECT source, string_split(text, ' ') AS w FROM documents))),
+       |g AS (SELECT score, count(*) AS c, sum(y) AS np FROM s GROUP BY score),
+       |o AS (SELECT score,
+       |  sum(np) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |    CURRENT ROW) AS cp,
+       |  sum(c - np) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |    CURRENT ROW) AS cn,
+       |  sum(np) OVER () AS npos, sum(c - np) OVER () AS nneg FROM g),
+       |d AS (SELECT score, npos, nneg,
+       |    abs(cp::DOUBLE / npos - cn::DOUBLE / nneg) AS d FROM o)
+       |SELECT (npos + nneg)::BIGINT AS n_docs, npos::BIGINT AS n_pos,
+       |  round(d, 6) AS ks, score AS ks_score
+       |FROM d ORDER BY d DESC, score LIMIT 1""".stripMargin
+
+  /** Brier score with the Murphy reliability/resolution/uncertainty
+    * decomposition over 10 probability bins — the calibration-aware
+    * accuracy report for the quality-score classifier (q_calibration
+    * gives ECE; this splits the SQUARED error into blame components).
+    * Everything derives from ONE (score, y)-cell grid (≤ 2·10001
+    * rows): the Brier itself is grid-exact (Σ c·(s−y)²), bins
+    * re-aggregate the grid, and the two 1-row summaries meet in a
+    * broadcast — one fact scan total. */
+  def qBrierScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = T.documents(spark, dir)
+      .withColumn("w", split($"text", " "))
+      .withColumn("n_stop",
+        size(filter($"w", x => array_contains(stopArr, x))))
+      .select(
+        round(least(lit(1.0), size($"w") / lit(100.0)) *
+          (lit(1.0) - $"n_stop".cast("double") / size($"w")), 4).as("score"),
+        when($"source" === "src0", 1L).otherwise(0L).as("y"))
+    val grid = scored.groupBy($"score", $"y").agg(count(lit(1)).as("c")).cache()
+    val brier = grid.agg(sum($"c").as("n"),
+      sum($"c" * ($"score" - $"y") * ($"score" - $"y")).as("se"),
+      sum($"c" * $"y").as("sy"))
+    val bins = grid
+      .groupBy(least(floor($"score" * 10), lit(9L)).as("b"))
+      .agg(sum($"c").as("nb"), sum($"c" * $"score").as("ssum"),
+        sum($"c" * $"y").as("ysum"))
+    val binAgg = bins.agg(
+      sum($"nb" * ($"ssum" / $"nb" - $"ysum" / $"nb") *
+        ($"ssum" / $"nb" - $"ysum" / $"nb")).as("relsum"),
+      sum($"ysum" * $"ysum" / $"nb").as("yb2"))
+    brier.crossJoin(broadcast(binAgg))
+      .withColumn("ybar", $"sy".cast("double") / $"n")
+      .select($"n",
+        round($"se" / $"n", 6).as("brier"),
+        round($"relsum" / $"n", 6).as("reliability"),
+        round($"yb2" / $"n" - $"ybar" * $"ybar", 6).as("resolution"),
+        round($"ybar" * (lit(1.0) - $"ybar"), 6).as("uncertainty"))
+  }
+
+  val qBrierScoreSql: String =
+    s"""WITH s AS (SELECT
+       |  round(least(1.0, len(w) / 100.0) * (1.0 - n_stop::DOUBLE / len(w)), 4)
+       |    AS score,
+       |  CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y
+       |  FROM (SELECT source, w,
+       |          len(list_filter(w, x -> list_contains($stopListSql, x))) AS n_stop
+       |        FROM (SELECT source, string_split(text, ' ') AS w FROM documents))),
+       |grid AS MATERIALIZED (SELECT score, y, count(*)::BIGINT AS c
+       |  FROM s GROUP BY 1, 2),
+       |br AS (SELECT sum(c)::BIGINT AS n,
+       |    sum(c * (score - y) * (score - y)) AS se, sum(c * y)::BIGINT AS sy
+       |  FROM grid),
+       |bins AS (SELECT least(floor(score * 10), 9) AS b, sum(c)::BIGINT AS nb,
+       |    sum(c * score) AS ssum, sum(c * y)::BIGINT AS ysum
+       |  FROM grid GROUP BY 1),
+       |ba AS (SELECT
+       |    sum(nb * (ssum / nb - ysum::DOUBLE / nb) *
+       |      (ssum / nb - ysum::DOUBLE / nb)) AS relsum,
+       |    sum(ysum::DOUBLE * ysum / nb) AS yb2 FROM bins)
+       |SELECT n, round(se / n, 6) AS brier,
+       |  round(relsum / n, 6) AS reliability,
+       |  round(yb2 / n - (sy::DOUBLE / n) * (sy::DOUBLE / n), 6) AS resolution,
+       |  round((sy::DOUBLE / n) * (1.0 - sy::DOUBLE / n), 6) AS uncertainty
+       |FROM br, ba""".stripMargin
+
+  /** Pairwise Jensen-Shannon divergence between source unigram
+    * distributions — the symmetric, bounded companion to the KL
+    * report (q_source_divergence) a mixing planner reads to decide
+    * which sources are redundant. Shared-token terms come from ONE
+    * self-join of the cached (source, token, p) relation keyed on
+    * token (per-token work is |sources|²-bounded, linear in vocab);
+    * tokens private to one side close in constant form — their
+    * contribution is exactly p·ln2 — so no full-outer join is needed:
+    * JSD = ½Σ_shared [...] + ½ln2·((1−mass_a) + (1−mass_b)). */
+  def qJsdMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val st = T.documents(spark, dir)
+      .select($"source", explode(split($"text", " ")).as("t"))
+      .groupBy($"source", $"t").agg(count(lit(1)).as("n"))
+    val tot = st.groupBy($"source").agg(sum($"n").as("ns"))
+    val p = st.join(broadcast(tot), Seq("source"))
+      .select($"source", $"t", ($"n".cast("double") / $"ns").as("p"))
+      .cache()
+    val ln2 = 0.6931471805599453
+    p.select($"source".as("src_a"), $"t", $"p".as("pa"))
+      .join(p.select($"source".as("src_b"), $"t", $"p".as("pb")), Seq("t"))
+      .filter($"src_a" < $"src_b")
+      .groupBy($"src_a", $"src_b")
+      .agg(
+        sum($"pa" * log(lit(2.0) * $"pa" / ($"pa" + $"pb")) +
+          $"pb" * log(lit(2.0) * $"pb" / ($"pa" + $"pb"))).as("cshared"),
+        sum($"pa").as("ma"), sum($"pb").as("mb"))
+      .select($"src_a", $"src_b",
+        round(lit(0.5) * $"cshared" +
+          lit(0.5) * lit(ln2) * (lit(2.0) - $"ma" - $"mb"), 6).as("jsd"))
+      .orderBy(desc("jsd"), asc("src_a"), asc("src_b"))
+      .limit(15)
+  }
+
+  val qJsdMatrixSql: String =
+    """WITH st AS (SELECT source, t, count(*)::BIGINT AS n
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT source, sum(n)::BIGINT AS ns FROM st GROUP BY source),
+      |p AS MATERIALIZED (SELECT st.source, t, n::DOUBLE / ns AS p
+      |  FROM st JOIN tot ON st.source = tot.source),
+      |j AS (SELECT a.source AS src_a, b.source AS src_b,
+      |    sum(a.p * ln(2.0 * a.p / (a.p + b.p)) +
+      |        b.p * ln(2.0 * b.p / (a.p + b.p))) AS cshared,
+      |    sum(a.p) AS ma, sum(b.p) AS mb
+      |  FROM p a JOIN p b ON a.t = b.t AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b,
+      |  round(0.5 * cshared + 0.5 * 0.6931471805599453 * (2.0 - ma - mb), 6)
+      |    AS jsd
+      |FROM j ORDER BY jsd DESC, src_a, src_b LIMIT 15""".stripMargin
+
+  /** Self-BLEU-1 of a 20-document probe set against the rest of the
+    * corpus — the diversity audit run on generated corpora (high
+    * self-BLEU = the corpus repeats itself). BLEU's clipped unigram
+    * precision needs, per token, the maximum per-document count among
+    * REFERENCE docs (everyone but the candidate); keeping the TOP-2
+    * per-token counts (one partitioned window over the (token, doc)
+    * count relation) makes that exact without a per-probe rescan:
+    * ref_max = top1 unless the probe itself holds it, else top2.
+    * Probes are the 20 smallest content-md5 docs — deterministic and
+    * corpus-size-independent. All-integer arithmetic to the final
+    * division. */
+  def qSelfBleu(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dt = T.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("t"))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
+      .cache()
+    val w2 = Window.partitionBy($"t").orderBy(desc("c"), asc("doc_id"))
+    val top2 = dt.withColumn("rn", row_number().over(w2)).filter($"rn" <= 2)
+      .groupBy($"t").agg(
+        max(when($"rn" === 1, $"c")).as("m1"),
+        max(when($"rn" === 1, $"doc_id")).as("d1"),
+        max(when($"rn" === 2, $"c")).as("m2"))
+      .select($"t", $"m1", $"d1", coalesce($"m2", lit(0L)).as("m2"))
+    val probes = T.documents(spark, dir)
+      .select($"doc_id", md5($"text".cast("binary")).as("h"))
+      .orderBy($"h", $"doc_id").limit(20)
+      .select($"doc_id")
+    dt.join(broadcast(probes), Seq("doc_id"))
+      .join(top2, Seq("t"))
+      .select($"doc_id", $"c",
+        when($"d1" === $"doc_id", $"m2").otherwise($"m1").as("refmax"))
+      .groupBy($"doc_id")
+      .agg(sum(least($"c", $"refmax")).as("clip"), sum($"c").as("tot"))
+      .select($"doc_id", $"clip", $"tot",
+        round($"clip".cast("double") / $"tot", 4).as("self_bleu1"))
+      .orderBy($"doc_id")
+  }
+
+  val qSelfBleuSql: String =
+    """WITH dt AS MATERIALIZED (SELECT doc_id, t, count(*)::BIGINT AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      |  GROUP BY 1, 2),
+      |r AS (SELECT t, c, doc_id,
+      |    row_number() OVER (PARTITION BY t ORDER BY c DESC, doc_id) AS rn
+      |  FROM dt),
+      |top2 AS (SELECT t, max(CASE WHEN rn = 1 THEN c END) AS m1,
+      |    max(CASE WHEN rn = 1 THEN doc_id END) AS d1,
+      |    coalesce(max(CASE WHEN rn = 2 THEN c END), 0) AS m2
+      |  FROM r WHERE rn <= 2 GROUP BY t),
+      |probes AS (SELECT doc_id FROM
+      |  (SELECT doc_id, md5(text) AS h FROM documents ORDER BY h, doc_id LIMIT 20)),
+      |sc AS (SELECT dt.doc_id, dt.c,
+      |    CASE WHEN d1 = dt.doc_id THEN m2 ELSE m1 END AS refmax
+      |  FROM dt JOIN probes USING (doc_id) JOIN top2 USING (t))
+      |SELECT doc_id, sum(least(c, refmax))::BIGINT AS clip,
+      |  sum(c)::BIGINT AS tot,
+      |  round(sum(least(c, refmax))::DOUBLE / sum(c), 4) AS self_bleu1
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Chao1 species-richness estimate of the corpus vocabulary — the
     * "how many word types exist that we haven't seen yet" projection
     * (bias-corrected: V + f1(f1−1)/(2(f2+1))) that complements the
@@ -1690,6 +1924,10 @@ object Text extends QueryFamily {
     QueryDef("q_pr_auc", qPrAuc, Some(qPrAucSql)),
     QueryDef("q_textrank", qTextrank, Some(qTextrankSql)),
     QueryDef("q_chao1", qChao1, Some(qChao1Sql)),
+    QueryDef("q_ks_classifier", qKsClassifier, Some(qKsClassifierSql)),
+    QueryDef("q_brier_score", qBrierScore, Some(qBrierScoreSql)),
+    QueryDef("q_jsd_matrix", qJsdMatrix, Some(qJsdMatrixSql)),
+    QueryDef("q_self_bleu", qSelfBleu, Some(qSelfBleuSql)),
     QueryDef("q_mutual_info", qMutualInfo, Some(qMutualInfoSql)),
     QueryDef("q_kneser_ney", qKneserNey, Some(qKneserNeySql)),
     QueryDef("q_tail_index", qTailIndex, Some(qTailIndexSql)),

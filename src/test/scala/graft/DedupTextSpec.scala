@@ -351,6 +351,47 @@ class DedupTextSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[String]("token").length > 2))
   }
 
+  test("ks statistic bounds the AUC: KS >= 2*AUC - 1") {
+    val ks = ops.Text.qKsClassifier(spark, sf).collect().head
+    val d = ks.getAs[Double]("ks")
+    assert(d >= 0.0 && d <= 1.0)
+    val auc = ops.Text.qAucQuality(spark, sf).collect().head.getAs[Double]("auc")
+    assert(d + 1e-6 >= 2.0 * auc - 1.0, s"KS $d below 2*AUC-1 (auc=$auc)")
+    assert(ks.getAs[Long]("n_pos") > 0 && ks.getAs[Long]("n_docs") > ks.getAs[Long]("n_pos"))
+  }
+
+  test("brier decomposition: components bounded and near-additive") {
+    val r = ops.Text.qBrierScore(spark, sf).collect().head
+    val (b, rel, res, unc) = (r.getAs[Double]("brier"), r.getAs[Double]("reliability"),
+      r.getAs[Double]("resolution"), r.getAs[Double]("uncertainty"))
+    assert(b >= 0.0 && b <= 1.0)
+    assert(rel >= 0.0 && res >= -1e-9 && unc >= 0.0 && unc <= 0.25)
+    assert(res <= unc + 1e-9, "resolution cannot exceed uncertainty")
+    // B = REL - RES + UNC up to the within-bin score variance (0.1 bins)
+    assert(math.abs(b - (rel - res + unc)) <= 0.01,
+      s"decomposition drift: $b vs ${rel - res + unc}")
+  }
+
+  test("jsd matrix: bounded by ln 2, pairs ordered") {
+    val rows = ops.Text.qJsdMatrix(spark, sf).collect()
+    assert(rows.length === 15)
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jsd")
+      assert(j >= -1e-9 && j <= 0.6931471805599453 + 1e-9, s"jsd $j out of [0, ln2]")
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+    }
+  }
+
+  test("self-bleu: 20 probes, clipped precision within [0,1]") {
+    val rows = ops.Text.qSelfBleu(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("clip") <= r.getAs[Long]("tot"))
+      val p = r.getAs[Double]("self_bleu1")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+  }
+
   test("chao1 dominates the observed vocabulary size") {
     val r = ops.Text.qChao1(spark, sf).collect().head
     val (v, f1, f2) = (r.getAs[Long]("v"), r.getAs[Long]("f1"), r.getAs[Long]("f2"))

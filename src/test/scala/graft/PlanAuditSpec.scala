@@ -101,6 +101,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_cramers_v",
     // 1-row true-median build against the 1-row DP release
     "q_dp_quantile",
+    // 1-row Brier total against the 1-row bin-decomposition summary
+    "q_brier_score",
     // 1-row corpus-count broadcast onto the 20-row boilerplate list
     "q_boilerplate",
     // 1-row total-edge-weight broadcast onto the |communities| rows
@@ -196,6 +198,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // midrank cumulative over the distinct-4dp-score grid, never facts
     "q_auc_quality" -> "4dp score grid (<=10001 rows)",
     "q_pr_auc" -> "4dp score grid (<=10001 rows)",
+    "q_ks_classifier" -> "4dp score grid (<=10001 rows)",
     // risk-set + product-limit windows over the O(study-hours) grid
     "q_survival_km" -> "O(hours) duration grid",
     "q_log_rank" -> "O(hours) duration grid",
