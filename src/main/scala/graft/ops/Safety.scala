@@ -232,6 +232,62 @@ object Safety extends QueryFamily {
     * count is resolved before release (rounded, floored at 0) per
     * standard post-processing. One hash aggregate; the noise is a
     * zero-shuffle projection over the |cells|-row result. */
+  /** Right-to-erasure (GDPR-style) delete-cascade impact plan: given a
+    * deletion list of customers, count the rows each downstream table
+    * loses — customers directly, orders via custkey, lineitem via the
+    * affected orders' keys, events via user id. This is the dry-run a
+    * compliance pipeline prints before a destructive delete. The
+    * delete list broadcasts everywhere; lineitem's second hop is a
+    * broadcast SEMI join on the affected order KEYS (never the rows),
+    * so each fact table is touched by exactly one column-pruned scan
+    * plus one conditional aggregate. */
+  def qDeleteCascade(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val del = T.customer(spark, dir)
+      .filter($"c_custkey" % 97 === 0)
+      .select($"c_custkey".as("k"))
+      .cache()
+    def impact(name: String, df: DataFrame, hit: Column): DataFrame =
+      df.agg(lit(name).as("table_name"), count(lit(1)).as("rows_total"),
+        sum(when(hit, 1L).otherwise(0L)).as("rows_affected"))
+    val cust = impact("customer", T.customer(spark, dir)
+      .join(broadcast(del), $"c_custkey" === $"k", "left"), $"k".isNotNull)
+    val ords = T.orders(spark, dir)
+      .join(broadcast(del), $"o_custkey" === $"k", "left").cache()
+    val oImp = impact("orders", ords, $"k".isNotNull)
+    val delOrders = ords.filter($"k".isNotNull).select($"o_orderkey".as("ok"))
+    val li = impact("lineitem", T.lineitem(spark, dir)
+      .join(broadcast(delOrders), $"l_orderkey" === $"ok", "left"), $"ok".isNotNull)
+    val ev = impact("events", T.events(spark, dir)
+      .join(broadcast(del), $"user_id" === $"k", "left"), $"k".isNotNull)
+    cust.unionByName(oImp).unionByName(li).unionByName(ev)
+      .select($"table_name", $"rows_total", $"rows_affected",
+        round($"rows_affected" * 100.0 / $"rows_total", 4).as("pct"))
+      .orderBy($"table_name")
+  }
+
+  val qDeleteCascadeSql: String =
+    """WITH del AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+      |c AS (SELECT 'customer' AS table_name, count(*)::BIGINT AS rows_total,
+      |    sum(CASE WHEN c_custkey IN (SELECT k FROM del) THEN 1 ELSE 0 END)::BIGINT
+      |      AS rows_affected FROM customer),
+      |o AS (SELECT 'orders', count(*)::BIGINT,
+      |    sum(CASE WHEN o_custkey IN (SELECT k FROM del) THEN 1 ELSE 0 END)::BIGINT
+      |  FROM orders),
+      |dok AS (SELECT o_orderkey AS ok FROM orders
+      |  WHERE o_custkey IN (SELECT k FROM del)),
+      |l AS (SELECT 'lineitem', count(*)::BIGINT,
+      |    sum(CASE WHEN l_orderkey IN (SELECT ok FROM dok) THEN 1 ELSE 0 END)::BIGINT
+      |  FROM lineitem),
+      |e AS (SELECT 'events', count(*)::BIGINT,
+      |    sum(CASE WHEN user_id IN (SELECT k FROM del) THEN 1 ELSE 0 END)::BIGINT
+      |  FROM events),
+      |u AS (SELECT * FROM c UNION ALL SELECT * FROM o
+      |  UNION ALL SELECT * FROM l UNION ALL SELECT * FROM e)
+      |SELECT table_name, rows_total, rows_affected,
+      |  round(rows_affected * 100.0 / rows_total, 4) AS pct
+      |FROM u ORDER BY table_name""".stripMargin
+
   /** DP median release via the EXPONENTIAL MECHANISM over the $1k
     * value grid: utility u(b) = −|cumrank(b) − n/2| (sensitivity 1),
     * score = ε·u/2 + Gumbel — the Gumbel-max trick samples the
@@ -437,6 +493,7 @@ object Safety extends QueryFamily {
       |FROM z ORDER BY lang""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_delete_cascade", qDeleteCascade, Some(qDeleteCascadeSql)),
     QueryDef("q_dp_quantile", qDpQuantile, Some(qDpQuantileSql)),
     QueryDef("q_dp_mean", qDpMean, Some(qDpMeanSql)),
     QueryDef("q_t_closeness", qTCloseness, Some(qTClosenessSql)),

@@ -717,6 +717,45 @@ object Similarity extends QueryFamily {
        |SELECT q_id, round(ap, 4) AS ap, round(m.map, 4) AS map
        |FROM perq, m ORDER BY q_id""".stripMargin
 
+  /** Per-dimension feature standardization (z-scoring) of the
+    * embedding matrix with a self-audit — the preprocessing step
+    * whitening/PCA/linear-probe training assumes, reported as the
+    * 64-row (dim, mu, sigma, post_mu, post_sd) table where the post-
+    * transform moments verify ≈(0,1) in the same plan. One corpus
+    * explode feeds BOTH moment passes: raw moments by dim, then the
+    * standardized moments recompute from the SAME bounded dim table
+    * closed-form (E[z]=0 and E[z²]=1 by construction up to FP), so no
+    * second corpus scan is needed. */
+  def qEmbedStandardize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = T.embeddings(spark, dir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("i", "xv")))
+      .select($"i", $"xv".cast("double").as("v"))
+    val dims = x.groupBy($"i")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"), sum($"v" * $"v").as("s2"))
+      .withColumn("mu", $"s" / $"n")
+      .withColumn("sigma", sqrt($"s2" / $"n" - ($"s" / $"n") * ($"s" / $"n")))
+    // standardized moments, closed-form from the same sums:
+    // post_mu = (s/n - mu)/sigma = 0; post_sd = sqrt(E[(v-mu)^2])/sigma = 1
+    dims.select($"i".as("dim"), $"n",
+        round($"mu", 4).as("mu"), round($"sigma", 4).as("sigma"),
+        round(($"s" / $"n" - $"mu") / $"sigma", 4).as("post_mu"),
+        round(sqrt($"s2" / $"n" - $"mu" * $"mu") / $"sigma", 4).as("post_sd"))
+      .orderBy($"dim")
+  }
+
+  val qEmbedStandardizeSql: String =
+    """WITH pos AS (SELECT unnest(range(0, 64)) AS i),
+      |x AS (SELECT i, embedding[i + 1]::DOUBLE AS v FROM embeddings, pos),
+      |d AS (SELECT i, count(*)::BIGINT AS n, sum(v) AS s, sum(v * v) AS s2
+      |  FROM x GROUP BY i),
+      |m AS (SELECT i, n, s, s2, s / n AS mu,
+      |    sqrt(s2 / n - (s / n) * (s / n)) AS sigma FROM d)
+      |SELECT i::INT AS dim, n, round(mu, 4) + 0.0 AS mu, round(sigma, 4) AS sigma,
+      |  round((s / n - mu) / sigma, 4) + 0.0 AS post_mu,
+      |  round(sqrt(s2 / n - mu * mu) / sigma, 4) AS post_sd
+      |FROM m ORDER BY dim""".stripMargin
+
   /** MRR@3 of the single-bucket sign-LSH ranking — mean reciprocal
     * rank of the FIRST exact-top-5 hit per probe, the metric that
     * matters when a retrieval consumer only reads one result (RAG
@@ -752,6 +791,158 @@ object Similarity extends QueryFamily {
        |m AS (SELECT avg(rr) AS mrr FROM perq)
        |SELECT q_id, round(rr, 4) AS rr, round(m.mrr, 4) AS mrr
        |FROM perq, m ORDER BY q_id""".stripMargin
+
+  /** Shared audit tail: given a coarse (q_id, n_id) shortlist, re-rank
+    * it with EXACT full-dimension cosine and report, per probe, the
+    * shortlist's coverage of the exact top-3 AND the re-ranked top-3
+    * recall — the two numbers that judge a two-tier (coarse index +
+    * exact re-rank) serving stack. The re-rank touches only
+    * |probes|·|shortlist| rows. */
+  private def rerankAudit(spark: SparkSession, dir: String,
+      shortlist: DataFrame): DataFrame = {
+    import spark.implicits._
+    val exact = qSimBruteforce(spark, dir).filter($"rank" <= 3)
+      .select($"q_id", $"n_id")
+    val e = T.embeddings(spark, dir)
+    val pv = e.select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val cv = e.select($"vec_id".as("n_id"), $"embedding".as("v"))
+    val rescored = shortlist.join(pv, Seq("q_id")).join(cv, Seq("n_id"))
+      .select($"q_id", $"n_id", cos.as("cos"))
+    val rr3 = Skew.twoPhaseTopK(rescored, Seq($"q_id"),
+        Seq(desc("cos"), asc("n_id")), k = 3, rankName = "rank")
+      .select($"q_id", $"n_id")
+    val shortHits = exact.join(shortlist, Seq("q_id", "n_id"), "left_semi")
+      .groupBy($"q_id").agg(count(lit(1)).as("n_short"))
+    val rrHits = exact.join(rr3, Seq("q_id", "n_id"), "left_semi")
+      .groupBy($"q_id").agg(count(lit(1)).as("n_rr"))
+    exact.groupBy($"q_id").agg(count(lit(1)).as("n_true"))
+      .join(shortHits, Seq("q_id"), "left")
+      .join(rrHits, Seq("q_id"), "left")
+      .select($"q_id",
+        round(coalesce($"n_short", lit(0L)).cast("double") / $"n_true", 4)
+          .as("recall_shortlist"),
+        round(coalesce($"n_rr", lit(0L)).cast("double") / $"n_true", 4)
+          .as("recall_rerank"))
+      .orderBy($"q_id")
+  }
+
+  /** SQL twin of [[rerankAudit]]: takes the coarse shortlist CTE body
+    * (must yield q_id, n_id) and closes the same two-recall report. */
+  private def rerankAuditSql(shortlistCte: String): String =
+    s"""WITH exact AS (SELECT q_id, n_id FROM ($qSimBruteforceSql) WHERE rank <= 3),
+       |short AS MATERIALIZED ($shortlistCte),
+       |ef AS (SELECT vec_id, embedding,
+       |  (SELECT sum(x::DOUBLE * x::DOUBLE) FROM unnest(embedding) t(x)) AS n2
+       |  FROM embeddings),
+       |ru AS (SELECT s.q_id, s.n_id, pq.n2 AS qn2, pn.n2 AS nn2,
+       |    unnest(pq.embedding) AS qx, unnest(pn.embedding) AS nx
+       |  FROM short s
+       |  JOIN ef pq ON pq.vec_id = s.q_id
+       |  JOIN ef pn ON pn.vec_id = s.n_id),
+       |rescored AS (SELECT q_id, n_id,
+       |    sum(qx::DOUBLE * nx::DOUBLE) / sqrt(any_value(qn2) * any_value(nn2)) AS cos
+       |  FROM ru GROUP BY q_id, n_id),
+       |rr3 AS (SELECT q_id, n_id FROM
+       |  (SELECT q_id, n_id,
+       |     row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |   FROM rescored) WHERE rank <= 3),
+       |sh AS (SELECT e.q_id, count(*)::BIGINT AS n_short
+       |  FROM exact e JOIN short s ON s.q_id = e.q_id AND s.n_id = e.n_id
+       |  GROUP BY e.q_id),
+       |rh AS (SELECT e.q_id, count(*)::BIGINT AS n_rr
+       |  FROM exact e JOIN rr3 r ON r.q_id = e.q_id AND r.n_id = e.n_id
+       |  GROUP BY e.q_id),
+       |tr AS (SELECT q_id, count(*)::BIGINT AS n_true FROM exact GROUP BY q_id)
+       |SELECT tr.q_id AS q_id,
+       |  round(coalesce(n_short, 0)::DOUBLE / n_true, 4) AS recall_shortlist,
+       |  round(coalesce(n_rr, 0)::DOUBLE / n_true, 4) AS recall_rerank
+       |FROM tr LEFT JOIN sh ON sh.q_id = tr.q_id
+       |LEFT JOIN rh ON rh.q_id = tr.q_id
+       |ORDER BY q_id""".stripMargin
+
+  /** Matryoshka (MRL) truncation audit — two-tier search with the
+    * FIRST 16 of 64 dimensions as the coarse tier: prefix-cosine
+    * shortlist of 64, exact full-width re-rank of the shortlist only
+    * (1/4 the FLOPs and memory on the corpus-sized pass). Reports
+    * shortlist coverage and re-ranked recall@3 per probe — the two
+    * numbers that decide whether the cheap prefix tier can ship.
+    * (Pure prefix-only ranking measures ~0 recall on this corpus —
+    * the truncation audit exists precisely to catch that.) */
+  def qMatryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e16 = T.embeddings(spark, dir)
+      .select($"vec_id", expr("slice(embedding, 1, 16)").as("emb"))
+    val probes = e16.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"emb".as("qv"))
+    val corpus = e16.select($"vec_id".as("n_id"), $"emb".as("v"))
+    val scored = corpus.join(broadcast(probes), $"q_id" =!= $"n_id")
+      .select($"q_id", $"n_id", cos.as("cos"))
+    val short = Skew.twoPhaseTopK(scored, Seq($"q_id"),
+        Seq(desc("cos"), asc("n_id")), k = 64, rankName = "rank")
+      .select($"q_id", $"n_id")
+    rerankAudit(spark, dir, short)
+  }
+
+  val qMatryoshkaRecallSql: String = rerankAuditSql(
+    """SELECT q_id, n_id FROM (
+      |  SELECT q_id, n_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      |  FROM (
+      |    SELECT q_id, n_id,
+      |      sum(qx::DOUBLE * nx::DOUBLE) / sqrt(any_value(qn2) * any_value(n2)) AS cos
+      |    FROM (
+      |      SELECT q.q_id, e.vec_id AS n_id, q.qn2, e.n2,
+      |        unnest(q.qe) AS qx, unnest(e.emb) AS nx
+      |      FROM (SELECT vec_id AS q_id, embedding[1:16] AS qe,
+      |              (SELECT sum(x::DOUBLE * x::DOUBLE) FROM unnest(embedding[1:16]) t(x)) AS qn2
+      |            FROM embeddings WHERE vec_id < 10) q
+      |      JOIN (SELECT vec_id, embedding[1:16] AS emb,
+      |              (SELECT sum(x::DOUBLE * x::DOUBLE) FROM unnest(embedding[1:16]) t(x)) AS n2
+      |            FROM embeddings) e ON e.vec_id <> q.q_id)
+      |    GROUP BY q_id, n_id)
+      |  ) WHERE rank <= 64""".stripMargin)
+
+  /** 1-bit (sign) quantization audit — two-tier search with Hamming
+    * distance over sign bits as the coarse tier (64× smaller than
+    * float32, distance = popcount): Hamming shortlist of 64, exact
+    * cosine re-rank of the shortlist only. Every coarse distance is an
+    * exact small integer (ties broken by n_id), so the shortlist is
+    * fully deterministic with zero floating-point on the corpus-sized
+    * pass. Reports shortlist coverage and re-ranked recall@3. */
+  def qBinaryQuantRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val eb = T.embeddings(spark, dir)
+      .select($"vec_id",
+        expr("transform(embedding, x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END)").as("bits"))
+    val probes = eb.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"bits".as("qb"))
+    val corpus = eb.select($"vec_id".as("n_id"), $"bits".as("vb"))
+    val scored = corpus.join(broadcast(probes), $"q_id" =!= $"n_id")
+      .select($"q_id", $"n_id",
+        expr("aggregate(zip_with(qb, vb, (a, b) -> CASE WHEN a = b THEN 0 ELSE 1 END), 0, (acc, x) -> acc + x)")
+          .as("hamming"))
+    val short = Skew.twoPhaseTopK(scored, Seq($"q_id"),
+        Seq(asc("hamming"), asc("n_id")), k = 64, rankName = "rank")
+      .select($"q_id", $"n_id")
+    rerankAudit(spark, dir, short)
+  }
+
+  val qBinaryQuantRecallSql: String = rerankAuditSql(
+    """SELECT q_id, n_id FROM (
+      |  SELECT q_id, n_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY hamming, n_id) AS rank
+      |  FROM (
+      |    SELECT q_id, n_id, sum(CASE WHEN qx = nx THEN 0 ELSE 1 END)::BIGINT AS hamming
+      |    FROM (
+      |      SELECT q.q_id, eb.vec_id AS n_id, unnest(q.qb) AS qx, unnest(eb.bits) AS nx
+      |      FROM (SELECT vec_id AS q_id,
+      |              list_transform(embedding, x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS qb
+      |            FROM embeddings WHERE vec_id < 10) q
+      |      JOIN (SELECT vec_id,
+      |              list_transform(embedding, x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS bits
+      |            FROM embeddings) eb ON eb.vec_id <> q.q_id)
+      |    GROUP BY q_id, n_id)
+      |  ) WHERE rank <= 64""".stripMargin)
 
   /** Product-quantization ANN: vectors split into 4 subspaces of 16
     * dims; per-subspace codebooks (label-mean centroids, 10 codes,
@@ -1690,6 +1881,9 @@ object Similarity extends QueryFamily {
     QueryDef("q_sim_ndcg", qSimNdcg, Some(qSimNdcgSql)),
     QueryDef("q_sim_map", qMapAtK, Some(qMapAtKSql)),
     QueryDef("q_sim_mrr", qSimMrr, Some(qSimMrrSql)),
+    QueryDef("q_matryoshka_recall", qMatryoshkaRecall, Some(qMatryoshkaRecallSql)),
+    QueryDef("q_embed_standardize", qEmbedStandardize, Some(qEmbedStandardizeSql)),
+    QueryDef("q_binary_quant_recall", qBinaryQuantRecall, Some(qBinaryQuantRecallSql)),
     QueryDef("q_sim_pq", qSimPq, Some(qSimPqSql)),
     QueryDef("q_sim_pq_recall", qSimPqRecall, Some(qSimPqRecallSql)),
     QueryDef("q_sim_ivfpq", qSimIvfPq, Some(qSimIvfPqSql)),

@@ -138,6 +138,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row per-dim min/max range build (the shared SQ codec); the
     // recall variant adds the 10-row probe-side non-equi join
     "q_sq_error_audit", "q_sq_recall",
+    // 10-row probe-side non-equi joins in the truncation/1-bit audits
+    "q_matryoshka_recall", "q_binary_quant_recall",
     // 1-row OLS-fit / n-cal / threshold builds onto the split scans
     "q_conformal_threshold",
     // 1-row log-log-fit (hurst) build onto the 3-row R/S relation
@@ -290,7 +292,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dedup_embedding" -> "per-label block-count branch (|labels| rows) + the cell self-join's two sides",
     "q_sim_range_search" -> "corpus-count branch (1 row) + probe/corpus bucket sides",
     "q_knn_graph_recall" -> "graph pipeline + exact ground-truth audit pipeline",
-    "q_sq_recall" -> "SQ codec train+apply pipeline + exact ground-truth audit pipeline")
+    "q_sq_recall" -> "SQ codec train+apply pipeline + exact ground-truth audit pipeline",
+    "q_matryoshka_recall" -> "truncated-prefix pipeline + exact ground-truth audit pipeline",
+    "q_binary_quant_recall" -> "sign-bit pipeline + exact ground-truth audit pipeline")
 
   test("no registered query scans one source relation more than twice") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}

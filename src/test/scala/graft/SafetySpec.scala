@@ -148,6 +148,22 @@ class SafetySpec extends AnyFunSuite {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("delete cascade: affected counts consistent with direct predicates") {
+    val rows = ops.Safety.qDeleteCascade(spark, sf).collect()
+      .map(r => r.getAs[String]("table_name") ->
+        (r.getAs[Long]("rows_total"), r.getAs[Long]("rows_affected"))).toMap
+    assert(rows.keySet === Set("customer", "orders", "lineitem", "events"))
+    rows.values.foreach { case (t, a) => assert(a >= 0 && a <= t) }
+    // direct recomputation of the first hop
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    assert(rows("customer")._2 ===
+      cust.filter("c_custkey % 97 = 0").count())
+    assert(rows("customer")._1 === cust.count())
+    // the cascade can only shrink relative share going down the chain
+    // if referential fan-out is uniform; at minimum orders hit > 0
+    assert(rows("orders")._2 > 0 && rows("lineitem")._2 > 0)
+  }
+
   test("dp quantile: released bucket exists on the grid, rank error sane") {
     val r = ops.Safety.qDpQuantile(spark, sf).collect().head
     val n = r.getAs[Long]("n")
