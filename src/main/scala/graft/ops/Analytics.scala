@@ -890,7 +890,79 @@ object Analytics extends QueryFamily {
       |    AS elasticity
       |FROM a""".stripMargin
 
+  /** Keyed exact percentiles — P50/P90/P99 of order value per
+    * priority, the per-group latency-style report every SLA dashboard
+    * carries, through the group-keyed [[graft.ops.Quantiles.exact]]
+    * primitive: bucketed rank location partitioned by the group key,
+    * so all 15 quantiles cost ONE pass over the facts and the windows
+    * run on per-group 4096-bucket histograms, never the raw rows. */
+  def qGroupPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = T.orders(spark, dir)
+      .select($"o_orderpriority".as("grp"), $"o_totalprice")
+    graft.ops.Quantiles.exact(src, Seq("grp"), "o_totalprice", Seq(0.5, 0.9, 0.99))
+      .select($"grp", $"p", round($"q", 2).as("q"), $"n")
+      .orderBy($"grp", $"p")
+  }
+
+  val qGroupPercentilesSql: String =
+    """WITH g AS (SELECT o_orderpriority AS grp, count(*)::BIGINT AS n,
+      |    quantile_cont(o_totalprice, 0.5) AS q50,
+      |    quantile_cont(o_totalprice, 0.9) AS q90,
+      |    quantile_cont(o_totalprice, 0.99) AS q99
+      |  FROM orders GROUP BY 1)
+      |SELECT grp, p, round(q, 2) AS q, n FROM (
+      |  SELECT grp, 0.5 AS p, q50 AS q, n FROM g
+      |  UNION ALL SELECT grp, 0.9, q90, n FROM g
+      |  UNION ALL SELECT grp, 0.99, q99, n FROM g)
+      |ORDER BY grp, p""".stripMargin
+
+  /** Per-user behavioral entropy — Shannon entropy of each user's
+    * event-type TRANSITION distribution, the sessionization-level
+    * diversity signal (bots repeat one loop → H≈0; explorers spread
+    * mass → H→ln(#pairs)). One windowed lead per user timeline, one
+    * hash aggregate to (user, from, to) counts, and the entropy closes
+    * per user from exact integer ratios. Top-20 by entropy then user. */
+  def qSessionEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val tr = T.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"user_id", $"event_type", $"next_type")
+      .agg(count(lit(1)).as("c"))
+    val tot = tr.groupBy($"user_id").agg(sum($"c").as("n_trans"))
+    tr.join(tot, Seq("user_id"))
+      .groupBy($"user_id")
+      .agg(max($"n_trans").as("n_trans"),
+        (-sum(($"c".cast("double") / $"n_trans") *
+          log($"c".cast("double") / $"n_trans"))).as("h"))
+      .select($"user_id", $"n_trans", round($"h", 4).as("entropy"))
+      .orderBy(desc("entropy"), asc("user_id"))
+      .limit(20)
+  }
+
+  val qSessionEntropySql: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type,
+      |    epoch_ns(ts)//1000 AS us FROM events),
+      |seq AS (SELECT user_id, event_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS next_type
+      |  FROM ev),
+      |tr AS (SELECT user_id, event_type, next_type, count(*)::BIGINT AS c
+      |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2, 3),
+      |tot AS (SELECT user_id, sum(c)::BIGINT AS n_trans FROM tr GROUP BY 1),
+      |h AS (SELECT tr.user_id AS user_id, max(n_trans) AS n_trans,
+      |    -sum((c::DOUBLE / n_trans) * ln(c::DOUBLE / n_trans)) AS h
+      |  FROM tr JOIN tot ON tr.user_id = tot.user_id
+      |  GROUP BY tr.user_id)
+      |SELECT user_id, n_trans, round(h, 4) AS entropy
+      |FROM h ORDER BY entropy DESC, user_id LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_group_percentiles", qGroupPercentiles, Some(qGroupPercentilesSql)),
+    QueryDef("q_session_entropy", qSessionEntropy, Some(qSessionEntropySql)),
     QueryDef("q_stickiness", qStickiness, Some(qStickinessSql)),
     QueryDef("q_price_elasticity", qPriceElasticity, Some(qPriceElasticitySql)),
     QueryDef("q_session_native", qSessionNative, Some(qSessionNativeSql)),

@@ -231,6 +231,83 @@ object Curation extends QueryFamily {
       .orderBy($"doc_id")
   }
 
+  /** Bloom-filter false-positive-rate audit with a DATA-ADAPTIVE
+    * filter size — the measurement that turns "we use a Bloom filter
+    * for decontamination" into an engineering budget. A k=5 Bloom over
+    * the eval 8-gram set is SIMULATED exactly in relational form (the
+    * bit array is the distinct set of md5-derived bucket indices, so
+    * both engines agree bit-for-bit), with m = 4·|eval grams| buckets —
+    * sized from the data like the scaled-LSH depth, so the measured
+    * FPR stays in the same regime at any SF instead of saturating.
+    * Membership tests join bucket hits against the bucket set (shuffle
+    * join on the bucket key — the set is m-bounded but grows with the
+    * eval corpus, so it is NOT broadcast); a train gram false-positives
+    * iff all 5 buckets hit AND it is not a true member. Reports
+    * measured FPR next to the analytic (1−(1−1/m)^{kn})^k. */
+  def qBloomFprAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = gramRows(spark, dir, 8)
+    val evalG = grams.filter($"doc_id" % 20 === 0).select($"g").distinct().cache()
+    val trainG = grams.filter($"doc_id" % 20 =!= 0).select($"g").distinct().cache()
+    val mRow = evalG.agg(count(lit(1)).as("n_eval"))
+      .select($"n_eval", ($"n_eval" * 4).as("m"))
+    val hash = expr(
+      "cast(conv(substring(md5(cast(concat(gx, '#', cast(ix as string)) as binary)), 1, 12), 16, 10) AS bigint)")
+    val ks = explode(expr("sequence(1, 5)")).as("ix")
+    val bits = evalG.crossJoin(broadcast(mRow))
+      .select($"g".as("gx"), $"m", ks)
+      .select((hash % $"m").as("b"))
+      .distinct()
+    val probes = trainG.crossJoin(broadcast(mRow))
+      .select($"g".as("gx"), $"m", ks)
+      .select($"gx", (hash % $"m").as("b"))
+    val flagged = probes.join(bits, Seq("b"), "left_semi")
+      .groupBy($"gx").agg(count(lit(1)).as("nb"))
+      .filter($"nb" === 5)
+      .select($"gx".as("g"))
+    val fp = flagged.join(evalG, Seq("g"), "left_anti")
+      .agg(count(lit(1)).as("n_fp"))
+    val nonMembers = trainG.join(evalG, Seq("g"), "left_anti")
+      .agg(count(lit(1)).as("n_nonmember"))
+    fp.crossJoin(broadcast(nonMembers)).crossJoin(broadcast(mRow))
+      .select($"n_eval", $"n_nonmember", $"n_fp",
+        round($"n_fp".cast("double") / $"n_nonmember", 6).as("fpr_measured"),
+        round(pow(lit(1.0) - pow(lit(1.0) - lit(1.0) / $"m",
+          lit(5.0) * $"n_eval"), 5.0), 6).as("fpr_theory"))
+  }
+
+  val qBloomFprAuditSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 6), i ->
+      |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+      |    w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS g
+      |  FROM tok WHERE len(w) >= 8),
+      |ev AS MATERIALIZED (SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 0),
+      |tr AS MATERIALIZED (SELECT DISTINCT g FROM sh WHERE doc_id % 20 <> 0),
+      |mr AS (SELECT count(*)::BIGINT AS n_eval, count(*)::BIGINT * 4 AS m FROM ev),
+      |bits AS MATERIALIZED (SELECT DISTINCT
+      |    (list_sum(list_transform(range(1, 13),
+      |       i -> (strpos('0123456789abcdef',
+      |               substr(md5(g || '#' || ix::VARCHAR), i, 1)) - 1)
+      |            * pow(16.0, 12 - i)))::BIGINT) % m AS b
+      |  FROM ev, mr, (SELECT unnest(range(1, 6)) AS ix)),
+      |probes AS (SELECT g,
+      |    (list_sum(list_transform(range(1, 13),
+      |       i -> (strpos('0123456789abcdef',
+      |               substr(md5(g || '#' || ix::VARCHAR), i, 1)) - 1)
+      |            * pow(16.0, 12 - i)))::BIGINT) % m AS b
+      |  FROM tr, mr, (SELECT unnest(range(1, 6)) AS ix)),
+      |flagged AS (SELECT g FROM probes WHERE b IN (SELECT b FROM bits)
+      |  GROUP BY g HAVING count(*) = 5),
+      |fp AS (SELECT count(*)::BIGINT AS n_fp FROM flagged
+      |  WHERE g NOT IN (SELECT g FROM ev)),
+      |nm AS (SELECT count(*)::BIGINT AS n_nonmember FROM tr
+      |  WHERE g NOT IN (SELECT g FROM ev))
+      |SELECT n_eval, n_nonmember, n_fp,
+      |  round(n_fp::DOUBLE / n_nonmember, 6) AS fpr_measured,
+      |  round(pow(1.0 - pow(1.0 - 1.0 / m, 5.0 * n_eval), 5.0), 6) AS fpr_theory
+      |FROM fp, nm, mr""".stripMargin
+
   /** Source-mixing weights: per-source token share and the
     * temperature-scaled (tau = 0.7) sampling weight used to rebalance
     * a training mix toward low-resource sources. One hash aggregate to
@@ -877,6 +954,7 @@ object Curation extends QueryFamily {
     QueryDef("q_repetition", qRepetition, Some(qRepetitionSql)),
     QueryDef("q_contamination", qContamination, Some(qContaminationSql)),
     QueryDef("q_contamination_bloom", qContaminationBloom, Some(qContaminationSql)),
+    QueryDef("q_bloom_fpr_audit", qBloomFprAudit, Some(qBloomFprAuditSql)),
     QueryDef("q_domain_mix", qDomainMix, Some(qDomainMixSql)),
     QueryDef("q_seq_packing", qSeqPacking, Some(qSeqPackingSql)),
     QueryDef("q_epoch_mix", qEpochMix, Some(qEpochMixSql)),

@@ -248,6 +248,32 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("group percentiles: monotone within group, all 5x3 cells present") {
+    val rows = ops.Analytics.qGroupPercentiles(spark, sf).collect()
+    assert(rows.length === 15)
+    val byGrp = rows.groupBy(_.getAs[String]("grp"))
+    assert(byGrp.size === 5)
+    byGrp.values.foreach { g =>
+      val qs = g.sortBy(_.getAs[Double]("p")).map(_.getAs[Double]("q"))
+      assert(qs.zip(qs.tail).forall { case (a, b) => a <= b },
+        "quantiles must be monotone in p")
+    }
+  }
+
+  test("session entropy: bounded by log of the pair space, top-20 ordered") {
+    val rows = ops.Analytics.qSessionEntropy(spark, sf).collect()
+    // top-20 cap; the sf0.001 fixture has fewer active users
+    assert(rows.length >= 10 && rows.length <= 20)
+    val hs = rows.map(_.getAs[Double]("entropy"))
+    assert(hs.zip(hs.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      // <=5 event types -> <=25 transition pairs -> H <= ln 25
+      assert(h >= 0.0 && h <= math.log(25.0) + 1e-9)
+      assert(r.getAs[Long]("n_trans") > 0)
+    }
+  }
+
   test("price elasticity: demand slopes down across the full band ladder") {
     val r = ops.Analytics.qPriceElasticity(spark, sf).collect().head
     assert(r.getAs[Long]("n_bands") >= 3, "need >=3 price bands for a slope")

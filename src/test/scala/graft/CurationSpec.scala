@@ -200,4 +200,16 @@ class CurationSpec extends AnyFunSuite {
     val again = ops.Curation.qSampleWeighted(spark, sf).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("bloom fpr audit: measured rate within an order of magnitude of theory") {
+    val r = ops.Curation.qBloomFprAudit(spark, sf).collect().head
+    val (meas, theory) = (r.getAs[Double]("fpr_measured"), r.getAs[Double]("fpr_theory"))
+    assert(meas >= 0.0 && meas <= 1.0)
+    assert(theory > 0.0 && theory < 1.0)
+    // m = 4n, k = 5 -> theory ~ 0.19 at any SF; the exact-set simulation
+    // should land near it (binomial noise on |non-members| trials)
+    assert(meas <= theory * 3 + 0.05 && meas >= theory / 3 - 0.05,
+      s"measured FPR $meas too far from theory $theory")
+    assert(r.getAs[Long]("n_fp") <= r.getAs[Long]("n_nonmember"))
+  }
 }

@@ -103,6 +103,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dp_quantile",
     // 1-row Brier total against the 1-row bin-decomposition summary
     "q_brier_score",
+    // 1-row (n_eval, m) filter-sizing build + 1-row FP/non-member totals
+    "q_bloom_fpr_audit",
     // 1-row corpus-count broadcast onto the 20-row boilerplate list
     "q_boilerplate",
     // 1-row total-edge-weight broadcast onto the |communities| rows
