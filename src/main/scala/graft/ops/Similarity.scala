@@ -717,6 +717,47 @@ object Similarity extends QueryFamily {
        |SELECT q_id, round(ap, 4) AS ap, round(m.map, 4) AS map
        |FROM perq, m ORDER BY q_id""".stripMargin
 
+  /** LSH bucket-skew audit — the distribution of scaled sign-LSH
+    * bucket sizes plus Σs² (the EXACT candidate-pair count a bucket
+    * equi-self-join would generate), the number the bounded-bucket
+    * plan gate reasons about, surfaced as a query: pairs_per_vec ≈
+    * targetBucket means the join is O(n·target); a blowout means the
+    * hyperplanes stopped splitting the data. Uses the same
+    * corpus-scaled depth as the production LSH family, so this audit
+    * IS the family's health check at any SF. */
+  def qLshBucketSkew(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e0 = T.embeddings(spark, dir)
+    val n = e0.agg(count(lit(1)).as("n"))
+    val sizes = e0.crossJoin(broadcast(n))
+      .withColumn("bits", scaledBits($"n", targetBucket = 64, floor = 2, max = 16))
+      .withColumn("sg", signBits(16))
+      .withColumn("bucket", expr("substring(sg, 1, bits)"))
+      .groupBy($"bucket").agg(count(lit(1)).as("s"))
+    sizes.agg(count(lit(1)).as("n_buckets"), sum($"s").as("n_vecs"),
+        max($"s").as("max_bucket"),
+        sum($"s".cast("decimal(38,0)") * $"s").as("cand"))
+      .select($"n_buckets", $"n_vecs", $"max_bucket",
+        round($"n_vecs".cast("double") / $"n_buckets", 2).as("mean_bucket"),
+        $"cand".cast("long").as("candidate_pairs"),
+        round($"cand".cast("double") / $"n_vecs", 2).as("pairs_per_vec"))
+  }
+
+  val qLshBucketSkewSql: String =
+    """WITH nb AS (SELECT greatest(2, least(16,
+      |    CAST(ceil(log2(count(*) / 64.0)) AS INT))) AS bits FROM embeddings),
+      |b AS (SELECT substr(array_to_string(list_transform(embedding[1:16],
+      |    x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), ''), 1, bits) AS bucket
+      |  FROM embeddings, nb),
+      |sizes AS (SELECT bucket, count(*)::BIGINT AS s FROM b GROUP BY bucket),
+      |a AS (SELECT count(*)::BIGINT AS n_buckets, sum(s)::BIGINT AS n_vecs,
+      |    max(s) AS max_bucket, sum(s::HUGEINT * s) AS cand FROM sizes)
+      |SELECT n_buckets, n_vecs, max_bucket,
+      |  round(n_vecs::DOUBLE / n_buckets, 2) AS mean_bucket,
+      |  cand::BIGINT AS candidate_pairs,
+      |  round(cand::DOUBLE / n_vecs, 2) AS pairs_per_vec
+      |FROM a""".stripMargin
+
   /** Per-dimension feature standardization (z-scoring) of the
     * embedding matrix with a self-audit — the preprocessing step
     * whitening/PCA/linear-probe training assumes, reported as the
@@ -1883,6 +1924,7 @@ object Similarity extends QueryFamily {
     QueryDef("q_sim_mrr", qSimMrr, Some(qSimMrrSql)),
     QueryDef("q_matryoshka_recall", qMatryoshkaRecall, Some(qMatryoshkaRecallSql)),
     QueryDef("q_embed_standardize", qEmbedStandardize, Some(qEmbedStandardizeSql)),
+    QueryDef("q_lsh_bucket_skew", qLshBucketSkew, Some(qLshBucketSkewSql)),
     QueryDef("q_binary_quant_recall", qBinaryQuantRecall, Some(qBinaryQuantRecallSql)),
     QueryDef("q_sim_pq", qSimPq, Some(qSimPqSql)),
     QueryDef("q_sim_pq_recall", qSimPqRecall, Some(qSimPqRecallSql)),

@@ -1074,7 +1074,89 @@ object Stats extends QueryFamily {
       |  round(n / 6.0 * (skew * skew + kurt * kurt / 4.0), 4) AS jb
       |FROM sk""".stripMargin
 
+  /** Sample-ratio-mismatch guardrail — the chi-square (1 df) check on
+    * a hash-based 50/50 experiment assignment that every A/B platform
+    * runs before reading any metric (a biased randomizer invalidates
+    * the whole experiment). Assignment = first md5 byte of the order
+    * key, the q_split_assign convention; counts are exact integers and
+    * the 3.841 critical value (α=0.05) flags the alarm. One map-side-
+    * combined aggregate. */
+  def qSrmCheck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cell = conv(substring(md5($"o_orderkey".cast("string").cast("binary")), 1, 2), 16, 10)
+      .cast("int")
+    T.orders(spark, dir)
+      .select(when(cell < 128, "a").otherwise("b").as("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"arm" === "a", 1L).otherwise(0L)).as("na"),
+        sum(when($"arm" === "b", 1L).otherwise(0L)).as("nb"))
+      .select($"n", $"na", $"nb",
+        round(($"na" - $"n" / lit(2.0)) * ($"na" - $"n" / lit(2.0)) / ($"n" / lit(2.0)) +
+          ($"nb" - $"n" / lit(2.0)) * ($"nb" - $"n" / lit(2.0)) / ($"n" / lit(2.0)), 4)
+          .as("chi2"))
+      .withColumn("srm_alarm", $"chi2" > 3.8415)
+  }
+
+  val qSrmCheckSql: String =
+    """WITH arm AS (SELECT CASE WHEN
+      |    (strpos('0123456789abcdef', substr(md5(o_orderkey::VARCHAR), 1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(md5(o_orderkey::VARCHAR), 2, 1)) - 1)
+      |    < 128 THEN 'a' ELSE 'b' END AS arm FROM orders),
+      |c AS (SELECT count(*)::BIGINT AS n,
+      |    sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END)::BIGINT AS na,
+      |    sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END)::BIGINT AS nb
+      |  FROM arm)
+      |SELECT n, na, nb,
+      |  round((na - n / 2.0) * (na - n / 2.0) / (n / 2.0) +
+      |    (nb - n / 2.0) * (nb - n / 2.0) / (n / 2.0), 4) AS chi2,
+      |  round((na - n / 2.0) * (na - n / 2.0) / (n / 2.0) +
+      |    (nb - n / 2.0) * (nb - n / 2.0) / (n / 2.0), 4) > 3.8415 AS srm_alarm
+      |FROM c""".stripMargin
+
+  /** A/B power analysis — the pre-experiment sample-size calculator
+    * (α=0.05 two-sided, power=0.8) for a 2% minimum detectable effect
+    * on order value: n/arm = 2σ²(z_{α/2}+z_β)²/δ². Variance comes from
+    * the exact decimal cents moments cast to double once; the answer
+    * is the required per-arm n next to the CURRENT per-arm n so the
+    * readout is an actionable go/no-go. */
+  def qPowerAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d38 = "decimal(38,0)"
+    val za = 1.959963985
+    val zb = 0.8416212336
+    T.orders(spark, dir)
+      .select(round($"o_totalprice" * 100).cast(d38).as("c"))
+      .agg(count(lit(1)).as("n"), sum($"c").as("s1"), sum($"c" * $"c").as("s2"))
+      .select($"n",
+        (($"n" * $"s2" - $"s1" * $"s1").cast("double") /
+          ($"n".cast("double") * $"n")).as("var_c"),
+        ($"s1".cast("double") / $"n").as("mean_c"))
+      .select($"n", round(sqrt($"var_c") / 100.0, 2).as("sigma"),
+        round($"mean_c" / 100.0, 2).as("mean"),
+        lit(2.0).as("mde_pct"),
+        ceil(lit(2.0) * $"var_c" * lit((za + zb) * (za + zb)) /
+          (lit(0.02) * $"mean_c" * (lit(0.02) * $"mean_c"))).cast("long")
+          .as("n_required_per_arm"))
+      .withColumn("powered", ($"n" / 2).cast("long") >= $"n_required_per_arm")
+  }
+
+  val qPowerAnalysisSql: String =
+    """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS HUGEINT) AS c FROM orders),
+      |m AS (SELECT count(*)::BIGINT AS n, sum(c) AS s1, sum(c * c) AS s2 FROM c),
+      |v AS (SELECT n,
+      |    (n * s2 - s1 * s1)::DOUBLE / (n::DOUBLE * n) AS var_c,
+      |    s1::DOUBLE / n AS mean_c FROM m)
+      |SELECT n, round(sqrt(var_c) / 100.0, 2) AS sigma,
+      |  round(mean_c / 100.0, 2) AS mean, 2.0 AS mde_pct,
+      |  CAST(ceil(2.0 * var_c * 7.848879737078008 /
+      |    ((0.02 * mean_c) * (0.02 * mean_c))) AS BIGINT) AS n_required_per_arm,
+      |  (n // 2) >= CAST(ceil(2.0 * var_c * 7.848879737078008 /
+      |    ((0.02 * mean_c) * (0.02 * mean_c))) AS BIGINT) AS powered
+      |FROM v""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_srm_check", qSrmCheck, Some(qSrmCheckSql)),
+    QueryDef("q_power_analysis", qPowerAnalysis, Some(qPowerAnalysisSql)),
     QueryDef("q_jarque_bera", qJarqueBera, Some(qJarqueBeraSql)),
     QueryDef("q_mcnemar", qMcNemar, Some(qMcNemarSql)),
     QueryDef("q_fleiss_kappa", qFleissKappa, Some(qFleissKappaSql)),

@@ -105,6 +105,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_brier_score",
     // 1-row (n_eval, m) filter-sizing build + 1-row FP/non-member totals
     "q_bloom_fpr_audit",
+    // 1-row corpus-count broadcast that sets the scaled sign-LSH depth
+    "q_lsh_bucket_skew",
     // 1-row corpus-count broadcast onto the 20-row boilerplate list
     "q_boilerplate",
     // 1-row total-edge-weight broadcast onto the |communities| rows

@@ -208,6 +208,18 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("lsh bucket skew: accounting exact, load near the scaled target") {
+    val r = ops.Similarity.qLshBucketSkew(spark, sf).collect().head
+    val (nb, nv, mx) = (r.getAs[Long]("n_buckets"), r.getAs[Long]("n_vecs"),
+      r.getAs[Long]("max_bucket"))
+    assert(nv === spark.read.parquet(s"$sf/embeddings.parquet").count())
+    assert(mx >= (nv + nb - 1) / nb, "max below the pigeonhole mean")
+    val ppv = r.getAs[Double]("pairs_per_vec")
+    // scaled depth targets 64-vector buckets; 20x is the blowout tripwire
+    assert(ppv <= 64.0 * 20, s"candidate load $ppv per vector — bucketing collapsed")
+    assert(r.getAs[Long]("candidate_pairs") >= nv, "Σs² is at least n")
+  }
+
   test("per-dimension standardization: sane moments, post-audit is (0,1)") {
     val rows = ops.Similarity.qEmbedStandardize(spark, sf).collect()
     assert(rows.length === 64)

@@ -202,6 +202,22 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("chi2") >= 0.0)
   }
 
+  test("srm check: arms partition the orders, alarm consistent with chi2") {
+    val r = ops.Stats.qSrmCheck(spark, sf).collect().head
+    assert(r.getAs[Long]("na") + r.getAs[Long]("nb") === r.getAs[Long]("n"))
+    val chi2 = r.getAs[Double]("chi2")
+    assert(chi2 >= 0.0)
+    assert(r.getAs[Boolean]("srm_alarm") === (chi2 > 3.8415))
+  }
+
+  test("power analysis: requirement positive, go/no-go consistent") {
+    val r = ops.Stats.qPowerAnalysis(spark, sf).collect().head
+    assert(r.getAs[Double]("sigma") > 0.0 && r.getAs[Double]("mean") > 0.0)
+    val req = r.getAs[Long]("n_required_per_arm")
+    assert(req > 0)
+    assert(r.getAs[Boolean]("powered") === (r.getAs[Long]("n") / 2 >= req))
+  }
+
   test("jarque-bera: moments finite, JB recomputes from skew/kurt") {
     val r = ops.Stats.qJarqueBera(spark, sf).collect().head
     val (n, s, k, jb) = (r.getAs[Long]("n"), r.getAs[Double]("skew"),
