@@ -43,8 +43,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Builder-side token substitution: {THUMBS} -> this run's
+    // materialized decode sidecar (written during query construction
+    // above, so it exists by the time the driver's DuckDB reads it).
+    // Oracle SQL stays static text per query; only the fixture-derived
+    // path varies per run.
+    val thumbs = graft.ops.Multimodal.thumbsSidecarPath(sfDir)
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{THUMBS}", thumbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -701,7 +701,7 @@ object Analytics extends QueryFamily {
       .withColumn("cohort", min($"mon").over(wCust))
     val g = facts.groupBy($"cohort", ($"ym" - $"cym").cast("long").as("age"))
       .agg(countDistinct($"o_custkey").as("n_active"), sum($"c").as("rev_c"))
-      .localCheckpoint(true)
+      .ckpt()
     val size = g.filter($"age" === 0)
       .select($"cohort", $"n_active".as("cohort_size"))
     val wCum = Window.partitionBy($"cohort").orderBy($"age")
@@ -753,7 +753,7 @@ object Analytics extends QueryFamily {
       .groupBy((dayofweek($"ts") - 1).cast("int").as("dow"),
         hour($"ts").cast("int").as("hr"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      .ckpt()
     val tot = cells.agg(sum($"n").cast("double").as("total"))
     cells.crossJoin(broadcast(tot))
       .select($"dow", $"hr", $"n", round($"n" / $"total", 6).as("share"))

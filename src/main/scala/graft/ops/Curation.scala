@@ -429,11 +429,11 @@ object Curation extends QueryFamily {
       .select($"source", size(split($"text", " ")).as("n_tok"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
-      .localCheckpoint()
+      .ckpt()
     val shares = bySource
       .crossJoin(broadcast(bySource.agg(sum($"n_tokens").cast("double").as("total"))))
       .withColumn("w", pow($"n_tokens" / $"total", 0.7))
-      .localCheckpoint()
+      .ckpt()
     shares
       .crossJoin(broadcast(shares.agg(sum($"w").as("z"))))
       .withColumn("weight", $"w" / $"z")
@@ -477,7 +477,7 @@ object Curation extends QueryFamily {
     val docs = T.documents(spark, dir)
       .select($"source", $"text", size(split($"text", " ")).as("n_tok"))
     val bySource = docs.groupBy($"source").agg(sum($"n_tok").as("n_tokens"))
-      .localCheckpoint()
+      .ckpt()
     val rates = bySource
       .crossJoin(broadcast(bySource.agg(min($"n_tokens").cast("double").as("floor_tokens"))))
       .withColumn("rate", $"floor_tokens" / $"n_tokens")
@@ -523,7 +523,7 @@ object Curation extends QueryFamily {
       .agg(count(lit(1)).as("n_docs"),
         stddev_pop($"n_chars".cast("double")).as("sigma"))
       .withColumn("mass", $"n_docs" * $"sigma")
-      .localCheckpoint()
+      .ckpt()
     strata
       .crossJoin(broadcast(strata.agg(sum($"mass").as("z"))))
       .select($"source", $"n_docs", round($"sigma", 2).as("sigma"),
@@ -610,7 +610,7 @@ object Curation extends QueryFamily {
         count($"samp_chars").as("n_samp"),
         avg($"samp_chars").as("mean_h"), var_samp($"samp_chars").as("var_h"),
         sum($"samp_chars").as("sum_samp"))
-      .localCheckpoint()
+      .ckpt()
     val est = strata
       .crossJoin(broadcast(strata.agg(sum($"n_pop").cast("double").as("n_total"))))
       .agg(
@@ -702,13 +702,13 @@ object Curation extends QueryFamily {
         sum(when($"g3", $"n_tok").otherwise(0L)).as("t3"),
         sum(when($"g4", 1L).otherwise(0L)).as("d4"),
         sum(when($"g4", $"n_tok").otherwise(0L)).as("t4"))
-      .localCheckpoint()
+      .ckpt()
     // temperature-0.7 mix plan over surviving tokens, 2x token budget
     // (the qEpochMix arithmetic, here fed by the gated corpus)
     val wgt = bySource
       .crossJoin(broadcast(bySource.agg(sum($"t4").cast("double").as("total"))))
       .withColumn("wgt", pow($"t4" / $"total", 0.7))
-      .localCheckpoint()
+      .ckpt()
     val planned = wgt
       .crossJoin(broadcast(wgt.agg(sum($"wgt").as("z"))))
       .withColumn("target_tokens",

@@ -229,12 +229,17 @@ object Dedup extends QueryFamily {
   def qLshBandSweep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val p = 2147483647L
-    val shx = shingleRows(spark, dir, 3).cache()
+    // eager ckpt (not lazy cache): the three layouts each consume shx
+    // twice and sigs once — materializing both up front truncates the
+    // shared lineage, so no layout re-derives the shingle/signature
+    // pipeline during its own planning or a cache miss (the round-10
+    // idle-drift finding on this query: 2.7 -> 3.8 s with lazy caches)
+    val shx = shingleRows(spark, dir, 3).ckpt()
     val sigs = shx
       .withColumn("h", expr("cast(conv(substring(md5(sh), 1, 12), 16, 10) AS bigint)") % p)
       .groupBy($"doc_id")
       .agg(graft.functions.Aggregators.minhashSig(SigComponents)($"h").as("sig"))
-      .cache()
+      .ckpt()
     val sizes = shx.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     def layout(nBands: Int): DataFrame = {
       val rows = SigComponents / nBands
@@ -359,11 +364,11 @@ object Dedup extends QueryFamily {
     var edges = minhashPairs(spark, dir).filter($"j" >= 0.8)
       .select($"a_id".as("u"), $"b_id".as("v"))
       .filter($"u" =!= $"v").distinct()
-      .localCheckpoint()
+      .ckpt()
     var s = sig(edges)
     var converged = false
     while (!converged) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).ckpt()
       val ns = sig(next)
       converged = ns == s
       edges = next

@@ -57,7 +57,7 @@ object Graph extends QueryFamily {
       // them. One eager localCheckpoint per round keeps the lineage —
       // and the executed stage count — linear in k (same discipline as
       // the q_dedup_clusters fixpoint loop).
-      val r = ranks.localCheckpoint(true)
+      val r = ranks.ckpt()
       val dangling = r.filter(!$"has_out")
         .agg(coalesce(sum($"r"), lit(0.0)).as("dang"))
       val contrib = p.join(r, p("u") === r("t"))
@@ -167,7 +167,7 @@ object Graph extends QueryFamily {
       .select($"t",
         when($"t" === $"seed", lit(0L)).otherwise(lit(null).cast("long")).as("d"))
     for (_ <- 1 to 4) {
-      val cur = dist.localCheckpoint(true)
+      val cur = dist.ckpt()
       val relaxed = edges.join(cur, edges("u") === cur("t"))
         .filter($"d".isNotNull)
         .groupBy($"v").agg(min($"d" + 1L).as("cand"))
@@ -318,14 +318,14 @@ object Graph extends QueryFamily {
     var hub = nodes.select($"t", lit(1.0).as("h"))
     var auth = nodes.select($"t", lit(0.0).as("a"))
     for (_ <- 1 to 2) {
-      val h = hub.localCheckpoint(true)
+      val h = hub.ckpt()
       val aRaw = edges.join(h, edges("u") === h("t"))
         .groupBy($"v").agg(sum($"n" * $"h").as("s"))
       val aTot = aRaw.agg(sum($"s").as("tot"))
       auth = nodes.join(aRaw, nodes("t") === aRaw("v"), "left_outer")
         .crossJoin(broadcast(aTot))
         .select($"t", (coalesce($"s", lit(0.0)) / $"tot").as("a"))
-        .localCheckpoint(true)
+        .ckpt()
       val hRaw = edges.join(auth, edges("v") === auth("t"))
         .groupBy($"u").agg(sum($"n" * $"a").as("s"))
       val hTot = hRaw.agg(sum($"s").as("tot"))
@@ -386,7 +386,7 @@ object Graph extends QueryFamily {
     val nodes = nbr.select($"node").distinct().cache()
     var labels = nodes.select($"node", $"node".as("lab"))
     for (_ <- 1 to 2) {
-      val l = labels.localCheckpoint(true)
+      val l = labels.ckpt()
       val sums = nbr
         .join(l.withColumnRenamed("node", "other"), Seq("other"))
         .groupBy($"node", $"lab").agg(sum($"w").as("s"))
@@ -415,7 +415,7 @@ object Graph extends QueryFamily {
   def qGraphModularity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val lab = qLabelProp(spark, dir)
-      .select($"t", $"community").localCheckpoint(true)
+      .select($"t", $"community").ckpt()
     val und = Relational.qTransitions(spark, dir)
       .filter($"from_type" =!= $"to_type")
       .select(least($"from_type", $"to_type").as("a"),
@@ -524,7 +524,7 @@ object Graph extends QueryFamily {
     val b = items.select($"l_orderkey".as("o"), $"l_partkey".as("pb"))
     var edges = a.join(b, Seq("o")).filter($"pa" < $"pb")
       .select($"pa", $"pb").distinct()
-      .localCheckpoint(true)
+      .ckpt()
     def degrees(ed: DataFrame): DataFrame =
       ed.select($"pa".as("t")).union(ed.select($"pb".as("t")))
         .groupBy($"t").agg(count(lit(1)).as("d"))
@@ -541,7 +541,7 @@ object Graph extends QueryFamily {
       edges = edges
         .join(keep.withColumnRenamed("t", "pa"), Seq("pa"), "left_semi")
         .join(keep.withColumnRenamed("t", "pb"), Seq("pb"), "left_semi")
-        .localCheckpoint(true)
+        .ckpt()
       out = out.unionByName(stats(r, edges))
     }
     out.orderBy($"peel_round")
@@ -619,7 +619,7 @@ object Graph extends QueryFamily {
       .select($"t", $"has_out", $"is_seed",
         when($"is_seed", 1.0).otherwise(0.0).as("r"))
     for (_ <- 1 to 3) {
-      val r = ranks.localCheckpoint(true)
+      val r = ranks.ckpt()
       val dangling = r.filter(!$"has_out")
         .agg(coalesce(sum($"r"), lit(0.0)).as("dang"))
       val contrib = p.join(r, p("u") === r("t"))

@@ -504,7 +504,7 @@ object Mining extends QueryFamily {
         Seq($"rev_c".desc, $"o_custkey".asc), 100, "rank_rev")
       .withColumn("rank_cnt", row_number().over(
         Window.orderBy($"n_orders".desc, $"o_custkey".asc)))
-      .localCheckpoint(true)
+      .ckpt()
     val a = top.select($"rank_rev".as("ra"), $"rank_cnt".as("ca"))
     val b = top.select($"rank_rev".as("rb"), $"rank_cnt".as("cb"))
     a.join(b, $"ra" < $"rb")
@@ -878,7 +878,7 @@ object Mining extends QueryFamily {
         ($"us" >= $"mid_us").cast("int").as("post"))
       .agg(count(lit(1)).as("n"),
         sum(round($"value" * 100).cast("long")).as("v_c"))
-      .localCheckpoint(true)
+      .ckpt()
     val did = cells.agg(
       ((max(when($"arm" === 1 && $"post" === 1, $"v_c".cast("double") / $"n"))
         - max(when($"arm" === 1 && $"post" === 0, $"v_c".cast("double") / $"n")))
@@ -976,7 +976,7 @@ object Mining extends QueryFamily {
       .withColumn("next_pid", first($"pid", ignoreNulls = true).over(wNext))
       .filter($"tag" === 0)
       .withColumn("jkey", coalesce($"next_pid", lit(-1L)))
-      .localCheckpoint(true)
+      .ckpt()
     val wJ = Window.partitionBy($"user_id", $"jkey").orderBy($"us", $"event_id")
     val wJd = Window.partitionBy($"user_id", $"jkey").orderBy($"us".desc, $"event_id".desc)
     val withPrev = clicksJ.withColumn("prev_ch", lag($"ch", 1).over(wJ))
@@ -1010,7 +1010,7 @@ object Mining extends QueryFamily {
         posexplode(expr("slice(v, 2, 5)")).as(Seq("i", "p")))
       .select($"i".cast("int").as("channel"),
         round(($"pf" - $"p") / $"pf", 5).as("removal_effect"), $"pf")
-    val rem = res.localCheckpoint(true)
+    val rem = res.ckpt()
     val tot = rem.agg(sum(greatest($"removal_effect", lit(0.0))).as("te"))
     rem.crossJoin(broadcast(tot))
       .select($"channel", $"removal_effect",
@@ -1103,7 +1103,7 @@ object Mining extends QueryFamily {
       .groupBy(floor($"o_totalprice" / 100).cast("long").as("g"))
       .agg(sum(when($"c_mktsegment" === "BUILDING", 1L).otherwise(0L)).as("c1"),
         sum(when($"c_mktsegment" === "MACHINERY", 1L).otherwise(0L)).as("c2"))
-      .localCheckpoint(true)
+      .ckpt()
     val tot = counts.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
     val wG = Window.orderBy($"g")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1320,7 +1320,7 @@ object Mining extends QueryFamily {
       .select(explode(split($"text", " ")).as("t"))
       .filter(length($"t") > 0)
       .groupBy($"t").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .ckpt()
     def bucketed(df: DataFrame): DataFrame = df
       .select($"t", $"cnt", explode(expr("sequence(0, 3)")).as("r"))
       .withColumn("b", expr(
@@ -1424,7 +1424,7 @@ object Mining extends QueryFamily {
       .withColumn("u",
         expr("cast(conv(substring(md5(cast(o_custkey as string)), 1, 12), 16, 10) AS bigint)")
           .cast("double") / lit(math.pow(16.0, 12)))
-      .localCheckpoint()
+      .ckpt()
     val bottom = m.orderBy($"u", $"o_custkey").limit(k)
     val sketch = bottom.agg(max($"u").as("uk"),
       sum($"in_a" * $"in_b").as("both_k"))

@@ -289,10 +289,127 @@ object Multimodal extends QueryFamily {
     qMultimodalFeatures(spark, dir).withColumn("features",
       expr("array_join(transform(features, x -> cast(x AS string)), ',')"))
 
+  private val pixelSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("px", ArrayType(IntegerType, containsNull = false), nullable = false)))
+
+  /** [[resizeOf]] with the thumbnail emitted as unsigned pixel ints
+    * (0-255) instead of raw bytes — the columnar shape DOWNSTREAM
+    * image algebra (perceptual hashing, embedding preprocs) consumes,
+    * and one a SQL engine can read back without a codec. */
+  def pixelsOf(src: DataFrame, tw: Int = 16, th: Int = 16): DataFrame = {
+    val enc = RowEncoder.encoderFor(pixelSchema)
+    src.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getAs[Long]("doc_id")
+        val payload = r.getAs[Array[Byte]]("blob")
+        val thumb = resizeImage(payload, tw, th)
+          .getOrElse(resizeStub(payload, tw, th))
+        Row(id, thumb.map(b => b & 0xff))
+      }
+    }(enc)
+  }
+
+  /** Absolute path of the materialized 16x16 pixel side-table for one
+    * fixture dir — keyed by the fixture's basename so every scale
+    * factor gets its own sidecar. Lives under the repo's tools/fixtures
+    * (SPARK_GRAFT_FIXTURE_DIR overrides), where the DuckDB oracle can
+    * read it back (Verify substitutes the {THUMBS} token in oracle SQL
+    * with this path). */
+  def thumbsSidecarPath(dir: String): String = {
+    val base = new java.io.File(dir).getName
+    val root = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR",
+      new java.io.File("tools/fixtures").getAbsolutePath)
+    s"$root/thumbs_$base.parquet"
+  }
+
+  /** Materialize the decode output once per fixture: (doc_id, px[256])
+    * to parquet at [[thumbsSidecarPath]]. This is the round-10 verdict
+    * task-4 move — decode output that never landed in a relation DuckDB
+    * could read made everything DOWNSTREAM of decode rows-only; with
+    * the pixels parqueted, image-derived operators (q_dedup_phash) get
+    * full differential oracles even though decode itself stays
+    * engine-side. Deterministic: same fixture -> same row set
+    * (MultimodalSpec pins it), so overwrite is idempotent. */
+  def materializeThumbs(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val path = thumbsSidecarPath(dir)
+    pixelsOf(
+      T.documents(spark, dir)
+        .withColumn("blob", $"text".cast("binary"))
+        .select($"doc_id", $"blob"))
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** Perceptual-hash image dedup over the materialized thumbnails —
+    * the standard aHash pipeline: per image, bit i = pixel i above the
+    * image's own mean luminance; the 256 bits pack into 8x32-bit words
+    * (32 bits per word so the packing is plain integer arithmetic in
+    * any engine — no sign-bit traps); candidate pairs come from an
+    * equi-join on any EXACTLY-matching word (8-band Hamming LSH: a
+    * pair within 7 bit-flips of identical must agree on >= 1 word by
+    * pigeonhole); survivors verify on exact Hamming distance <= 16 of
+    * 256. Everything after the sidecar read is pure column algebra +
+    * one banded self-join whose key cardinality scales with the corpus
+    * — the same shuffle shape as the MinHash band join. Full DuckDB
+    * oracle over the same sidecar (round-10 verdict task 4). */
+  def qDedupPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = materializeThumbs(spark, dir)
+    val hx = spark.read.parquet(path)
+      .withColumn("mean",
+        expr("aggregate(px, CAST(0 AS BIGINT), (a, x) -> a + x)") / lit(256.0))
+      .withColumn("words", expr(
+        """transform(sequence(0, 7), w -> aggregate(sequence(0, 31),
+          |  CAST(0 AS BIGINT),
+          |  (a, j) -> a + IF(px[w * 32 + j] > mean, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))))""".stripMargin))
+      .select($"doc_id", $"words")
+      .ckpt() // one decode-table scan feeds bands AND both verify sides
+    val bands = hx.select($"doc_id", posexplode($"words").as(Seq("w", "word")))
+    val cand = bands.select($"doc_id".as("a_id"), $"w", $"word")
+      .join(bands.select($"doc_id".as("b_id"), $"w", $"word"), Seq("w", "word"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id").distinct()
+    cand
+      .join(hx.select($"doc_id".as("a_id"), $"words".as("wa")), Seq("a_id"))
+      .join(hx.select($"doc_id".as("b_id"), $"words".as("wb")), Seq("b_id"))
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(wa, wb, (x, y) -> bit_count(x ^ y)), 0, (a, c) -> a + c)"))
+      .filter($"hamming" <= 16)
+      .select($"a_id", $"b_id", $"hamming")
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** `{THUMBS}` is substituted by Verify with [[thumbsSidecarPath]] of
+    * the run's fixture dir (the sidecar is written by the Spark side
+    * during query construction, before DuckDB runs). */
+  val qDedupPhashSql: String =
+    """WITH t AS (SELECT doc_id, px, list_sum(px) / 256.0 AS mean
+      |  FROM read_parquet('{THUMBS}/*.parquet')),
+      |words AS MATERIALIZED (SELECT doc_id, i // 32 AS w,
+      |    sum(CASE WHEN px[i + 1] > mean
+      |        THEN (1::BIGINT << (i % 32)) ELSE 0 END)::BIGINT AS word
+      |  FROM t, range(0, 256) r(i)
+      |  GROUP BY doc_id, i // 32),
+      |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM words a JOIN words b ON a.w = b.w AND a.word = b.word
+      |  WHERE a.doc_id < b.doc_id),
+      |ham AS (SELECT c.a_id, c.b_id,
+      |    sum(bit_count(xor(wa.word, wb.word)))::INT AS hamming
+      |  FROM cand c
+      |  JOIN words wa ON wa.doc_id = c.a_id
+      |  JOIN words wb ON wb.doc_id = c.b_id AND wb.w = wa.w
+      |  GROUP BY c.a_id, c.b_id)
+      |SELECT a_id, b_id, hamming FROM ham
+      |WHERE hamming <= 16 ORDER BY a_id, b_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_multimodal_meta", qMultimodalMeta, Some(qMultimodalMetaSql)),
     QueryDef("q_multimodal_features", qMultimodalFeaturesFlat, None),
     QueryDef("q_multimodal_frames", qMultimodalFrames, Some(qMultimodalFramesSql)),
     QueryDef("q_multimodal_resize", qMultimodalResize, None),
+    QueryDef("q_dedup_phash", qDedupPhash, Some(qDedupPhashSql)),
   )
 }

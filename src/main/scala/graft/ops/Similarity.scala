@@ -570,12 +570,12 @@ object Similarity extends QueryFamily {
     val dims = T.embeddings(spark, dir)
       .select($"vec_id", posexplode($"embedding").as(Seq("i", "vx")))
       .select($"vec_id", ($"i" + 1).cast("long").as("dim"), $"vx".cast("double").as("vx"))
-      .localCheckpoint()
+      .ckpt()
     var cent = T.embeddings(spark, dir)
       .select($"label".as("cluster"), posexplode($"embedding").as(Seq("i", "x")))
       .groupBy($"cluster", ($"i" + 1).cast("long").as("dim"))
       .agg(round(avg($"x".cast("double")), 6).as("c"))
-      .localCheckpoint()
+      .ckpt()
     def assign(c: DataFrame): DataFrame = {
       val d2 = dims.join(broadcast(c), Seq("dim"))
         .groupBy($"vec_id", $"cluster")
@@ -587,7 +587,7 @@ object Similarity extends QueryFamily {
     for (_ <- 1 until 3)
       cent = dims.join(assign(cent), Seq("vec_id"))
         .groupBy($"cluster", $"dim").agg(round(avg($"vx"), 6).as("c"))
-        .localCheckpoint()
+        .ckpt()
     dims.join(assign(cent), Seq("vec_id"))
       .groupBy($"cluster", $"dim")
       .agg((round(avg($"vx"), 4) + 0.0).as("coord"), count(lit(1)).as("n_members"))
@@ -691,7 +691,7 @@ object Similarity extends QueryFamily {
     val perQ = exact.select($"q_id").distinct()
       .join(ap, Seq("q_id"), "left")
       .select($"q_id", coalesce($"ap", lit(0.0)).as("ap"))
-      .localCheckpoint(true)
+      .ckpt()
     val map = perQ.agg(avg($"ap").as("map"))
     perQ.crossJoin(broadcast(map))
       .select($"q_id", round($"ap", 4).as("ap"), round($"map", 4).as("map"))
@@ -813,7 +813,7 @@ object Similarity extends QueryFamily {
     val perQ = exact.select($"q_id").distinct()
       .join(firstHit, Seq("q_id"), "left")
       .select($"q_id", coalesce(lit(1.0) / $"fp", lit(0.0)).as("rr"))
-      .localCheckpoint(true)
+      .ckpt()
     val mrr = perQ.agg(avg($"rr").as("mrr"))
     perQ.crossJoin(broadcast(mrr))
       .select($"q_id", round($"rr", 4).as("rr"), round($"mrr", 4).as("mrr"))
@@ -1225,7 +1225,7 @@ object Similarity extends QueryFamily {
     // the corpus aggregation per branch
     T.embeddings(spark, dir)
       .agg(graft.functions.Aggregators.gramTriangle(64)($"embedding").as("tri"))
-      .localCheckpoint()
+      .ckpt()
       .select(explode(expr(
         """flatten(transform(sequence(0, 63), i ->
           |  transform(sequence(i, 63), j ->
@@ -1256,7 +1256,7 @@ object Similarity extends QueryFamily {
     // localCheckpoint materializes the single corpus pass once
     val tri = aug
       .agg(graft.functions.Aggregators.gramTriangle(65)($"embedding").as("tri"))
-      .localCheckpoint()
+      .ckpt()
       .select(explode(expr(
         """flatten(transform(sequence(0, 64), i ->
           |  transform(sequence(i, 64), j ->
@@ -1314,7 +1314,7 @@ object Similarity extends QueryFamily {
     val tri = gramTriRelation(spark, dir).withColumnRenamed("p", "g")
     val full = tri.select($"i", $"j", $"g")
       .union(tri.filter($"i" =!= $"j").select($"j".as("i"), $"i".as("j"), $"g"))
-      .localCheckpoint()
+      .ckpt()
     def step(v: DataFrame): DataFrame = {
       val r = full.join(broadcast(v.withColumnRenamed("i", "j")), Seq("j"))
         .groupBy($"i").agg(sum($"g" * $"v").as("r"))
@@ -1742,11 +1742,17 @@ object Similarity extends QueryFamily {
     import spark.implicits._
     val g = qKnnGraph(spark, dir)
       .select($"src_id", $"nbr_id", $"cos")
-      .localCheckpoint(true)
-    g.filter($"src_id" < $"nbr_id")
-      .join(g.select($"nbr_id".as("src_id"), $"src_id".as("nbr_id")),
-        Seq("src_id", "nbr_id"), "left_semi")
-      .select($"src_id".as("a_id"), $"nbr_id".as("b_id"), $"cos")
+      .ckpt()
+    // alias-qualified self-join: the ckpt barrier already makes the
+    // two sides distinct datasets in production, but the checkpoint-
+    // free audit variant (graft.noCkpt=1) joins one lineage with
+    // itself and needs the explicit a/b qualification
+    g.as("a").filter(col("a.src_id") < col("a.nbr_id"))
+      .join(g.as("b"),
+        col("a.src_id") === col("b.nbr_id") &&
+          col("a.nbr_id") === col("b.src_id"), "left_semi")
+      .select(col("a.src_id").as("a_id"), col("a.nbr_id").as("b_id"),
+        col("a.cos").as("cos"))
       .orderBy($"a_id", $"b_id")
   }
 
@@ -1756,6 +1762,147 @@ object Similarity extends QueryFamily {
        |  FROM g a JOIN g b ON b.src_id = a.nbr_id AND b.nbr_id = a.src_id
        |  WHERE a.src_id < a.nbr_id)
        |SELECT a_id, b_id, cos FROM m ORDER BY a_id, b_id""".stripMargin
+
+  /** Greedy graph SEARCH over [[qKnnGraph]]'s adjacency — the serving
+    * walk that completes build->serve for the graph index the way
+    * q_sim_ivfpq completes it for IVF-PQ (HNSW's layer-0 descent,
+    * beam = 3): start every probe (vec_id < 10) at a FIXED entry node
+    * (the corpus minimum vec_id — HNSW-style fixed entry), then 3
+    * unrolled hops; each hop expands the top-3 NEW nodes of the
+    * previous hop through the graph's <=3 out-edges, scores only
+    * never-seen nodes against the probe, and the answer is the top-3
+    * scored nodes overall (self excluded).
+    *
+    * Scale shape: the graph is built once and materialized (ckpt — at
+    * 100 TB it IS the stored index); each hop is (1) a broadcast
+    * equi-join of the <=30-row frontier against the edge list and
+    * (2) a broadcast equi-join of the <=90-row candidate set against
+    * the vector table by vec_id — point lookups, never a corpus scan.
+    * Frontier and visited sets are probe-bounded by construction
+    * (|probes| x beam x degree), so no window ever sees more than
+    * O(|probes| x 40) rows. Recall@3 vs the exact ranking is audited
+    * by [[qKnnSearchRecall]]. */
+  def qKnnSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = qKnnGraph(spark, dir).select($"src_id", $"nbr_id").ckpt()
+    val e = T.embeddings(spark, dir).select($"vec_id", $"embedding").cache()
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val kernel = graft.functions.F.cosineSimilarity($"qv", $"v")
+    // score a (q_id, n_id) candidate set: point-lookup the vectors by
+    // id (candidates broadcast — they are frontier-bounded), then the
+    // codegen'd cosine kernel against the probe vector
+    def score(cand: DataFrame): DataFrame =
+      e.select($"vec_id".as("n_id"), $"embedding".as("v"))
+        .join(broadcast(cand), Seq("n_id"))
+        .join(broadcast(probes), Seq("q_id"))
+        .select($"q_id", $"n_id", kernel.as("cos"))
+    val entry = e.agg(min($"vec_id").as("n_id")) // 1-row fixed entry point
+    var visited = score(probes.select($"q_id").crossJoin(broadcast(entry))).ckpt()
+    var frontier = visited.select($"q_id", $"n_id")
+    for (_ <- 1 to 3) {
+      // per-hop renamed adjacency + name-resolved join keys: after the
+      // first hop the frontier's lineage CONTAINS g, so dataset-
+      // qualified refs like g("src_id") are ambiguous in the
+      // checkpoint-free audit variant; fresh aliases per hop keep
+      // every name unique across the join's two sides
+      val adj = g.select($"src_id".as("g_src"), $"nbr_id".as("g_nbr"))
+      val nbrs = frontier.join(adj, $"n_id" === $"g_src")
+        .select($"q_id", $"g_nbr".as("n_id")).distinct()
+      // same trick for the anti-join against the visited set
+      val seen = visited.select($"q_id".as("vq"), $"n_id".as("vn"))
+      val fresh = nbrs.join(seen,
+        $"q_id" === $"vq" && $"n_id" === $"vn", "left_anti")
+      val scored = score(fresh).ckpt()
+      visited = visited.unionByName(scored).ckpt()
+      val wq = Window.partitionBy($"q_id").orderBy(desc("cos"), asc("n_id"))
+      frontier = scored.withColumn("r", row_number().over(wq))
+        .filter($"r" <= 3).select($"q_id", $"n_id")
+    }
+    val w = Window.partitionBy($"q_id").orderBy(desc("cos"), asc("n_id"))
+    visited.filter($"q_id" =!= $"n_id")
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"n_id", round($"cos", 4).as("cos"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** One hop of the oracle walk: score the new nodes of `src` against
+    * the probes (identical unnest-zip cosine as every sim oracle). */
+  private def searchScoreCte(src: String, out: String): String =
+    s"""$out AS MATERIALIZED (SELECT q_id, n_id,
+       |    sum(qx::DOUBLE * nx::DOUBLE) / sqrt(any_value(qn2) * any_value(nn2)) AS cos
+       |  FROM (SELECT p.q_id, c.n_id, p.qn2, en.n2 AS nn2,
+       |          unnest(p.qv) AS qx, unnest(en.embedding) AS nx
+       |        FROM $src c JOIN probes p USING (q_id)
+       |        JOIN en ON en.vec_id = c.n_id)
+       |  GROUP BY q_id, n_id)""".stripMargin
+
+  private def searchHopCtes(i: Int): String = {
+    val prevF = s"f${i - 1}"; val prevV = s"v${i - 1}"
+    s"""c$i AS (SELECT DISTINCT f.q_id, g.nbr_id AS n_id
+       |  FROM $prevF f JOIN g ON g.src_id = f.n_id),
+       |w$i AS (SELECT c.q_id, c.n_id FROM c$i c WHERE NOT EXISTS
+       |  (SELECT 1 FROM $prevV v WHERE v.q_id = c.q_id AND v.n_id = c.n_id)),
+       |${searchScoreCte(s"w$i", s"s$i")},
+       |v$i AS MATERIALIZED (SELECT * FROM $prevV UNION ALL SELECT * FROM s$i),
+       |f$i AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS r
+       |  FROM s$i) WHERE r <= 3)""".stripMargin
+  }
+
+  val qKnnSearchSql: String =
+    s"""WITH g AS MATERIALIZED (${qKnnGraphSql.replace("\n", "\n  ")}),
+       |en AS MATERIALIZED (SELECT vec_id, embedding,
+       |  (SELECT sum(x::DOUBLE * x::DOUBLE) FROM unnest(embedding) t(x)) AS n2
+       |  FROM embeddings),
+       |probes AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS qv, n2 AS qn2
+       |  FROM en WHERE vec_id < 10),
+       |c0 AS (SELECT q_id, (SELECT min(vec_id) FROM embeddings) AS n_id FROM probes),
+       |${searchScoreCte("c0", "s0")},
+       |v0 AS (SELECT * FROM s0),
+       |f0 AS (SELECT q_id, n_id FROM s0),
+       |${searchHopCtes(1)},
+       |${searchHopCtes(2)},
+       |${searchHopCtes(3)}
+       |SELECT q_id, rank, n_id, round(cos, 4) AS cos FROM (
+       |  SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM v3 WHERE q_id <> n_id)
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  /** Recall@3 audit of [[qKnnSearch]] against the exact brute-force
+    * top-3 — the measure-the-approximation contract every approximate
+    * path in this family ships with. A greedy walk from one fixed
+    * entry over a degree-3 graph is the floor configuration (real
+    * deployments raise entry count/beam/degree); the audit makes the
+    * floor a measured number instead of a hope. */
+  def qKnnSearchRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = qSimBruteforce(spark, dir).filter($"rank" <= 3)
+      .select($"q_id", $"n_id")
+    val got = qKnnSearch(spark, dir).select($"q_id", $"n_id")
+    val hits = exact.join(got, Seq("q_id", "n_id"), "left_semi")
+      .groupBy($"q_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy($"q_id").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("q_id"), "left")
+      .select($"q_id",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        round(coalesce($"n_hits", lit(0L)).cast("double") / $"n_true", 4).as("recall"))
+      .orderBy($"q_id")
+  }
+
+  val qKnnSearchRecallSql: String =
+    s"""WITH exact AS (SELECT q_id, n_id
+       |  FROM ($qSimBruteforceSql) WHERE rank <= 3),
+       |got AS (SELECT q_id, n_id FROM ($qKnnSearchSql)),
+       |hits AS (SELECT e.q_id, count(*) AS n_hits FROM exact e
+       |  JOIN got a ON a.q_id = e.q_id AND a.n_id = e.n_id
+       |  GROUP BY e.q_id),
+       |tr AS (SELECT q_id, count(*) AS n_true FROM exact GROUP BY q_id)
+       |SELECT tr.q_id, coalesce(n_hits, 0) AS n_hits,
+       |  round(coalesce(n_hits, 0)::DOUBLE / n_true, 4) AS recall
+       |FROM tr LEFT JOIN hits ON hits.q_id = tr.q_id
+       |ORDER BY tr.q_id""".stripMargin
 
   /** The shared int8 scalar-quantization codec: per-dimension min/max
     * learned in ONE hash aggregate over the exploded (dim, value)
@@ -1907,6 +2054,8 @@ object Similarity extends QueryFamily {
     QueryDef("q_sq_error_audit", qSqErrorAudit, Some(qSqErrorAuditSql)),
     QueryDef("q_sq_recall", qSqRecall, Some(qSqRecallSql)),
     QueryDef("q_mutual_knn", qMutualKnn, Some(qMutualKnnSql)),
+    QueryDef("q_knn_search", qKnnSearch, Some(qKnnSearchSql)),
+    QueryDef("q_knn_search_recall", qKnnSearchRecall, Some(qKnnSearchRecallSql)),
     QueryDef("q_knn_graph_recall", qKnnGraphRecall, Some(qKnnGraphRecallSql)),
     QueryDef("q_hard_negatives", qHardNegatives, Some(qHardNegativesSql)),
     QueryDef("q_sim_range_search", qSimRangeSearch, Some(qSimRangeSearchSql)),

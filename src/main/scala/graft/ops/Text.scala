@@ -581,7 +581,7 @@ object Text extends QueryFamily {
       .groupBy($"w").agg(count(lit(1)).as("cnt"))
       .withColumn("seq", concat(lit(" "), regexp_replace($"w", "(.)", "$1 ")))
       .select($"cnt", $"seq")
-      .localCheckpoint()
+      .ckpt()
     def topPair(seqs: DataFrame): (String, String, Long) = {
       val r = seqs.select($"cnt", split(trim($"seq"), " ").as("s"))
         .filter(size($"s") >= 2)
@@ -1001,7 +1001,7 @@ object Text extends QueryFamily {
       r = vocab.join(contrib, Seq("t"), "left")
         .select($"t",
           (lit(0.15) + lit(0.85) * coalesce($"mass", lit(0.0))).as("r"))
-        .localCheckpoint(true)
+        .ckpt()
     }
     r.select($"t".as("token"), round($"r", 6).as("score"))
       .orderBy(desc("score"), asc("token")).limit(15)
@@ -1362,7 +1362,7 @@ object Text extends QueryFamily {
       .select(explode(split($"text", " ")).as("t"))
       .filter(length($"t") > 0)
       .groupBy($"t").agg(count(lit(1)).as("cnt"))
-    val top = cnt.orderBy(desc("cnt"), asc("t")).limit(k + 1).localCheckpoint()
+    val top = cnt.orderBy(desc("cnt"), asc("t")).limit(k + 1).ckpt()
     top.crossJoin(broadcast(top.agg(min($"cnt").cast("double").as("xk1"))))
       .agg(sum(log($"cnt" / $"xk1")).as("sumlog"),
         max($"xk1").as("xk1"))
@@ -1400,7 +1400,7 @@ object Text extends QueryFamily {
     val head = Skew.globalRowNumber(counts, Seq(desc("c"), asc("tok")),
         rankName = "rn")
       .filter($"rn" <= 10000)
-      .localCheckpoint(true)
+      .ckpt()
     Seq(100, 1000, 10000).map { k =>
       head.filter($"rn" <= k)
         .agg(lit(k).as("cutoff"), count(lit(1)).as("vocab_kept"),
@@ -1594,7 +1594,7 @@ object Text extends QueryFamily {
       .withColumn("bin", least(floor($"p" * 10), lit(9.0)).cast("int"))
     val bins = scored.groupBy($"bin")
       .agg(count(lit(1)).as("n"), avg($"p").as("conf"), avg($"y").as("acc"))
-      .localCheckpoint(true)
+      .ckpt()
     val ece = bins.agg(
       (sum($"n" * abs($"acc" - $"conf")) / sum($"n")).as("ece"))
     bins.crossJoin(broadcast(ece))
@@ -1640,7 +1640,7 @@ object Text extends QueryFamily {
         terms.zipWithIndex.map { case (t, i) =>
           expr(s"cast(size(filter(w, x -> x = '$t')) AS double)").as(s"tf$i")
         }: _*)
-      .localCheckpoint(true)
+      .ckpt()
     val aggCols =
       Seq(count(lit(1)).cast("double").as("n_docs"), avg($"dl").as("avgdl")) ++
         terms.indices.map(i =>
@@ -1661,7 +1661,7 @@ object Text extends QueryFamily {
       .select($"doc_id",
         round(terms.indices.map(bm25Term).reduce(_ + _), 4).as("s_bm25"),
         round(terms.indices.map(tfidfTerm).reduce(_ + _), 4).as("s_tfidf"))
-      .localCheckpoint(true)
+      .ckpt()
     def top20(score: Column, name: String): DataFrame =
       scored.orderBy(score.desc, $"doc_id".asc).limit(20)
         .withColumn(name, row_number().over(

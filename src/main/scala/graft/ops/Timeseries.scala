@@ -935,7 +935,7 @@ object Timeseries extends QueryFamily {
     val idx = Window.orderBy($"mon")
     val series = monthly
       .withColumn("t", row_number().over(idx).cast("double"))
-      .localCheckpoint(true)
+      .ckpt()
     val fit = series.agg(
         count(lit(1)).cast("double").as("n"),
         sum($"t").as("st"), sum($"y").as("sy"),

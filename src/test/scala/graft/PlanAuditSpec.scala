@@ -127,6 +127,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_log_odds_terms",
     // 1-row corpus-count broadcast that sets the scaled sign-LSH depth
     "q_knn_graph",
+    // checkpoint-free variant inherits q_knn_graph's 1-row
+    // corpus-count broadcast (the production plan checkpoints the
+    // graph, so its normal-mode plan shows no BNLJ at all)
+    "q_mutual_knn",
     // O(months) x O(months) bounded pairwise-slope join (<= C(84,2))
     "q_theil_sen",
     // 1-row mean-degree broadcast that sets the peel threshold k
@@ -150,7 +154,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_hurst",
     // 1-row seed + per-round dangling-mass builds (same class as
     // q_pagerank)
-    "q_ppr")
+    "q_ppr",
+    // 1-row fixed-entry-point build (the HNSW-style entry node) + the
+    // corpus-count broadcast inside the graph-build pipeline; the
+    // recall audit adds the brute-force probe-side non-equi join
+    "q_knn_search", "q_knn_search_recall")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
@@ -296,6 +304,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dedup_embedding" -> "per-label block-count branch (|labels| rows) + the cell self-join's two sides",
     "q_sim_range_search" -> "corpus-count branch (1 row) + probe/corpus bucket sides",
     "q_knn_graph_recall" -> "graph pipeline + exact ground-truth audit pipeline",
+    "q_knn_search" -> "graph-build pipeline (count branch + bucket self-join sides) ahead of the materialized index walk",
+    "q_knn_search_recall" -> "search pipeline + exact ground-truth audit pipeline",
     "q_sq_recall" -> "SQ codec train+apply pipeline + exact ground-truth audit pipeline",
     "q_matryoshka_recall" -> "truncated-prefix pipeline + exact ground-truth audit pipeline",
     "q_binary_quant_recall" -> "sign-bit pipeline + exact ground-truth audit pipeline")
@@ -359,31 +369,33 @@ class PlanAuditSpec extends AnyFunSuite {
   // count — a side bounded by construction, like a 10-probe set, is
   // exempt by measurement), and for scaled self-joins MEASURES the
   // join-key distinct count on each side at both fixtures: the key
-  // cardinality must grow too. Blind spot, by design: relations behind
-  // localCheckpoint() surface as LogicalRDD leaves, not parquet scans
-  // (the iterative graph/cluster family) — those plans are hand-audited
-  // per round. Whitelist carries the joins whose key domain is bounded
-  // by the operator's own semantics, with reasons:
+  // cardinality must grow too. Relations behind an eager ckpt surface
+  // as LogicalRDD leaves, not parquet scans — the iterative family is
+  // therefore ALSO run through this gate in checkpoint-free form below
+  // (graft.noCkpt=1 makes ckpt() the identity), so no loop body hides
+  // from the measurement. Whitelist carries the joins whose key domain
+  // is bounded by the operator's own semantics, with reasons:
   private val selfJoinAllowed: Map[String, String] = Map.empty
 
-  test("equi-self-join keys scale with the data (no bounded-bucket self-joins)") {
+  private object selfJoinGate {
     import org.apache.spark.sql.catalyst.expressions.{Alias, And => CAnd, EqualTo, Expression}
     import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
-    def leafNames(p: LogicalPlan): Set[String] = p.collect {
+    private def leafNames(p: LogicalPlan): Set[String] = p.collect {
       case l: LogicalRelation => l.relation match {
         case h: HadoopFsRelation => h.location.rootPaths.map(_.getName).toSet
         case _ => Set("non-fs")
       }
     }.flatten.toSet
 
-    def splitConj(e: Expression): Seq[Expression] = e match {
+    private def splitConj(e: Expression): Seq[Expression] = e match {
       case CAnd(l, r) => splitConj(l) ++ splitConj(r)
       case x          => Seq(x)
     }
 
-    def ofRows(p: LogicalPlan) = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, p)
+    private def ofRows(p: LogicalPlan) =
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, p)
 
     // (left child, left keys, right child, right keys) of every
     // parquet-self equi-join in the query's optimized plan at `dir`
@@ -401,63 +413,175 @@ class PlanAuditSpec extends AnyFunSuite {
           (j.left, eqs.map(_._1), j.right, eqs.map(_._2))
       }.filter(_._2.nonEmpty)
 
-    def keyCard(child: LogicalPlan, keys: Seq[Expression]): Long =
+    private def keyCard(child: LogicalPlan, keys: Seq[Expression]): Long =
       ofRows(Project(keys.zipWithIndex.map { case (e, i) => Alias(e, s"__k$i")() },
         child)).distinct().count()
 
     val small = "/root/testdata/sf0.01"
     val big = "/root/testdata/sf0.1"
-    // cheap pre-scan at the tiny test fixture: only queries that show a
-    // parquet self-join there pay the sf0.01/sf0.1 measurement
-    val withSelfJoins = SparkEntry.queries.toSeq.filter { case (_, fn) =>
-      selfJoins(fn, sf).nonEmpty
-    }
-    val offenders = withSelfJoins.flatMap { case (name, fn) =>
-      if (selfJoinAllowed.contains(name)) None
-      else {
-        val js = selfJoins(fn, small)
-        val jb = selfJoins(fn, big)
-        // plan shape is deterministic per code path; joins pair by index
-        val bad = js.zip(jb).exists { case ((ls, ks1, rs, ks2), (lb, kb1, rb, kb2)) =>
-          val sideScaled = Seq((ls, lb), (rs, rb)).map { case (s, b) =>
-            val (cs, cb) = (ofRows(s).count(), ofRows(b).count())
-            cb >= 2L * cs
+
+    /** Names of queries (from `candidates`) carrying a scaled equi-
+      * self-join whose key cardinality stays flat sf0.01 -> sf0.1.
+      * Plan construction happens inside this call, so callers wrap it
+      * in withNoCkpt to measure the checkpoint-free variants. */
+    def offenders(candidates: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)],
+                  allowed: Map[String, String]): Seq[String] = {
+      // cheap pre-scan at the tiny test fixture: only queries that show
+      // a parquet self-join there pay the sf0.01/sf0.1 measurement
+      val withSelfJoins = candidates.filter { case (_, fn) =>
+        selfJoins(fn, sf).nonEmpty
+      }
+      withSelfJoins.flatMap { case (name, fn) =>
+        if (allowed.contains(name)) None
+        else {
+          val js = selfJoins(fn, small)
+          val jb = selfJoins(fn, big)
+          // plan shape is deterministic per code path; joins pair by index
+          val bad = js.zip(jb).exists { case ((ls, ks1, rs, ks2), (lb, kb1, rb, kb2)) =>
+            val sideScaled = Seq((ls, lb), (rs, rb)).map { case (s, b) =>
+              val (cs, cb) = (ofRows(s).count(), ofRows(b).count())
+              cb >= 2L * cs
+            }
+            if (!sideScaled.forall(identity)) false // a bounded side caps the join
+            else {
+              val lGrow = keyCard(lb, kb1).toDouble / math.max(1L, keyCard(ls, ks1))
+              val rGrow = keyCard(rb, kb2).toDouble / math.max(1L, keyCard(rs, ks2))
+              math.min(lGrow, rGrow) < 1.5 // key cardinality flat => buckets grow ~ n
+            }
           }
-          if (!sideScaled.forall(identity)) false // a bounded side caps the join
-          else {
-            val lGrow = keyCard(lb, kb1).toDouble / math.max(1L, keyCard(ls, ks1))
-            val rGrow = keyCard(rb, kb2).toDouble / math.max(1L, keyCard(rs, ks2))
-            math.min(lGrow, rGrow) < 1.5 // key cardinality flat => buckets grow ~ n
-          }
+          if (bad) Some(name) else None
         }
-        if (bad) Some(name) else None
       }
     }
+  }
+
+  test("equi-self-join keys scale with the data (no bounded-bucket self-joins)") {
+    val offenders = selfJoinGate.offenders(SparkEntry.queries.toSeq, selfJoinAllowed)
     assert(offenders.isEmpty,
       s"bounded-bucket equi-self-join (key cardinality does not scale with data) outside the whitelist: ${offenders.sorted.mkString(", ")}")
   }
 
+  // the round-2 regression class: a broadcast() hint landing on an
+  // SF-scaled relation. A direct parquet lineitem scan under a
+  // BroadcastExchange (no intervening aggregate/filter-to-tiny) is
+  // always wrong; aggregated 1-row/few-row derivatives are fine.
+  private def assertNoFactBroadcast(name: String, plan: String): Unit = {
+    val lines = plan.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("BroadcastExchange")).foreach {
+      case (_, i) =>
+        // child subtree until indentation returns to this level: keep
+        // it simple — the next 3 lines; a raw fact scan right under
+        // the exchange shows within that window
+        val window = lines.slice(i + 1, i + 4).mkString("\n")
+        val rawFactScan = window.contains("Scan parquet") &&
+          window.contains("lineitem.parquet") &&
+          !window.contains("HashAggregate") && !window.contains("Filter")
+        withClue(s"$name: ") {
+          assert(!rawFactScan,
+            s"unfiltered lineitem scan being broadcast in $name:\n$plan")
+        }
+    }
+  }
+
   test("fact-table scans never broadcast: no BroadcastExchange feeds from lineitem scan directly") {
-    // the round-2 regression class: a broadcast() hint landing on an
-    // SF-scaled relation. A direct parquet lineitem scan under a
-    // BroadcastExchange (no intervening aggregate/filter-to-tiny) is
-    // always wrong; aggregated 1-row/few-row derivatives are fine.
-    plans.foreach { case (name, plan) =>
-      val lines = plan.linesIterator.toVector
-      lines.zipWithIndex.filter(_._1.contains("BroadcastExchange")).foreach {
-        case (_, i) =>
-          // child subtree until indentation returns to this level: keep
-          // it simple — the next 3 lines; a raw fact scan right under
-          // the exchange shows within that window
-          val window = lines.slice(i + 1, i + 4).mkString("\n")
-          val rawFactScan = window.contains("Scan parquet") &&
-            window.contains("lineitem.parquet") &&
-            !window.contains("HashAggregate") && !window.contains("Filter")
-          withClue(s"$name: ") {
-            assert(!rawFactScan,
-              s"unfiltered lineitem scan being broadcast in $name:\n$plan")
+    plans.foreach { case (name, plan) => assertNoFactBroadcast(name, plan) }
+  }
+
+  // ------------------------------------------------------------------
+  // Checkpoint-free variants of the iterative family (round-10 verdict
+  // task 2). Eager ckpt() turns each loop round into a LogicalRDD leaf,
+  // which every gate above treats as opaque; with -Dgraft.noCkpt=1 the
+  // ckpt() call is the identity, so the SAME query functions yield full
+  // unrolled lineage and the gates see inside every loop body. The
+  // production plans keep their checkpoints — only these tests flip the
+  // flag, and suites run sequentially in the forked test JVM.
+  // ------------------------------------------------------------------
+
+  private val iterativeQueries = Seq(
+    "q_pagerank", "q_ppr", "q_hits", "q_kcore_peel", "q_label_prop",
+    "q_kmeans_iterated", "q_dedup_clusters", "q_graph_bfs", "q_textrank",
+    "q_mutual_knn", "q_knn_search")
+
+  private def withNoCkpt[A](f: => A): A = {
+    System.setProperty("graft.noCkpt", "1")
+    try f finally System.clearProperty("graft.noCkpt")
+  }
+
+  // Without the per-round materialization point, each unrolled round
+  // re-derives the once-checkpointed relation straight from parquet, so
+  // the optimized plan carries one scan per round — an artifact of
+  // removing the checkpoint, not a defect: the production plan scans
+  // once and iterates on the materialized result. Reasons per query:
+  private val multiScanNoCkptAllowed: Map[String, String] = Map(
+    "q_pagerank" -> "3 unrolled rounds re-derive the checkpointed edge/rank relations",
+    "q_ppr" -> "3 unrolled rounds re-derive the checkpointed edge/rank relations + seed branch",
+    "q_hits" -> "3 unrolled hub/authority half-steps re-derive the checkpointed edge relation",
+    "q_kcore_peel" -> "3 unrolled peel rounds re-derive the checkpointed edge relation",
+    "q_label_prop" -> "3 unrolled propagation rounds re-derive the checkpointed edge/label relations",
+    "q_kmeans_iterated" -> "unrolled assign/update rounds re-derive the checkpointed assignment relation",
+    "q_dedup_clusters" -> "star-contraction rounds re-derive the checkpointed edge set from the minhash pipeline",
+    "q_graph_bfs" -> "3 unrolled frontier hops re-derive the checkpointed distance relation",
+    "q_textrank" -> "3 unrolled weighted-PageRank rounds re-derive the checkpointed vocab graph",
+    "q_mutual_knn" -> "the reversal join's two sides re-derive the checkpointed kNN edge list",
+    "q_knn_search" -> "3 unrolled hops re-derive the checkpointed graph index and the cached vector table")
+
+  test("checkpoint-free iterative variants pass the shape gates (cartesian/BNLJ/window/value-buffer/multi-scan/fact-broadcast)") {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet, Percentile}
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    withNoCkpt {
+      assert(graft.ops.CkptFlag.disabled, "noCkpt flag not visible to ops package")
+      iterativeQueries.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        val qe = fn(spark, sf).queryExecution
+        val phys = qe.executedPlan.toString
+        withClue(s"$name (checkpoint-free): ") {
+          assert(!phys.contains("CartesianProduct"),
+            s"cartesian product inside the loop body:\n$phys")
+          if (!bnljAllowed.contains(name))
+            assert(!phys.contains("BroadcastNestedLoopJoin"),
+              s"undocumented nested-loop join inside the loop body:\n$phys")
+          assertNoFactBroadcast(s"$name (checkpoint-free)", phys)
+          val bareWindow = qe.optimizedPlan.collect {
+            case w: LWindow if w.partitionSpec.isEmpty => w
+          }.nonEmpty
+          assert(!bareWindow || partitionlessWindowAllowed.contains(name),
+            "partitionless Window inside the loop body")
+          val hasBuffer = qe.optimizedPlan
+            .collect { case n => n.expressions }.flatten
+            .exists(_.collectFirst {
+              case e: Percentile => e
+              case e: CollectList => e
+              case e: CollectSet => e
+            }.nonEmpty)
+          assert(!hasBuffer || valueBufferAllowed.contains(name),
+            "value-buffering aggregate inside the loop body")
+          val leaves = qe.optimizedPlan.collect {
+            case l: LogicalRelation => l.relation match {
+              case h: HadoopFsRelation => h.location.rootPaths.map(_.getName).mkString(",")
+              case _ => "non-fs"
+            }
           }
+          val over = leaves.groupBy(identity).exists(_._2.size > 2)
+          assert(!over || multiScanNoCkptAllowed.contains(name),
+            "relation scanned >2x inside the loop body without a documented reason")
+        }
       }
     }
+  }
+
+  test("checkpoint-free iterative self-join keys scale with the data") {
+    // q_dedup_clusters is shape-gated above but excluded from the
+    // dual-SF MEASUREMENT: its convergence loop runs data-dependent
+    // rounds whose fingerprint actions re-execute the full
+    // uncheckpointed lineage (quadratic in rounds at sf0.1), and its
+    // loop-body joins are (a) the same minhash band join the standard
+    // gate measures through q_dedup_minhash and (b) node-keyed star
+    // contractions whose key domain is the node-id set itself.
+    val measured = iterativeQueries.filterNot(_ == "q_dedup_clusters")
+      .map(n => n -> SparkEntry.queries(n))
+    val offenders = withNoCkpt { selfJoinGate.offenders(measured, Map.empty) }
+    assert(offenders.isEmpty,
+      s"bounded-bucket equi-self-join inside a checkpointed loop body: ${offenders.sorted.mkString(", ")}")
   }
 }

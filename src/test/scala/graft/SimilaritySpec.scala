@@ -229,4 +229,26 @@ class SimilaritySpec extends AnyFunSuite {
       assert(r.getAs[Double]("post_sd") === 1.0)
     }
   }
+
+  test("knn search: k=3 per probe, no self-hits, audit pins the greedy-walk floor") {
+    val res = ops.Similarity.qKnnSearch(spark, sf).collect()
+    val perProbe = res.groupBy(_.getAs[Long]("q_id"))
+    assert(perProbe.size === 10)
+    perProbe.foreach { case (q, rows) =>
+      assert(rows.length === 3, s"probe $q returned ${rows.length} != 3")
+      assert(rows.map(_.getAs[Int]("rank")).sorted.sameElements(Seq(1, 2, 3)))
+      assert(rows.forall(_.getAs[Long]("n_id") != q), s"probe $q returned itself")
+    }
+    val rec = ops.Similarity.qKnnSearchRecall(spark, sf).collect()
+    assert(rec.length === 10)
+    val mean = rec.map(_.getAs[Double]("recall")).sum / rec.length
+    // one fixed entry x 3 hops x degree-3 graph reaches <= 40 of the
+    // corpus's nodes — the FLOOR serving config by design (HNSW raises
+    // entry count/beam/degree/levels). Measured mean recall@3: 0.10 at
+    // sf0.001, 0.13 at sf0.01, 0.07 at sf0.1; 0.05 is the
+    // never-regress floor, and the registered audit keeps the real
+    // number a field read per round.
+    assert(mean >= 0.05, s"greedy-walk recall@3 $mean collapsed below floor")
+    assert(mean <= 1.0)
+  }
 }
