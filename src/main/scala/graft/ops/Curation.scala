@@ -941,7 +941,50 @@ object Curation extends QueryFamily {
       |  round(avg(CASE WHEN sel THEN 1.0 ELSE 0.0 END), 4) AS sel_rate
       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  /** Split-hygiene audit: near-duplicate pairs (the oracle-verified
+    * MinHash j >= 0.8 pair list) whose two documents land in DIFFERENT
+    * splits of [[qSplitAssign]]'s content-hash partition — each such
+    * pair is an eval-set leak: the model trains on a near-copy of a
+    * held-out document and the benchmark number inflates. Exact-dup
+    * leakage is impossible by construction here (identical text =>
+    * identical content hash => same split — the reason content-hash
+    * splits beat random ones), so the NEAR-dup list is precisely the
+    * residual risk surface, and this query is the report a pipeline
+    * owner actions (move or drop one side of each pair). Cost on top
+    * of the dedup pass: two doc_id-keyed hash joins against the
+    * |docs|-row split relation — no new corpus scan shape at 100 TB. */
+  def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cell = conv(substring(md5($"text".cast("binary")), 1, 2), 16, 10).cast("int")
+    val splits = T.documents(spark, dir).select($"doc_id",
+      when(cell < 230, "train").when(cell < 243, "val").otherwise("test").as("split"))
+    Dedup.qDedupMinhash(spark, dir)
+      .join(splits.select($"doc_id".as("a_id"), $"split".as("split_a")), Seq("a_id"))
+      .join(splits.select($"doc_id".as("b_id"), $"split".as("split_b")), Seq("b_id"))
+      .filter($"split_a" =!= $"split_b")
+      .select($"a_id", $"b_id", $"split_a", $"split_b", $"jaccard")
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val qSplitLeakageSql: String =
+    s"""${Dedup.minhashCteShared},
+       |sp AS (SELECT doc_id,
+       |  CASE WHEN cell < 230 THEN 'train'
+       |       WHEN cell < 243 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |    (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+       |      + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS cell
+       |    FROM documents))
+       |SELECT v.a_id, v.b_id, sa.split AS split_a, sb.split AS split_b,
+       |  round(v.j, 4) AS jaccard
+       |FROM verified v
+       |JOIN sp sa ON sa.doc_id = v.a_id
+       |JOIN sp sb ON sb.doc_id = v.b_id
+       |WHERE v.j >= 0.8 AND sa.split <> sb.split
+       |ORDER BY a_id, b_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_split_leakage", qSplitLeakage, Some(qSplitLeakageSql)),
     QueryDef("q_mlm_mask_plan", qMlmMaskPlan, Some(qMlmMaskPlanSql)),
     QueryDef("q_boilerplate", qBoilerplate, Some(qBoilerplateSql)),
     QueryDef("q_sample_weighted", qSampleWeighted, Some(qSampleWeightedSql)),

@@ -336,6 +336,25 @@ object Dedup extends QueryFamily {
     * Deterministic: the star-forest fixpoint is unique. */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val edges = minhashPairs(spark, dir).filter($"j" >= 0.8)
+      .select($"a_id".as("u"), $"b_id".as("v"))
+    val roots = connectedComponentRoots(edges)
+    T.documents(spark, dir).select($"doc_id")
+      .join(roots, $"doc_id" === $"u", "left")
+      .select($"doc_id", coalesce($"root", $"doc_id").as("cluster_id"))
+      .orderBy($"doc_id")
+  }
+
+  /** Connected components of an undirected (u, v) edge relation via
+    * alternating large-star/small-star contraction; returns the
+    * (u, root) relation mapping every non-isolated node to its
+    * component's minimum id. Shared by [[qDedupClusters]] (MinHash
+    * text graph) and Similarity's q_semantic_clusters (mutual-kNN
+    * embedding graph). See [[qDedupClusters]]'s doc for the
+    * algorithm's scaling argument. */
+  private[ops] def connectedComponentRoots(edges0: DataFrame): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
     // large-star: connect every neighbor v > u to m = min(N(u) ∪ {u})
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionByName(e.select($"v".as("u"), $"u".as("v")))
@@ -361,10 +380,7 @@ object Dedup extends QueryFamily {
       val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    var edges = minhashPairs(spark, dir).filter($"j" >= 0.8)
-      .select($"a_id".as("u"), $"b_id".as("v"))
-      .filter($"u" =!= $"v").distinct()
-      .ckpt()
+    var edges = edges0.filter($"u" =!= $"v").distinct().ckpt()
     var s = sig(edges)
     var converged = false
     while (!converged) {
@@ -375,11 +391,7 @@ object Dedup extends QueryFamily {
       s = ns
     }
     // at the fixpoint every edge is (node, component-min root)
-    val roots = edges.groupBy($"u").agg(min($"v").as("root"))
-    T.documents(spark, dir).select($"doc_id")
-      .join(roots, $"doc_id" === $"u", "left")
-      .select($"doc_id", coalesce($"root", $"doc_id").as("cluster_id"))
-      .orderBy($"doc_id")
+    edges.groupBy($"u").agg(min($"v").as("root"))
   }
 
   val qDedupClustersSql: String =

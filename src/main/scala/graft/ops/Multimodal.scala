@@ -358,25 +358,31 @@ object Multimodal extends QueryFamily {
   def qDedupPhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val path = materializeThumbs(spark, dir)
-    val hx = spark.read.parquet(path)
-      .withColumn("mean",
-        expr("aggregate(px, CAST(0 AS BIGINT), (a, x) -> a + x)") / lit(256.0))
-      .withColumn("words", expr(
-        """transform(sequence(0, 7), w -> aggregate(sequence(0, 31),
-          |  CAST(0 AS BIGINT),
-          |  (a, j) -> a + IF(px[w * 32 + j] > mean, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))))""".stripMargin))
-      .select($"doc_id", $"words")
-      .ckpt() // one decode-table scan feeds bands AND both verify sides
-    val bands = hx.select($"doc_id", posexplode($"words").as(Seq("w", "word")))
-    val cand = bands.select($"doc_id".as("a_id"), $"w", $"word")
-      .join(bands.select($"doc_id".as("b_id"), $"w", $"word"), Seq("w", "word"))
+    // bit-packing as posexplode + hash aggregates (the oracle's own
+    // shape) rather than nested higher-order-function lambdas: HOFs
+    // are CodegenFallback and evaluate interpreted (the measured-30x
+    // SURVEY finding), while the exploded form stays entirely inside
+    // whole-stage codegen — 256 rows per image through two hash
+    // aggregates
+    val pxRows = spark.read.parquet(path)
+      .select($"doc_id", posexplode($"px").as(Seq("i", "v")))
+    val mean = pxRows.groupBy($"doc_id")
+      .agg((sum($"v") / lit(256.0)).as("mean"))
+    val words = pxRows.join(mean, Seq("doc_id"))
+      .groupBy($"doc_id", expr("i DIV 32").as("w"))
+      .agg(sum(when($"v" > $"mean",
+        expr("shiftleft(CAST(1 AS BIGINT), i % 32)")).otherwise(0L)).as("word"))
+      .ckpt() // (doc_id, w, word): feeds bands AND both verify sides
+    val cand = words.select($"doc_id".as("a_id"), $"w", $"word")
+      .join(words.select($"doc_id".as("b_id"), $"w", $"word"), Seq("w", "word"))
       .filter($"a_id" < $"b_id")
       .select($"a_id", $"b_id").distinct()
     cand
-      .join(hx.select($"doc_id".as("a_id"), $"words".as("wa")), Seq("a_id"))
-      .join(hx.select($"doc_id".as("b_id"), $"words".as("wb")), Seq("b_id"))
-      .withColumn("hamming", expr(
-        "aggregate(zip_with(wa, wb, (x, y) -> bit_count(x ^ y)), 0, (a, c) -> a + c)"))
+      .join(words.select($"doc_id".as("a_id"), $"w", $"word".as("wa")), Seq("a_id"))
+      .join(words.select($"doc_id".as("bd"), $"w".as("wb_w"), $"word".as("wb")),
+        $"b_id" === $"bd" && $"w" === $"wb_w")
+      .groupBy($"a_id", $"b_id")
+      .agg(sum(bit_count($"wa".bitwiseXOR($"wb"))).cast("int").as("hamming"))
       .filter($"hamming" <= 16)
       .select($"a_id", $"b_id", $"hamming")
       .orderBy($"a_id", $"b_id")

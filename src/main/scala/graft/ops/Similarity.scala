@@ -1870,6 +1870,57 @@ object Similarity extends QueryFamily {
        |  FROM v3 WHERE q_id <> n_id)
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  /** SemDeDup-style semantic clusters: connected components over the
+    * STRONG mutual-kNN edges — the embedding-space twin of
+    * q_dedup_clusters (which clusters the MinHash text graph). Strong
+    * means the top decile of the mutual-edge cosine distribution: the
+    * threshold is CORPUS-RELATIVE (computed from the 4dp cosine grid
+    * of the edges themselves, <= 10001 grid rows), because an absolute
+    * cut like 0.9 is meaningless without knowing the corpus's
+    * similarity level — this fixture's mutual edges top out at ~0.6,
+    * and a production corpus of paraphrases tops out near 1.0; the
+    * decile rule adapts to both (the round-9 lesson: data-adaptive
+    * parameters, chosen from the measured similarity level).
+    * Components come from the shared Kiveris star contraction
+    * ([[Dedup.connectedComponentRoots]]); every vector gets a label,
+    * singletons labeling themselves — the relation a semantic-dedup
+    * pass keeps one representative per cluster from. */
+  def qSemanticClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val me = qMutualKnn(spark, dir).select($"a_id", $"b_id", $"cos").ckpt()
+    val n = me.agg(count(lit(1)).as("n_edges"))
+    val grid = me.groupBy($"cos").agg(count(lit(1)).as("c"))
+    val wAsc = Window.orderBy($"cos") // bounded: the 4dp cosine grid
+    val thr = grid.withColumn("cum", sum($"c").over(wAsc))
+      .crossJoin(broadcast(n))
+      .filter($"cum" >= ceil($"n_edges" * 0.9))
+      .agg(min($"cos").as("t"))
+    val strong = me.crossJoin(broadcast(thr)).filter($"cos" >= $"t")
+      .select($"a_id".as("u"), $"b_id".as("v"))
+    val roots = Dedup.connectedComponentRoots(strong)
+    T.embeddings(spark, dir).select($"vec_id")
+      .join(roots, $"vec_id" === $"u", "left")
+      .select($"vec_id", coalesce($"root", $"vec_id").as("cluster_id"))
+      .orderBy($"vec_id")
+  }
+
+  val qSemanticClustersSql: String =
+    s"""WITH RECURSIVE me AS MATERIALIZED (
+       |  SELECT a_id, b_id, cos FROM (${qMutualKnnSql.replace("\n", "\n  ")})),
+       |thr AS (SELECT min(cos) AS t FROM (
+       |  SELECT cos, sum(c) OVER (ORDER BY cos) AS cum,
+       |    (SELECT count(*) FROM me) AS n
+       |  FROM (SELECT cos, count(*) AS c FROM me GROUP BY cos))
+       |  WHERE cum >= ceil(n * 0.9)),
+       |strong AS (SELECT a_id AS u, b_id AS v FROM me, thr WHERE cos >= t),
+       |edges AS (SELECT u, v FROM strong UNION ALL SELECT v, u FROM strong),
+       |reach(u, v) AS (SELECT u, v FROM edges
+       |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       |SELECT em.vec_id,
+       |  least(em.vec_id, coalesce(min(r.v), em.vec_id)) AS cluster_id
+       |FROM embeddings em LEFT JOIN reach r ON r.u = em.vec_id
+       |GROUP BY em.vec_id ORDER BY em.vec_id""".stripMargin
+
   /** Recall@3 audit of [[qKnnSearch]] against the exact brute-force
     * top-3 — the measure-the-approximation contract every approximate
     * path in this family ships with. A greedy walk from one fixed
@@ -2055,6 +2106,7 @@ object Similarity extends QueryFamily {
     QueryDef("q_sq_recall", qSqRecall, Some(qSqRecallSql)),
     QueryDef("q_mutual_knn", qMutualKnn, Some(qMutualKnnSql)),
     QueryDef("q_knn_search", qKnnSearch, Some(qKnnSearchSql)),
+    QueryDef("q_semantic_clusters", qSemanticClusters, Some(qSemanticClustersSql)),
     QueryDef("q_knn_search_recall", qKnnSearchRecall, Some(qKnnSearchRecallSql)),
     QueryDef("q_knn_graph_recall", qKnnGraphRecall, Some(qKnnGraphRecallSql)),
     QueryDef("q_hard_negatives", qHardNegatives, Some(qHardNegativesSql)),

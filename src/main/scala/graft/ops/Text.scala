@@ -165,6 +165,33 @@ object Text extends QueryFamily {
       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  /** Confusion matrix of the [[qLangId]] stopword heuristic against
+    * the corpus's labeled `lang` column — the eval a pipeline owner
+    * reads before trusting a cheap classifier to route 100 TB: one
+    * (true, predicted) cell count per pair plus the row-normalized
+    * share (per-true-language recall on the diagonal). The matrix is
+    * |langs| x |preds| cells from ONE hash aggregate over the scored
+    * scan; the row-share window runs on those bounded cells, never on
+    * documents. */
+  def qLangIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = qLangId(spark, dir)
+      .groupBy($"true_lang", $"pred_lang")
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"true_lang")
+    cells
+      .withColumn("row_share", round($"n".cast("double") / sum($"n").over(w), 4))
+      .select($"true_lang", $"pred_lang", $"n", $"row_share")
+      .orderBy($"true_lang", $"pred_lang")
+  }
+
+  val qLangIdConfusionSql: String =
+    s"""WITH p AS ($qLangIdSql),
+       |c AS (SELECT true_lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2)
+       |SELECT true_lang, pred_lang, n,
+       |  round(n::DOUBLE / sum(n) OVER (PARTITION BY true_lang), 4) AS row_share
+       |FROM c ORDER BY true_lang, pred_lang""".stripMargin
+
   /** Content-defined document fingerprint: full-content hash plus a
     * coarse prefix bucket; per-source distinct-fingerprint counts give
     * the corpus-level duplication profile. */
@@ -1948,6 +1975,7 @@ object Text extends QueryFamily {
     QueryDef("q_lang_stats", qLangStats, Some(qLangStatsSql)),
     QueryDef("q_quality_score", qQualityScore, Some(qQualityScoreSql)),
     QueryDef("q_lang_id", qLangId, Some(qLangIdSql)),
+    QueryDef("q_lang_id_confusion", qLangIdConfusion, Some(qLangIdConfusionSql)),
     QueryDef("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
   )
 }

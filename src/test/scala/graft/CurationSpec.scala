@@ -212,4 +212,25 @@ class CurationSpec extends AnyFunSuite {
       s"measured FPR $meas too far from theory $theory")
     assert(r.getAs[Long]("n_fp") <= r.getAs[Long]("n_nonmember"))
   }
+
+  test("split leakage: cross-split subset of the near-dup pairs, never same-split") {
+    val splits = Set("train", "val", "test")
+    val leaks = ops.Curation.qSplitLeakage(spark, sf).collect()
+    leaks.foreach { r =>
+      assert(splits.contains(r.getAs[String]("split_a")))
+      assert(splits.contains(r.getAs[String]("split_b")))
+      assert(r.getAs[String]("split_a") !== r.getAs[String]("split_b"))
+      assert(r.getAs[Double]("jaccard") >= 0.8)
+    }
+    // leaks are exactly the near-dup pairs minus the same-split ones
+    val pairs = ops.Dedup.qDedupMinhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val leakKeys = leaks.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(leakKeys.subsetOf(pairs))
+    // exact-dup leakage is impossible by construction: identical text
+    // hashes to the same split cell, so every leaked pair is j < 1 OR
+    // a true near-dup with different text; structurally, a doc never
+    // pairs with itself
+    leaks.foreach(r => assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
+  }
 }

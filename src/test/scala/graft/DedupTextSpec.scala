@@ -398,4 +398,23 @@ class DedupTextSpec extends AnyFunSuite {
     assert(f1 + f2 <= v)
     assert(r.getAs[Double]("chao1") >= v.toDouble, "estimate below observed richness")
   }
+
+  test("lang-id confusion matrix: cells total the corpus, row shares sum to 1") {
+    val rows = ops.Text.qLangIdConfusion(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total === ops.T.documents(spark, sf).count())
+    rows.groupBy(_.getAs[String]("true_lang")).foreach { case (lang, rs) =>
+      val share = rs.map(_.getAs[Double]("row_share")).sum
+      assert(math.abs(share - 1.0) < 0.002, s"$lang row shares sum to $share")
+    }
+    // the heuristic must beat chance on its home turf: the 'en'
+    // diagonal cell is the largest in its row (stopword lists are
+    // English-skewed by construction)
+    val en = rows.filter(_.getAs[String]("true_lang") == "en")
+    if (en.nonEmpty) {
+      val best = en.maxBy(_.getAs[Long]("n"))
+      assert(best.getAs[String]("pred_lang") === "en",
+        s"en row's argmax is ${best.getAs[String]("pred_lang")}")
+    }
+  }
 }

@@ -158,7 +158,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row fixed-entry-point build (the HNSW-style entry node) + the
     // corpus-count broadcast inside the graph-build pipeline; the
     // recall audit adds the brute-force probe-side non-equi join
-    "q_knn_search", "q_knn_search_recall")
+    "q_knn_search", "q_knn_search_recall",
+    // 1-row edge-count + 1-row decile-threshold broadcasts onto the
+    // bounded cosine grid / the materialized mutual-edge relation
+    "q_semantic_clusters")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
@@ -239,6 +242,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dp_quantile" -> "$1k value grid (<=~600 rows)",
     "q_t_closeness" -> "global language-share table (|langs| rows)",
     "q_gini_stump" -> "quantity grid (<=50 candidate thresholds)",
+    "q_semantic_clusters" -> "4dp mutual-edge cosine grid (<=10001 rows)",
     "q_hhi_concentration" -> "per-source token totals (20 rows)",
     "q_conformal_threshold" -> "globalRowNumber offsets (32 rows)",
     "q_hurst" -> "daily grain")

@@ -251,4 +251,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.05, s"greedy-walk recall@3 $mean collapsed below floor")
     assert(mean <= 1.0)
   }
+
+  test("semantic clusters: total labeling, min-id roots, decile edges actually cluster") {
+    val rows = ops.Similarity.qSemanticClusters(spark, sf).collect()
+    assert(rows.length === spark.read.parquet(s"$sf/embeddings.parquet").count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cluster_id") <= r.getAs[Long]("vec_id"),
+        "root must be the component minimum")
+    }
+    // the top-decile mutual edges must produce at least one real
+    // (size >= 2) cluster — a degenerate all-singleton labeling means
+    // the threshold selected nothing
+    val sizes = rows.groupBy(_.getAs[Long]("cluster_id")).map(_._2.length)
+    assert(sizes.max >= 2, "no non-singleton semantic cluster")
+  }
 }
