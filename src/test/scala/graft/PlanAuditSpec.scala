@@ -161,7 +161,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_knn_search", "q_knn_search_recall",
     // 1-row edge-count + 1-row decile-threshold broadcasts onto the
     // bounded cosine grid / the materialized mutual-edge relation
-    "q_semantic_clusters")
+    "q_semantic_clusters",
+    // inherits the brute-force probe-side non-equi join of its exact
+    // ground-truth pass + the 1-row entry/true-count builds per beam
+    "q_knn_beam_sweep")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
@@ -310,6 +313,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_knn_graph_recall" -> "graph pipeline + exact ground-truth audit pipeline",
     "q_knn_search" -> "graph-build pipeline (count branch + bucket self-join sides) ahead of the materialized index walk",
     "q_knn_search_recall" -> "search pipeline + exact ground-truth audit pipeline",
+    "q_knn_beam_sweep" -> "walk pipelines per beam + exact ground-truth audit pipeline",
     "q_sq_recall" -> "SQ codec train+apply pipeline + exact ground-truth audit pipeline",
     "q_matryoshka_recall" -> "truncated-prefix pipeline + exact ground-truth audit pipeline",
     "q_binary_quant_recall" -> "sign-bit pipeline + exact ground-truth audit pipeline")
