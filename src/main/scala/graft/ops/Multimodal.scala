@@ -355,28 +355,45 @@ object Multimodal extends QueryFamily {
     * one banded self-join whose key cardinality scales with the corpus
     * — the same shuffle shape as the MinHash band join. Full DuckDB
     * oracle over the same sidecar (round-10 verdict task 4). */
-  def qDedupPhash(spark: SparkSession, dir: String): DataFrame = {
+  /** The ckpt'd (doc_id, w, word) aHash-word relation of
+    * [[qDedupPhash]]. Bit-packing as posexplode + hash aggregates (the
+    * oracle's own shape) rather than nested higher-order-function
+    * lambdas: HOFs are CodegenFallback and evaluate interpreted (the
+    * measured-30x SURVEY finding), while the exploded form stays
+    * entirely inside whole-stage codegen — 256 rows per image through
+    * two hash aggregates. */
+  private def phashWords(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val path = materializeThumbs(spark, dir)
-    // bit-packing as posexplode + hash aggregates (the oracle's own
-    // shape) rather than nested higher-order-function lambdas: HOFs
-    // are CodegenFallback and evaluate interpreted (the measured-30x
-    // SURVEY finding), while the exploded form stays entirely inside
-    // whole-stage codegen — 256 rows per image through two hash
-    // aggregates
     val pxRows = spark.read.parquet(path)
       .select($"doc_id", posexplode($"px").as(Seq("i", "v")))
     val mean = pxRows.groupBy($"doc_id")
       .agg((sum($"v") / lit(256.0)).as("mean"))
-    val words = pxRows.join(mean, Seq("doc_id"))
+    pxRows.join(mean, Seq("doc_id"))
       .groupBy($"doc_id", expr("i DIV 32").as("w"))
       .agg(sum(when($"v" > $"mean",
         expr("shiftleft(CAST(1 AS BIGINT), i % 32)")).otherwise(0L)).as("word"))
       .ckpt() // (doc_id, w, word): feeds bands AND both verify sides
-    val cand = words.select($"doc_id".as("a_id"), $"w", $"word")
+  }
+
+  /** Band-collision candidate pairs of [[qDedupPhash]] — split out so
+    * ScaleSpec can assert the per-document candidate load stays O(1)
+    * across fixtures. */
+  private[graft] def phashCandidates(spark: SparkSession, dir: String): DataFrame =
+    phashBandPairs(phashWords(spark, dir))
+
+  private def phashBandPairs(words: DataFrame): DataFrame = {
+    import words.sparkSession.implicits._
+    words.select($"doc_id".as("a_id"), $"w", $"word")
       .join(words.select($"doc_id".as("b_id"), $"w", $"word"), Seq("w", "word"))
       .filter($"a_id" < $"b_id")
       .select($"a_id", $"b_id").distinct()
+  }
+
+  def qDedupPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = phashWords(spark, dir)
+    val cand = phashBandPairs(words)
     cand
       .join(words.select($"doc_id".as("a_id"), $"w", $"word".as("wa")), Seq("a_id"))
       .join(words.select($"doc_id".as("bd"), $"w".as("wb_w"), $"word".as("wb")),

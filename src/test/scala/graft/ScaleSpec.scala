@@ -202,6 +202,23 @@ class ScaleSpec extends AnyFunSuite {
       s"embedding-dedup candidate growth is quadratic-class: $ded for corpus growth $growth")
   }
 
+  test("phash band candidates stay a small constant per document across fixtures") {
+    // The 8x32-bit aHash words are data-valued keys, so the bounded-
+    // bucket gate already proves the key domain scales; this pins the
+    // absolute candidate LOAD: band-collision pairs per document must
+    // stay O(1) as the corpus grows (duplicates collide by design;
+    // random 32-bit word collisions are ~n^2/2^32, negligible at any
+    // realistic shard size). Measured ~0.01/doc at sf0.01 and
+    // ~0.24/doc at sf0.1 (the sf0.1 fixture carries real duplicate
+    // groups); 2 per doc is the blowout tripwire.
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val docs = spark.read.parquet(s"$d/documents.parquet").count()
+      val pairs = ops.Multimodal.phashCandidates(spark, d).count()
+      assert(pairs.toDouble / docs <= 2.0,
+        s"$d: $pairs band-collision pairs for $docs docs — phash banding collapsed")
+    }
+  }
+
   test("key histogram surfaces the heaviest keys in order") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val hist = ops.Skew.keyHistogram(li, col("l_suppkey"), topN = 5).collect()
