@@ -319,8 +319,15 @@ object Multimodal extends QueryFamily {
     * with this path). */
   def thumbsSidecarPath(dir: String): String = {
     val base = new java.io.File(dir).getName
-    val root = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR",
-      new java.io.File("tools/fixtures").getAbsolutePath)
+    val root = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR", {
+      // anchor to the repo when visible so the path does not depend on
+      // the invoking process's working directory (Verify's oracle SQL
+      // embeds the absolute path; Spark writer and DuckDB reader must
+      // agree even if they run from different cwds)
+      val repo = new java.io.File("/root/repo/tools")
+      if (repo.isDirectory) "/root/repo/tools/fixtures"
+      else new java.io.File("tools/fixtures").getAbsolutePath
+    })
     s"$root/thumbs_$base.parquet"
   }
 
