@@ -145,6 +145,20 @@ object Dedup extends QueryFamily {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** The production (doc_id, b, bandsig) band-key relation — the
+    * 16-component signature banded 4x4. Shared with StreamingOps'
+    * online near-dup admission, which keys ingest state by these
+    * exact band signatures. */
+  private[graft] def docBands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = 2147483647L
+    val sigs = shingleRows(spark, dir, 3)
+      .withColumn("h", expr("cast(conv(substring(md5(sh), 1, 12), 16, 10) AS bigint)") % p)
+      .groupBy($"doc_id")
+      .agg(graft.functions.Aggregators.minhashSig(SigComponents)($"h").as("sig"))
+    bandExplode(sigs, ProductionBands)
+  }
+
   /** Shared CTE prefix replicating the exact MinHash pipeline in DuckDB
     * (same 48-bit md5 prefix -> same affine permutations -> same bands). */
   /** Shared with [[Curation.qCurationWaterfall]]'s oracle, which

@@ -330,7 +330,48 @@ object StreamingOps extends QueryFamily {
       |SELECT win_start_us, event_type, rev, rank FROM r
       |WHERE rank <= 3 ORDER BY win_start_us, rank""".stripMargin
 
+  /** Online near-dup ADMISSION — the ingest-time twin of the LSH dedup
+    * family: a document is admitted iff NONE of its 4 production band
+    * signatures ([[Dedup.docBands]]) was seen on any earlier document
+    * (arrival order = doc_id). The state an online system keeps is
+    * every seen bandsig (kept or dropped), which makes the decision
+    * BOUNDARY-INVARIANT: replaying the corpus in any micro-batch
+    * split against a running band-state table admits exactly this set
+    * (StreamingSpec proves it over a 3-batch replay) — so the oracle
+    * is one batch query: per band bucket take the min doc_id, a doc
+    * collides iff any of its buckets has an earlier arrival. Banding-
+    * only (no exact-Jaccard verify): at ingest the earlier doc's
+    * shingles are gone, signatures are all the state there is — this
+    * admits fewer docs than verified dedup (FP collisions drop
+    * borderline docs), the standard ingest trade. Scale: state is
+    * 4 signatures per admitted doc keyed by bandsig — one hash lookup
+    * shuffle per ingest batch. */
+  def nearDupAdmit(bands: DataFrame): DataFrame = {
+    val first = bands.groupBy(col("b"), col("bandsig"))
+      .agg(min(col("doc_id")).as("first_id"))
+    bands.join(first, Seq("b", "bandsig"))
+      .groupBy(col("doc_id"))
+      .agg(max((col("first_id") < col("doc_id")).cast("int")).as("collided"))
+      .filter(col("collided") === 0)
+      .select(col("doc_id"))
+  }
+
+  def qStreamNeardup(spark: SparkSession, dir: String): DataFrame =
+    nearDupAdmit(Dedup.docBands(spark, dir)).orderBy(col("doc_id"))
+
+  val qStreamNeardupSql: String =
+    s"""${Dedup.minhashCteShared},
+       |first AS (SELECT b, bandsig, min(doc_id) AS first_id
+       |  FROM bands GROUP BY 1, 2)
+       |SELECT doc_id FROM (
+       |  SELECT ba.doc_id,
+       |    max(CASE WHEN f.first_id < ba.doc_id THEN 1 ELSE 0 END) AS collided
+       |  FROM bands ba JOIN first f ON f.b = ba.b AND f.bandsig = ba.bandsig
+       |  GROUP BY ba.doc_id)
+       |WHERE collided = 0 ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_stream_neardup", qStreamNeardup, Some(qStreamNeardupSql)),
     QueryDef("q_stream_topk", qStreamTopk, Some(qStreamTopkSql)),
     QueryDef("q_stream_static", qStreamStatic, Some(qStreamStaticSql)),
     QueryDef("q_stream_tumbling", qStreamTumbling, Some(qStreamTumblingSql)),

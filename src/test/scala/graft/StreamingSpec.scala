@@ -516,4 +516,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("online near-dup admission is micro-batch-boundary invariant") {
+    import org.apache.spark.sql.functions._
+    // replay the corpus in 3 arrival-ordered ingest batches against a
+    // running band-state table (bandsig -> first arrival), the way a
+    // foreachBatch ingest sink maintains it; the admitted set must be
+    // EXACTLY the one-shot batch answer regardless of where the batch
+    // boundaries fall — the property that makes q_stream_neardup's
+    // batch oracle valid for the streaming deployment
+    val dir = SparkTestSession.sf
+    val bands = ops.Dedup.docBands(spark, dir).localCheckpoint(true)
+    val ids = bands.select("doc_id").distinct()
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3), Long.MaxValue)
+    var lo = Long.MinValue
+    var state = spark.emptyDataFrame
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    cuts.foreach { hi =>
+      val cb = bands.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      val chunkFirst = cb.groupBy(col("b"), col("bandsig"))
+        .agg(min(col("doc_id")).as("first_id"))
+      val merged =
+        if (state.isEmpty) chunkFirst
+        else chunkFirst.unionByName(state)
+          .groupBy(col("b"), col("bandsig")).agg(min(col("first_id")).as("first_id"))
+      admitted ++= cb.join(merged, Seq("b", "bandsig"))
+        .groupBy(col("doc_id"))
+        .agg(max((col("first_id") < col("doc_id")).cast("int")).as("collided"))
+        .filter(col("collided") === 0)
+        .select("doc_id").collect().map(_.getLong(0))
+      state = merged.localCheckpoint(true)
+      lo = hi
+    }
+    val oneShot = ops.StreamingOps.qStreamNeardup(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(admitted.sorted.toSeq === oneShot.sorted)
+    assert(oneShot.nonEmpty && oneShot.length < ids.length,
+      "admission must drop at least one near-dup on the dedup corpus")
+  }
 }
