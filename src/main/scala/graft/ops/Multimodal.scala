@@ -320,13 +320,22 @@ object Multimodal extends QueryFamily {
   def thumbsSidecarPath(dir: String): String = {
     val base = new java.io.File(dir).getName
     val root = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR", {
-      // anchor to the repo when visible so the path does not depend on
-      // the invoking process's working directory (Verify's oracle SQL
-      // embeds the absolute path; Spark writer and DuckDB reader must
-      // agree even if they run from different cwds)
-      val repo = new java.io.File("/root/repo/tools")
-      if (repo.isDirectory) "/root/repo/tools/fixtures"
-      else new java.io.File("tools/fixtures").getAbsolutePath
+      // anchor to the repo that owns THIS compiled class, so the path
+      // depends on neither the invoking process's working directory
+      // nor a hardcoded checkout location (Verify's oracle SQL embeds
+      // the absolute path; Spark writer and DuckDB reader must agree):
+      // walk up from the class's code source (target/scala-x/classes
+      // or the packaged jar) to the first dir carrying build.sbt.
+      val codeSrc = try {
+        Option(getClass.getProtectionDomain.getCodeSource)
+          .map(s => new java.io.File(s.getLocation.toURI))
+      } catch { case _: Exception => None }
+      codeSrc
+        .flatMap(f => Iterator.iterate(f)(_.getParentFile)
+          .takeWhile(_ != null).take(6)
+          .find(p => new java.io.File(p, "build.sbt").isFile))
+        .map(r => new java.io.File(r, "tools/fixtures").getAbsolutePath)
+        .getOrElse(new java.io.File("tools/fixtures").getAbsolutePath)
     })
     s"$root/thumbs_$base.parquet"
   }
@@ -435,11 +444,151 @@ object Multimodal extends QueryFamily {
       |SELECT a_id, b_id, hamming FROM ham
       |WHERE hamming <= 16 ORDER BY a_id, b_id""".stripMargin
 
+  /** The fixed DCT-II basis for [[qDedupPhashDct]]: c(u, p) =
+    * cos(pi * (2p + 1) * u / 32) for u in [0, 8) (the low frequencies
+    * kept) and p in [0, 16) (the thumbnail edge). Generated ONCE here
+    * and embedded into BOTH engines from the same doubles — the Spark
+    * side as a broadcast 128-row relation, the DuckDB side as a VALUES
+    * literal via Double.toString (shortest round-tripping decimal, so
+    * the parsed double is bit-identical). */
+  private val dctBasis: Seq[(Int, Int, Double)] =
+    for (u <- 0 until 8; p <- 0 until 16)
+      yield (u, p, math.cos(math.Pi * (2 * p + 1) * u / 32.0))
+
+  private val dctBasisValuesSql: String =
+    dctBasis.map { case (u, p, c) => s"($u, $p, $c)" }.mkString(", ")
+
+  /** DCT words of a (doc_id, px[256]) relation — the kernel of
+    * [[qDedupPhashDct]], split out so MultimodalSpec can drive
+    * synthetic pixel grids (brightness-shift invariance) through it.
+    *
+    * The standard pHash upgrade over aHash: a 2D DCT-II of the 16x16
+    * grayscale thumb, keep the top-left 8x8 (low-frequency) block,
+    * threshold each coefficient against the MEDIAN of the 63 AC
+    * coefficients (DC is excluded from both the hash and the median —
+    * a global brightness shift moves ONLY the DC term, so the 63-bit
+    * AC hash is exactly invariant to it, where including DC would let
+    * one shifted coefficient drag the median and flip unrelated
+    * bits). Bits pack into 4 words of 16 (bit index k = 8u + v, band
+    * w = k DIV 16; the DC position k = 0 is a constant 0 bit), so
+    * banding is the same exact-word equi-join as the aHash pipeline
+    * and pigeonhole guarantees any pair within 3 bit-flips collides
+    * on >= 1 band. 16-bit bands, not 8: an 8-bit band key space is
+    * 256 values — bounded, so band-bucket sizes would grow linearly
+    * with the corpus (the quadratic-candidate class the bounded-
+    * bucket gate exists to catch); at 16 bits the observed key
+    * cardinality scales with the corpus (sparse occupancy of 2^16
+    * per band) and random collisions stay rare.
+    *
+    * Shape: the DCT is SEPARABLE — pass 1 contracts x against the
+    * 8x16 basis (256 -> 128 rows/doc), pass 2 contracts y
+    * (128 -> 64 rows/doc); both are broadcast joins against the
+    * 128-row basis followed by hash aggregates, all codegen (the
+    * round-11 posexplode-over-HOF lesson applied). Coefficients are
+    * 6dp-stabilized before ranking so engine summation order cannot
+    * flip a threshold comparison. */
+  private[graft] def dctWordsOf(pxRel: DataFrame): DataFrame = {
+    val spark = pxRel.sparkSession
+    import spark.implicits._
+    val cosM = dctBasis.toDF("u", "p", "c")
+    val px = pxRel
+      .select($"doc_id", posexplode($"px").as(Seq("i", "v")))
+      .select($"doc_id", expr("i DIV 16").as("y"), ($"i" % 16).as("x"), $"v")
+    val pass1 = px
+      .join(broadcast(cosM.select($"u".as("vf"), $"p".as("x"), $"c")), Seq("x"))
+      .groupBy($"doc_id", $"y", $"vf").agg(sum($"v" * $"c").as("r"))
+    val coeffs = pass1
+      .join(broadcast(cosM.select($"u".as("uf"), $"p".as("y"), $"c")), Seq("y"))
+      .groupBy($"doc_id", $"uf", $"vf").agg(round(sum($"r" * $"c"), 6).as("cq"))
+      .filter(!($"uf" === 0 && $"vf" === 0)) // drop DC: brightness carrier
+    // 63 AC coefficients: the median is the 32nd order statistic
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"cq", $"uf", $"vf")
+    val ranked = coeffs.withColumn("rn", row_number().over(wd))
+    val thr = ranked.filter($"rn" === 32)
+      .select($"doc_id", $"cq".as("thr"))
+    ranked.join(thr, Seq("doc_id"))
+      .groupBy($"doc_id", expr("(uf * 8 + vf) DIV 16").as("w"))
+      .agg(sum(when($"cq" > $"thr",
+        expr("shiftleft(CAST(1 AS BIGINT), (uf * 8 + vf) % 16)")).otherwise(0L)).as("word"))
+      .ckpt() // (doc_id, w, word): feeds bands AND both verify sides
+  }
+
+  private def phashDctWords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = materializeThumbs(spark, dir)
+    dctWordsOf(spark.read.parquet(path).select($"doc_id", $"px"))
+  }
+
+  /** Band-collision candidates of [[qDedupPhashDct]] — split out for
+    * ScaleSpec's per-document candidate-load pin. */
+  private[graft] def phashDctCandidates(spark: SparkSession, dir: String): DataFrame =
+    phashBandPairs(phashDctWords(spark, dir))
+
+  /** DCT-based perceptual-hash image dedup over the same materialized
+    * thumbnail sidecar as [[qDedupPhash]] (round-11 verdict task 7:
+    * aHash is brittle to luminance redistribution; DCT low-frequency
+    * bits are the standard upgrade). Verification keeps pairs within
+    * Hamming 10 of 63 (the conventional pHash duplicate threshold);
+    * banding guarantees recall only up to 3 flips — pairs at 4..10
+    * surface iff a 16-bit word matches exactly, the same documented
+    * banding-recall trade as the aHash operator. Full DuckDB oracle
+    * over the `{THUMBS}` sidecar; declared-empty at sf0.001/sf0.01
+    * (the stub thumbs there have no near-dup pairs — see
+    * VACUOUS_EVIDENCE.json for the non-vacuous sf0.1 differential). */
+  def qDedupPhashDct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = phashDctWords(spark, dir)
+    val cand = phashBandPairs(words)
+    cand
+      .join(words.select($"doc_id".as("a_id"), $"w", $"word".as("wa")), Seq("a_id"))
+      .join(words.select($"doc_id".as("bd"), $"w".as("wb_w"), $"word".as("wb")),
+        $"b_id" === $"bd" && $"w" === $"wb_w")
+      .groupBy($"a_id", $"b_id")
+      .agg(sum(bit_count($"wa".bitwiseXOR($"wb"))).cast("int").as("hamming"))
+      .filter($"hamming" <= 10)
+      .select($"a_id", $"b_id", $"hamming")
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val qDedupPhashDctSql: String =
+    s"""WITH t AS (SELECT doc_id, px FROM read_parquet('{THUMBS}/*.parquet')),
+       |cosm AS (SELECT u, p, c::DOUBLE AS c
+       |  FROM (VALUES $dctBasisValuesSql) t(u, p, c)),
+       |pxx AS (SELECT doc_id, i // 16 AS y, i % 16 AS x, px[i + 1] AS v
+       |  FROM t, range(0, 256) r(i)),
+       |p1 AS (SELECT doc_id, y, cm.u AS vf, sum(v * cm.c) AS r
+       |  FROM pxx JOIN cosm cm ON cm.p = pxx.x GROUP BY doc_id, y, cm.u),
+       |co AS (SELECT doc_id, cm.u AS uf, p1.vf, round(sum(r * cm.c), 6) AS cq
+       |  FROM p1 JOIN cosm cm ON cm.p = p1.y GROUP BY doc_id, cm.u, p1.vf),
+       |ac AS (SELECT * FROM co WHERE NOT (uf = 0 AND vf = 0)),
+       |rk AS (SELECT doc_id, uf, vf, cq,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY cq, uf, vf) AS rn
+       |  FROM ac),
+       |thr AS (SELECT doc_id, cq AS thr FROM rk WHERE rn = 32),
+       |words AS MATERIALIZED (SELECT r.doc_id, (r.uf * 8 + r.vf) // 16 AS w,
+       |    sum(CASE WHEN r.cq > t2.thr
+       |        THEN (1::BIGINT << ((r.uf * 8 + r.vf) % 16)) ELSE 0 END)::BIGINT AS word
+       |  FROM rk r JOIN thr t2 ON t2.doc_id = r.doc_id
+       |  GROUP BY r.doc_id, (r.uf * 8 + r.vf) // 16),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM words a JOIN words b ON a.w = b.w AND a.word = b.word
+       |  WHERE a.doc_id < b.doc_id),
+       |ham AS (SELECT c.a_id, c.b_id,
+       |    sum(bit_count(xor(wa.word, wb.word)))::INT AS hamming
+       |  FROM cand c
+       |  JOIN words wa ON wa.doc_id = c.a_id
+       |  JOIN words wb ON wb.doc_id = c.b_id AND wb.w = wa.w
+       |  GROUP BY c.a_id, c.b_id)
+       |SELECT a_id, b_id, hamming FROM ham
+       |WHERE hamming <= 10 ORDER BY a_id, b_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_multimodal_meta", qMultimodalMeta, Some(qMultimodalMetaSql)),
     QueryDef("q_multimodal_features", qMultimodalFeaturesFlat, None),
     QueryDef("q_multimodal_frames", qMultimodalFrames, Some(qMultimodalFramesSql)),
     QueryDef("q_multimodal_resize", qMultimodalResize, None),
     QueryDef("q_dedup_phash", qDedupPhash, Some(qDedupPhashSql)),
+    QueryDef("q_dedup_phash_dct", qDedupPhashDct, Some(qDedupPhashDctSql)),
   )
 }

@@ -356,19 +356,31 @@ object StreamingOps extends QueryFamily {
       .select(col("doc_id"))
   }
 
-  def qStreamNeardup(spark: SparkSession, dir: String): DataFrame =
-    nearDupAdmit(Dedup.docBands(spark, dir)).orderBy(col("doc_id"))
+  /** The operator's universe is EVERY document: docs too short to
+    * shingle (< 3 tokens) produce no band rows, carry no signature
+    * state to collide on, and are therefore ADMITTED — the round-11
+    * advice fix for an admission operator that silently dropped
+    * unshingleable docs from its universe (both engines apply the
+    * identical rule: a doc is rejected iff one of its band signatures
+    * has an earlier arrival). */
+  def qStreamNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val bands = Dedup.docBands(spark, dir)
+    val unshingleable = T.documents(spark, dir).select(col("doc_id"))
+      .join(bands.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    nearDupAdmit(bands).unionByName(unshingleable).orderBy(col("doc_id"))
+  }
 
   val qStreamNeardupSql: String =
     s"""${Dedup.minhashCteShared},
        |first AS (SELECT b, bandsig, min(doc_id) AS first_id
-       |  FROM bands GROUP BY 1, 2)
-       |SELECT doc_id FROM (
-       |  SELECT ba.doc_id,
+       |  FROM bands GROUP BY 1, 2),
+       |collided AS (SELECT ba.doc_id,
        |    max(CASE WHEN f.first_id < ba.doc_id THEN 1 ELSE 0 END) AS collided
        |  FROM bands ba JOIN first f ON f.b = ba.b AND f.bandsig = ba.bandsig
        |  GROUP BY ba.doc_id)
-       |WHERE collided = 0 ORDER BY doc_id""".stripMargin
+       |SELECT d.doc_id FROM documents d
+       |LEFT JOIN collided c ON c.doc_id = d.doc_id
+       |WHERE coalesce(c.collided, 0) = 0 ORDER BY d.doc_id""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_stream_neardup", qStreamNeardup, Some(qStreamNeardupSql)),

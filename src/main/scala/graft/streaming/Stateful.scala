@@ -224,6 +224,67 @@ object Stateful {
     }
   }
 
+  case class BandObs(sig: String, doc_id: Long)
+  case class BandDecision(doc_id: Long, sig: String, collided: Boolean)
+
+  /** TTL'd state for online LSH near-dup ADMISSION (round-11 verdict
+    * task 4) — the deployment twin of
+    * [[graft.ops.StreamingOps.qStreamNeardup]]'s batch rule: per band
+    * signature, a ValueState holding the FIRST arrival's doc_id; a
+    * later doc carrying the same signature collides. The batch
+    * operator's state ("every band signature ever seen") is unbounded
+    * over an infinite stream; here the state variable carries a
+    * TTLConfig, so a signature unseen for `ttl` is EVICTED by the
+    * store (RocksDB-backed — TWS refuses the heap-bounded provider)
+    * and the state size is bounded by the arrival rate x ttl window,
+    * not by stream history. The semantic trade is explicit: after a
+    * signature expires, a re-arriving near-dup is admitted again —
+    * the standard freshness-window admission contract (dedup "within
+    * the last N hours"), and StreamingSpec pins BOTH properties:
+    * decisions identical to the batch oracle while state is live, and
+    * re-admission (state actually gone) after expiry.
+    *
+    * Arrival order inside a micro-batch is doc_id order (the
+    * operator's contract: doc_id IS arrival time), enforced by the
+    * per-key sort before folding the batch through the state. */
+  final class BandAdmitProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, BandObs, BandDecision] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TTLConfig, TimeMode, TimerValues}
+    @transient private var first: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+      val cfg = if (ttl == null) TTLConfig.NONE else new TTLConfig(ttl)
+      first = getHandle.getValueState[Long]("first",
+        org.apache.spark.sql.Encoders.scalaLong, cfg)
+    }
+    override def handleInputRows(key: String, rows: Iterator[BandObs],
+        timerValues: TimerValues): Iterator[BandDecision] = {
+      val sorted = rows.toArray.sortBy(_.doc_id)
+      val out = sorted.map { r =>
+        if (first.exists())
+          BandDecision(r.doc_id, key, collided = first.get() < r.doc_id)
+        else {
+          first.update(r.doc_id)
+          BandDecision(r.doc_id, key, collided = false)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Wire a (sig, doc_id) band stream through [[BandAdmitProcessor]].
+    * `ttl = null` keeps signatures forever (the batch operator's
+    * semantics); a finite ttl bounds the store. TimeMode is
+    * ProcessingTime — the mode state TTL requires. */
+  def bandAdmitDecisions(bands: Dataset[BandObs],
+      ttl: java.time.Duration): Dataset[BandDecision] = {
+    import bands.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    bands
+      .groupByKey(_.sig)
+      .transformWithState(new BandAdmitProcessor(ttl),
+        TimeMode.ProcessingTime(), OM.Update())
+  }
+
   /** [[runningTotals]] on the transformWithState API (requires the
     * RocksDB state store provider). */
   def runningTotalsTws(events: Dataset[UserEvent]): Dataset[UserTotals] = {

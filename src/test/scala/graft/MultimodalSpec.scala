@@ -148,4 +148,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.exists(_.getAs[Int]("hamming") === 0),
       s"no hamming-0 pair among ${out.length} pairs")
   }
+
+  test("DCT phash: duplicate thumbs at hamming 0; AC hash exactly brightness-invariant") {
+    val session = spark
+    import session.implicits._
+    // identical thumbs must hash identically through the DCT path too
+    val out = ops.Multimodal.qDedupPhashDct(spark, "/root/testdata/sf0.1").collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+      val h = r.getAs[Int]("hamming")
+      assert(h >= 0 && h <= 10)
+    }
+    assert(out.exists(_.getAs[Int]("hamming") === 0),
+      s"no hamming-0 pair among ${out.length} DCT pairs")
+    // the aHash-vs-pHash distinction: a GLOBAL brightness shift lands
+    // entirely in the DC coefficient, which the 63-bit AC hash
+    // excludes — the shifted image must produce the IDENTICAL words
+    // (this is why the DCT variant exists; a luminance redistribution
+    // that preserves per-pixel rank order also leaves aHash bits
+    // unchanged, but only the DCT hash is invariant by construction
+    // rather than by rank preservation)
+    val base = (0 until 256).map(i => (i * 7 + (i / 16) * 3) % 200)
+    val rows = Seq(
+      (1L, base),
+      (2L, base.map(_ + 40)) // +40 brightness, still in [0, 255]
+    ).toDF("doc_id", "px")
+    val words = ops.Multimodal.dctWordsOf(rows).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(r => r.getAs[Int]("w") -> r.getAs[Long]("word")).toMap)
+      .toMap
+    assert(words(1L) === words(2L),
+      s"brightness shift changed the AC DCT hash: ${words(1L)} vs ${words(2L)}")
+  }
 }

@@ -164,7 +164,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_semantic_clusters",
     // inherits the brute-force probe-side non-equi join of its exact
     // ground-truth pass + the 1-row entry/true-count builds per beam
-    "q_knn_beam_sweep")
+    "q_knn_beam_sweep",
+    // 1-row corpus-count broadcast (scaled coarse-LSH depth) + 1-row
+    // true-count builds per E + the brute-force ground-truth non-equi
+    // join
+    "q_knn_entry_sweep",
+    // 1-row corpus-count broadcast that pins the index's hash depth
+    // (shared by the base build and the delta recompute)
+    "q_knn_graph_delta")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
@@ -314,6 +321,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_knn_search" -> "graph-build pipeline (count branch + bucket self-join sides) ahead of the materialized index walk",
     "q_knn_search_recall" -> "search pipeline + exact ground-truth audit pipeline",
     "q_knn_beam_sweep" -> "walk pipelines per beam + exact ground-truth audit pipeline",
+    "q_knn_entry_sweep" -> "coarse-quantizer entry pull + walk pipelines per E + exact ground-truth audit pipeline",
+    "q_knn_graph_delta" -> "base-index build + affected-set + delta-recompute stages over the hashed corpus",
     "q_sq_recall" -> "SQ codec train+apply pipeline + exact ground-truth audit pipeline",
     "q_matryoshka_recall" -> "truncated-prefix pipeline + exact ground-truth audit pipeline",
     "q_binary_quant_recall" -> "sign-bit pipeline + exact ground-truth audit pipeline")
@@ -508,7 +517,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val iterativeQueries = Seq(
     "q_pagerank", "q_ppr", "q_hits", "q_kcore_peel", "q_label_prop",
     "q_kmeans_iterated", "q_dedup_clusters", "q_graph_bfs", "q_textrank",
-    "q_mutual_knn", "q_knn_search")
+    "q_mutual_knn", "q_knn_search", "q_knn_graph_delta")
 
   private def withNoCkpt[A](f: => A): A = {
     System.setProperty("graft.noCkpt", "1")
@@ -531,7 +540,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_graph_bfs" -> "3 unrolled frontier hops re-derive the checkpointed distance relation",
     "q_textrank" -> "3 unrolled weighted-PageRank rounds re-derive the checkpointed vocab graph",
     "q_mutual_knn" -> "the reversal join's two sides re-derive the checkpointed kNN edge list",
-    "q_knn_search" -> "3 unrolled hops re-derive the checkpointed graph index and the cached vector table")
+    "q_knn_search" -> "3 unrolled hops re-derive the checkpointed graph index and the cached vector table",
+    "q_knn_graph_delta" -> "base build, affected-set and recompute stages each re-derive the checkpointed hashed corpus")
 
   test("checkpoint-free iterative variants pass the shape gates (cartesian/BNLJ/window/value-buffer/multi-scan/fact-broadcast)") {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet, Percentile}

@@ -216,7 +216,38 @@ class ScaleSpec extends AnyFunSuite {
       val pairs = ops.Multimodal.phashCandidates(spark, d).count()
       assert(pairs.toDouble / docs <= 2.0,
         s"$d: $pairs band-collision pairs for $docs docs — phash banding collapsed")
+      // the DCT variant's 8-bit band words are a smaller key space than
+      // the aHash 32-bit words, so random collisions are likelier; the
+      // per-doc load must still stay a small constant
+      val dct = ops.Multimodal.phashDctCandidates(spark, d).count()
+      assert(dct.toDouble / docs <= 4.0,
+        s"$d: $dct DCT band-collision pairs for $docs docs — DCT banding collapsed")
     }
+  }
+
+  test("incremental kNN-graph recompute work tracks the delta, not the corpus") {
+    // q_knn_graph_delta re-ranks only sources that can SEE an inserted
+    // vector (a delta bucket among their hamming<=1 probe buckets).
+    // The delta is FIXED (2 vectors) at both fixtures while the corpus
+    // grows 4x, so the recompute candidate volume must grow strictly
+    // slower than the full build's: the delta's bucket footprint stays
+    // <= |delta| buckets while the bucket COUNT scales ~n/64, so the
+    // affected fraction follows (bits+1) x |delta| / 2^bits (measured
+    // 0.73 -> 0.38 of the base corpus across sf0.01 -> sf0.1).
+    // Full-build candidates measured ~125k -> 749k (6.0x); recompute
+    // candidates must come in under 2/3 of that growth.
+    val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val full = dirs.map(d => ops.Similarity.knnGraphCandidates(spark, d).count())
+    val touched = dirs.map(d =>
+      ops.Similarity.knnGraphDeltaRecomputeCandidates(spark, d).count())
+    touched.zip(full).foreach { case (t, f) =>
+      assert(t < f, s"recompute candidates $t not below the full build $f")
+    }
+    val fullGrowth = full(1).toDouble / full(0)
+    val touchedGrowth = touched(1).toDouble / touched(0)
+    assert(touchedGrowth < fullGrowth * 2.0 / 3.0,
+      s"incremental recompute growth $touchedGrowth tracks the corpus " +
+        s"(full-build growth $fullGrowth) — delta locality collapsed")
   }
 
   test("key histogram surfaces the heaviest keys in order") {

@@ -549,10 +549,91 @@ class StreamingSpec extends AnyFunSuite {
       state = merged.localCheckpoint(true)
       lo = hi
     }
+    // unshingleable docs (no band rows) are admitted by contract on
+    // both paths: the replay's band stream never sees them, the batch
+    // operator unions them back in
+    val unshingleable = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .join(bands.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .collect().map(_.getLong(0))
+    admitted ++= unshingleable
     val oneShot = ops.StreamingOps.qStreamNeardup(spark, dir)
       .collect().map(_.getLong(0)).toSeq
     assert(admitted.sorted.toSeq === oneShot.sorted)
-    assert(oneShot.nonEmpty && oneShot.length < ids.length,
+    assert(oneShot.nonEmpty && oneShot.length < ids.length + unshingleable.length,
       "admission must drop at least one near-dup on the dedup corpus")
+  }
+
+  test("TTL'd band-state admission: batch-equal while live, re-admits after expiry") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Stateful.{BandDecision, BandObs, bandAdmitDecisions}
+    val dir = SparkTestSession.sf
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // TWS refuses the default HDFS-backed provider — RocksDB is the contract
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val bandObs = ops.Dedup.docBands(spark, dir)
+        .select(concat_ws("|", col("b"), col("bandsig")).as("sig"), col("doc_id"))
+        .as[BandObs].collect().sortBy(_.doc_id)
+      val cut = bandObs(bandObs.length / 2).doc_id
+
+      // (a) LIVE state (1h TTL >> test duration): a 2-batch replay's
+      // admission decisions must equal the batch operator's answer —
+      // the TTL variant is the deployment twin of q_stream_neardup
+      val ms = MemoryStream[BandObs]
+      val q = bandAdmitDecisions(ms.toDS(), java.time.Duration.ofHours(1))
+        .writeStream.outputMode("update").format("memory")
+        .queryName("band_ttl_out").start()
+      try {
+        ms.addData(bandObs.filter(_.doc_id < cut).toIndexedSeq: _*)
+        q.processAllAvailable()
+        ms.addData(bandObs.filter(_.doc_id >= cut).toIndexedSeq: _*)
+        q.processAllAvailable()
+        val admitted = spark.table("band_ttl_out").as[BandDecision]
+          .collect().groupBy(_.doc_id)
+          .filter { case (_, ds) => ds.forall(!_.collided) }
+          .keys.toSeq
+        val unshingleable = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"))
+          .join(ops.Dedup.docBands(spark, dir).select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .collect().map(_.getLong(0))
+        val oneShot = ops.StreamingOps.qStreamNeardup(spark, dir)
+          .collect().map(_.getLong(0)).toSeq
+        assert((admitted ++ unshingleable).sorted === oneShot.sorted,
+          "TTL'd admission with live state diverged from the batch oracle")
+      } finally q.stop()
+
+      // (b) EXPIRY: with a 1s TTL and a 5s pause, re-sending the same
+      // signatures under shifted doc_ids must be ADMITTED again — the
+      // state entries are genuinely evicted (a live-state run would
+      // reject every one of them as a collision), so the store is
+      // bounded by the ttl window, not stream history
+      val ms2 = MemoryStream[BandObs]
+      val q2 = bandAdmitDecisions(ms2.toDS(), java.time.Duration.ofSeconds(1))
+        .writeStream.outputMode("update").format("memory")
+        .queryName("band_ttl_exp_out").start()
+      try {
+        val firstWave = bandObs.take(40).toIndexedSeq
+        ms2.addData(firstWave: _*)
+        q2.processAllAvailable()
+        Thread.sleep(5000)
+        val secondWave = firstWave.map(b => b.copy(doc_id = b.doc_id + 100000L))
+        ms2.addData(secondWave: _*)
+        q2.processAllAvailable()
+        val d = spark.table("band_ttl_exp_out").as[BandDecision].collect()
+        val secondDecisions = d.filter(_.doc_id >= 100000L)
+        assert(secondDecisions.nonEmpty)
+        assert(secondDecisions.forall(!_.collided),
+          "expired band signatures still collided — TTL state was not evicted")
+      } finally q2.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 }

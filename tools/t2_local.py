@@ -81,7 +81,19 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
-    n_pass = n_fail = 0
+    # verify_meta.json (written by graft.Verify) carries the per-query
+    # vacuous markers: a 0-row/0-row "pass" proves only that both
+    # engines return empty, so it is labeled VACUOUS here, and one that
+    # is not declared-empty for this fixture FAILS the run.
+    meta = {}
+    try:
+        with open(f"{out_dir}/verify_meta.json") as f:
+            meta = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        pass
+    for name, err in sorted(meta.get("failures", {}).items()):
+        print(f"FAIL {name}: spark-side failure: {err}")
+    n_pass, n_fail = 0, len(meta.get("failures", {}))
     for name, sql in sorted(oracle.items()):
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
@@ -110,8 +122,19 @@ def main():
             if gd != ed:
                 print(f"WARN {name}: values match but pandas dtypes "
                       f"differ: spark={gd} oracle={ed}")
-            print(f"PASS {name} ({len(gr)} rows)")
-            n_pass += 1
+            qmeta = meta.get("queries", {}).get(name, {})
+            if len(gr) == 0:
+                if qmeta.get("declared_vacuous"):
+                    print(f"PASS {name} (0 rows) VACUOUS[declared]")
+                    n_pass += 1
+                else:
+                    print(f"FAIL {name}: vacuous differential (both "
+                          f"engines empty, not declared-empty for this "
+                          f"fixture) — proves nothing")
+                    n_fail += 1
+            else:
+                print(f"PASS {name} ({len(gr)} rows)")
+                n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
