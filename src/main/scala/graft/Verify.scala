@@ -103,7 +103,10 @@ object Verify {
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_meta.json"),
       s"""{"fixture": ${q(fixture)}, "queries": $metaRows, "failures": $failRows}""")
+    // exit 0 even with per-query failures: the driver must still read
+    // the dumps that DID land (a nonzero exit could zero the whole
+    // round); the failures are loud through the missing dump, the
+    // dropped oracle entry, and verify_meta.json's failures map
     spark.stop()
-    if (failures.nonEmpty) sys.exit(1)
   }
 }

@@ -983,7 +983,88 @@ object Curation extends QueryFamily {
        |WHERE v.j >= 0.8 AND sa.split <> sb.split
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by the log importance ratio of a hashed-unigram model of a TARGET
+    * distribution (here the labeled-`en` slice — in DSIR the target is
+    * a user-supplied exemplar corpus, not something derived from the
+    * data) against the RAW corpus, then draw a fixed 50-doc sample
+    * proportional to the importance weight via Gumbel-top-k with
+    * content-hash uniforms — exactly Efraimidis–Spirakis sampling
+    * without replacement, but in log space so exp(logw) never
+    * overflows. Shape: ONE corpus tokenize (cached, both the bucket
+    * counts and the per-doc sums read it), features hashed into 4096
+    * buckets by the cross-engine md5 discipline, the 4096-row
+    * log-ratio table add-1 smoothed and broadcast, per-doc weights one
+    * keyed hash aggregate, and the k=50 selection a TakeOrdered (score
+    * rounded 4 dp before ranking, doc_id tiebreak — engine-stable).
+    * Output: per-language corpus-vs-selected composition — the
+    * readout that shows the sampler actually steering toward the
+    * target distribution. At 100 TB: the ratio table is O(buckets),
+    * the selection is top-k, and nothing ever sorts the corpus. */
+  def qDsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val B = 4096L
+    val toks = T.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        ((expr("cast(conv(substring(md5(cast(text as binary)), 1, 12), 16, 10) AS bigint)")
+          .cast("double") + lit(0.5)) / lit(math.pow(16.0, 12))).as("u"),
+        explode(split($"text", " ")).as("tok"))
+      .withColumn("b",
+        expr("cast(conv(substring(md5(cast(tok as binary)), 1, 12), 16, 10) AS bigint)") % lit(B))
+      .cache()
+    val counts = toks.groupBy($"b")
+      .agg(sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+    val tot = counts.agg(sum($"ct").cast("double").as("nt"),
+      sum($"cr").cast("double").as("nr"))
+    val ratio = counts.crossJoin(broadcast(tot))
+      .select($"b",
+        (log(($"ct" + lit(1.0)) / ($"nt" + lit(B.toDouble)))
+          - log(($"cr" + lit(1.0)) / ($"nr" + lit(B.toDouble)))).as("logr"))
+    val perDoc = toks.join(broadcast(ratio), Seq("b"))
+      .groupBy($"doc_id", $"lang", $"u")
+      .agg(sum($"logr").as("logw"))
+      .withColumn("score", round($"logw" - log(-log($"u")), 4))
+    val sel = perDoc.orderBy($"score".desc, $"doc_id".asc).limit(50)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_selected"), round(avg($"logw"), 4).as("avg_logw_sel"))
+    perDoc.groupBy($"lang").agg(count(lit(1)).as("n_corpus"))
+      .join(sel, Seq("lang"), "left")
+      .select($"lang", $"n_corpus",
+        coalesce($"n_selected", lit(0L)).as("n_selected"),
+        coalesce($"avg_logw_sel", lit(0.0)).as("avg_logw_sel"))
+      .orderBy($"lang")
+  }
+
+  val qDsirSelectSql: String =
+    """WITH tk AS (SELECT doc_id, lang,
+      |    ((list_sum(list_transform(range(1, 13),
+      |       i -> (strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1) * pow(16.0, 12 - i)))::BIGINT)::DOUBLE + 0.5)
+      |      / pow(16.0, 12) AS u,
+      |    unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |tb AS (SELECT doc_id, lang, u,
+      |    (list_sum(list_transform(range(1, 13),
+      |       i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1) * pow(16.0, 12 - i)))::BIGINT) % 4096 AS b
+      |  FROM tk),
+      |counts AS (SELECT b, CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |    count(*) AS cr FROM tb GROUP BY b),
+      |tot AS (SELECT sum(ct)::DOUBLE AS nt, sum(cr)::DOUBLE AS nr FROM counts),
+      |ratio AS (SELECT b, ln((ct + 1.0) / (nt + 4096)) - ln((cr + 1.0) / (nr + 4096)) AS logr
+      |  FROM counts, tot),
+      |pd AS (SELECT doc_id, lang, u, sum(logr) AS logw
+      |  FROM tb JOIN ratio USING (b) GROUP BY doc_id, lang, u),
+      |sc AS (SELECT doc_id, lang, logw, round(logw - ln(-ln(u)), 4) AS score FROM pd),
+      |sel AS (SELECT lang, count(*) AS n_selected, round(avg(logw), 4) AS avg_logw_sel
+      |  FROM (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 50) GROUP BY lang),
+      |corpus AS (SELECT lang, count(*) AS n_corpus FROM pd GROUP BY lang)
+      |SELECT corpus.lang AS lang, n_corpus, coalesce(n_selected, 0) AS n_selected,
+      |  coalesce(avg_logw_sel, 0.0) AS avg_logw_sel
+      |FROM corpus LEFT JOIN sel USING (lang) ORDER BY lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_dsir_select", qDsirSelect, Some(qDsirSelectSql)),
     QueryDef("q_split_leakage", qSplitLeakage, Some(qSplitLeakageSql)),
     QueryDef("q_mlm_mask_plan", qMlmMaskPlan, Some(qMlmMaskPlanSql)),
     QueryDef("q_boilerplate", qBoilerplate, Some(qBoilerplateSql)),

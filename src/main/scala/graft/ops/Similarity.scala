@@ -494,6 +494,105 @@ object Similarity extends QueryFamily {
        |FROM exact e LEFT JOIN hits h ON h.q_id = e.q_id
        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
 
+  /** Filtered (predicate-constrained) ANN search — the serving case
+    * vector databases actually face: "top-3 neighbors among rows WHERE
+    * label % 3 = 0" (40 % of the corpus passes). Three strategies over
+    * ONE shared scored LSH candidate set, audited against the exact
+    * filtered ground truth (brute force over predicate rows only):
+    *  - a_prefilter: apply the predicate BEFORE ranking the bucket
+    *    candidates — recall bounded only by the LSH bucketing;
+    *  - b_postfilter_xF (F = 1/2/4): rank unfiltered, take the top
+    *    3·F, THEN filter — the overfetch knob every post-filtering
+    *    serving stack has to size. At F=1 the predicate eats ~60 % of
+    *    the shortlist (returned < 3); the audit measures how much
+    *    overfetch buys recall back and when pre-filtering dominates.
+    * Shape: candidates are bucket-equi-join bounded and scored once
+    * (cached); every window partitions by q_id over probe-bounded
+    * rows; the ground truth is |predicate| × |probes| with the probe
+    * set broadcast — at 100 TB only the truth pass scales with the
+    * corpus, and it is the audit, not the serving path. */
+  def qFilteredSearchRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = T.embeddings(spark, dir)
+      .withColumn("bucket", signBits(8))
+      .withColumn("pass", ($"label" % 3) === 0)
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"bucket")
+    val corpus = e.select($"vec_id".as("n_id"), $"embedding".as("v"), $"bucket", $"pass")
+    val cand = corpus.join(broadcast(probes), Seq("bucket"))
+      .filter($"q_id" =!= $"n_id")
+      .select($"q_id", $"n_id", $"pass", cos.as("cos"))
+      .cache()
+    val wq = Window.partitionBy($"q_id").orderBy(desc("cos"), asc("n_id"))
+    val truth = corpus.filter($"pass")
+      .join(broadcast(probes.select($"q_id", $"qv")), $"q_id" =!= $"n_id")
+      .select($"q_id", $"n_id", cos.as("cos"))
+    val truthTop = Skew.twoPhaseTopK(truth, Seq($"q_id"),
+        Seq(desc("cos"), asc("n_id")), 3, "rank")
+      .select($"q_id", $"n_id")
+    val pre = cand.filter($"pass")
+      .withColumn("rank", row_number().over(wq)).filter($"rank" <= 3)
+      .select(lit("a_prefilter").as("strategy"), $"q_id", $"n_id")
+    val ranked = cand.withColumn("rank", row_number().over(wq))
+    val posts = Seq(1, 2, 4).map { f =>
+      ranked.filter($"rank" <= 3 * f && $"pass")
+        .withColumn("rank2", row_number().over(wq)).filter($"rank2" <= 3)
+        .select(lit(s"b_postfilter_x$f").as("strategy"), $"q_id", $"n_id")
+    }
+    val retrieved = (pre +: posts).reduce(_ union _)
+    val hits = retrieved.join(truthTop, Seq("q_id", "n_id"), "left_semi")
+      .groupBy($"strategy").agg(count(lit(1)).as("n_hits"))
+    retrieved.groupBy($"strategy").agg(count(lit(1)).as("n_returned"))
+      .join(hits, Seq("strategy"), "left")
+      .crossJoin(broadcast(truthTop.agg(count(lit(1)).as("n_true"))))
+      .select($"strategy", $"n_returned",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        round(coalesce($"n_hits", lit(0L)).cast("double") / $"n_true", 4).as("recall"))
+      .orderBy($"strategy")
+  }
+
+  val qFilteredSearchRecallSql: String =
+    """WITH e AS (SELECT vec_id, embedding, label,
+      |  (SELECT sum(x::DOUBLE * x::DOUBLE) FROM unnest(embedding) t(x)) AS n2,
+      |  array_to_string(list_transform(embedding[1:8],
+      |    x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket,
+      |  (label % 3 = 0) AS pass
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, embedding AS qe, n2 AS qn2, bucket FROM e WHERE vec_id < 10),
+      |cp AS (SELECT q_id, e.vec_id AS n_id, e.pass AS pass, qn2, n2, qe, embedding AS ne
+      |  FROM q JOIN e USING (bucket) WHERE e.vec_id <> q_id),
+      |cu AS (SELECT q_id, n_id, pass, qn2, n2, unnest(qe) AS qx, unnest(ne) AS nx FROM cp),
+      |cand AS (SELECT q_id, n_id, any_value(pass) AS pass,
+      |    sum(qx::DOUBLE * nx::DOUBLE) / sqrt(any_value(qn2) * any_value(n2)) AS cos
+      |  FROM cu GROUP BY q_id, n_id),
+      |tp AS (SELECT q_id, e.vec_id AS n_id, qn2, n2, qe, embedding AS ne
+      |  FROM q JOIN e ON e.pass AND e.vec_id <> q_id),
+      |tu AS (SELECT q_id, n_id, qn2, n2, unnest(qe) AS qx, unnest(ne) AS nx FROM tp),
+      |ts AS (SELECT q_id, n_id,
+      |    sum(qx::DOUBLE * nx::DOUBLE) / sqrt(any_value(qn2) * any_value(n2)) AS cos
+      |  FROM tu GROUP BY q_id, n_id),
+      |truth AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM ts)
+      |  WHERE rank <= 3),
+      |ranked AS (SELECT q_id, n_id, pass,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM cand),
+      |pre AS (SELECT 'a_prefilter' AS strategy, q_id, n_id FROM
+      |  (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      |   FROM cand WHERE pass) WHERE rank <= 3),
+      |post AS (SELECT 'b_postfilter_x' || f::VARCHAR AS strategy, q_id, n_id FROM
+      |  (SELECT f, q_id, n_id, row_number() OVER (PARTITION BY f, q_id ORDER BY rank) AS rank2
+      |   FROM ranked, (SELECT unnest([1, 2, 4]) AS f) WHERE pass AND rank <= 3 * f)
+      |  WHERE rank2 <= 3),
+      |retrieved AS (SELECT * FROM pre UNION ALL SELECT * FROM post),
+      |hits AS (SELECT strategy, count(*) AS n_hits FROM retrieved r
+      |  JOIN truth t ON t.q_id = r.q_id AND t.n_id = r.n_id GROUP BY strategy),
+      |nt AS (SELECT count(*) AS n_true FROM truth)
+      |SELECT r.strategy AS strategy, count(*) AS n_returned,
+      |  coalesce(any_value(h.n_hits), 0) AS n_hits,
+      |  round(coalesce(any_value(h.n_hits), 0)::DOUBLE / any_value(nt.n_true), 4) AS recall
+      |FROM retrieved r LEFT JOIN hits h ON h.strategy = r.strategy CROSS JOIN nt
+      |GROUP BY r.strategy ORDER BY strategy""".stripMargin
+
   /** One Lloyd iteration of k-means: assign every vector to its
     * nearest label-mean centroid (the `q_kmeans_assign` step), then
     * recompute each cluster's centroid as the member mean, emitting
@@ -2538,5 +2637,6 @@ object Similarity extends QueryFamily {
     QueryDef("q_silhouette", qSilhouette, Some(qSilhouetteSql)),
     QueryDef("q_sim_lsh_recall", qSimLshRecall, Some(qSimLshRecallSql)),
     QueryDef("q_sim_ivf_recall", qSimIvfRecall, Some(qSimIvfRecallSql)),
+    QueryDef("q_filtered_search_recall", qFilteredSearchRecall, Some(qFilteredSearchRecallSql)),
   )
 }

@@ -213,6 +213,24 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_fp") <= r.getAs[Long]("n_nonmember"))
   }
 
+  test("dsir selection: exactly k docs, counts bounded, steers toward the target lang") {
+    val rows = ops.Curation.qDsirSelect(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("lang")).distinct.length === rows.length)
+    val total = rows.map(_.getAs[Long]("n_corpus")).sum
+    val selected = rows.map(_.getAs[Long]("n_selected")).sum
+    assert(selected === 50L, "Gumbel-top-k must select exactly k docs")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_selected") <= r.getAs[Long]("n_corpus"))
+    }
+    // the point of DSIR: the selected sample's target-lang share must
+    // exceed the corpus share (importance weights steer toward `en`)
+    val en = rows.find(_.getAs[String]("lang") == "en").get
+    val selShare = en.getAs[Long]("n_selected").toDouble / selected
+    val corpShare = en.getAs[Long]("n_corpus").toDouble / total
+    assert(selShare > corpShare,
+      s"en selected share $selShare must beat corpus share $corpShare")
+  }
+
   test("split leakage: cross-split subset of the near-dup pairs, never same-split") {
     val splits = Set("train", "val", "test")
     val leaks = ops.Curation.qSplitLeakage(spark, sf).collect()

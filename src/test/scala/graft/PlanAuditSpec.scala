@@ -171,7 +171,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_knn_entry_sweep",
     // 1-row corpus-count broadcast that pins the index's hash depth
     // (shared by the base build and the delta recompute)
-    "q_knn_graph_delta")
+    "q_knn_graph_delta",
+    // 1-row (nt, nr) smoothing-total build onto the 4096-bucket ratio
+    // table
+    "q_dsir_select",
+    // probe-side non-equi join of the exact filtered ground truth +
+    // the 1-row true-count build
+    "q_filtered_search_recall")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
@@ -325,7 +331,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_knn_graph_delta" -> "base-index build + affected-set + delta-recompute stages over the hashed corpus",
     "q_sq_recall" -> "SQ codec train+apply pipeline + exact ground-truth audit pipeline",
     "q_matryoshka_recall" -> "truncated-prefix pipeline + exact ground-truth audit pipeline",
-    "q_binary_quant_recall" -> "sign-bit pipeline + exact ground-truth audit pipeline")
+    "q_binary_quant_recall" -> "sign-bit pipeline + exact ground-truth audit pipeline",
+    "q_filtered_search_recall" -> "shared LSH candidate pipeline + exact filtered ground-truth audit pipeline")
 
   test("no registered query scans one source relation more than twice") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}

@@ -319,6 +319,31 @@ class SimilaritySpec extends AnyFunSuite {
       s"E=1 coarse-seeded recall ${byE(1)} below the beam-6 floor ${beam(6)}")
   }
 
+  test("filtered search: overfetch monotone, prefilter dominates, returns bounded") {
+    val rows = ops.Similarity.qFilteredSearchRecall(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("strategy")).toSeq ===
+      Seq("a_prefilter", "b_postfilter_x1", "b_postfilter_x2", "b_postfilter_x4"))
+    val byS = rows.map(r => r.getAs[String]("strategy") ->
+      (r.getAs[Long]("n_returned"), r.getAs[Long]("n_hits"), r.getAs[Double]("recall"))).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_returned") <= 30L, "top-3 per 10 probes max")
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_returned"))
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // set-inclusion guarantees, not measurements: a bigger overfetch
+    // shortlist filters to a superset whose top-3 can only displace a
+    // truth member with a better truth member, so recall is monotone
+    // in F, and the prefiltered candidate set contains every
+    // postfiltered shortlist, so prefilter dominates all of them
+    assert(byS("b_postfilter_x2")._3 >= byS("b_postfilter_x1")._3)
+    assert(byS("b_postfilter_x4")._3 >= byS("b_postfilter_x2")._3)
+    assert(byS("a_prefilter")._3 >= byS("b_postfilter_x4")._3)
+    // overfetch exists because x1 underfills: with a ~40% predicate
+    // the unfiltered top-3 must lose rows somewhere across 10 probes
+    assert(byS("b_postfilter_x1")._1 <= byS("b_postfilter_x4")._1)
+  }
+
   test("incremental kNN-graph delta equals the full rebuild") {
     // oracle-level equality is the registered differential; this pins
     // the Spark-side invariant directly (and on the second fixture the

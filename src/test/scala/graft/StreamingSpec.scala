@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.scalatest.funsuite.AnyFunSuite
 
 case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
@@ -579,18 +580,37 @@ class StreamingSpec extends AnyFunSuite {
         .as[BandObs].collect().sortBy(_.doc_id)
       val cut = bandObs(bandObs.length / 2).doc_id
 
+      // transformWithState in ProcessingTime mode reports
+      // shouldRunAnotherBatch=true on EVERY batch (timers/TTL may need
+      // to fire), so MicroBatchExecution never takes the no-new-data
+      // branch and processAllAvailable() never unblocks — await the
+      // sink row count instead (one decision row per input row), and
+      // give the trigger a real interval so the idle churn isn't a
+      // 0ms busy loop of empty state-store commits.
+      def awaitRows(table: String, n: Long, q: StreamingQuery): Unit = {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (spark.table(table).count() < n) {
+          q.exception.foreach(throw _)
+          assert(System.nanoTime() < deadline,
+            s"timed out waiting for $n rows in $table")
+          Thread.sleep(100)
+        }
+      }
+      val trig = Trigger.ProcessingTime("100 milliseconds")
+
       // (a) LIVE state (1h TTL >> test duration): a 2-batch replay's
       // admission decisions must equal the batch operator's answer —
       // the TTL variant is the deployment twin of q_stream_neardup
       val ms = MemoryStream[BandObs]
       val q = bandAdmitDecisions(ms.toDS(), java.time.Duration.ofHours(1))
         .writeStream.outputMode("update").format("memory")
+        .trigger(trig)
         .queryName("band_ttl_out").start()
       try {
         ms.addData(bandObs.filter(_.doc_id < cut).toIndexedSeq: _*)
-        q.processAllAvailable()
+        awaitRows("band_ttl_out", bandObs.count(_.doc_id < cut).toLong, q)
         ms.addData(bandObs.filter(_.doc_id >= cut).toIndexedSeq: _*)
-        q.processAllAvailable()
+        awaitRows("band_ttl_out", bandObs.length.toLong, q)
         val admitted = spark.table("band_ttl_out").as[BandDecision]
           .collect().groupBy(_.doc_id)
           .filter { case (_, ds) => ds.forall(!_.collided) }
@@ -614,15 +634,16 @@ class StreamingSpec extends AnyFunSuite {
       val ms2 = MemoryStream[BandObs]
       val q2 = bandAdmitDecisions(ms2.toDS(), java.time.Duration.ofSeconds(1))
         .writeStream.outputMode("update").format("memory")
+        .trigger(trig)
         .queryName("band_ttl_exp_out").start()
       try {
         val firstWave = bandObs.take(40).toIndexedSeq
         ms2.addData(firstWave: _*)
-        q2.processAllAvailable()
+        awaitRows("band_ttl_exp_out", firstWave.length.toLong, q2)
         Thread.sleep(5000)
         val secondWave = firstWave.map(b => b.copy(doc_id = b.doc_id + 100000L))
         ms2.addData(secondWave: _*)
-        q2.processAllAvailable()
+        awaitRows("band_ttl_exp_out", 2L * firstWave.length, q2)
         val d = spark.table("band_ttl_exp_out").as[BandDecision].collect()
         val secondDecisions = d.filter(_.doc_id >= 100000L)
         assert(secondDecisions.nonEmpty)
