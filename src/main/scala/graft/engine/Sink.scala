@@ -106,16 +106,33 @@ final class ParquetSink(cfg: ExportConfig) {
     * the driver); the sort is a range repartition on the z-value —
     * fully distributed, no single-partition funnel. */
   def writeZOrdered(df: DataFrame, schema: String, table: String,
-      zCols: (String, String), files: Int): WriteStats = {
+      zCols: (String, String), files: Int): WriteStats =
+    writeCurveClustered(df, schema, table, zCols, files,
+      graft.functions.ZOrder.zValue(_, _, _, _, _, _))
+
+  /** [[writeZOrdered]] on the Hilbert curve — same scaling, same
+    * range-partitioned sort-within-files write, better 2-D locality
+    * per file (the curve never jumps, so each file's footer box is
+    * tighter; ZOrderSpec measures the difference). */
+  def writeHilbertOrdered(df: DataFrame, schema: String, table: String,
+      cCols: (String, String), files: Int): WriteStats =
+    writeCurveClustered(df, schema, table, cCols, files,
+      graft.functions.ZOrder.hilbertValue(_, _, _, _, _, _))
+
+  private def writeCurveClustered(df: DataFrame, schema: String, table: String,
+      cCols: (String, String), files: Int,
+      curve: (org.apache.spark.sql.Column, Double, Double,
+              org.apache.spark.sql.Column, Double, Double)
+        => org.apache.spark.sql.Column): WriteStats = {
     import org.apache.spark.sql.functions._
     val s = Projection.objectName(schema, cfg.lowercaseObjectNames)
     val t = Projection.objectName(table, cfg.lowercaseObjectNames)
     val dir = root.resolve(s).resolve(t)
-    val (cx, cy) = zCols
+    val (cx, cy) = cCols
     val r = df.agg(
       min(col(cx).cast("double")), max(col(cx).cast("double")),
       min(col(cy).cast("double")), max(col(cy).cast("double"))).head()
-    val z = graft.functions.ZOrder.zValue(
+    val z = curve(
       col(cx), r.getDouble(0), r.getDouble(1),
       col(cy), r.getDouble(2), r.getDouble(3))
     df.withColumn("__z", z)

@@ -297,6 +297,71 @@ object JaroWinkler {
   }
 }
 
+/** hilbert(x, y): index of cell (x, y) on the order-`bits` Hilbert
+  * space-filling curve over the [0, 2^bits)^2 grid — the classic
+  * xy->d bit walk (quadrant digit + reflect/swap rotation per level,
+  * MSB to LSB). Unlike Morton interleaving, consecutive Hilbert
+  * indices are always Manhattan-adjacent cells (ZOrderSpec proves
+  * both bijectivity and unit-step adjacency exhaustively on a grid),
+  * so a layout sorted by this key fragments a 2-D predicate box into
+  * fewer file runs than a Z-order sort of the same data. A native
+  * expression rather than Column algebra: the per-level rotation
+  * rewrites x and y in terms of BOTH previous values, so an unrolled
+  * Column formulation grows ~3^bits nodes, while here it is a
+  * `bits`-iteration codegen'd loop. Inputs outside the grid are
+  * masked to their low `bits` bits (callers scale first). */
+case class HilbertIndex(left: Expression, right: Expression, bits: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val mask = (1L << bits) - 1
+    var x = a.asInstanceOf[Long] & mask
+    var y = b.asInstanceOf[Long] & mask
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("hx"); val y = ctx.freshName("hy")
+      val d = ctx.freshName("hd"); val s = ctx.freshName("hs")
+      val rx = ctx.freshName("hrx"); val ry = ctx.freshName("hry")
+      val t = ctx.freshName("ht")
+      val mask = (1L << bits) - 1
+      s"""
+         |long $x = $a & ${mask}L, $y = $b & ${mask}L, $d = 0L;
+         |for (long $s = 1L << ${bits - 1}; $s > 0; $s >>= 1) {
+         |  long $rx = ($x & $s) > 0 ? 1L : 0L;
+         |  long $ry = ($y & $s) > 0 ? 1L : 0L;
+         |  $d += $s * $s * ((3L * $rx) ^ $ry);
+         |  if ($ry == 0L) {
+         |    if ($rx == 1L) { $x = $s - 1L - $x; $y = $s - 1L - $y; }
+         |    long $t = $x; $x = $y; $y = $t;
+         |  }
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HilbertIndex =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points; array inputs are cast to array<double>
   * so callers can pass float embeddings directly. */
 object F {
@@ -321,4 +386,8 @@ object F {
   def bloomMightContain(words: Column, hash: Column, k: Int): Column =
     GraftShims.toColumn(BloomMightContain(
       e(words.cast("array<bigint>")), e(hash.cast("bigint")), k))
+
+  def hilbertIndex(x: Column, y: Column, bits: Int): Column =
+    GraftShims.toColumn(HilbertIndex(
+      e(x.cast("bigint")), e(y.cast("bigint")), bits))
 }

@@ -529,8 +529,60 @@ object ExportOps extends QueryFamily {
       |WHERE l_partkey BETWEEN 100 AND 300 AND l_orderkey BETWEEN 1000 AND 20000
       |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
+  /** [[zorderedLayout]]'s Hilbert twin: same 4 columns, same 8
+    * range-disjoint files, sort key = the Hilbert index
+    * ([[graft.functions.HilbertIndex]], a codegen'd kernel — an
+    * unrolled Column formulation would grow ~3^bits expression
+    * nodes). Hilbert vs Morton is the standard layout upgrade for
+    * 2-D scan locality: the curve is unit-step continuous (proved
+    * exhaustively in ZOrderSpec), so a predicate box covers fewer,
+    * longer key runs and a footer-pruning reader opens fewer files.
+    */
+  def hilbertLayout(spark: SparkSession, dir: String): String = {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    import graft.engine.{ExportConfig, ParquetSink}
+    val out = Files.createTempDirectory("graft-hilbert").toString
+    val sink = new ParquetSink(ExportConfig(outputDirectory = out, overwrite = true))
+    sink.prepareRoot()
+    val li = T.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_returnflag"))
+    sink.writeHilbertOrdered(li, "h", "lineitem", ("l_partkey", "l_orderkey"), 8).outputDir
+  }
+
+  /** Box-predicate scan over the Hilbert layout (read side of
+    * [[hilbertLayout]]; ZOrderSpec plan-asserts both predicates reach
+    * the parquet scan). A different box than [[zorderScan]]'s so the
+    * two differentials exercise distinct selections. */
+  def hilbertScan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(hilbertLayout(spark, dir))
+      .filter(col("l_partkey").between(50, 250) &&
+        col("l_orderkey").between(5000, 30000))
+  }
+
+  /** Aggregate over [[hilbertScan]]; oracle = the same predicate on
+    * the raw table, so equality proves the Hilbert-clustered layout
+    * is lossless under predicate scans. */
+  def qHilbertScan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    hilbertScan(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qHilbertScanSql: String =
+    """SELECT l_returnflag, count(*) AS n_items,
+      | round(sum(l_quantity), 2) AS qty
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 50 AND 250 AND l_orderkey BETWEEN 5000 AND 30000
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_zorder_scan", qZorderScan, Some(qZorderScanSql)),
+    QueryDef("q_hilbert_scan", qHilbertScan, Some(qHilbertScanSql)),
     QueryDef("q_compaction_plan", qCompactionPlan, Some(qCompactionPlanSql)),
     QueryDef("q_incremental_agg", qIncrementalAgg, Some(qIncrementalAggSql)),
     QueryDef("q_benford", qBenford, Some(qBenfordSql)),

@@ -116,6 +116,64 @@ class ZOrderSpec extends AnyFunSuite {
       s"z-order should skip files on a 2-D box: $zHit vs $rrHit")
   }
 
+  test("hilbert index is a bijection with unit-step adjacency (exhaustive 64x64)") {
+    // the complete correctness contract of a space-filling curve: every
+    // cell gets a distinct index in [0, n^2) (bijection), and walking
+    // the curve in index order moves exactly one Manhattan step per
+    // increment (continuity — the property Morton order lacks, and the
+    // reason a Hilbert layout fragments a box predicate less)
+    val n = 64
+    val grid = spark.range(n.toLong * n)
+      .select(($"id" % n).as("x"), ($"id" / n).cast("long").as("y"))
+      .select($"x", $"y", functions.F.hilbertIndex($"x", $"y", 6).as("d"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+    assert(grid.map(_._1).distinct.length === n * n)
+    assert(grid.map(_._1).min === 0L && grid.map(_._1).max === (n * n - 1).toLong)
+    val byD = grid.sortBy(_._1).map(_._2)
+    byD.sliding(2).foreach { case Array((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+        s"curve teleports between d-consecutive cells ($x1,$y1) -> ($x2,$y2)")
+    }
+  }
+
+  test("q_hilbert_scan pushes both range predicates into the parquet scan") {
+    val plan = ops.ExportOps.hilbertScan(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(l_partkey,50)") &&
+      plan.contains("LessThanOrEqual(l_orderkey,30000)"),
+      s"expected both range predicates pushed to the scan, got:\n$plan")
+  }
+
+  test("hilbert layout prunes at least as well as z-order on a 2-D box") {
+    val files = 8
+    val zDir = ops.ExportOps.zorderedLayout(spark, sf)
+    val hDir = ops.ExportOps.hilbertLayout(spark, sf)
+    val li = ops.T.lineitem(spark, sf)
+    val r = li.agg(
+      min($"l_partkey").cast("double"), max($"l_partkey").cast("double"),
+      min($"l_orderkey").cast("double"), max($"l_orderkey").cast("double")).head()
+    def band(lo: Double, hi: Double) = (lo + 0.20 * (hi - lo), lo + 0.45 * (hi - lo))
+    val (pLo, pHi) = band(r.getDouble(0), r.getDouble(1))
+    val (oLo, oHi) = band(r.getDouble(2), r.getDouble(3))
+    def overlapping(dir: String): Long =
+      spark.read.parquet(dir)
+        .select($"l_partkey".cast("double").as("p"),
+          $"l_orderkey".cast("double").as("o"), input_file_name().as("f"))
+        .groupBy($"f")
+        .agg(min($"p").as("pmin"), max($"p").as("pmax"),
+          min($"o").as("omin"), max($"o").as("omax"))
+        .filter($"pmin" <= pHi && $"pmax" >= pLo &&
+          $"omin" <= oHi && $"omax" >= oLo)
+        .count()
+    val hHit = overlapping(hDir)
+    val zHit = overlapping(zDir)
+    assert(hHit < files.toLong, s"hilbert layout must skip files: $hHit/$files")
+    assert(hHit <= zHit,
+      s"hilbert footer overlap should not exceed z-order's: $hHit vs $zHit")
+  }
+
   test("interleave is monotone on the diagonal and bounded") {
     val df = Seq((0L, 0L), (1L, 1L), (2L, 2L), (65535L, 65535L))
       .toDF("x", "y")
