@@ -34,13 +34,20 @@ import org.apache.spark.sql.functions._
   *    900); if the machine never goes idle, proceed and record the
   *    wait + the still-high loadavg so the artifact is visibly
   *    contended.
-  *  - MID-RUN RE-GATE (round-11 verdict task 1b): the gate re-checks
-  *    before EVERY query — a machine that goes busy mid-suite
-  *    (round 11: loadavg 1.79 -> 3.12 across the run) now pauses the
-  *    clock instead of inflating every remaining row. The spin
-  *    budget is shared across the whole run (maxWait total, not per
-  *    query) so a permanently-busy host still terminates; the number
-  *    of mid-run waits and the total waited seconds are recorded
+  *  - MID-RUN RE-GATE (round-11 verdict task 1b): re-checked every
+  *    20th query and before every drift retry — a machine that goes
+  *    busy mid-suite (round 11: loadavg 1.79 -> 3.12 across the run)
+  *    now pauses the clock instead of inflating every remaining row.
+  *    Mid-run checks CANNOT use loadavg: the bench's own 32-thread
+  *    bursts keep it above any idle threshold, so a loadavg re-gate
+  *    waits on its own shadow (measured: it burned its whole budget
+  *    at "loadavg 1.39" on an otherwise-idle host). They measure
+  *    EXTERNAL cpu pressure instead — /proc/stat busy minus this
+  *    JVM's own cpu over a 1 s sample (SPARK_GRAFT_BENCH_MAXEXTCPU,
+  *    default 1.0 cpus) — which is self-load-blind. The spin budget
+  *    is shared across the whole run (maxWait total, not per query)
+  *    so a permanently-busy host still terminates; the number of
+  *    mid-run waits and the total waited seconds are recorded
   *    ("gate_rechecks_waited" / "idle_gate_waited_sec").
   *  - DRIFT TRIPWIRE: each query's min-of-N is compared against the
   *    previous artifact's min (SPARK_GRAFT_BENCH_PREV, default the
@@ -60,19 +67,61 @@ object Bench {
         .getSystemLoadAverage
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXLOAD", "1.0").toDouble
     val maxWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXWAIT", "900").toInt
+    // mid-run contention threshold, in EXTERNAL cpus (see extBusyCpus)
+    val maxExtCpu = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXEXTCPU", "1.0").toDouble
     var gateWaited = 0
     var gateRechecksWaited = 0
+
+    /** External CPU pressure in "cpus": whole-system busy jiffies from
+      * /proc/stat minus THIS JVM's own cpu time, over a 1 s sample.
+      * Loadavg is useless for mid-run re-gating — the bench's own
+      * 32-thread bursts keep the 1-minute loadavg above any idle
+      * threshold, so a loadavg re-gate waits on its own shadow (the
+      * first hardened-gate attempt burned its whole wait budget that
+      * way). Subtracting own process cpu isolates exactly the signal
+      * the gate is for: somebody ELSE is eating the machine. */
+    def extBusyCpus(): Double = {
+      def busyJiffies(): Long = {
+        val l = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0)
+        val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+        f.sum - f(3) - (if (f.length > 4) f(4) else 0L) // total - idle - iowait
+      }
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      val t0 = System.nanoTime(); val b0 = busyJiffies(); val p0 = os.getProcessCpuTime
+      Thread.sleep(1000)
+      val dtNs = (System.nanoTime() - t0).toDouble
+      val sysCpus = (busyJiffies() - b0).toDouble * 10e6 / dtNs // 1 jiffy = 10 ms
+      val ownCpus = (os.getProcessCpuTime - p0).toDouble / dtNs
+      math.max(0.0, sysCpus - ownCpus)
+    }
+
     // shared spin budget: total sleep across initial gate + every
     // mid-run re-check is capped at maxWaitSec, so a busy host delays
-    // the suite at most once, not per query
+    // the suite at most once, not per query. The START gate uses
+    // loadavg (nothing of ours is running yet); mid-run re-gates use
+    // external-cpu pressure, which is self-load-blind.
     def gate(tag: String): Unit = {
       var waitedHere = false
-      while (loadavg > maxLoad && gateWaited < maxWaitSec) {
-        System.err.println(
-          f"[bench] idle gate ($tag): loadavg ${loadavg}%.2f > $maxLoad%.1f, waiting (${gateWaited}s)")
-        Thread.sleep(15000)
-        gateWaited += 15
-        waitedHere = true
+      if (tag == "start") {
+        while (loadavg > maxLoad && gateWaited < maxWaitSec) {
+          System.err.println(
+            f"[bench] idle gate ($tag): loadavg ${loadavg}%.2f > $maxLoad%.1f, waiting (${gateWaited}s)")
+          Thread.sleep(15000)
+          gateWaited += 15
+          waitedHere = true
+        }
+      } else {
+        var ext = extBusyCpus()
+        while (ext > maxExtCpu && gateWaited < maxWaitSec) {
+          System.err.println(
+            f"[bench] idle gate ($tag): external busy ${ext}%.2f cpus > $maxExtCpu%.1f, waiting (${gateWaited}s)")
+          Thread.sleep(14000)
+          gateWaited += 15 // 14 s sleep + 1 s sample
+          waitedHere = true
+          ext = extBusyCpus()
+        }
       }
       if (waitedHere && tag != "start") gateRechecksWaited += 1
     }
@@ -127,19 +176,25 @@ object Bench {
     // times just those queries. Unset for driver runs.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    var qIdx = 0
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
       .foreach { case (name, fn) =>
       try {
-        // re-gate before each query: a host that goes busy mid-suite
-        // pauses the clock instead of inflating the remaining rows
-        gate(name)
+        // periodic re-gate (every 20th query): a host that goes busy
+        // mid-suite pauses the clock instead of inflating the rest of
+        // the suite. Sampling external cpu costs 1 s, so it cannot run
+        // before every query (357 x 1 s would dwarf the suite)
+        if (qIdx % 20 == 0) gate(name)
+        qIdx += 1
         var ts = (1 to math.max(1, runs)).map(_ => once(fn))
         // tripwire: >3x slower than the previous artifact's min (and
         // not sub-0.2s noise) earns ONE retry before being recorded —
-        // a transient scheduler hiccup shouldn't land in the artifact
+        // a transient scheduler hiccup shouldn't land in the artifact.
+        // The retry itself is gated: if the slowness was contention,
+        // wait it out instead of re-measuring under it
         prevMins.get(name).foreach { prev =>
-          if (ts.min > 3 * prev && ts.min > 0.2) ts = ts :+ once(fn)
+          if (ts.min > 3 * prev && ts.min > 0.2) { gate(name); ts = ts :+ once(fn) }
           if (ts.min > 3 * prev && ts.min > 0.2) drifts(name) = (prev, ts.min)
         }
         timings(name) = ts.min

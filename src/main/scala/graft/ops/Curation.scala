@@ -460,6 +460,82 @@ object Curation extends QueryFamily {
       |  target_tokens > n_tokens AS upsampled
       |FROM m ORDER BY source""".stripMargin
 
+  /** Materialize [[qEpochMix]]'s plan into actual epoch copies — the
+    * execution half the mix table only promises: every doc of source
+    * s appears floor(epochs_s) times plus one more copy iff its
+    * content-hash uniform falls under frac(epochs_s) (deterministic
+    * stochastic rounding, so the expanded corpus hits the target
+    * token count in expectation per doc and exactly per source up to
+    * doc granularity — reproducible across engines, runs, and
+    * cluster layouts). The Spark side REALLY expands (explode over
+    * sequence(1, n_copies) — the relation a training run would
+    * shuffle and pack), then audits per source: achieved vs target
+    * tokens and the copy-count spread. The blow-up factor is bounded
+    * by the mix budget (2x corpus tokens here), never by corpus
+    * size; the per-source epoch table is a broadcast join against
+    * the doc scan, so the whole thing is one pass + one audit
+    * aggregate at any SF. */
+  def qEpochExpand(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = T.documents(spark, dir)
+      .select($"source", $"text", size(split($"text", " ")).as("n_tok"))
+    val bySource = docs.groupBy($"source").agg(sum($"n_tok").as("n_tokens")).ckpt()
+    val shares = bySource
+      .crossJoin(broadcast(bySource.agg(sum($"n_tokens").cast("double").as("total"))))
+      .withColumn("w", pow($"n_tokens" / $"total", 0.7))
+    val epochs = shares
+      .crossJoin(broadcast(shares.agg(sum($"w").as("z"))))
+      .withColumn("target_tokens", round($"w" / $"z" * 2.0d * $"total").cast("bigint"))
+      .withColumn("e", $"target_tokens".cast("double") / $"n_tokens")
+      .select($"source", $"target_tokens", $"e")
+    val expanded = docs
+      .join(broadcast(epochs), Seq("source"))
+      .withColumn("u",
+        expr("cast(conv(substring(md5(cast(text as binary)), 1, 12), 16, 10) AS bigint)")
+          .cast("double") / lit(math.pow(16.0, 12)))
+      .withColumn("n_copies",
+        (floor($"e") + when($"u" < $"e" - floor($"e"), 1L).otherwise(0L)).cast("long"))
+      .filter($"n_copies" >= 1)
+      .select($"source", $"n_tok", $"n_copies", $"target_tokens",
+        explode(sequence(lit(1L), $"n_copies")).as("copy"))
+    expanded.groupBy($"source")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"n_tok").as("achieved_tokens"),
+        max($"target_tokens").as("target_tokens"),
+        max($"n_copies").as("max_copies"))
+      .select($"source", $"n_rows", $"achieved_tokens", $"target_tokens",
+        round($"achieved_tokens".cast("double") / $"target_tokens", 4).as("fill"),
+        $"max_copies")
+      .orderBy($"source")
+  }
+
+  val qEpochExpandSql: String =
+    """WITH d AS (SELECT source, text, len(string_split(text, ' ')) AS n_tok FROM documents),
+      |s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY source),
+      |t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM s),
+      |sh AS (SELECT s.*, t.total, pow(n_tokens / t.total, 0.7) AS w FROM s, t),
+      |z AS (SELECT sum(w) AS z FROM sh),
+      |ep AS (SELECT source,
+      |    CAST(round(w / z.z * 2.0 * total) AS BIGINT) AS target_tokens,
+      |    CAST(round(w / z.z * 2.0 * total) AS BIGINT)::DOUBLE / n_tokens AS e
+      |  FROM sh, z),
+      |nc AS (SELECT d.source, d.n_tok, ep.target_tokens,
+      |    (floor(ep.e) + CASE WHEN
+      |       (list_sum(list_transform(range(1, 13),
+      |          i -> (strpos('0123456789abcdef', substr(md5(d.text), i, 1)) - 1)
+      |            * pow(16.0, 12 - i)))::BIGINT)::DOUBLE / pow(16.0, 12)
+      |       < ep.e - floor(ep.e) THEN 1 ELSE 0 END)::BIGINT AS n_copies
+      |  FROM d JOIN ep ON d.source = ep.source),
+      |ex AS (SELECT source, n_tok, n_copies, target_tokens,
+      |    unnest(range(1, n_copies + 1)) AS copy
+      |  FROM nc WHERE n_copies >= 1)
+      |SELECT source, count(*) AS n_rows,
+      |  CAST(sum(n_tok) AS BIGINT) AS achieved_tokens,
+      |  max(target_tokens) AS target_tokens,
+      |  round(sum(n_tok)::DOUBLE / max(target_tokens), 4) AS fill,
+      |  max(n_copies) AS max_copies
+      |FROM ex GROUP BY source ORDER BY source""".stripMargin
+
   /** Importance resampling to a balanced mix: every source is capped
     * at the smallest source's token count by accepting each doc with
     * probability rate = floor_tokens / source_tokens, decided by a
@@ -1065,6 +1141,7 @@ object Curation extends QueryFamily {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_dsir_select", qDsirSelect, Some(qDsirSelectSql)),
+    QueryDef("q_epoch_expand", qEpochExpand, Some(qEpochExpandSql)),
     QueryDef("q_split_leakage", qSplitLeakage, Some(qSplitLeakageSql)),
     QueryDef("q_mlm_mask_plan", qMlmMaskPlan, Some(qMlmMaskPlanSql)),
     QueryDef("q_boilerplate", qBoilerplate, Some(qBoilerplateSql)),

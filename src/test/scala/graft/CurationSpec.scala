@@ -231,6 +231,25 @@ class CurationSpec extends AnyFunSuite {
       s"en selected share $selShare must beat corpus share $corpShare")
   }
 
+  test("epoch expand: fills each source's target within doc granularity, upsamples past 1 epoch") {
+    val rows = ops.Curation.qEpochExpand(spark, sf).collect()
+    val nSources = ops.T.documents(spark, sf).select("source").distinct().count()
+    assert(rows.length.toLong === nSources, "every source must survive expansion")
+    rows.foreach { r =>
+      val fill = r.getAs[Double]("fill")
+      assert(fill > 0.85 && fill < 1.15,
+        s"${r.getAs[String]("source")}: achieved/target fill $fill outside doc-granularity band")
+      assert(r.getAs[Long]("max_copies") >= 1L)
+      assert(r.getAs[Long]("achieved_tokens") > 0L)
+    }
+    // the 2x-budget mix must genuinely upsample at least one source
+    // (more expanded rows than the source has docs)
+    val docsBySource = ops.T.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.exists(r => r.getAs[Long]("n_rows") > docsBySource(r.getAs[String]("source"))),
+      "expected at least one upsampled source under the 2x token budget")
+  }
+
   test("split leakage: cross-split subset of the near-dup pairs, never same-split") {
     val splits = Set("train", "val", "test")
     val leaks = ops.Curation.qSplitLeakage(spark, sf).collect()

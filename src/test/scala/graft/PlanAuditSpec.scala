@@ -67,6 +67,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // power-iteration L2-norm scalars (64-row builds), Neyman normalizer
     "q_epoch_mix", "q_domain_resample", "q_kmv_intersect", "q_pca_power",
     "q_sample_neyman",
+    // same 1-row corpus-total + weight-normalizer builds as q_epoch_mix
+    // (the plan it materializes)
+    "q_epoch_expand",
     // 1-row builds: point estimate x 32-replicate bootstrap summary,
     // covariance n scalar from the homogeneous Gram slot,
     // post-stratification totals x naive x truth scalars, Hill
