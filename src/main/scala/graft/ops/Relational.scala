@@ -260,7 +260,8 @@ object Relational extends QueryFamily {
         round(lag($"o_totalprice", 1).over(wSeq), 2).as("prev_price"),
         round(sum($"o_totalprice")
           .over(wSeq.rowsBetween(Window.unboundedPreceding, 0)), 2).as("running_total"),
-        rank().over(wRank).as("price_rank"))
+        // long: exact dtype parity with the oracle's BIGINT rank
+        rank().over(wRank).cast("long").as("price_rank"))
       .orderBy($"o_orderkey")
   }
 
@@ -304,7 +305,8 @@ object Relational extends QueryFamily {
       .orderBy($"o_totalprice", $"o_orderkey")
     T.orders(spark, dir).select(
         $"o_orderstatus", $"o_orderkey",
-        ntile(4).over(w).as("quartile"),
+        // long: exact dtype parity with the oracle's BIGINT ntile
+        ntile(4).over(w).cast("long").as("quartile"),
         round(percent_rank().over(w), 6).as("pct_rank"),
         round(cume_dist().over(w), 6).as("cume"))
       .orderBy($"o_orderkey")
