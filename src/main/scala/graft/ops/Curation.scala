@@ -380,6 +380,87 @@ object Curation extends QueryFamily {
       |  ((cum - 1) // 512) - ((cum - n_tokens) // 512) + 1 AS n_windows
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Packing-waste audit for DOCUMENT-ISOLATED packing — the regime
+    * [[qSeqPacking]]'s concat-and-chunk deliberately avoids: when no
+    * document may cross a context-window boundary (instruction tuning,
+    * anything attention-mask-separated), short docs leave padding, and
+    * the padding fraction per candidate context length is the number
+    * every pipeline sizes before training. Greedy NEXT-FIT in doc_id
+    * order, bucket-aligned: windows never span the 100-doc buckets
+    * (the same sharding contract as qSeqPacking's two-level prefix
+    * sum — at 100 TB you pack per shard anyway), which is exactly
+    * what makes the sequential fill-state fold embarrassingly
+    * parallel: one bounded fold per bucket. The per-bucket doc list
+    * is collect_list-bounded BY CONSTRUCTION (<= 100 docs), the fold
+    * is a bounded HOF over it, and the three context lengths reuse
+    * ONE ckpt'd bucket-list relation. Oracle: the identical fold via
+    * DuckDB list_reduce. Output per L: windows used, pad tokens,
+    * pad fraction, and the concat-and-chunk lower bound — the
+    * utilization gap isolation costs. */
+  def qPackWaste(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = T.documents(spark, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"),
+        ($"doc_id" / 100).cast("long").as("bucket"))
+    val lists = docs.groupBy($"bucket")
+      .agg(array_sort(collect_list(struct($"doc_id", $"n_tok"))).as("ds"))
+      .ckpt()
+    val totals = docs.agg(sum($"n_tok").as("total_tokens"))
+    def fold(l: Long): DataFrame =
+      lists.select(expr(
+        s"""aggregate(
+           |  ds,
+           |  named_struct('fill', CAST(0 AS BIGINT), 'wins', CAST(0 AS BIGINT), 'pad', CAST(0 AS BIGINT)),
+           |  (acc, d) -> CASE
+           |    WHEN acc.fill + least(d.n_tok, ${l}L) <= ${l}L THEN named_struct(
+           |      'fill', acc.fill + least(d.n_tok, ${l}L), 'wins', acc.wins, 'pad', acc.pad)
+           |    ELSE named_struct('fill', least(d.n_tok, ${l}L),
+           |      'wins', acc.wins + 1L, 'pad', acc.pad + ${l}L - acc.fill) END,
+           |  acc -> named_struct(
+           |    'wins', acc.wins + IF(acc.fill > 0L, 1L, 0L),
+           |    'pad', acc.pad + IF(acc.fill > 0L, ${l}L - acc.fill, 0L)))""".stripMargin).as("st"))
+        .agg(sum($"st.wins").as("n_windows"), sum($"st.pad").as("pad_tokens"))
+        .crossJoin(broadcast(totals))
+        .select(lit(l).as("ctx_len"), $"n_windows", $"pad_tokens",
+          round($"pad_tokens".cast("double") / ($"n_windows" * lit(l)), 4).as("pad_frac"),
+          ceil($"total_tokens".cast("double") / lit(l)).cast("long").as("lb_windows"))
+    fold(128L).unionByName(fold(256L)).unionByName(fold(512L)).orderBy($"ctx_len")
+  }
+
+  // NOT list_reduce: DuckDB 1.0.0 mis-executes a struct-state lambda
+  // fold when the list column is built inside the same pipeline as a
+  // parquet scan (fill/wins come out right, pad does not; the same
+  // fold over the same list as a literal is correct). The recursive
+  // CTE walks every (bucket, ctx_len) pair positionally — plain
+  // scalar arithmetic, no lambda surface — at 100 steps per bucket.
+  val qPackWasteSql: String =
+    """WITH RECURSIVE d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    doc_id // 100 AS bucket FROM documents),
+      |b AS MATERIALIZED (SELECT bucket, list(n_tok ORDER BY doc_id) AS ds FROM d GROUP BY bucket),
+      |walk(bucket, l, i, fill, wins, pad) AS (
+      |  SELECT bucket, l::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT
+      |  FROM b, (VALUES (128), (256), (512)) ls(l)
+      |  UNION ALL
+      |  SELECT w.bucket, w.l, w.i + 1,
+      |    CASE WHEN w.fill + least(b.ds[w.i + 1], w.l) <= w.l
+      |         THEN w.fill + least(b.ds[w.i + 1], w.l)
+      |         ELSE least(b.ds[w.i + 1], w.l) END,
+      |    CASE WHEN w.fill + least(b.ds[w.i + 1], w.l) <= w.l
+      |         THEN w.wins ELSE w.wins + 1 END,
+      |    CASE WHEN w.fill + least(b.ds[w.i + 1], w.l) <= w.l
+      |         THEN w.pad ELSE w.pad + w.l - w.fill END
+      |  FROM walk w JOIN b ON b.bucket = w.bucket
+      |  WHERE w.i < len(b.ds)),
+      |fin AS (SELECT w.l, w.wins + CASE WHEN w.fill > 0 THEN 1 ELSE 0 END AS wins,
+      |    w.pad + CASE WHEN w.fill > 0 THEN w.l - w.fill ELSE 0 END AS pad
+      |  FROM walk w JOIN b ON b.bucket = w.bucket WHERE w.i = len(b.ds)),
+      |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total_tokens FROM d)
+      |SELECT l AS ctx_len, CAST(sum(wins) AS BIGINT) AS n_windows,
+      |  CAST(sum(pad) AS BIGINT) AS pad_tokens,
+      |  round(sum(pad)::DOUBLE / (sum(wins) * l), 4) AS pad_frac,
+      |  CAST(ceil(any_value(tot.total_tokens)::DOUBLE / l) AS BIGINT) AS lb_windows
+      |FROM fin, tot GROUP BY l ORDER BY ctx_len""".stripMargin
+
   /** Deterministic train/val/test split assignment: the first two md5
     * nibbles of the document CONTENT (not the id — re-keyed corpora
     * keep their assignment) bucket into 256 cells, carved 90/5/5.
@@ -1142,6 +1223,7 @@ object Curation extends QueryFamily {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_dsir_select", qDsirSelect, Some(qDsirSelectSql)),
     QueryDef("q_epoch_expand", qEpochExpand, Some(qEpochExpandSql)),
+    QueryDef("q_pack_waste", qPackWaste, Some(qPackWasteSql)),
     QueryDef("q_split_leakage", qSplitLeakage, Some(qSplitLeakageSql)),
     QueryDef("q_mlm_mask_plan", qMlmMaskPlan, Some(qMlmMaskPlanSql)),
     QueryDef("q_boilerplate", qBoilerplate, Some(qBoilerplateSql)),

@@ -231,6 +231,29 @@ class CurationSpec extends AnyFunSuite {
       s"en selected share $selShare must beat corpus share $corpShare")
   }
 
+  test("pack waste: window accounting exact, waste shrinks with context length, lower bound holds") {
+    val rows = ops.Curation.qPackWaste(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("ctx_len")).toSeq === Seq(128L, 256L, 512L))
+    val totalTok = ops.T.documents(spark, sf)
+      .selectExpr("sum(size(split(text, ' ')))").head().getLong(0)
+    rows.foreach { r =>
+      val l = r.getAs[Long]("ctx_len")
+      val wins = r.getAs[Long]("n_windows")
+      val pad = r.getAs[Long]("pad_tokens")
+      // exact conservation: windows hold exactly tokens + padding
+      assert(wins * l === totalTok + pad,
+        s"L=$l: $wins windows x $l != $totalTok tokens + $pad pad")
+      assert(wins >= r.getAs[Long]("lb_windows"),
+        s"L=$l: next-fit cannot beat the concat-and-chunk lower bound")
+      assert(r.getAs[Double]("pad_frac") > 0.0 && r.getAs[Double]("pad_frac") < 0.5)
+    }
+    // larger windows amortize per-doc fragmentation on this corpus
+    // (docs <= 100 tokens): waste fraction must not grow with L
+    val fracs = rows.map(_.getAs[Double]("pad_frac"))
+    assert(fracs(0) >= fracs(2) * 0.5,
+      s"pad_frac sequence ${fracs.toSeq} looks inconsistent")
+  }
+
   test("epoch expand: fills each source's target within doc granularity, upsamples past 1 epoch") {
     val rows = ops.Curation.qEpochExpand(spark, sf).collect()
     val nSources = ops.T.documents(spark, sf).select("source").distinct().count()

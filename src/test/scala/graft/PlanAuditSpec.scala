@@ -178,6 +178,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row (nt, nr) smoothing-total build onto the 4096-bucket ratio
     // table
     "q_dsir_select",
+    // 1-row corpus token-total build onto each context-length fold row
+    "q_pack_waste",
     // probe-side non-equi join of the exact filtered ground truth +
     // the 1-row true-count build
     "q_filtered_search_recall")
@@ -335,7 +337,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_sq_recall" -> "SQ codec train+apply pipeline + exact ground-truth audit pipeline",
     "q_matryoshka_recall" -> "truncated-prefix pipeline + exact ground-truth audit pipeline",
     "q_binary_quant_recall" -> "sign-bit pipeline + exact ground-truth audit pipeline",
-    "q_filtered_search_recall" -> "shared LSH candidate pipeline + exact filtered ground-truth audit pipeline")
+    "q_filtered_search_recall" -> "shared LSH candidate pipeline + exact filtered ground-truth audit pipeline",
+    "q_pack_waste" -> "three context-length folds + the token-total branch over ONE ckpt'd bucket-list relation (single scan in production; >2 leaves only in the checkpoint-free audit variant)")
 
   test("no registered query scans one source relation more than twice") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -368,7 +371,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_set_sim_join" -> "collect_list of per-doc distinct 4-token shingles (bounded by doc length)",
     "q_attribution_markov" -> "collect_list of the states^2-bounded (<=64 rows) transition matrix",
     "q_sq_error_audit" -> "collect_list of the 64-row per-dimension min/max stats (dim-bounded)",
-    "q_sq_recall" -> "collect_list of the 64-row per-dimension min/max stats (dim-bounded)")
+    "q_sq_recall" -> "collect_list of the 64-row per-dimension min/max stats (dim-bounded)",
+    "q_pack_waste" -> "collect_list of one 100-doc bucket's (doc_id, n_tok) pairs (bucket-bounded by construction)")
 
   test("no registered query buffers group values (exact percentile / collect) over an unbounded input") {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet, Percentile}
