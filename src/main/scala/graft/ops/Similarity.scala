@@ -317,6 +317,158 @@ object Similarity extends QueryFamily {
        |FROM exact e LEFT JOIN hits h ON h.q_id = e.q_id
        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
 
+  /** Adaptive probe termination for IVF serving — the policy a real
+    * vector store runs instead of a fixed nprobe: probe cells in
+    * centroid-distance order and STOP as soon as an additional cell
+    * leaves the top-3 unchanged (the answer has stabilized; scanning
+    * farther cells is unlikely to pay). Everything derives from ONE
+    * scored 4-cell candidate relation: the four per-stage top-3
+    * rankings are probe-bounded windows over it, stability is a
+    * consecutive-stage set comparison (match count == both set
+    * sizes), probes_used is the FIRST stable stage (the sequential
+    * rule: you pay for the cell that proves stability, then stop;
+    * never stable -> 4), and the audit reports what the policy
+    * traded: candidates scanned under the adaptive stop vs the full
+    * 4-probe sweep, and recall@3 of both against the exact top-3.
+    * At 100 TB only the probe x cell lists and centroid table move;
+    * the per-query saving is the fraction of cells never scanned. */
+  def qSimProbeAdaptive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = T.embeddings(spark, dir)
+    val cent = e.select($"label", posexplode($"embedding").as(Seq("i", "x")))
+      .groupBy($"label", $"i").agg(avg($"x".cast("double")).as("c"))
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val probeDims = probes.select($"q_id", posexplode($"qv").as(Seq("i", "qx")))
+    val d2 = $"qx".cast("double") - $"c"
+    val cells = probeDims.join(broadcast(cent), Seq("i"))
+      .groupBy($"q_id", $"label").agg(sum(d2 * d2).as("d2"))
+    val wCell = Window.partitionBy($"q_id").orderBy(asc("d2"), asc("label"))
+    val probeCells = cells.withColumn("cell_rank", row_number().over(wCell))
+      .filter($"cell_rank" <= 4).select($"q_id", $"label", $"cell_rank")
+      .join(probes, Seq("q_id"))
+    val corpus = e.select($"vec_id".as("n_id"), $"embedding".as("v"), $"label")
+    val cand = corpus.join(broadcast(probeCells), Seq("label"))
+      .filter($"q_id" =!= $"n_id")
+      .select($"q_id", $"n_id", $"cell_rank", cos.as("cos"))
+      .ckpt()
+    val wq = Window.partitionBy($"q_id", $"stage").orderBy(desc("cos"), asc("n_id"))
+    val tops = cand
+      .join(broadcast(Seq(1, 2, 3, 4).toDF("stage")), $"cell_rank" <= $"stage")
+      .withColumn("rank", row_number().over(wq)).filter($"rank" <= 3)
+      .select($"q_id", $"n_id", $"stage")
+      .ckpt()
+    val cnts = tops.groupBy($"q_id", $"stage").agg(count(lit(1)).as("n"))
+    val matches = tops
+      .join(tops.select($"q_id", $"n_id", ($"stage" + 1).as("stage")),
+        Seq("q_id", "n_id", "stage"))
+      .groupBy($"q_id", $"stage").agg(count(lit(1)).as("n_match"))
+    val used = cnts.filter($"stage" >= 2)
+      .join(cnts.select($"q_id", ($"stage" + 1).as("stage"), $"n".as("n_prev")),
+        Seq("q_id", "stage"))
+      .join(matches, Seq("q_id", "stage"), "left")
+      .filter(coalesce($"n_match", lit(0L)) === $"n" && $"n" === $"n_prev")
+      .groupBy($"q_id").agg(min($"stage").as("first_stable"))
+    val probesUsed = probes.select($"q_id")
+      .join(used, Seq("q_id"), "left")
+      .select($"q_id", coalesce($"first_stable", lit(4)).cast("long").as("probes_used"))
+      .ckpt()
+    val exact = qSimBruteforce(spark, dir).filter($"rank" <= 3)
+      .select($"q_id", $"n_id")
+      .ckpt() // two recall consumers, one ground-truth pass
+    def recallOf(sel: DataFrame, name: String): DataFrame = {
+      val hits = exact.join(sel, Seq("q_id", "n_id"), "left_semi")
+        .groupBy($"q_id").agg(count(lit(1)).as("n_hits"))
+      exact.groupBy($"q_id").agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("q_id"), "left")
+        .select($"q_id",
+          round(coalesce($"n_hits", lit(0L)).cast("double") / $"n_true", 4).as(name))
+    }
+    val adaptiveSel = tops.join(probesUsed, Seq("q_id"))
+      .filter($"stage" === $"probes_used").select($"q_id", $"n_id")
+    val fullSel = tops.filter($"stage" === 4).select($"q_id", $"n_id")
+    val nCand = cand.join(broadcast(probesUsed), Seq("q_id"))
+      .groupBy($"q_id").agg(
+        sum(when($"cell_rank" <= $"probes_used", 1L).otherwise(0L)).as("n_cand_used"),
+        count(lit(1)).as("n_cand_full"))
+    probesUsed
+      .join(nCand, Seq("q_id"))
+      .join(recallOf(adaptiveSel, "recall_adaptive"), Seq("q_id"))
+      .join(recallOf(fullSel, "recall_full"), Seq("q_id"))
+      .select($"q_id", $"probes_used", $"n_cand_used", $"n_cand_full",
+        $"recall_adaptive", $"recall_full")
+      .orderBy($"q_id")
+  }
+
+  val qSimProbeAdaptiveSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding,
+       |  (SELECT sum(x::DOUBLE * x::DOUBLE) FROM unnest(embedding) t(x)) AS n2
+       |  FROM embeddings),
+       |cent AS (SELECT label, i, avg(x::DOUBLE) AS c FROM (
+       |  SELECT label, unnest(embedding) AS x,
+       |    unnest(range(1, len(embedding) + 1)) AS i FROM embeddings) GROUP BY label, i),
+       |p AS (SELECT vec_id AS q_id, embedding AS qe, n2 AS qn2 FROM e WHERE vec_id < 10),
+       |pd AS (SELECT q_id, unnest(qe) AS qx,
+       |  unnest(range(1, len(qe) + 1)) AS i FROM p),
+       |cells AS (SELECT q_id, label,
+       |    sum((qx::DOUBLE - c) * (qx::DOUBLE - c)) AS d2
+       |  FROM pd JOIN cent USING (i) GROUP BY q_id, label),
+       |pc AS (SELECT q_id, label, cell_rank FROM (SELECT q_id, label,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d2, label) AS cell_rank FROM cells)
+       |  WHERE cell_rank <= 4),
+       |pairs AS (SELECT p.q_id, e.vec_id AS n_id, pc.cell_rank, p.qn2, e.n2, p.qe,
+       |    e.embedding AS ne
+       |  FROM pc JOIN p USING (q_id) JOIN e USING (label) WHERE e.vec_id <> p.q_id),
+       |u AS (SELECT q_id, n_id, cell_rank, qn2, n2, unnest(qe) AS qx, unnest(ne) AS nx
+       |  FROM pairs),
+       |scored AS (SELECT q_id, n_id, any_value(cell_rank) AS cell_rank,
+       |    sum(qx::DOUBLE * nx::DOUBLE) / sqrt(any_value(qn2) * any_value(n2)) AS cos
+       |  FROM u GROUP BY q_id, n_id),
+       |-- NOT MATERIALIZED: DuckDB 1.0.0 throws "Recursive CTE scan found
+       |-- without recursive CTE node" when a materialized CTE is scanned
+       |-- from multiple sibling CTEs here; inlining re-derives the
+       |-- probe-bounded candidate set, which is cheap at any SF
+       |tops AS (SELECT q_id, n_id, stage FROM (
+       |  SELECT s.q_id, s.n_id, st.stage, row_number() OVER (
+       |      PARTITION BY s.q_id, st.stage ORDER BY s.cos DESC, s.n_id) AS rank
+       |  FROM scored s JOIN (VALUES (1), (2), (3), (4)) st(stage)
+       |    ON s.cell_rank <= st.stage)
+       |  WHERE rank <= 3),
+       |cnts AS (SELECT q_id, stage, count(*) AS n FROM tops GROUP BY q_id, stage),
+       |matches AS (SELECT a.q_id, a.stage, count(*) AS n_match
+       |  FROM tops a JOIN tops b ON b.q_id = a.q_id AND b.n_id = a.n_id
+       |    AND b.stage = a.stage - 1
+       |  GROUP BY a.q_id, a.stage),
+       |used AS (SELECT c.q_id, min(c.stage) AS first_stable
+       |  FROM cnts c JOIN cnts pv ON pv.q_id = c.q_id AND pv.stage = c.stage - 1
+       |  LEFT JOIN matches m ON m.q_id = c.q_id AND m.stage = c.stage
+       |  WHERE c.stage >= 2 AND coalesce(m.n_match, 0) = c.n AND c.n = pv.n
+       |  GROUP BY c.q_id),
+       |pu AS (SELECT p.q_id, CAST(coalesce(u2.first_stable, 4) AS BIGINT) AS probes_used
+       |  FROM p LEFT JOIN used u2 ON u2.q_id = p.q_id),
+       |exact AS (SELECT q_id, n_id FROM ($qSimBruteforceSql) WHERE rank <= 3),
+       |asel AS (SELECT t.q_id, t.n_id FROM tops t JOIN pu ON pu.q_id = t.q_id
+       |  AND t.stage = pu.probes_used),
+       |fsel AS (SELECT q_id, n_id FROM tops WHERE stage = 4),
+       |ra AS (SELECT e2.q_id,
+       |    round(count(a.n_id)::DOUBLE / count(*), 4) AS recall_adaptive
+       |  FROM exact e2 LEFT JOIN asel a ON a.q_id = e2.q_id AND a.n_id = e2.n_id
+       |  GROUP BY e2.q_id),
+       |rf AS (SELECT e2.q_id,
+       |    round(count(f.n_id)::DOUBLE / count(*), 4) AS recall_full
+       |  FROM exact e2 LEFT JOIN fsel f ON f.q_id = e2.q_id AND f.n_id = e2.n_id
+       |  GROUP BY e2.q_id),
+       |nc AS (SELECT s.q_id,
+       |    CAST(sum(CASE WHEN s.cell_rank <= pu.probes_used THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_cand_used,
+       |    count(*) AS n_cand_full
+       |  FROM scored s JOIN pu ON pu.q_id = s.q_id GROUP BY s.q_id)
+       |SELECT pu.q_id, pu.probes_used, nc.n_cand_used, nc.n_cand_full,
+       |  ra.recall_adaptive, rf.recall_full
+       |FROM pu JOIN nc ON nc.q_id = pu.q_id
+       |JOIN ra ON ra.q_id = pu.q_id JOIN rf ON rf.q_id = pu.q_id
+       |ORDER BY pu.q_id""".stripMargin
+
   /** Single k-means assignment step: every corpus vector is assigned
     * to its nearest per-label mean centroid (squared L2), and the
     * output is the label-vs-assigned confusion matrix — the standard
@@ -2638,5 +2790,6 @@ object Similarity extends QueryFamily {
     QueryDef("q_sim_lsh_recall", qSimLshRecall, Some(qSimLshRecallSql)),
     QueryDef("q_sim_ivf_recall", qSimIvfRecall, Some(qSimIvfRecallSql)),
     QueryDef("q_filtered_search_recall", qFilteredSearchRecall, Some(qFilteredSearchRecallSql)),
+    QueryDef("q_sim_probe_adaptive", qSimProbeAdaptive, Some(qSimProbeAdaptiveSql)),
   )
 }

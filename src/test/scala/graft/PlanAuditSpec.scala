@@ -180,6 +180,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dsir_select",
     // 1-row corpus token-total build onto each context-length fold row
     "q_pack_waste",
+    // 4-row stage table non-equi-joined onto the probe-bounded
+    // candidate set (cell_rank <= stage unrolls the 4 probe stages)
+    "q_sim_probe_adaptive",
     // probe-side non-equi join of the exact filtered ground truth +
     // the 1-row true-count build
     "q_filtered_search_recall")
@@ -338,7 +341,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_matryoshka_recall" -> "truncated-prefix pipeline + exact ground-truth audit pipeline",
     "q_binary_quant_recall" -> "sign-bit pipeline + exact ground-truth audit pipeline",
     "q_filtered_search_recall" -> "shared LSH candidate pipeline + exact filtered ground-truth audit pipeline",
-    "q_pack_waste" -> "three context-length folds + the token-total branch over ONE ckpt'd bucket-list relation (single scan in production; >2 leaves only in the checkpoint-free audit variant)")
+    "q_pack_waste" -> "three context-length folds + the token-total branch over ONE ckpt'd bucket-list relation (single scan in production; >2 leaves only in the checkpoint-free audit variant)",
+    "q_sim_probe_adaptive" -> "centroid + probe + corpus branches over ONE ckpt'd scored candidate set + exact ground-truth audit pipeline")
 
   test("no registered query scans one source relation more than twice") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}

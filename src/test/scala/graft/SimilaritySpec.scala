@@ -319,6 +319,27 @@ class SimilaritySpec extends AnyFunSuite {
       s"E=1 coarse-seeded recall ${byE(1)} below the beam-6 floor ${beam(6)}")
   }
 
+  test("adaptive probe stop: bounds hold, stopping saves candidates, full sweep dominates") {
+    val rows = ops.Similarity.qSimProbeAdaptive(spark, sf).collect()
+    assert(rows.length === 10, "one row per probe")
+    rows.foreach { r =>
+      val used = r.getAs[Long]("probes_used")
+      assert(used >= 2L && used <= 4L,
+        "stability needs a confirming cell: used in [2, 4]")
+      assert(r.getAs[Long]("n_cand_used") <= r.getAs[Long]("n_cand_full"))
+      val ra = r.getAs[Double]("recall_adaptive")
+      val rf = r.getAs[Double]("recall_full")
+      assert(ra >= 0.0 && ra <= 1.0 && rf >= 0.0 && rf <= 1.0)
+      // a query that never stabilized IS the full sweep
+      if (used == 4L) assert(ra === rf)
+    }
+    // the policy must actually fire somewhere: at least one query stops
+    // early, and early stops scan strictly fewer candidates
+    val early = rows.filter(_.getAs[Long]("probes_used") < 4L)
+    assert(early.nonEmpty, "no query stabilized before 4 probes")
+    assert(early.forall(r => r.getAs[Long]("n_cand_used") < r.getAs[Long]("n_cand_full")))
+  }
+
   test("filtered search: overfetch monotone, prefilter dominates, returns bounded") {
     val rows = ops.Similarity.qFilteredSearchRecall(spark, sf).collect()
     assert(rows.map(_.getAs[String]("strategy")).toSeq ===
