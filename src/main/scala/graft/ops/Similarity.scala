@@ -1921,6 +1921,147 @@ object Similarity extends QueryFamily {
       .orderBy($"src_id", $"rank")
   }
 
+  /** Deleted-set size of [[qKnnGraphDelete]]: fixed at 2 vectors (the
+    * LOWEST vec_ids play "deleted") so ScaleSpec can pin that delete
+    * maintenance tracks the deleted set's in-degree, not the corpus. */
+  private val KnnDeleteSize = 2
+
+  /** Hashed corpus for the delete pipeline — same pinned-config
+    * discipline as [[knnDeltaHashed]]: bits derive from the FULL
+    * (pre-delete) count, because deletes never re-derive an index's
+    * hash configuration (that happens at rebuild/compaction). */
+  private def knnDeleteHashed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e0 = T.embeddings(spark, dir)
+    val n = e0.agg(count(lit(1)).as("n"))
+    e0.crossJoin(broadcast(n))
+      .withColumn("bits", scaledBits($"n", targetBucket = 64, floor = 2, max = 16))
+      .withColumn("sg", signBits(16))
+      .withColumn("bucket", expr("substring(sg, 1, bits)"))
+      .withColumn("is_del", $"vec_id" < KnnDeleteSize)
+      .select($"vec_id", $"embedding", $"bits", $"bucket", $"is_del")
+      .ckpt()
+  }
+
+  /** Recompute candidates of the delete pipeline, standalone for
+    * ScaleSpec: probe side = sources whose STORED top-3 contains a
+    * deleted neighbor; corpus side = survivors. */
+  private[graft] def knnGraphDeleteRecomputeCandidates(
+      spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = knnDeleteHashed(spark, dir)
+    val affected = knnDeleteAffected(h)
+    val probeSide = h.filter(!$"is_del")
+      .join(affected, Seq("vec_id"), "left_semi")
+      .withColumn("probe_bucket", hamming1Probes)
+      .select($"vec_id".as("src_id"), $"embedding".as("qv"), $"probe_bucket")
+    val corpusSide = h.filter(!$"is_del")
+      .select($"vec_id".as("nbr_id"), $"embedding".as("v"),
+        $"bucket".as("probe_bucket"))
+    probeSide.join(corpusSide, Seq("probe_bucket"))
+      .filter($"src_id" =!= $"nbr_id")
+  }
+
+  /** Live sources whose stored top-3 contains a deleted neighbor —
+    * the ONLY sources a delete can change: candidates only shrink, so
+    * a source whose shortlist kept all its members keeps its exact
+    * top-3 (survivors' relative order is untouched). Tighter than
+    * insert's affected-set (bucket visibility): delete locality is
+    * the deleted vectors' graph IN-DEGREE. */
+  private def knnDeleteAffected(h: DataFrame): DataFrame = {
+    import h.sparkSession.implicits._
+    val old = knnEdgesOf(knnDeleteFullCand(h))
+    val deleted = h.filter($"is_del").select($"vec_id")
+    old.join(deleted.select($"vec_id".as("nbr_id")), Seq("nbr_id"), "left_semi")
+      .select($"src_id".as("vec_id")).distinct()
+      .join(deleted, Seq("vec_id"), "left_anti")
+  }
+
+  /** Full-corpus candidate pairs over the delete pipeline's hashed
+    * relation — the stored pre-delete index's build input. */
+  private def knnDeleteFullCand(h: DataFrame): DataFrame = {
+    import h.sparkSession.implicits._
+    h.withColumn("probe_bucket", hamming1Probes)
+      .select($"vec_id".as("src_id"), $"embedding".as("qv"), $"probe_bucket")
+      .join(h.select($"vec_id".as("nbr_id"), $"embedding".as("v"),
+        $"bucket".as("probe_bucket")), Seq("probe_bucket"))
+      .filter($"src_id" =!= $"nbr_id")
+  }
+
+  /** Incremental kNN-graph DELETE — the other half of index
+    * maintenance (insert landed as [[qKnnGraphDelta]]), and the one
+    * compliance actually forces: remove vectors (GDPR erasure, data
+    * recalls) from the stored [[qKnnGraph]] index without a rebuild.
+    * The delete invariant is TIGHTER than insert's: removing vectors
+    * only shrinks candidate sets, so the only sources whose top-3 can
+    * change are those whose STORED top-3 contained a deleted neighbor
+    * (everyone else's ranking of surviving candidates is untouched).
+    * Pipeline: (1) drop rows sourced by deleted vectors, (2) keep
+    * rows of unaffected sources as-is, (3) re-rank the affected
+    * handful against the surviving corpus under the index's PINNED
+    * hash config. The oracle IS the rebuild over survivors (same
+    * pinned bits) — incremental == rebuild, proved differentially;
+    * ScaleSpec pins that recompute volume tracks the deleted set's
+    * in-degree, not the corpus. */
+  def qKnnGraphDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = knnDeleteHashed(spark, dir)
+    val oldGraph = knnEdgesOf(knnDeleteFullCand(h)).ckpt()
+    val deleted = h.filter($"is_del").select($"vec_id")
+    val affected = oldGraph
+      .join(deleted.select($"vec_id".as("nbr_id")), Seq("nbr_id"), "left_semi")
+      .select($"src_id").distinct()
+      .join(deleted.select($"vec_id".as("src_id")), Seq("src_id"), "left_anti")
+      .ckpt()
+    val kept = oldGraph
+      .join(deleted.select($"vec_id".as("src_id")), Seq("src_id"), "left_anti")
+      .join(affected, Seq("src_id"), "left_anti")
+    val probeSide = h.filter(!$"is_del")
+      .join(affected.select($"src_id".as("vec_id")), Seq("vec_id"), "left_semi")
+      .withColumn("probe_bucket", hamming1Probes)
+      .select($"vec_id".as("src_id"), $"embedding".as("qv"), $"probe_bucket")
+    val corpusSide = h.filter(!$"is_del")
+      .select($"vec_id".as("nbr_id"), $"embedding".as("v"),
+        $"bucket".as("probe_bucket"))
+    val recomputed = knnEdgesOf(
+      probeSide.join(corpusSide, Seq("probe_bucket"))
+        .filter($"src_id" =!= $"nbr_id"))
+    kept.unionByName(recomputed)
+      .orderBy($"src_id", $"rank")
+  }
+
+  /** Rebuild-over-survivors oracle with the PINNED pre-delete hash
+    * config: `nb` counts the FULL corpus (an index's hash depth is a
+    * build-time constant deletes reuse), `e` keeps survivors only. */
+  val qKnnGraphDeleteSql: String =
+    s"""WITH nb AS (SELECT greatest(2, least(16,
+       |    CAST(ceil(log2(count(*) / 64.0)) AS INT))) AS bits FROM embeddings),
+       |e AS (SELECT vec_id, embedding, bits,
+       |  (SELECT sum(x::DOUBLE * x::DOUBLE) FROM unnest(embedding) t(x)) AS n2,
+       |  substr(array_to_string(list_transform(embedding[1:16],
+       |    x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), ''), 1, bits) AS bucket
+       |  FROM embeddings, nb WHERE vec_id >= $KnnDeleteSize),
+       |pr AS (SELECT vec_id, embedding, n2,
+       |    unnest(list_transform(range(0, bits + 1),
+       |      k -> CASE WHEN k = 0 THEN bucket
+       |           ELSE substr(bucket, 1, k - 1) ||
+       |                (CASE WHEN substr(bucket, k, 1) = '1' THEN '0' ELSE '1' END) ||
+       |                substr(bucket, k + 1, bits - k) END)) AS pb
+       |  FROM e),
+       |pairs AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+       |    a.n2 AS an2, b.n2 AS bn2, a.embedding AS ae, b.embedding AS be
+       |  FROM pr a JOIN e b ON b.bucket = a.pb AND b.vec_id <> a.vec_id),
+       |u AS (SELECT src_id, nbr_id, an2, bn2,
+       |    unnest(ae) AS ax, unnest(be) AS bx FROM pairs),
+       |scored AS (SELECT src_id, nbr_id,
+       |    sum(ax::DOUBLE * bx::DOUBLE) / sqrt(any_value(an2) * any_value(bn2)) AS cos
+       |  FROM u GROUP BY 1, 2),
+       |ranked AS (SELECT src_id, nbr_id, cos,
+       |    row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, nbr_id) AS rank
+       |  FROM scored)
+       |SELECT src_id, rank, nbr_id, round(cos, 4) AS cos FROM ranked
+       |WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin
+
   /** Radius (range) search: ALL corpus neighbors with cos >= 0.3 of
     * each probe — the query shape behind "find everything similar
     * enough" (dedup candidate pull, retrieval recall floors), where
@@ -2791,5 +2932,6 @@ object Similarity extends QueryFamily {
     QueryDef("q_sim_ivf_recall", qSimIvfRecall, Some(qSimIvfRecallSql)),
     QueryDef("q_filtered_search_recall", qFilteredSearchRecall, Some(qFilteredSearchRecallSql)),
     QueryDef("q_sim_probe_adaptive", qSimProbeAdaptive, Some(qSimProbeAdaptiveSql)),
+    QueryDef("q_knn_graph_delete", qKnnGraphDelete, Some(qKnnGraphDeleteSql)),
   )
 }

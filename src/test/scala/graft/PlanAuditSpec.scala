@@ -175,6 +175,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row corpus-count broadcast that pins the index's hash depth
     // (shared by the base build and the delta recompute)
     "q_knn_graph_delta",
+    // same pinned-hash-depth 1-row corpus-count broadcast
+    "q_knn_graph_delete",
     // 1-row (nt, nr) smoothing-total build onto the 4096-bucket ratio
     // table
     "q_dsir_select",
@@ -337,6 +339,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_knn_beam_sweep" -> "walk pipelines per beam + exact ground-truth audit pipeline",
     "q_knn_entry_sweep" -> "coarse-quantizer entry pull + walk pipelines per E + exact ground-truth audit pipeline",
     "q_knn_graph_delta" -> "base-index build + affected-set + delta-recompute stages over the hashed corpus",
+    "q_knn_graph_delete" -> "stored-index build + in-degree affected-set + survivor-recompute stages over the hashed corpus",
     "q_sq_recall" -> "SQ codec train+apply pipeline + exact ground-truth audit pipeline",
     "q_matryoshka_recall" -> "truncated-prefix pipeline + exact ground-truth audit pipeline",
     "q_binary_quant_recall" -> "sign-bit pipeline + exact ground-truth audit pipeline",

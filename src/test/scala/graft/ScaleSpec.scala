@@ -250,6 +250,28 @@ class ScaleSpec extends AnyFunSuite {
         s"(full-build growth $fullGrowth) — delta locality collapsed")
   }
 
+  test("kNN-graph delete recompute work tracks the deleted set's in-degree, not the corpus") {
+    // q_knn_graph_delete re-ranks only sources whose STORED top-3
+    // contained a deleted neighbor — the deleted vectors' graph
+    // in-degree, bounded by 2 x (their bucket neighborhoods), while
+    // the corpus grows 4x across the fixtures. The recompute
+    // candidate volume must stay a small fraction of the full build's
+    // at both fixtures AND grow strictly slower.
+    val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val full = dirs.map(d => ops.Similarity.knnGraphCandidates(spark, d).count())
+    val touched = dirs.map(d =>
+      ops.Similarity.knnGraphDeleteRecomputeCandidates(spark, d).count())
+    touched.zip(full).foreach { case (t, f) =>
+      assert(t < f / 2,
+        s"delete recompute candidates $t not well below the full build $f")
+    }
+    val fullGrowth = full(1).toDouble / full(0)
+    val touchedGrowth = touched(1).toDouble / touched(0)
+    assert(touchedGrowth < fullGrowth,
+      s"delete recompute growth $touchedGrowth tracks the corpus " +
+        s"(full-build growth $fullGrowth) — in-degree locality collapsed")
+  }
+
   test("key histogram surfaces the heaviest keys in order") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val hist = ops.Skew.keyHistogram(li, col("l_suppkey"), topN = 5).collect()

@@ -319,6 +319,35 @@ class SimilaritySpec extends AnyFunSuite {
       s"E=1 coarse-seeded recall ${byE(1)} below the beam-6 floor ${beam(6)}")
   }
 
+  test("graph delete: erased ids vanish as source and neighbor, untouched sources keep rows") {
+    val after = ops.Similarity.qKnnGraphDelete(spark, sf).collect()
+    assert(after.nonEmpty)
+    // erasure: the deleted ids appear nowhere — not as a source row,
+    // not as anyone's surviving neighbor (the GDPR contract)
+    after.foreach { r =>
+      assert(r.getAs[Long]("src_id") >= 2L, "deleted source row survived")
+      assert(r.getAs[Long]("nbr_id") >= 2L, "deleted id still served as a neighbor")
+    }
+    // locality: sources whose stored top-3 had no deleted member keep
+    // their exact rows (compare against the full-corpus graph)
+    val before = ops.Similarity.qKnnGraph(spark, sf).collect()
+      .groupBy(_.getAs[Long]("src_id"))
+    val affected = before.collect {
+      case (src, rows) if rows.exists(_.getAs[Long]("nbr_id") < 2L) => src
+    }.toSet
+    val afterBySrc = after.groupBy(_.getAs[Long]("src_id"))
+    before.foreach { case (src, rows) =>
+      if (src >= 2L && !affected.contains(src)) {
+        val a = afterBySrc.getOrElse(src, Array.empty)
+          .map(r => (r.getAs[Number]("rank").longValue, r.getAs[Long]("nbr_id"))).sorted.toSeq
+        val b = rows
+          .map(r => (r.getAs[Number]("rank").longValue, r.getAs[Long]("nbr_id"))).sorted.toSeq
+        assert(a === b, s"untouched source $src changed rows after delete")
+      }
+    }
+    assert(affected.nonEmpty, "fixture must exercise the re-rank path")
+  }
+
   test("adaptive probe stop: bounds hold, stopping saves candidates, full sweep dominates") {
     val rows = ops.Similarity.qSimProbeAdaptive(spark, sf).collect()
     assert(rows.length === 10, "one row per probe")
