@@ -51,11 +51,15 @@ import org.apache.spark.sql.functions._
   *    ("gate_rechecks_waited" / "idle_gate_waited_sec").
   *  - DRIFT TRIPWIRE: each query's min-of-N is compared against the
   *    previous artifact's min (SPARK_GRAFT_BENCH_PREV, default the
-  *    output path — i.e. last round's committed BENCH_FULL.json). A
-  *    >3x slower result triggers ONE extra run before recording; a
-  *    min that stays >3x after the retry is listed in the artifact's
-  *    "drifts" map {name: {prev, min}} so genuine regressions are a
-  *    field read, not judge spelunking.
+  *    output path — i.e. last round's committed BENCH_FULL.json). Any
+  *    SINGLE run past the 3x mark triggers an immediate external-cpu
+  *    re-gate before the next run (round-12 task 2a: the every-20th
+  *    stride left a 19-query blind window that produced 7 false
+  *    drifts in one contention burst); a min still >3x after the runs
+  *    earns one gated retry, and a PERSISTING drift is recorded as
+  *    {prev, min, runs: [full trajectory], ext_cpu: sample-at-record}
+  *    so warmth vs contention vs regression is a field read, not a
+  *    judge re-bench.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -71,6 +75,7 @@ object Bench {
     val maxExtCpu = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXEXTCPU", "1.0").toDouble
     var gateWaited = 0
     var gateRechecksWaited = 0
+    var gateErrors = 0
 
     /** External CPU pressure in "cpus": whole-system busy jiffies from
       * /proc/stat minus THIS JVM's own cpu time, over a 1 s sample.
@@ -125,7 +130,18 @@ object Bench {
       }
       if (waitedHere && tag != "start") gateRechecksWaited += 1
     }
-    gate("start")
+    /** The gate is a measurement AID, never a failure source: a broken
+      * /proc/stat read (non-Linux host, transient error) must not turn
+      * into a per-query benchmark "error" — it falls back to no-gate
+      * and is counted in "gate_errors" so a gateless artifact is
+      * self-identifying (round-12 advice). */
+    def safeGate(tag: String): Unit =
+      try gate(tag)
+      catch { case e: Exception =>
+        gateErrors += 1
+        System.err.println(s"[bench] gate skipped ($tag): ${e.getMessage}")
+      }
+    safeGate("start")
     val loadStart = loadavg
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -171,7 +187,12 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val perRun = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val drifts = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    // persisting drifts carry the FULL evidence a judge needs to call
+    // warmth vs contention vs regression without re-running: the whole
+    // run trajectory plus an external-cpu sample taken at record time
+    // (round-12 verdict task 2b — the r12 artifact's 7 false drifts
+    // recorded one number each and needed a manual idle re-bench)
+    val drifts = scala.collection.mutable.LinkedHashMap[String, (Double, Seq[Double], Double)]()
     // Local-iteration subset, mirroring Verify: SPARK_GRAFT_ONLY=q_a,q_b
     // times just those queries. Unset for driver runs.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -185,17 +206,34 @@ object Bench {
         // mid-suite pauses the clock instead of inflating the rest of
         // the suite. Sampling external cpu costs 1 s, so it cannot run
         // before every query (357 x 1 s would dwarf the suite)
-        if (qIdx % 20 == 0) gate(name)
+        if (qIdx % 20 == 0) safeGate(name)
         qIdx += 1
-        var ts = (1 to math.max(1, runs)).map(_ => once(fn))
+        val prevMin = prevMins.get(name)
+        // round-12 verdict task 2a: the every-20th-query stride left a
+        // 19-query blind window (7 false drifts in the r12 driver
+        // artifact, all inside one contention burst). Any SINGLE run
+        // blowing past the 3x tripwire now triggers an immediate
+        // external-cpu re-gate BEFORE the next measured run — the
+        // cheap trigger is the measurement itself, no fixed stride.
+        val tsBuf = scala.collection.mutable.ArrayBuffer[Double]()
+        for (r <- 1 to math.max(1, runs)) {
+          val t = once(fn)
+          tsBuf += t
+          if (r < runs && prevMin.exists(p => t > 3 * p && t > 0.2))
+            safeGate(name)
+        }
+        var ts: Seq[Double] = tsBuf.toSeq
         // tripwire: >3x slower than the previous artifact's min (and
         // not sub-0.2s noise) earns ONE retry before being recorded —
         // a transient scheduler hiccup shouldn't land in the artifact.
         // The retry itself is gated: if the slowness was contention,
         // wait it out instead of re-measuring under it
-        prevMins.get(name).foreach { prev =>
-          if (ts.min > 3 * prev && ts.min > 0.2) { gate(name); ts = ts :+ once(fn) }
-          if (ts.min > 3 * prev && ts.min > 0.2) drifts(name) = (prev, ts.min)
+        prevMin.foreach { prev =>
+          if (ts.min > 3 * prev && ts.min > 0.2) { safeGate(name); ts = ts :+ once(fn) }
+          if (ts.min > 3 * prev && ts.min > 0.2) {
+            val ext = try extBusyCpus() catch { case _: Exception => -1.0 }
+            drifts(name) = (prev, ts, ext)
+          }
         }
         timings(name) = ts.min
         perRun(name) = ts
@@ -221,12 +259,15 @@ object Bench {
       "\"" + k + "\":[" + ts.map(t => f"$t%.4f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = timings.values.sum
-    val driftJson = drifts.map { case (k, (p, m)) =>
-      f""""$k":{"prev":$p%.4f,"min":$m%.4f}"""
+    val driftJson = drifts.map { case (k, (p, ts, ext)) =>
+      f""""$k":{"prev":$p%.4f,"min":${ts.min}%.4f,""" +
+        s""""runs":[${ts.map(t => f"$t%.4f").mkString(",")}],""" +
+        f""""ext_cpu":$ext%.2f}"""
     }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""runs_detail":$spreads,"loadavg_start":$loadStart,"loadavg_end":$loadavg,""" +
       s""""idle_gate_waited_sec":$gateWaited,"gate_rechecks_waited":$gateRechecksWaited,""" +
+      s""""gate_errors":$gateErrors,""" +
       s""""drifts":$driftJson,""" +
       s""""errors":${jmap(errors)},"n_errors":${errors.size},"runs":$runs,"sf":"$sfDir"}"""
     println(json)

@@ -19,14 +19,15 @@ import java.nio.file.{Files, Paths}
 object Verify {
 
   /** Queries that legitimately return 0 rows on specific fixtures,
-    * with the reason and where the non-vacuous evidence lives. The
-    * sf0.01 stub thumbnails genuinely contain no near-dup image pairs
-    * (aHash/DCT hamming<=16 finds nothing to find); sf0.1 has real
-    * pairs and the committed VACUOUS_EVIDENCE.json records the
-    * non-empty differential there. */
-  private val declaredVacuous: Map[String, Set[String]] = Map(
-    "q_dedup_phash" -> Set("sf0.001", "sf0.01"),
-    "q_dedup_phash_dct" -> Set("sf0.001", "sf0.01"))
+    * with the reason and where the non-vacuous evidence lives.
+    * EMPTY since round 13: the former entries (q_dedup_phash /
+    * q_dedup_phash_dct at sf<=0.01, whose stub thumbnails genuinely
+    * contained no near-dup image pairs) are now non-vacuous at every
+    * fixture via the deterministic seed thumbnails
+    * ([[graft.ops.Multimodal.seedThumbs]]) — the round-12 verdict
+    * task-5 move, so the driver's own per-round check exercises the
+    * cross-engine Hamming logic on non-empty output. */
+  private val declaredVacuous: Map[String, Set[String]] = Map.empty
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args

@@ -396,7 +396,18 @@ object Curation extends QueryFamily {
     * ONE ckpt'd bucket-list relation. Oracle: the identical fold via
     * DuckDB list_reduce. Output per L: windows used, pad tokens,
     * pad fraction, and the concat-and-chunk lower bound — the
-    * utilization gap isolation costs. */
+    * utilization gap isolation costs.
+    *
+    * APPROXIMATION (documented per the audit-every-approximation
+    * rule): a doc longer than the context length is TRUNCATED to L via
+    * least(n_tok, L) — the overflow tokens are dropped from the
+    * packing and from the waste accounting (both engines, same rule),
+    * so `wins x L = packed_tokens + pad` holds over the TRUNCATED
+    * token mass, not the raw corpus total. [[qPackWasteFfd]] makes the
+    * dropped mass explicit (its `trunc_tokens` column measures exactly
+    * this, per ctx_len, over the same buckets); a pipeline that must
+    * not lose long-doc tokens chunks them first ([[qSeqPacking]]'s
+    * concat-and-chunk regime). */
   def qPackWaste(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = T.documents(spark, dir)

@@ -340,21 +340,52 @@ object Multimodal extends QueryFamily {
     s"$root/thumbs_$base.parquet"
   }
 
+  /** Deterministic near-duplicate SEED thumbnails appended to every
+    * fixture's sidecar (round-12 verdict task 5): the sf0.001/sf0.01
+    * stub decodes genuinely contain no image near-dup pairs, which
+    * left both phash differentials declared-vacuous at the verify
+    * fixture and leaning on committed sf0.1 evidence. Three synthetic
+    * grids make the cross-engine Hamming logic exercise NON-EMPTY
+    * output at every fixture:
+    *  - ids -3 and -2 are byte-identical (hamming 0 through both the
+    *    aHash and DCT pipelines — all bands collide);
+    *  - id -1 is the same grid with its first 6 pixels flipped across
+    *    the mean (aHash hamming exactly 6, confined to word 0, so the
+    *    7 untouched words guarantee the band collision).
+    * The base grid is two-valued (40/216) with values ~88 away from
+    * the 128 mean, so the 6-pixel flip's +1.375 mean shift cannot flip
+    * any other bit. Negative doc_ids can never collide with corpus
+    * ids (fixture generators key from 0). MultimodalSpec pins the
+    * exact expected seed pairs at the smallest fixture. */
+  private[graft] val seedThumbs: Seq[(Long, Seq[Int])] = {
+    val base: Seq[Int] = (0 until 256).map(i => if ((i * 37) % 256 < 128) 40 else 216)
+    val flipped: Seq[Int] = base.zipWithIndex.map { case (v, i) =>
+      if (i < 6) (if (v == 40) 216 else 40) else v
+    }
+    Seq((-3L, base), (-2L, base), (-1L, flipped))
+  }
+
   /** Materialize the decode output once per fixture: (doc_id, px[256])
-    * to parquet at [[thumbsSidecarPath]]. This is the round-10 verdict
-    * task-4 move — decode output that never landed in a relation DuckDB
-    * could read made everything DOWNSTREAM of decode rows-only; with
-    * the pixels parqueted, image-derived operators (q_dedup_phash) get
-    * full differential oracles even though decode itself stays
-    * engine-side. Deterministic: same fixture -> same row set
-    * (MultimodalSpec pins it), so overwrite is idempotent. */
+    * to parquet at [[thumbsSidecarPath]], plus the [[seedThumbs]]
+    * rows. This is the round-10 verdict task-4 move — decode output
+    * that never landed in a relation DuckDB could read made everything
+    * DOWNSTREAM of decode rows-only; with the pixels parqueted,
+    * image-derived operators (q_dedup_phash) get full differential
+    * oracles even though decode itself stays engine-side.
+    * Deterministic: same fixture -> same row set (MultimodalSpec pins
+    * it), so overwrite is idempotent. */
   def materializeThumbs(spark: SparkSession, dir: String): String = {
     import spark.implicits._
     val path = thumbsSidecarPath(dir)
+    val seeds = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        seedThumbs.map { case (id, px) => Row(id, px) }, 1),
+      pixelSchema)
     pixelsOf(
       T.documents(spark, dir)
         .withColumn("blob", $"text".cast("binary"))
         .select($"doc_id", $"blob"))
+      .unionByName(seeds)
       .write.mode("overwrite").parquet(path)
     path
   }
@@ -533,9 +564,9 @@ object Multimodal extends QueryFamily {
     * banding guarantees recall only up to 3 flips — pairs at 4..10
     * surface iff a 16-bit word matches exactly, the same documented
     * banding-recall trade as the aHash operator. Full DuckDB oracle
-    * over the `{THUMBS}` sidecar; declared-empty at sf0.001/sf0.01
-    * (the stub thumbs there have no near-dup pairs — see
-    * VACUOUS_EVIDENCE.json for the non-vacuous sf0.1 differential). */
+    * over the `{THUMBS}` sidecar; the [[seedThumbs]] rows keep the
+    * differential non-empty at every fixture (sf0.1 additionally
+    * carries real duplicate-text groups — VACUOUS_EVIDENCE.json). */
   def qDedupPhashDct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val words = phashDctWords(spark, dir)

@@ -331,7 +331,12 @@ object Similarity extends QueryFamily {
     * traded: candidates scanned under the adaptive stop vs the full
     * 4-probe sweep, and recall@3 of both against the exact top-3.
     * At 100 TB only the probe x cell lists and centroid table move;
-    * the per-query saving is the fraction of cells never scanned. */
+    * the per-query saving is the fraction of cells never scanned.
+    * The probe UNIVERSE is every probe, not every probe-with-
+    * candidates: the candidate counts and recalls are LEFT-joined in
+    * with coalesce-to-0, so a probe whose 4 nearest cells hold no
+    * candidate still emits its (honest, zero-recall) row instead of
+    * vanishing from the audit (round-12 advice). */
   def qSimProbeAdaptive(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = T.embeddings(spark, dir)
@@ -392,11 +397,14 @@ object Similarity extends QueryFamily {
         sum(when($"cell_rank" <= $"probes_used", 1L).otherwise(0L)).as("n_cand_used"),
         count(lit(1)).as("n_cand_full"))
     probesUsed
-      .join(nCand, Seq("q_id"))
-      .join(recallOf(adaptiveSel, "recall_adaptive"), Seq("q_id"))
-      .join(recallOf(fullSel, "recall_full"), Seq("q_id"))
-      .select($"q_id", $"probes_used", $"n_cand_used", $"n_cand_full",
-        $"recall_adaptive", $"recall_full")
+      .join(nCand, Seq("q_id"), "left")
+      .join(recallOf(adaptiveSel, "recall_adaptive"), Seq("q_id"), "left")
+      .join(recallOf(fullSel, "recall_full"), Seq("q_id"), "left")
+      .select($"q_id", $"probes_used",
+        coalesce($"n_cand_used", lit(0L)).as("n_cand_used"),
+        coalesce($"n_cand_full", lit(0L)).as("n_cand_full"),
+        coalesce($"recall_adaptive", lit(0.0)).as("recall_adaptive"),
+        coalesce($"recall_full", lit(0.0)).as("recall_full"))
       .orderBy($"q_id")
   }
 
@@ -463,10 +471,13 @@ object Similarity extends QueryFamily {
        |      AS n_cand_used,
        |    count(*) AS n_cand_full
        |  FROM scored s JOIN pu ON pu.q_id = s.q_id GROUP BY s.q_id)
-       |SELECT pu.q_id, pu.probes_used, nc.n_cand_used, nc.n_cand_full,
-       |  ra.recall_adaptive, rf.recall_full
-       |FROM pu JOIN nc ON nc.q_id = pu.q_id
-       |JOIN ra ON ra.q_id = pu.q_id JOIN rf ON rf.q_id = pu.q_id
+       |SELECT pu.q_id, pu.probes_used,
+       |  coalesce(nc.n_cand_used, 0) AS n_cand_used,
+       |  coalesce(nc.n_cand_full, 0) AS n_cand_full,
+       |  coalesce(ra.recall_adaptive, 0.0) AS recall_adaptive,
+       |  coalesce(rf.recall_full, 0.0) AS recall_full
+       |FROM pu LEFT JOIN nc ON nc.q_id = pu.q_id
+       |LEFT JOIN ra ON ra.q_id = pu.q_id LEFT JOIN rf ON rf.q_id = pu.q_id
        |ORDER BY pu.q_id""".stripMargin
 
   /** Single k-means assignment step: every corpus vector is assigned

@@ -134,19 +134,37 @@ class MultimodalSpec extends AnyFunSuite {
   test("phash dedup: exact duplicate thumbs pair at hamming 0; output keys sorted") {
     // sf0.1 is the smallest fixture carrying byte-identical duplicate
     // texts (8 groups); identical payloads -> identical thumbs -> the
-    // pipeline MUST surface hamming-0 pairs there. The sf0.001/sf0.01
-    // fixtures hold only prefix-sharing near-dup TEXTS, whose
-    // length-keyed stub decode legitimately yields no image near-dups
-    // (verified: candidate hamming floor ~60 of 256) — the oracle
-    // reproduces the same empty result, which is the honest answer.
+    // pipeline MUST surface CORPUS hamming-0 pairs there (beyond the
+    // synthetic seed rows, which exist at every fixture).
     val out = ops.Multimodal.qDedupPhash(spark, "/root/testdata/sf0.1").collect()
     out.foreach { r =>
       assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
       val h = r.getAs[Int]("hamming")
       assert(h >= 0 && h <= 16)
     }
-    assert(out.exists(_.getAs[Int]("hamming") === 0),
-      s"no hamming-0 pair among ${out.length} pairs")
+    assert(out.exists(r => r.getAs[Int]("hamming") === 0 && r.getAs[Long]("a_id") >= 0),
+      s"no corpus hamming-0 pair among ${out.length} pairs")
+  }
+
+  test("seed thumbnails pin the expected pairs at the smallest fixture (non-vacuous everywhere)") {
+    // round-12 verdict task 5: the sf<=0.01 stub thumbs contain no
+    // organic image near-dups, so deterministic seed grids (negative
+    // doc_ids) keep both phash differentials exercising non-empty
+    // output at the verify fixture. The seed design is exact: -3/-2
+    // are identical (hamming 0 in both hashes); -1 flips 6 pixels
+    // across the mean, confined to aHash word 0 (hamming exactly 6,
+    // band collision guaranteed by the 7 untouched words).
+    val dir = "/root/testdata/sf0.001"
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+        -> r.getAs[Int]("hamming")).toMap
+    val a = pairs(ops.Multimodal.qDedupPhash(spark, dir))
+    assert(a.get((-3L, -2L)) === Some(0))
+    assert(a.get((-3L, -1L)) === Some(6))
+    assert(a.get((-2L, -1L)) === Some(6))
+    val d = pairs(ops.Multimodal.qDedupPhashDct(spark, dir))
+    assert(d.get((-3L, -2L)) === Some(0),
+      s"identical seed grids did not DCT-hash identically: $d")
   }
 
   test("DCT phash: duplicate thumbs at hamming 0; AC hash exactly brightness-invariant") {

@@ -216,9 +216,13 @@ class ScaleSpec extends AnyFunSuite {
       val pairs = ops.Multimodal.phashCandidates(spark, d).count()
       assert(pairs.toDouble / docs <= 2.0,
         s"$d: $pairs band-collision pairs for $docs docs — phash banding collapsed")
-      // the DCT variant's 8-bit band words are a smaller key space than
-      // the aHash 32-bit words, so random collisions are likelier; the
-      // per-doc load must still stay a small constant
+      // the DCT hash has 63 effective bits packed as 4x16-bit bands
+      // (band 0's bit 0 is the excluded-DC position, a constant 0, so
+      // band 0 carries 15 effective bits), and the median threshold
+      // splits each doc's bits ~50/50 — a denser, more structured word
+      // distribution than the aHash mean-threshold 32-bit words, so
+      // random band collisions are somewhat likelier; the per-doc load
+      // must still stay a small constant
       val dct = ops.Multimodal.phashDctCandidates(spark, d).count()
       assert(dct.toDouble / docs <= 4.0,
         s"$d: $dct DCT band-collision pairs for $docs docs — DCT banding collapsed")

@@ -91,6 +91,14 @@ def main():
             meta = json.load(f)
     except (OSError, json.JSONDecodeError):
         pass
+    if not meta:
+        # pre-r12 dumps have no meta sidecar; say loudly that the
+        # vacuous gate is running STRICT (any 0-row differential fails,
+        # including legitimately declared-vacuous queries) instead of
+        # silently failing them (round-12 advice)
+        print("WARN verify_meta.json missing/unreadable - vacuous gating "
+              "is strict: every 0-row differential FAILS; re-run "
+              "graft.Verify to regenerate the declared-vacuous markers")
     for name, err in sorted(meta.get("failures", {}).items()):
         print(f"FAIL {name}: spark-side failure: {err}")
     n_pass, n_fail = 0, len(meta.get("failures", {}))
