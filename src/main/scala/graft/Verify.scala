@@ -86,9 +86,14 @@ object Verify {
     // would let the driver compare DuckDB against stale state instead
     // of reporting the Spark failure.
     val thumbs = graft.ops.Multimodal.thumbsSidecarPath(sfDir)
+    val graph = graft.ops.Similarity.graphSidecarPath(sfDir)
+    val graphBase = graft.ops.Similarity.graphBaseSidecarPath(sfDir)
     val json = SparkEntry.oracleSql
       .filter(kv => keep(kv._1) && !failures.contains(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{THUMBS}", thumbs))}" }
+      .map { case (k, v) => s"${q(k)}: ${q(v
+        .replace("{THUMBS}", thumbs)
+        .replace("{GRAPH}", graph)
+        .replace("{GRAPHBASE}", graphBase))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Per-query metadata sidecar: row counts + vacuous markers +

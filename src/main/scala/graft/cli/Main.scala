@@ -49,6 +49,8 @@ object Main {
           case "--parquet-max-file-size" => cfg = cfg.copy(parquetMaxFileSize = next().toLong)
           case "--parquet-row-group-size" =>
             cfg = cfg.copy(parquetRowGroupSize = Some(next().toLong))
+          case "--cluster-by" =>
+            cfg = cfg.copy(clusterBy = Some(ClusterSpec.parse(next())))
           case "--log-level" => cfg = cfg.copy(logLevel = next())
           case "--source-format" => extras += "source-format" -> next()
           case "--source-root" => extras += "source-root" -> next()
@@ -61,6 +63,7 @@ object Main {
     } catch {
       case _: IndexOutOfBoundsException => return Left(s"missing value for ${args.last}")
       case e: NumberFormatException => return Left(s"bad numeric value: ${e.getMessage}")
+      case e: IllegalArgumentException => return Left(s"bad flag value: ${e.getMessage}")
     }
     if (schemas.nonEmpty) cfg = cfg.copy(schemas = schemas)
     Right((cfg, extras))

@@ -472,6 +472,120 @@ object Curation extends QueryFamily {
       |  CAST(ceil(any_value(tot.total_tokens)::DOUBLE / l) AS BIGINT) AS lb_windows
       |FROM fin, tot GROUP BY l ORDER BY ctx_len""".stripMargin
 
+  /** First-fit-decreasing packing waste over the SAME 100-doc buckets
+    * as [[qPackWaste]] — the standard offline upgrade over greedy
+    * next-fit (sort docs by token count descending, place each into
+    * the FIRST window it fits, open a new window only when none fits),
+    * and the number that decides whether smarter packing is worth the
+    * sort: waste(FFD) <= waste(next-fit) per context length
+    * (CurationSpec pins it), and the delta is the saving. The fold
+    * state is the open-bin fill array — bounded by <= 100 entries per
+    * bucket BY CONSTRUCTION (a bucket holds <= 100 docs and every doc
+    * opens at most one bin), so the nested first-fit probe is a
+    * <= 100 x 100 bounded scan per bucket, embarrassingly parallel
+    * across buckets exactly like next-fit.
+    *
+    * Truncation is EXPLICIT here (round-12 advice on [[qPackWaste]]):
+    * docs longer than L pack their first L tokens and the overflow is
+    * reported per context length in `trunc_tokens`, so exact token
+    * conservation is assertable: n_windows x L = (total - trunc) +
+    * pad. `lb_windows` is the isolation lower bound over the PACKED
+    * mass, ceil((total - trunc) / L).
+    *
+    * Oracle: recursive CTE with a LIST-state first-fit walk (the same
+    * discipline that dodged the DuckDB 1.0.0 list_reduce struct-state
+    * bug in [[qPackWaste]] — per-step list_transform/list_position are
+    * unaffected). */
+  def qPackWasteFfd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = T.documents(spark, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"),
+        ($"doc_id" / 100).cast("long").as("bucket"))
+    // FFD order: token counts descending; waste depends only on the
+    // sorted size multiset, so no doc-id tiebreak is needed
+    val lists = docs.groupBy($"bucket")
+      .agg(reverse(array_sort(collect_list($"n_tok"))).as("toks"))
+      .ckpt()
+    val totals = docs.agg(sum($"n_tok").as("total_tokens"))
+    def fold(l: Long): DataFrame =
+      lists.select(
+        expr(
+          s"""aggregate(
+             |  toks,
+             |  CAST(array() AS ARRAY<BIGINT>),
+             |  (bins, d) -> CASE
+             |    WHEN array_position(transform(bins,
+             |           x -> x + least(d, ${l}L) <= ${l}L), true) > 0
+             |    THEN transform(bins, (b, j) -> IF(
+             |      j = array_position(transform(bins,
+             |            x -> x + least(d, ${l}L) <= ${l}L), true) - 1,
+             |      b + least(d, ${l}L), b))
+             |    ELSE concat(bins, array(least(d, ${l}L))) END,
+             |  bins -> named_struct(
+             |    'wins', CAST(size(bins) AS BIGINT),
+             |    'pad', CAST(size(bins) AS BIGINT) * ${l}L
+             |      - aggregate(bins, CAST(0 AS BIGINT), (a, b) -> a + b)))""".stripMargin).as("st"),
+        expr(s"""aggregate(toks, CAST(0 AS BIGINT),
+                |  (a, t) -> a + greatest(t - ${l}L, CAST(0 AS BIGINT)))""".stripMargin).as("trunc"))
+        .agg(sum($"st.wins").as("n_windows"), sum($"st.pad").as("pad_tokens"),
+          sum($"trunc").as("trunc_tokens"))
+        .crossJoin(broadcast(totals))
+        .select(lit(l).as("ctx_len"), $"n_windows", $"pad_tokens",
+          round($"pad_tokens".cast("double") / ($"n_windows" * lit(l)), 4).as("pad_frac"),
+          $"trunc_tokens",
+          ceil(($"total_tokens" - $"trunc_tokens").cast("double") / lit(l))
+            .cast("long").as("lb_windows"))
+    fold(128L).unionByName(fold(256L)).unionByName(fold(512L)).orderBy($"ctx_len")
+  }
+
+  // NOT list_transform/list_position over the recursive list state:
+  // DuckDB 1.0.0 MIS-EXECUTES lambdas whose input is the recursive
+  // working table's list column — measured: the state list grows
+  // exponentially with corrupted (NULL-rendered) elements, so the
+  // recursion never terminates (the same lambda over a literal list is
+  // correct; sibling bug to the round-12 list_reduce find). The
+  // first-fit index is a correlated scalar subquery over
+  // unnest + generate_subscripts instead — no lambda surface. A
+  // LATERAL join formulation silently yields zero recursive rows in
+  // 1.0.0, so the subquery is repeated inline (4 sites).
+  val qPackWasteFfdSql: String = {
+    // the first-fit index under context length w.l for the i-th doc of
+    // the bucket's desc-sorted token list (1-based; NULL = no fit)
+    val tok = "least(b.ds[w.i + 1], w.l)"
+    val idx = "(SELECT min(j) FROM (SELECT unnest(w.bins) AS fill, " +
+      s"generate_subscripts(w.bins, 1) AS j) WHERE fill + $tok <= w.l)"
+    s"""WITH RECURSIVE d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    doc_id // 100 AS bucket FROM documents),
+       |b AS MATERIALIZED (SELECT bucket, list(n_tok ORDER BY n_tok DESC, doc_id) AS ds
+       |  FROM d GROUP BY bucket),
+       |walk(bucket, l, i, bins) AS (
+       |  SELECT bucket, l::BIGINT, 0::BIGINT, CAST([] AS BIGINT[])
+       |  FROM b, (VALUES (128), (256), (512)) ls(l)
+       |  UNION ALL
+       |  SELECT w.bucket, w.l, w.i + 1,
+       |    CASE WHEN $idx IS NULL
+       |      THEN list_append(w.bins, $tok)
+       |      ELSE list_slice(w.bins, 1, $idx - 1)
+       |           || [w.bins[$idx] + $tok]
+       |           || list_slice(w.bins, $idx + 1, len(w.bins)) END
+       |  FROM walk w JOIN b ON b.bucket = w.bucket
+       |  WHERE w.i < len(b.ds)),
+       |fin AS (SELECT w.l, CAST(len(w.bins) AS BIGINT) AS wins,
+       |    len(w.bins) * w.l - coalesce(list_sum(w.bins), 0) AS pad
+       |  FROM walk w JOIN b ON b.bucket = w.bucket WHERE w.i = len(b.ds)),
+       |tr AS (SELECT l, CAST(sum(greatest(n_tok - l, 0)) AS BIGINT) AS trunc_tokens
+       |  FROM d, (VALUES (128), (256), (512)) ls(l) GROUP BY l),
+       |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total_tokens FROM d)
+       |SELECT f.l AS ctx_len, CAST(sum(f.wins) AS BIGINT) AS n_windows,
+       |  CAST(sum(f.pad) AS BIGINT) AS pad_tokens,
+       |  round(sum(f.pad)::DOUBLE / (sum(f.wins) * f.l), 4) AS pad_frac,
+       |  any_value(tr.trunc_tokens) AS trunc_tokens,
+       |  CAST(ceil((any_value(tot.total_tokens) - any_value(tr.trunc_tokens))::DOUBLE / f.l)
+       |    AS BIGINT) AS lb_windows
+       |FROM fin f JOIN tr ON tr.l = f.l, tot
+       |GROUP BY f.l ORDER BY ctx_len""".stripMargin
+  }
+
   /** Deterministic train/val/test split assignment: the first two md5
     * nibbles of the document CONTENT (not the id — re-keyed corpora
     * keep their assignment) bucket into 256 cells, carved 90/5/5.
@@ -1235,6 +1349,7 @@ object Curation extends QueryFamily {
     QueryDef("q_dsir_select", qDsirSelect, Some(qDsirSelectSql)),
     QueryDef("q_epoch_expand", qEpochExpand, Some(qEpochExpandSql)),
     QueryDef("q_pack_waste", qPackWaste, Some(qPackWasteSql)),
+    QueryDef("q_pack_waste_ffd", qPackWasteFfd, Some(qPackWasteFfdSql)),
     QueryDef("q_split_leakage", qSplitLeakage, Some(qSplitLeakageSql)),
     QueryDef("q_mlm_mask_plan", qMlmMaskPlan, Some(qMlmMaskPlanSql)),
     QueryDef("q_boilerplate", qBoilerplate, Some(qBoilerplateSql)),

@@ -317,28 +317,8 @@ object Multimodal extends QueryFamily {
     * (SPARK_GRAFT_FIXTURE_DIR overrides), where the DuckDB oracle can
     * read it back (Verify substitutes the {THUMBS} token in oracle SQL
     * with this path). */
-  def thumbsSidecarPath(dir: String): String = {
-    val base = new java.io.File(dir).getName
-    val root = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR", {
-      // anchor to the repo that owns THIS compiled class, so the path
-      // depends on neither the invoking process's working directory
-      // nor a hardcoded checkout location (Verify's oracle SQL embeds
-      // the absolute path; Spark writer and DuckDB reader must agree):
-      // walk up from the class's code source (target/scala-x/classes
-      // or the packaged jar) to the first dir carrying build.sbt.
-      val codeSrc = try {
-        Option(getClass.getProtectionDomain.getCodeSource)
-          .map(s => new java.io.File(s.getLocation.toURI))
-      } catch { case _: Exception => None }
-      codeSrc
-        .flatMap(f => Iterator.iterate(f)(_.getParentFile)
-          .takeWhile(_ != null).take(6)
-          .find(p => new java.io.File(p, "build.sbt").isFile))
-        .map(r => new java.io.File(r, "tools/fixtures").getAbsolutePath)
-        .getOrElse(new java.io.File("tools/fixtures").getAbsolutePath)
-    })
-    s"$root/thumbs_$base.parquet"
-  }
+  def thumbsSidecarPath(dir: String): String =
+    Fixtures.sidecarPath(dir, "thumbs")
 
   /** Deterministic near-duplicate SEED thumbnails appended to every
     * fixture's sidecar (round-12 verdict task 5): the sf0.001/sf0.01

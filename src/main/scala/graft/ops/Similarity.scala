@@ -1756,7 +1756,8 @@ object Similarity extends QueryFamily {
         graft.functions.F.cosineSimilarity($"qv", $"v").as("cos"))
     Skew.twoPhaseTopK(scored, Seq($"src_id"),
         Seq(desc("cos"), asc("nbr_id")), k = 3, rankName = "rank")
-      .select($"src_id", $"rank", $"nbr_id", round($"cos", 4).as("cos"))
+      .select($"src_id", $"rank".cast("long").as("rank"), $"nbr_id",
+        round($"cos", 4).as("cos"))
       .orderBy($"src_id", $"rank")
   }
 
@@ -1807,6 +1808,139 @@ object Similarity extends QueryFamily {
       |SELECT src_id, rank, nbr_id, round(cos, 4) AS cos FROM ranked
       |WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Persisted index lifecycle (round-12 verdict task 1): a real 100 TB
+  // index is built ONCE, persisted, and then served and maintained as
+  // a stored artifact — the serving/maintenance queries below read the
+  // parquet sidecar instead of rebuilding the graph inline, so their
+  // bench rows measure serve-only cost and the maintenance operators
+  // genuinely mutate a stored index. The artifact carries the build
+  // CONFIG alongside the edges (bits = the coarse sign-LSH depth,
+  // hash_kind = which hash) because serving and incremental
+  // maintenance must reuse the build-time config, never re-derive it
+  // (re-derivation happens at rebuild/compaction only).
+  // `q_index_persist` is the differential that proves stored==rebuild.
+  // ------------------------------------------------------------------
+
+  /** Bumped whenever the stored-index DEFINITION changes: the
+    * freshness marker file embeds it, so a sidecar built by older code
+    * rebuilds instead of silently serving a stale graph. */
+  private val IndexVersion = 1
+
+  /** Stored FULL kNN-graph index of a fixture (all vectors). */
+  def graphSidecarPath(dir: String): String =
+    Fixtures.sidecarPath(dir, "knngraph")
+
+  /** Stored PRE-INSERT index (base corpus = all but the
+    * [[KnnDeltaSize]]-vector delta batch) — what [[qKnnGraphDelta]]
+    * maintains. */
+  def graphBaseSidecarPath(dir: String): String =
+    Fixtures.sidecarPath(dir, "knngraph_base")
+
+  private def indexFresh(path: String): Boolean =
+    !sys.env.get("SPARK_GRAFT_REBUILD_INDEX").contains("1") &&
+      new java.io.File(path, s"_GRAFT_INDEX_V$IndexVersion").isFile
+
+  private def markIndex(path: String): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, s"_GRAFT_INDEX_V$IndexVersion"), "")
+
+  /** Build-once/serve-many: materialize the full [[qKnnGraph]] index +
+    * its build config to [[graphSidecarPath]]. Idempotent and
+    * version-guarded (the build is deterministic: rounded cosines,
+    * total-order tiebreaks), skipped when the artifact is fresh —
+    * that skip IS the lifecycle point, it's what makes every serve
+    * and maintain query pay serve-only cost. SPARK_GRAFT_REBUILD_INDEX=1
+    * forces a rebuild (the compaction path). */
+  def materializeKnnGraph(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val path = graphSidecarPath(dir)
+    if (!indexFresh(path)) {
+      val bits = T.embeddings(spark, dir).agg(count(lit(1)).as("n"))
+        .select(scaledBits($"n", targetBucket = 64, floor = 2, max = 16).as("bits"))
+      qKnnGraph(spark, dir)
+        .withColumn("rank", $"rank".cast("long"))
+        .crossJoin(broadcast(bits))
+        .withColumn("hash_kind", lit("sign16"))
+        .write.mode("overwrite").parquet(path)
+      markIndex(path)
+    }
+    path
+  }
+
+  def storedKnnGraph(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(materializeKnnGraph(spark, dir))
+
+  /** Materialize the PRE-INSERT base index: the graph over the base
+    * corpus under the base corpus's own scaled hash depth — the
+    * config [[qKnnGraphDelta]] then REUSES for the whole insert (an
+    * index's hash depth is a build-time constant; inserts never
+    * re-derive it). */
+  def materializeKnnBaseGraph(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val path = graphBaseSidecarPath(dir)
+    if (!indexFresh(path)) {
+      val e0 = T.embeddings(spark, dir)
+      val nAll = e0.agg(count(lit(1)).as("n_all"))
+      val base = e0.crossJoin(broadcast(nAll))
+        .filter($"vec_id" < $"n_all" - KnnDeltaSize)
+        .select($"vec_id", $"embedding")
+      val nBase = base.agg(count(lit(1)).as("n"))
+      val h = base.crossJoin(broadcast(nBase))
+        .withColumn("bits", scaledBits($"n", targetBucket = 64, floor = 2, max = 16))
+        .withColumn("sg", signBits(16))
+        .withColumn("bucket", expr("substring(sg, 1, bits)"))
+        .ckpt()
+      val cand = h.withColumn("probe_bucket", hamming1Probes)
+        .select($"vec_id".as("src_id"), $"embedding".as("qv"), $"probe_bucket")
+        .join(h.select($"vec_id".as("nbr_id"), $"embedding".as("v"),
+          $"bucket".as("probe_bucket")), Seq("probe_bucket"))
+        .filter($"src_id" =!= $"nbr_id")
+      knnEdgesOf(cand)
+        .crossJoin(broadcast(h.agg(max($"bits").as("bits"))))
+        .withColumn("hash_kind", lit("sign16"))
+        .write.mode("overwrite").parquet(path)
+      markIndex(path)
+    }
+    path
+  }
+
+  def storedKnnBaseGraph(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(materializeKnnBaseGraph(spark, dir))
+
+  /** The coarse quantizer REUSING a stored index's config: hash depth
+    * comes from the artifact's `bits` column, never re-derived from
+    * the corpus (SimilaritySpec pins this by feeding a synthetic index
+    * with a different depth). Returns the corpus with its `bucket`
+    * under the stored config. */
+  private[graft] def quantizerFromIndex(e0: DataFrame, idx: DataFrame): DataFrame = {
+    import e0.sparkSession.implicits._
+    e0.crossJoin(broadcast(idx.agg(max($"bits").as("bits"))))
+      .withColumn("sg", signBits(16))
+      .withColumn("bucket", expr("substring(sg, 1, bits)"))
+  }
+
+  /** The stored index surfaced as a query: edges + build config, read
+    * straight from the sidecar. The ORACLE is the full rebuild
+    * ([[qKnnGraphSql]] + the derived config), so a green row proves
+    * stored == rebuild — the differential every other serve/maintain
+    * query's sidecar reads lean on. */
+  def qIndexPersist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    storedKnnGraph(spark, dir)
+      .select($"src_id", $"rank", $"nbr_id", $"cos",
+        $"bits".cast("long").as("bits"), $"hash_kind")
+      .orderBy($"src_id", $"rank")
+  }
+
+  val qIndexPersistSql: String =
+    s"""WITH gr AS (${qKnnGraphSql.replace("\n", "\n  ")}),
+       |nb2 AS (SELECT greatest(2, least(16,
+       |    CAST(ceil(log2(count(*) / 64.0)) AS INT))) AS bits FROM embeddings)
+       |SELECT gr.src_id, gr.rank, gr.nbr_id, gr.cos, nb2.bits,
+       |  'sign16' AS hash_kind
+       |FROM gr, nb2 ORDER BY src_id, rank""".stripMargin
+
   /** Delta-batch size of [[qKnnGraphDelta]]: FIXED at 2 vectors
     * across fixtures so ScaleSpec can pin that incremental-maintenance
     * work scales with |delta|, not |corpus|. Small by necessity of the
@@ -1824,18 +1958,20 @@ object Similarity extends QueryFamily {
   /** The hashed corpus shared by [[qKnnGraphDelta]]'s stages: every
     * vector with its sign-LSH bucket and an `is_new` marker for the
     * deterministic delta batch (the [[KnnDeltaSize]] highest vec_ids
-    * play "newly inserted"). The hash depth (`bits`) is computed from
-    * the FULL corpus count and pinned — an index's hash configuration
-    * is a build-time constant that incremental inserts reuse
-    * (re-derivation happens at rebuild/compaction, never per insert),
-    * which is also what makes incremental == rebuild provable.
+    * play "newly inserted"). The hash depth (`bits`) is READ FROM THE
+    * STORED BASE INDEX's sidecar and pinned — an index's hash
+    * configuration is a build-time constant that incremental inserts
+    * reuse (re-derivation happens at rebuild/compaction, never per
+    * insert), which is also what makes incremental == rebuild
+    * provable: the oracle rebuilds under the same stored config.
     * ckpt: materialized once, feeds base/delta/affected/recompute. */
   private def knnDeltaHashed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e0 = T.embeddings(spark, dir)
     val n = e0.agg(count(lit(1)).as("n"))
+    val bits = storedKnnBaseGraph(spark, dir).agg(max($"bits").as("bits"))
     e0.crossJoin(broadcast(n))
-      .withColumn("bits", scaledBits($"n", targetBucket = 64, floor = 2, max = 16))
+      .crossJoin(broadcast(bits))
       .withColumn("sg", signBits(16))
       .withColumn("bucket", expr("substring(sg, 1, bits)"))
       .withColumn("is_new", $"vec_id" >= $"n" - KnnDeltaSize)
@@ -1903,26 +2039,22 @@ object Similarity extends QueryFamily {
     * bucket among their hamming<=1 probe buckets (candidate sets of
     * every other source are untouched, because candidates come
     * exclusively from the bucket equi-join). So the pipeline is:
-    * (1) hash the delta through the index's pinned sign-LSH config,
-    * (2) base graph rows for UNAFFECTED sources are kept as-is,
+    * (1) hash the delta through the index's pinned sign-LSH config
+    * (bits read from the STORED base sidecar, never re-derived),
+    * (2) stored rows for UNAFFECTED sources are kept as-is,
     * (3) affected ∪ delta sources re-rank against the updated corpus.
-    * The oracle IS the full rebuild ([[qKnnGraphSql]]) — incremental
-    * == rebuild, proved differentially; ScaleSpec pins that the
-    * recompute candidate volume tracks |delta|, not |corpus|. */
+    * The oracle IS the full rebuild under the same stored config
+    * ([[qKnnGraphDeltaSql]]) — incremental == rebuild, proved
+    * differentially; ScaleSpec pins that the recompute candidate
+    * volume tracks |delta|, not |corpus|. */
   def qKnnGraphDelta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val h = knnDeltaHashed(spark, dir)
-    // the pre-insert graph: candidates among base vectors only (this
-    // stands in for the stored index built before the delta arrived)
-    val baseCand = h.filter(!$"is_new")
-      .withColumn("probe_bucket", hamming1Probes)
-      .select($"vec_id".as("src_id"), $"embedding".as("qv"), $"probe_bucket")
-      .join(h.filter(!$"is_new")
-        .select($"vec_id".as("nbr_id"), $"embedding".as("v"),
-          $"bucket".as("probe_bucket")),
-        Seq("probe_bucket"))
-      .filter($"src_id" =!= $"nbr_id")
-    val oldGraph = knnEdgesOf(baseCand).ckpt()
+    // the pre-insert graph is the STORED base index (round-12 verdict
+    // task 1): the insert maintains a persisted artifact — no inline
+    // rebuild; the hash config it reuses comes from the same sidecar
+    val oldGraph = storedKnnBaseGraph(spark, dir)
+      .select($"src_id", $"rank", $"nbr_id", $"cos").ckpt()
     val affectedBase = knnDeltaAffectedBase(h).ckpt()
     val recomputed = knnEdgesOf(knnDeltaRecomputeCand(h))
     // merge: keep old rows for untouched sources, replace the rest
@@ -1932,21 +2064,55 @@ object Similarity extends QueryFamily {
       .orderBy($"src_id", $"rank")
   }
 
+  /** Rebuild-over-everything oracle under the index's PINNED stored
+    * config: identical to [[qKnnGraphSql]] except the hash depth comes
+    * from the base sidecar's bits column — exactly the config the
+    * incremental insert reused. Incremental == rebuild, under the same
+    * stored config both sides. */
+  val qKnnGraphDeltaSql: String =
+    """WITH nb AS (SELECT max(bits) AS bits
+      |    FROM read_parquet('{GRAPHBASE}/*.parquet')),
+      |e AS (SELECT vec_id, embedding, bits,
+      |  (SELECT sum(x::DOUBLE * x::DOUBLE) FROM unnest(embedding) t(x)) AS n2,
+      |  substr(array_to_string(list_transform(embedding[1:16],
+      |    x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), ''), 1, bits) AS bucket
+      |  FROM embeddings, nb),
+      |pr AS (SELECT vec_id, embedding, n2,
+      |    unnest(list_transform(range(0, bits + 1),
+      |      k -> CASE WHEN k = 0 THEN bucket
+      |           ELSE substr(bucket, 1, k - 1) ||
+      |                (CASE WHEN substr(bucket, k, 1) = '1' THEN '0' ELSE '1' END) ||
+      |                substr(bucket, k + 1, bits - k) END)) AS pb
+      |  FROM e),
+      |pairs AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+      |    a.n2 AS an2, b.n2 AS bn2, a.embedding AS ae, b.embedding AS be
+      |  FROM pr a JOIN e b ON b.bucket = a.pb AND b.vec_id <> a.vec_id),
+      |u AS (SELECT src_id, nbr_id, an2, bn2,
+      |    unnest(ae) AS ax, unnest(be) AS bx FROM pairs),
+      |scored AS (SELECT src_id, nbr_id,
+      |    sum(ax::DOUBLE * bx::DOUBLE) / sqrt(any_value(an2) * any_value(bn2)) AS cos
+      |  FROM u GROUP BY 1, 2),
+      |ranked AS (SELECT src_id, nbr_id, cos,
+      |    row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, nbr_id) AS rank
+      |  FROM scored)
+      |SELECT src_id, rank, nbr_id, round(cos, 4) AS cos FROM ranked
+      |WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin
+
   /** Deleted-set size of [[qKnnGraphDelete]]: fixed at 2 vectors (the
     * LOWEST vec_ids play "deleted") so ScaleSpec can pin that delete
     * maintenance tracks the deleted set's in-degree, not the corpus. */
   private val KnnDeleteSize = 2
 
   /** Hashed corpus for the delete pipeline — same pinned-config
-    * discipline as [[knnDeltaHashed]]: bits derive from the FULL
-    * (pre-delete) count, because deletes never re-derive an index's
-    * hash configuration (that happens at rebuild/compaction). */
+    * discipline as [[knnDeltaHashed]]: bits are READ FROM THE STORED
+    * FULL INDEX's sidecar (== the pre-delete build's scaled depth),
+    * because deletes never re-derive an index's hash configuration
+    * (that happens at rebuild/compaction). */
   private def knnDeleteHashed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e0 = T.embeddings(spark, dir)
-    val n = e0.agg(count(lit(1)).as("n"))
-    e0.crossJoin(broadcast(n))
-      .withColumn("bits", scaledBits($"n", targetBucket = 64, floor = 2, max = 16))
+    val bits = storedKnnGraph(spark, dir).agg(max($"bits").as("bits"))
+    e0.crossJoin(broadcast(bits))
       .withColumn("sg", signBits(16))
       .withColumn("bucket", expr("substring(sg, 1, bits)"))
       .withColumn("is_del", $"vec_id" < KnnDeleteSize)
@@ -2017,7 +2183,11 @@ object Similarity extends QueryFamily {
   def qKnnGraphDelete(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val h = knnDeleteHashed(spark, dir)
-    val oldGraph = knnEdgesOf(knnDeleteFullCand(h)).ckpt()
+    // the pre-delete index is the STORED artifact (round-12 verdict
+    // task 1): the GDPR erasure maintains a persisted graph — drop,
+    // keep, and re-rank against it, never an inline rebuild
+    val oldGraph = storedKnnGraph(spark, dir)
+      .select($"src_id", $"rank", $"nbr_id", $"cos").ckpt()
     val deleted = h.filter($"is_del").select($"vec_id")
     val affected = oldGraph
       .join(deleted.select($"vec_id".as("nbr_id")), Seq("nbr_id"), "left_semi")
@@ -2233,7 +2403,9 @@ object Similarity extends QueryFamily {
     import spark.implicits._
     val exact = qSimBruteforce(spark, dir).filter($"rank" <= 3)
       .select($"q_id".as("src_id"), $"n_id".as("nbr_id"))
-    val approx = qKnnGraph(spark, dir).filter($"src_id" < 10)
+    // audits the artifact actually SERVED: the stored sidecar (==
+    // rebuild by q_index_persist), not a fresh inline build
+    val approx = storedKnnGraph(spark, dir).filter($"src_id" < 10)
       .select($"src_id", $"nbr_id")
     val hits = exact.join(approx, Seq("src_id", "nbr_id"), "left_semi")
       .groupBy($"src_id").agg(count(lit(1)).as("n_hits"))
@@ -2248,7 +2420,8 @@ object Similarity extends QueryFamily {
   val qKnnGraphRecallSql: String =
     s"""WITH exact AS (SELECT q_id AS src_id, n_id AS nbr_id
        |  FROM ($qSimBruteforceSql) WHERE rank <= 3),
-       |approx AS (SELECT src_id, nbr_id FROM ($qKnnGraphSql) WHERE src_id < 10),
+       |approx AS (SELECT src_id, nbr_id
+       |  FROM read_parquet('{GRAPH}/*.parquet') WHERE src_id < 10),
        |hits AS (SELECT e.src_id, count(*) AS n_hits FROM exact e
        |  JOIN approx a ON a.src_id = e.src_id AND a.nbr_id = e.nbr_id
        |  GROUP BY e.src_id),
@@ -2301,8 +2474,9 @@ object Similarity extends QueryFamily {
     * never-seen nodes against the probe, and the answer is the top-3
     * scored nodes overall (self excluded).
     *
-    * Scale shape: the graph is built once and materialized (ckpt — at
-    * 100 TB it IS the stored index); each hop is (1) a broadcast
+    * Scale shape: the graph is the STORED index read from its parquet
+    * sidecar ([[storedKnnGraph]] — built once per fixture, served
+    * many times; round-12 verdict task 1); each hop is (1) a broadcast
     * equi-join of the <=30-row frontier against the edge list and
     * (2) a broadcast equi-join of the <=90-row candidate set against
     * the vector table by vec_id — point lookups, never a corpus scan.
@@ -2312,7 +2486,7 @@ object Similarity extends QueryFamily {
     * by [[qKnnSearchRecall]]. */
   def qKnnSearch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val g = qKnnGraph(spark, dir).select($"src_id", $"nbr_id").ckpt()
+    val g = storedKnnGraph(spark, dir).select($"src_id", $"nbr_id").ckpt()
     val e = T.embeddings(spark, dir).select($"vec_id", $"embedding").cache()
     val probes = e.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"embedding".as("qv"))
@@ -2394,7 +2568,7 @@ object Similarity extends QueryFamily {
     * one exact ground-truth pass feed all three beams. */
   def qKnnBeamSweep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val g = qKnnGraph(spark, dir).select($"src_id", $"nbr_id").ckpt()
+    val g = storedKnnGraph(spark, dir).select($"src_id", $"nbr_id").ckpt()
     val e = T.embeddings(spark, dir).select($"vec_id", $"embedding").cache()
     val probes = e.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"embedding".as("qv"))
@@ -2456,8 +2630,11 @@ object Similarity extends QueryFamily {
        |${searchHopCtes(2, sfx, beam)},
        |${searchHopCtes(3, sfx, beam)}""".stripMargin
 
+  // the oracle serves from the SAME stored artifact as the Spark side
+  // (stored == rebuild is proven separately by q_index_persist)
   private val searchPrologSql: String =
-    s"""WITH g AS MATERIALIZED (${qKnnGraphSql.replace("\n", "\n  ")}),
+    s"""WITH g AS MATERIALIZED (SELECT src_id, nbr_id
+       |  FROM read_parquet('{GRAPH}/*.parquet')),
        |en AS MATERIALIZED (SELECT vec_id, embedding,
        |  (SELECT sum(x::DOUBLE * x::DOUBLE) FROM unnest(embedding) t(x)) AS n2
        |  FROM embeddings),
@@ -2530,7 +2707,8 @@ object Similarity extends QueryFamily {
     * (<= |probes| x 4 rows), never the corpus work of the walk. */
   def qKnnEntrySweep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val g = qKnnGraph(spark, dir).select($"src_id", $"nbr_id").ckpt()
+    val g0 = storedKnnGraph(spark, dir)
+    val g = g0.select($"src_id", $"nbr_id").ckpt()
     val e0 = T.embeddings(spark, dir)
     val e = e0.select($"vec_id", $"embedding").cache()
     val probes = e.filter($"vec_id" < 10)
@@ -2538,13 +2716,11 @@ object Similarity extends QueryFamily {
     val exact = qSimBruteforce(spark, dir).filter($"rank" <= 3)
       .select($"q_id", $"n_id").ckpt()
     val nTrue = exact.agg(count(lit(1)).as("n_true"))
-    // coarse quantizer = the graph's own scaled sign-LSH: score each
-    // probe's hamming<=1 bucket-mates, keep the top 4 as entry ranks
-    val n = e0.agg(count(lit(1)).as("n"))
-    val eb = e0.crossJoin(broadcast(n))
-      .withColumn("bits", scaledBits($"n", targetBucket = 64, floor = 2, max = 16))
-      .withColumn("sg", signBits(16))
-      .withColumn("bucket", expr("substring(sg, 1, bits)"))
+    // coarse quantizer = the STORED index's own sign-LSH config: hash
+    // depth read from the sidecar's bits column ([[quantizerFromIndex]]),
+    // never re-derived from the corpus — serving reuses the build-time
+    // config (round-12 verdict task 1 done-criterion)
+    val eb = quantizerFromIndex(e0, g0)
     val bProbes = eb.filter($"vec_id" < 10)
       .withColumn("probe_bucket", hamming1Probes)
       .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"probe_bucket")
@@ -2578,8 +2754,7 @@ object Similarity extends QueryFamily {
 
   val qKnnEntrySweepSql: String = {
     val quantizer =
-      s"""nb AS (SELECT greatest(2, least(16,
-         |    CAST(ceil(log2(count(*) / 64.0)) AS INT))) AS bits FROM embeddings),
+      s"""nb AS (SELECT max(bits) AS bits FROM read_parquet('{GRAPH}/*.parquet')),
          |ebk AS (SELECT vec_id, bits,
          |  substr(array_to_string(list_transform(embedding[1:16],
          |    x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), ''), 1, bits) AS bucket
@@ -2905,9 +3080,13 @@ object Similarity extends QueryFamily {
     QueryDef("q_semantic_purity", qSemanticPurity, Some(qSemanticPuritySql)),
     QueryDef("q_knn_beam_sweep", qKnnBeamSweep, Some(qKnnBeamSweepSql)),
     QueryDef("q_knn_entry_sweep", qKnnEntrySweep, Some(qKnnEntrySweepSql)),
-    // oracle = the FULL REBUILD: incremental maintenance must be
-    // indistinguishable from rebuilding the index from scratch
-    QueryDef("q_knn_graph_delta", qKnnGraphDelta, Some(qKnnGraphSql)),
+    // stored == rebuild: the persisted artifact every serve/maintain
+    // query reads, differentially proven against the inline rebuild
+    QueryDef("q_index_persist", qIndexPersist, Some(qIndexPersistSql)),
+    // oracle = the FULL REBUILD under the stored base index's pinned
+    // hash config: incremental maintenance of the persisted artifact
+    // must be indistinguishable from rebuilding from scratch
+    QueryDef("q_knn_graph_delta", qKnnGraphDelta, Some(qKnnGraphDeltaSql)),
     QueryDef("q_knn_search_recall", qKnnSearchRecall, Some(qKnnSearchRecallSql)),
     QueryDef("q_knn_graph_recall", qKnnGraphRecall, Some(qKnnGraphRecallSql)),
     QueryDef("q_hard_negatives", qHardNegatives, Some(qHardNegativesSql)),

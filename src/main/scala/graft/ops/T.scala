@@ -86,3 +86,34 @@ object T {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
+
+/** Fixture-keyed sidecar parquet locations shared by the operators
+  * that MATERIALIZE an artifact both engines then read (the decode
+  * pixel table, the stored kNN-graph index): absolute paths under the
+  * repo's `tools/fixtures` (SPARK_GRAFT_FIXTURE_DIR overrides), keyed
+  * by the fixture's basename so every scale factor gets its own
+  * artifact. The oracle SQL embeds these absolute paths via Verify's
+  * token substitution ({THUMBS}/{GRAPH}/...), so the Spark writer and
+  * the DuckDB reader must agree on the location — the root is anchored
+  * to the repo that owns THIS compiled class (the first ancestor of
+  * the class's code source carrying build.sbt), depending on neither
+  * the invoking process's working directory nor a hardcoded checkout
+  * location. */
+object Fixtures {
+  def root: String = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR", {
+    val codeSrc = try {
+      Option(getClass.getProtectionDomain.getCodeSource)
+        .map(s => new java.io.File(s.getLocation.toURI))
+    } catch { case _: Exception => None }
+    codeSrc
+      .flatMap(f => Iterator.iterate(f)(_.getParentFile)
+        .takeWhile(_ != null).take(6)
+        .find(p => new java.io.File(p, "build.sbt").isFile))
+      .map(r => new java.io.File(r, "tools/fixtures").getAbsolutePath)
+      .getOrElse(new java.io.File("tools/fixtures").getAbsolutePath)
+  })
+
+  /** `{root}/{kind}_{fixture-basename}.parquet` */
+  def sidecarPath(dir: String, kind: String): String =
+    s"$root/${kind}_${new java.io.File(dir).getName}.parquet"
+}

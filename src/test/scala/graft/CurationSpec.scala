@@ -254,6 +254,33 @@ class CurationSpec extends AnyFunSuite {
       s"pad_frac sequence ${fracs.toSeq} looks inconsistent")
   }
 
+  test("FFD packing: dominates next-fit per ctx_len, exact conservation with truncation explicit") {
+    val nf = ops.Curation.qPackWaste(spark, sf).collect()
+      .map(r => r.getAs[Long]("ctx_len") -> r.getAs[Long]("pad_tokens")).toMap
+    val rows = ops.Curation.qPackWasteFfd(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("ctx_len")).toSeq === Seq(128L, 256L, 512L))
+    val totalTok = ops.T.documents(spark, sf)
+      .selectExpr("sum(size(split(text, ' ')))").head().getLong(0)
+    rows.foreach { r =>
+      val l = r.getAs[Long]("ctx_len")
+      val wins = r.getAs[Long]("n_windows")
+      val pad = r.getAs[Long]("pad_tokens")
+      val trunc = r.getAs[Long]("trunc_tokens")
+      // first-fit-decreasing can never waste more than next-fit: every
+      // next-fit placement is available to first-fit, and the desc
+      // sort only improves the fit profile within the same buckets
+      assert(pad <= nf(l),
+        s"L=$l: FFD pad $pad exceeds next-fit ${nf(l)} — not a first-fit fold")
+      // exact conservation over the TRUNCATED token mass (round-12
+      // advice: overflow tokens accounted, not vanished)
+      assert(wins * l === (totalTok - trunc) + pad,
+        s"L=$l: $wins x $l != ($totalTok - $trunc) + $pad")
+      assert(trunc >= 0L && trunc < totalTok)
+      assert(wins >= r.getAs[Long]("lb_windows"))
+      assert(r.getAs[Double]("pad_frac") >= 0.0 && r.getAs[Double]("pad_frac") < 0.5)
+    }
+  }
+
   test("epoch expand: fills each source's target within doc granularity, upsamples past 1 epoch") {
     val rows = ops.Curation.qEpochExpand(spark, sf).collect()
     val nSources = ops.T.documents(spark, sf).select("source").distinct().count()

@@ -181,7 +181,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // table
     "q_dsir_select",
     // 1-row corpus token-total build onto each context-length fold row
-    "q_pack_waste",
+    "q_pack_waste", "q_pack_waste_ffd",
     // 4-row stage table non-equi-joined onto the probe-bounded
     // candidate set (cell_rank <= stage unrolls the 4 probe stages)
     "q_sim_probe_adaptive",
@@ -334,17 +334,18 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dedup_embedding" -> "per-label block-count branch (|labels| rows) + the cell self-join's two sides",
     "q_sim_range_search" -> "corpus-count branch (1 row) + probe/corpus bucket sides",
     "q_knn_graph_recall" -> "graph pipeline + exact ground-truth audit pipeline",
-    "q_knn_search" -> "graph-build pipeline (count branch + bucket self-join sides) ahead of the materialized index walk",
+    "q_knn_search" -> "stored-index sidecar read + probe/score scans of the cached vector table",
     "q_knn_search_recall" -> "search pipeline + exact ground-truth audit pipeline",
     "q_knn_beam_sweep" -> "walk pipelines per beam + exact ground-truth audit pipeline",
     "q_knn_entry_sweep" -> "coarse-quantizer entry pull + walk pipelines per E + exact ground-truth audit pipeline",
-    "q_knn_graph_delta" -> "base-index build + affected-set + delta-recompute stages over the hashed corpus",
-    "q_knn_graph_delete" -> "stored-index build + in-degree affected-set + survivor-recompute stages over the hashed corpus",
+    "q_knn_graph_delta" -> "stored base-index sidecar read + affected-set + delta-recompute stages over the hashed corpus",
+    "q_knn_graph_delete" -> "stored-index sidecar read + in-degree affected-set + survivor-recompute stages over the hashed corpus",
     "q_sq_recall" -> "SQ codec train+apply pipeline + exact ground-truth audit pipeline",
     "q_matryoshka_recall" -> "truncated-prefix pipeline + exact ground-truth audit pipeline",
     "q_binary_quant_recall" -> "sign-bit pipeline + exact ground-truth audit pipeline",
     "q_filtered_search_recall" -> "shared LSH candidate pipeline + exact filtered ground-truth audit pipeline",
     "q_pack_waste" -> "three context-length folds + the token-total branch over ONE ckpt'd bucket-list relation (single scan in production; >2 leaves only in the checkpoint-free audit variant)",
+    "q_pack_waste_ffd" -> "three context-length first-fit folds + the token-total branch over ONE ckpt'd bucket-list relation",
     "q_sim_probe_adaptive" -> "centroid + probe + corpus branches over ONE ckpt'd scored candidate set + exact ground-truth audit pipeline")
 
   test("no registered query scans one source relation more than twice") {
@@ -379,7 +380,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_attribution_markov" -> "collect_list of the states^2-bounded (<=64 rows) transition matrix",
     "q_sq_error_audit" -> "collect_list of the 64-row per-dimension min/max stats (dim-bounded)",
     "q_sq_recall" -> "collect_list of the 64-row per-dimension min/max stats (dim-bounded)",
-    "q_pack_waste" -> "collect_list of one 100-doc bucket's (doc_id, n_tok) pairs (bucket-bounded by construction)")
+    "q_pack_waste" -> "collect_list of one 100-doc bucket's (doc_id, n_tok) pairs (bucket-bounded by construction)",
+    "q_pack_waste_ffd" -> "collect_list of one 100-doc bucket's token counts (bucket-bounded by construction)")
 
   test("no registered query buffers group values (exact percentile / collect) over an unbounded input") {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet, Percentile}
@@ -561,8 +563,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_graph_bfs" -> "3 unrolled frontier hops re-derive the checkpointed distance relation",
     "q_textrank" -> "3 unrolled weighted-PageRank rounds re-derive the checkpointed vocab graph",
     "q_mutual_knn" -> "the reversal join's two sides re-derive the checkpointed kNN edge list",
-    "q_knn_search" -> "3 unrolled hops re-derive the checkpointed graph index and the cached vector table",
-    "q_knn_graph_delta" -> "base build, affected-set and recompute stages each re-derive the checkpointed hashed corpus")
+    "q_knn_search" -> "3 unrolled hops re-scan the stored-index sidecar and the cached vector table",
+    "q_knn_graph_delta" -> "affected-set and recompute stages each re-derive the checkpointed hashed corpus; the base graph is the stored sidecar")
 
   test("checkpoint-free iterative variants pass the shape gates (cartesian/BNLJ/window/value-buffer/multi-scan/fact-broadcast)") {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet, Percentile}

@@ -319,6 +319,40 @@ class SimilaritySpec extends AnyFunSuite {
       s"E=1 coarse-seeded recall ${byE(1)} below the beam-6 floor ${beam(6)}")
   }
 
+  test("persisted index: stored artifact == rebuild, config recorded, and serving REUSES the stored bits") {
+    import org.apache.spark.sql.functions._
+    val session = spark
+    import session.implicits._
+    val stored = ops.Similarity.storedKnnGraph(spark, sf)
+    // (a) config recorded: one constant (bits, hash_kind) pair, bits ==
+    // the scaled depth of THIS corpus (ceil(log2(n/64)) clamped [2,16])
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val expBits = math.min(16, math.max(2,
+      math.ceil(math.log(n / 64.0) / math.log(2)).toInt))
+    val cfg = stored.select("bits", "hash_kind").distinct().collect()
+    assert(cfg.length === 1, s"non-constant index config: ${cfg.mkString(",")}")
+    assert(cfg(0).getInt(0) === expBits)
+    assert(cfg(0).getString(1) === "sign16")
+    // (b) stored edges == a fresh rebuild, row for row
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("src_id"), col("rank").cast("long"), col("nbr_id"), col("cos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    assert(edgeSet(stored) === edgeSet(ops.Similarity.qKnnGraph(spark, sf)),
+      "stored sidecar diverged from the rebuild")
+    // (c) stored-config REUSE: the serving quantizer takes its hash
+    // depth from the index relation, not the corpus — a synthetic
+    // index claiming bits=9 must produce 9-char buckets even though
+    // this corpus's derived depth differs
+    val idx9 = Seq((0L, 9)).toDF("src_id", "bits")
+    val e0 = spark.read.parquet(s"$sf/embeddings.parquet")
+    val buckets = ops.Similarity.quantizerFromIndex(e0, idx9)
+      .select("bucket").as[String].collect()
+    assert(buckets.nonEmpty && buckets.forall(_.length == 9),
+      "quantizer re-derived its depth instead of reading the stored config")
+    assert(expBits != 9, "fixture corpus happens to derive bits=9 — pick another synthetic depth")
+  }
+
   test("graph delete: erased ids vanish as source and neighbor, untouched sources keep rows") {
     val after = ops.Similarity.qKnnGraphDelete(spark, sf).collect()
     assert(after.nonEmpty)
