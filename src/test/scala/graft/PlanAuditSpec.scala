@@ -187,7 +187,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_sim_probe_adaptive",
     // probe-side non-equi join of the exact filtered ground truth +
     // the 1-row true-count build
-    "q_filtered_search_recall")
+    "q_filtered_search_recall",
+    // the ONE shared exact pass is a probe-side non-equi join; per-
+    // strategy 1-row candidate/hit/true-count builds compose the table
+    "q_sim_serving_cost")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
@@ -346,7 +349,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_filtered_search_recall" -> "shared LSH candidate pipeline + exact filtered ground-truth audit pipeline",
     "q_pack_waste" -> "three context-length folds + the token-total branch over ONE ckpt'd bucket-list relation (single scan in production; >2 leaves only in the checkpoint-free audit variant)",
     "q_pack_waste_ffd" -> "three context-length first-fit folds + the token-total branch over ONE ckpt'd bucket-list relation",
-    "q_sim_probe_adaptive" -> "centroid + probe + corpus branches over ONE ckpt'd scored candidate set + exact ground-truth audit pipeline")
+    "q_sim_probe_adaptive" -> "centroid + probe + corpus branches over ONE ckpt'd scored candidate set + exact ground-truth audit pipeline",
+    "q_sim_serving_cost" -> "four serving strategies (each its own ckpt'd candidate pull) + ONE shared exact pass over the corpus")
 
   test("no registered query scans one source relation more than twice") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}

@@ -319,6 +319,42 @@ class SimilaritySpec extends AnyFunSuite {
       s"E=1 coarse-seeded recall ${byE(1)} below the beam-6 floor ${beam(6)}")
   }
 
+  test("serving-cost table: one row per strategy, recalls equal the standalone audits") {
+    val rows = ops.Similarity.qSimServingCost(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("strategy")).toSeq ===
+      Seq("a_lsh_multiprobe", "b_ivf_adaptive", "c_graph_walk_e4", "d_filtered_prefilter"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_candidates") > 0L)
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_true"))
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    val byName = rows.map(r => r.getAs[String]("strategy") -> r).toMap
+    // a: equals the multiprobe pipeline's recall against the exact top-3
+    val exact = pairs(ops.Similarity.qSimBruteforce(spark, sf), 3)
+    val multi = pairs(ops.Similarity.qSimLshMultiprobe(spark, sf), 3)
+    val rMulti = (multi & exact).size.toDouble / exact.size
+    assert(math.abs(byName("a_lsh_multiprobe").getAs[Double]("recall") - rMulti) < 1e-3,
+      s"lsh row ${byName("a_lsh_multiprobe")} != standalone $rMulti")
+    // b: equals the adaptive audit's aggregate (per-q n_true = 3, so the
+    // aggregate recall is the mean of per-q recalls) and its candidate
+    // accounting (sum of n_cand_used)
+    val ad = ops.Similarity.qSimProbeAdaptive(spark, sf).collect()
+    val adAgg = ad.map(_.getAs[Double]("recall_adaptive")).sum / ad.length
+    assert(math.abs(byName("b_ivf_adaptive").getAs[Double]("recall") - adAgg) < 2e-3,
+      s"adaptive row ${byName("b_ivf_adaptive")} != standalone agg $adAgg")
+    assert(byName("b_ivf_adaptive").getAs[Long]("n_candidates") ===
+      ad.map(_.getAs[Long]("n_cand_used")).sum)
+    // c: equals the entry sweep's E=4 row exactly (same walk, same truth)
+    val e4 = ops.Similarity.qKnnEntrySweep(spark, sf).collect()
+      .find(_.getAs[Int]("entries") == 4).get.getAs[Double]("recall")
+    assert(byName("c_graph_walk_e4").getAs[Double]("recall") === e4)
+    // d: equals the filtered audit's prefilter row exactly
+    val pre = ops.Similarity.qFilteredSearchRecall(spark, sf).collect()
+      .find(_.getAs[String]("strategy") == "a_prefilter").get.getAs[Double]("recall")
+    assert(byName("d_filtered_prefilter").getAs[Double]("recall") === pre)
+  }
+
   test("persisted index: stored artifact == rebuild, config recorded, and serving REUSES the stored bits") {
     import org.apache.spark.sql.functions._
     val session = spark

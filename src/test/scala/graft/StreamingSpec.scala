@@ -640,7 +640,36 @@ class StreamingSpec extends AnyFunSuite {
         val firstWave = bandObs.take(40).toIndexedSeq
         ms2.addData(firstWave: _*)
         awaitRows("band_ttl_exp_out", firstWave.length.toLong, q2)
+        // MEASURE the state bound, not just the behavior (round-12
+        // verdict task 6): the store's own numRowsTotal must (a) hold
+        // one wave's signatures while live, then (b) DROP below that
+        // after the TTL horizon — idle 100ms triggers keep running
+        // batches, so TTL eviction proceeds without new data. The
+        // re-admission assertion below proves semantics; this proves
+        // the state SIZE is arrival-rate x ttl, not stream history.
+        def stateRows(): Long =
+          Option(q2.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+            .map(_.numRowsTotal).sum
+        def awaitState(pred: Long => Boolean, what: String): Long = {
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          var n = stateRows()
+          while (!pred(n)) {
+            q2.exception.foreach(throw _)
+            assert(System.nanoTime() < deadline,
+              s"timed out waiting for state rows $what (last: $n)")
+            Thread.sleep(200)
+            n = stateRows()
+          }
+          n
+        }
+        val nSigs = firstWave.map(_.sig).distinct.length.toLong
+        val live = awaitState(_ >= nSigs, s">= $nSigs (one wave live)")
         Thread.sleep(5000)
+        val afterTtl = awaitState(_ < nSigs, s"< $nSigs (post-TTL eviction)")
+        info(s"state rows: $live live -> $afterTtl after the 1s TTL horizon " +
+          s"($nSigs distinct signatures in the wave)")
+        assert(afterTtl < live,
+          s"state never shrank past the TTL horizon: $live -> $afterTtl")
         val secondWave = firstWave.map(b => b.copy(doc_id = b.doc_id + 100000L))
         ms2.addData(secondWave: _*)
         awaitRows("band_ttl_exp_out", 2L * firstWave.length, q2)
