@@ -88,12 +88,16 @@ object Verify {
     val thumbs = graft.ops.Multimodal.thumbsSidecarPath(sfDir)
     val graph = graft.ops.Similarity.graphSidecarPath(sfDir)
     val graphBase = graft.ops.Similarity.graphBaseSidecarPath(sfDir)
+    val pqBook = graft.ops.Similarity.pqCodebookSidecarPath(sfDir)
+    val pqCodes = graft.ops.Similarity.pqCodesSidecarPath(sfDir)
     val json = SparkEntry.oracleSql
       .filter(kv => keep(kv._1) && !failures.contains(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v
         .replace("{THUMBS}", thumbs)
         .replace("{GRAPH}", graph)
-        .replace("{GRAPHBASE}", graphBase))}" }
+        .replace("{GRAPHBASE}", graphBase)
+        .replace("{PQCODEBOOK}", pqBook)
+        .replace("{PQCODES}", pqCodes))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Per-query metadata sidecar: row counts + vacuous markers +

@@ -175,6 +175,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row corpus-count broadcast that pins the index's hash depth
     // (shared by the base build and the delta recompute)
     "q_knn_graph_delta",
+    // same 1-row count/bits broadcasts through both maintenance steps
+    "q_knn_graph_churn",
+    // 1-row count/bits/affected builds composing the compaction table
+    "q_index_compact_audit",
     // same pinned-hash-depth 1-row corpus-count broadcast
     "q_knn_graph_delete",
     // 1-row (nt, nr) smoothing-total build onto the 4096-bucket ratio
@@ -342,6 +346,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_knn_beam_sweep" -> "walk pipelines per beam + exact ground-truth audit pipeline",
     "q_knn_entry_sweep" -> "coarse-quantizer entry pull + walk pipelines per E + exact ground-truth audit pipeline",
     "q_knn_graph_delta" -> "stored base-index sidecar read + affected-set + delta-recompute stages over the hashed corpus",
+    "q_knn_graph_churn" -> "stored base-index sidecar read + insert affected/recompute + delete affected/recompute stages over the hashed corpus",
     "q_knn_graph_delete" -> "stored-index sidecar read + in-degree affected-set + survivor-recompute stages over the hashed corpus",
     "q_sq_recall" -> "SQ codec train+apply pipeline + exact ground-truth audit pipeline",
     "q_matryoshka_recall" -> "truncated-prefix pipeline + exact ground-truth audit pipeline",

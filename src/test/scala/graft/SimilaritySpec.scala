@@ -389,6 +389,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(expBits != 9, "fixture corpus happens to derive bits=9 — pick another synthetic depth")
   }
 
+  test("persisted PQ index: codebook shape, full code coverage, codes drawn from the codebook") {
+    import org.apache.spark.sql.functions._
+    val cb = ops.Similarity.storedPqCodebook(spark, sf)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val nLabels = e.select("label").distinct().count()
+    val nVecs = e.count()
+    // codebook: one centroid coordinate per (code, subspace, dim) =
+    // |labels| x 4 subspaces x 16 dims
+    assert(cb.count() === nLabels * 64)
+    assert(cb.select("sub").distinct().count() === 4)
+    // codes: every corpus vector encoded in every subspace, each code
+    // a genuine codebook entry
+    val codes = ops.Similarity.storedPqCodes(spark, sf)
+    assert(codes.count() === nVecs * 4)
+    assert(codes.select("n_id").distinct().count() === nVecs)
+    val orphans = codes.join(
+      cb.select(col("c").as("code"), col("sub")).distinct(),
+      Seq("code", "sub"), "left_anti").count()
+    assert(orphans === 0L, s"$orphans codes reference no codebook entry")
+  }
+
+  test("composed churn: insert-then-delete keeps the GDPR contract and serves the inserted ids") {
+    val session = spark
+    import session.implicits._
+    val after = ops.Similarity.qKnnGraphChurn(spark, sf).collect()
+    assert(after.nonEmpty)
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    // erasure survives the composition: deleted ids appear nowhere
+    after.foreach { r =>
+      assert(r.getAs[Long]("src_id") >= 2L, "deleted source row survived the churn")
+      assert(r.getAs[Long]("nbr_id") >= 2L, "deleted id still served as a neighbor after churn")
+    }
+    // the insert survives the composition: both delta ids serve as sources
+    val srcs = after.map(_.getAs[Long]("src_id")).toSet
+    assert(srcs.contains(n - 1) && srcs.contains(n - 2),
+      s"inserted ids missing from the churned graph sources")
+    // per-source ranks stay a contiguous 1..k prefix
+    after.groupBy(_.getAs[Long]("src_id")).foreach { case (s, rows) =>
+      val ranks = rows.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks === (1L to ranks.length).toSeq, s"source $s ranks $ranks not contiguous")
+    }
+  }
+
   test("graph delete: erased ids vanish as source and neighbor, untouched sources keep rows") {
     val after = ops.Similarity.qKnnGraphDelete(spark, sf).collect()
     assert(after.nonEmpty)
