@@ -960,7 +960,69 @@ object Analytics extends QueryFamily {
       |SELECT user_id, n_trans, round(h, 4) AS entropy
       |FROM h ORDER BY entropy DESC, user_id LIMIT 20""".stripMargin
 
+  /** MATCH_RECOGNIZE-style row-sequence pattern detection — the SQL:2016
+    * feature Spark has no native operator for, composed from keyed
+    * windows: per user, count purchases that complete the pattern
+    * `view -> click -> purchase` with NO error event between the view
+    * and the purchase. One pass computes, for every event, the latest
+    * prior ts of each role (user-keyed running max — distributes at any
+    * user count); the click row matched by a purchase already carries
+    * "latest view before me" from the SAME pass, so the pattern closes
+    * with one user-keyed equi-join back to click rows instead of a
+    * per-pattern-step self-join cascade. An error is "between" iff the
+    * latest error before the purchase postdates the matched view. */
+  def qPatternMatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = T.events(spark, dir).select($"user_id", $"ts", $"event_type")
+    val w = Window.partitionBy($"user_id").orderBy($"ts")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val marked = ev
+      .withColumn("last_click", max(when($"event_type" === "click", $"ts")).over(w))
+      .withColumn("last_view", max(when($"event_type" === "view", $"ts")).over(w))
+      .withColumn("last_error", max(when($"event_type" === "error", $"ts")).over(w))
+    val clicks = marked.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("click_ts"), $"last_view")
+      .groupBy($"c_user", $"click_ts")
+      .agg(max($"last_view").as("view_ts"))
+    val matched = marked.filter($"event_type" === "purchase")
+      .join(clicks,
+        $"user_id" === $"c_user" && $"last_click" === $"click_ts", "left")
+      .select($"user_id", $"ts", $"last_error", $"view_ts")
+      .withColumn("ok",
+        $"view_ts".isNotNull &&
+          ($"last_error".isNull || $"last_error" < $"view_ts"))
+    matched.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum($"ok".cast("long")).as("n_matched"))
+      .orderBy($"user_id")
+  }
+
+  val qPatternMatchSql: String =
+    """WITH m AS (SELECT user_id, ts, event_type,
+      |  max(CASE WHEN event_type = 'click' THEN ts END)
+      |    OVER (PARTITION BY user_id ORDER BY ts
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click,
+      |  max(CASE WHEN event_type = 'view' THEN ts END)
+      |    OVER (PARTITION BY user_id ORDER BY ts
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view,
+      |  max(CASE WHEN event_type = 'error' THEN ts END)
+      |    OVER (PARTITION BY user_id ORDER BY ts
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_error
+      |  FROM events),
+      |clicks AS (SELECT user_id, ts AS click_ts, max(last_view) AS view_ts
+      |  FROM m WHERE event_type = 'click' GROUP BY 1, 2),
+      |p AS (SELECT m.user_id, m.last_error, c.view_ts,
+      |    (c.view_ts IS NOT NULL
+      |      AND (m.last_error IS NULL OR m.last_error < c.view_ts)) AS ok
+      |  FROM m LEFT JOIN clicks c
+      |    ON c.user_id = m.user_id AND c.click_ts = m.last_click
+      |  WHERE m.event_type = 'purchase')
+      |SELECT user_id, count(*) AS n_purchases,
+      |  CAST(sum(ok::int) AS BIGINT) AS n_matched
+      |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_pattern_match", qPatternMatch, Some(qPatternMatchSql)),
     QueryDef("q_group_percentiles", qGroupPercentiles, Some(qGroupPercentilesSql)),
     QueryDef("q_session_entropy", qSessionEntropy, Some(qSessionEntropySql)),
     QueryDef("q_stickiness", qStickiness, Some(qStickinessSql)),

@@ -1345,7 +1345,145 @@ object Curation extends QueryFamily {
       |  coalesce(avg_logw_sel, 0.0) AS avg_logw_sel
       |FROM corpus LEFT JOIN sel USING (lang) ORDER BY lang""".stripMargin
 
+  /** Embedding-space benchmark decontamination — the semantic
+    * complement of [[qContamination]]'s lexical 8-gram overlap: a
+    * paraphrased eval item shares no 8-gram with its source but sits
+    * next to it in embedding space, so serious data reports run BOTH
+    * checks. Eval set = vec_id % 20 == 0 (the same held-out carve as
+    * the lexical check); every training vector scores against the
+    * BROADCAST eval set — an eval bench stays thousands of rows no
+    * matter how big the corpus, so at 100 TB this is one zero-shuffle
+    * map over the corpus (|corpus| x |eval| codegen'd cosines) feeding
+    * one map-side-combinable argmax aggregate; no window or shuffle
+    * ever sees corpus x eval cardinality. The review flag is
+    * data-adaptive — max-cos above mean + 3 sd of its own distribution
+    * (the q_anomaly_zscore outlier discipline) — because absent a
+    * calibrated paraphrase threshold the actionable report is "the
+    * top tail, ranked, for manual review". */
+  def qContaminationSemantic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = T.embeddings(spark, dir)
+    val evalSet = e.filter($"vec_id" % 20 === 0)
+      .select($"vec_id".as("e_id"), $"embedding".as("qv"))
+    val train = e.filter($"vec_id" % 20 =!= 0)
+      .select($"vec_id", $"embedding".as("v"))
+    val best = train.crossJoin(broadcast(evalSet))
+      .select($"vec_id",
+        struct(graft.functions.F.cosineSimilarity($"qv", $"v").as("cos"),
+          (-$"e_id").as("neg")).as("s"))
+      .groupBy($"vec_id").agg(max($"s").as("m"))
+      .ckpt()
+    val cut = best.agg((avg($"m.cos") + lit(3.0) * stddev($"m.cos")).as("cut"))
+    best.crossJoin(broadcast(cut))
+      .select($"vec_id", (-$"m.neg").as("near_eval"),
+        round($"m.cos", 4).as("max_cos"),
+        ($"m.cos" > $"cut").as("flagged"))
+      .orderBy($"vec_id")
+  }
+
+  val qContaminationSemanticSql: String =
+    """WITH e AS (SELECT vec_id, embedding,
+      |  (SELECT sum(x::DOUBLE * x::DOUBLE) FROM unnest(embedding) t(x)) AS n2
+      |  FROM embeddings),
+      |ev AS (SELECT vec_id AS e_id, embedding AS qe, n2 AS qn2 FROM e WHERE vec_id % 20 = 0),
+      |tr AS (SELECT vec_id, embedding AS ne, n2 FROM e WHERE vec_id % 20 <> 0),
+      |u AS (SELECT vec_id, e_id, qn2, n2, unnest(qe) AS qx, unnest(ne) AS nx FROM tr, ev),
+      |scored AS (SELECT vec_id, e_id,
+      |    sum(qx::DOUBLE * nx::DOUBLE) / sqrt(any_value(qn2) * any_value(n2)) AS cos
+      |  FROM u GROUP BY 1, 2),
+      |ranked AS (SELECT vec_id, e_id AS near_eval, cos,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, e_id) AS rn
+      |  FROM scored),
+      |b AS (SELECT vec_id, near_eval, cos FROM ranked WHERE rn = 1),
+      |c AS (SELECT avg(cos) + 3.0 * stddev(cos) AS cut FROM b)
+      |SELECT vec_id, near_eval, round(cos, 4) AS max_cos, cos > cut AS flagged
+      |FROM b, c ORDER BY vec_id""".stripMargin
+
+  /** Training-shard composition audit — the shuffle-quality check a
+    * pipeline runs before writing training shards: when consecutive
+    * training batches read one shard at a time, each shard's source
+    * mix IS the batch mix, and a source-correlated shard order is a
+    * curriculum nobody asked for. Two assignment regimes over the
+    * same corpus: `hash` (content-hash sharding — the production
+    * shuffle) and `sorted` (source-partitioned shards — the
+    * pathological layout a naive per-source export produces). Per
+    * shard: doc count, the largest single-source share, and the KL
+    * divergence of the shard's source mix from the global mix.
+    * Reading the table: hash shards sit near KL 0, sorted shards at
+    * top_share 1.0 — the gap is what the shuffle buys. Shard count is
+    * corpus-scaled (one per ~50 docs, clamped to [4, 64]); everything
+    * is a map-side shard assignment plus two bounded hash aggregates,
+    * so the audit costs one corpus scan at any SF. */
+  def qShardMixAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = T.documents(spark, dir)
+    val params = docs.groupBy($"source").agg(count(lit(1)).as("src_n"))
+      .agg(sum($"src_n").as("n"), count(lit(1)).as("n_src"),
+        map_from_entries(array_sort(collect_list(struct($"source", $"src_n")))).as("mix"))
+      .select($"n", $"n_src", $"mix",
+        least(lit(64L), greatest(lit(4L), ceil($"n" / 50.0).cast("long"))).as("s"))
+      .ckpt()
+    val srcIdx = params
+      .select(posexplode(map_keys($"mix")))
+      .select($"pos".cast("long").as("src_idx"), $"col".as("source"))
+    val cell = conv(substring(md5($"text".cast("binary")), 1, 4), 16, 10).cast("long")
+    val k = greatest(lit(1L), floor($"s" / $"n_src").cast("long"))
+    val assigned = docs.select($"source", cell.as("cell"))
+      .join(broadcast(srcIdx), Seq("source"))
+      .crossJoin(broadcast(params))
+      .select($"source", $"n", $"mix",
+        explode(array(
+          struct(lit("hash").as("regime"),
+            floor($"cell" * $"s" / 65536.0).cast("long").as("shard")),
+          struct(lit("sorted").as("regime"),
+            ($"src_idx" * k + floor($"cell" * k / 65536.0)).cast("long").as("shard")))).as("a"))
+      .select($"a.regime".as("regime"), $"a.shard".as("shard"), $"source", $"n", $"mix")
+    val comp = assigned
+      .groupBy($"regime", $"shard", $"source")
+      .agg(count(lit(1)).as("c"), first($"n").as("n"), first($"mix").as("mix"))
+    val p = $"c".cast("double") / $"shard_n"
+    val q = element_at($"mix", $"source").cast("double") / $"n"
+    comp
+      .withColumn("shard_n", sum($"c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"regime", $"shard")))
+      .groupBy($"regime", $"shard")
+      .agg(first($"shard_n").as("n_docs"),
+        round(max($"c") / first($"shard_n").cast("double"), 4).as("top_share"),
+        round(sum(p * log(p / q)), 4).as("kl"))
+      .orderBy($"regime", $"shard")
+  }
+
+  val qShardMixAuditSql: String =
+    """WITH d AS (SELECT source,
+      |    (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 4096
+      |  + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 256
+      |  + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+      |  + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1) AS cell
+      |  FROM documents),
+      |par AS (SELECT count(*) AS n, count(DISTINCT source) AS n_src,
+      |    least(64, greatest(4, ceil(count(*) / 50.0)))::BIGINT AS s
+      |  FROM d),
+      |si AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS src_idx
+      |  FROM (SELECT DISTINCT source FROM d)),
+      |kk AS (SELECT greatest(1, s // n_src)::BIGINT AS k FROM par),
+      |a AS (
+      |  SELECT 'hash' AS regime, (cell * s // 65536)::BIGINT AS shard, source
+      |    FROM d, par
+      |  UNION ALL
+      |  SELECT 'sorted' AS regime, (src_idx * k + cell * k // 65536)::BIGINT AS shard, source
+      |    FROM d JOIN si USING (source), kk),
+      |mix AS (SELECT source, count(*)::DOUBLE AS gc FROM d GROUP BY source),
+      |comp AS (SELECT regime, shard, source, count(*) AS c FROM a GROUP BY 1, 2, 3),
+      |tot AS (SELECT regime, shard, CAST(sum(c) AS BIGINT) AS shard_n FROM comp GROUP BY 1, 2)
+      |SELECT regime, shard, shard_n AS n_docs,
+      |  round(max(c) / shard_n::DOUBLE, 4) AS top_share,
+      |  round(sum((c::DOUBLE / shard_n) * ln((c::DOUBLE / shard_n) / (gc / n))), 4) AS kl
+      |FROM comp JOIN tot USING (regime, shard) JOIN mix USING (source), par
+      |GROUP BY regime, shard, shard_n ORDER BY regime, shard""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_contamination_semantic", qContaminationSemantic, Some(qContaminationSemanticSql)),
+    QueryDef("q_shard_mix_audit", qShardMixAudit, Some(qShardMixAuditSql)),
     QueryDef("q_dsir_select", qDsirSelect, Some(qDsirSelectSql)),
     QueryDef("q_epoch_expand", qEpochExpand, Some(qEpochExpandSql)),
     QueryDef("q_pack_waste", qPackWaste, Some(qPackWasteSql)),

@@ -280,4 +280,42 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("elasticity") < 0.0,
       "fixture demand curve must slope down")
   }
+
+  test("pattern match: counts bounded by purchases and replayed exactly by a per-user scan") {
+    val rows = ops.Analytics.qPatternMatch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_matched") >= 0L)
+      assert(r.getAs[Long]("n_matched") <= r.getAs[Long]("n_purchases"))
+    }
+    // brute-force replay of the pattern semantics on the driver: for
+    // each purchase, latest prior click; that click's latest prior
+    // view; no error in (view, purchase)
+    val ev = ops.T.events(spark, sf)
+      .select("user_id", "ts", "event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts").getTime * 1000 +
+          r.getAs[java.sql.Timestamp]("ts").getNanos / 1000 % 1000,
+        r.getAs[String]("event_type")))
+      .groupBy(_._1).map { case (u, es) => u -> es.sortBy(_._2) }
+    val expected = ev.flatMap { case (u, es) =>
+      val purchases = es.filter(_._3 == "purchase")
+      if (purchases.isEmpty) None
+      else {
+        val matched = purchases.count { p =>
+          val before = es.filter(_._2 < p._2)
+          before.reverse.find(_._3 == "click").exists { c =>
+            val beforeClick = es.filter(_._2 < c._2)
+            beforeClick.reverse.find(_._3 == "view").exists { v =>
+              !es.exists(e => e._3 == "error" && e._2 > v._2 && e._2 < p._2)
+            }
+          }
+        }
+        Some(u -> (purchases.length.toLong, matched.toLong))
+      }
+    }
+    val got = rows.map(r => r.getAs[Long]("user_id") ->
+      (r.getAs[Long]("n_purchases"), r.getAs[Long]("n_matched"))).toMap
+    assert(got === expected)
+  }
 }

@@ -320,4 +320,48 @@ class CurationSpec extends AnyFunSuite {
     // pairs with itself
     leaks.foreach(r => assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
   }
+
+  test("semantic decontamination: every train vector reported once, flags are the 3-sigma tail") {
+    val rows = ops.Curation.qContaminationSemantic(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_id") % 20 != 0L, "eval vectors must not self-report")
+      assert(r.getAs[Long]("near_eval") % 20 === 0L, "nearest neighbor must be an eval vector")
+      val c = r.getAs[Double]("max_cos")
+      assert(c >= -1.0001 && c <= 1.0001)
+    }
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length === rows.length)
+    // the flag is the mean + 3 sd tail of max_cos: flagged rows, if any,
+    // must all sit strictly above every unflagged row's score minus the
+    // 4dp rounding grain
+    val flagged = rows.filter(_.getAs[Boolean]("flagged")).map(_.getAs[Double]("max_cos"))
+    val unflagged = rows.filterNot(_.getAs[Boolean]("flagged")).map(_.getAs[Double]("max_cos"))
+    if (flagged.nonEmpty && unflagged.nonEmpty)
+      assert(flagged.min >= unflagged.max - 1e-4)
+  }
+
+  test("shard mix audit: hash shards mix near the global blend, sorted shards are pure") {
+    val rows = ops.Curation.qShardMixAudit(spark, sf).collect()
+    val hash = rows.filter(_.getAs[String]("regime") == "hash")
+    val sorted = rows.filter(_.getAs[String]("regime") == "sorted")
+    assert(hash.nonEmpty && sorted.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") > 0L)
+      val ts = r.getAs[Double]("top_share")
+      assert(ts > 0.0 && ts <= 1.0)
+      assert(r.getAs[Double]("kl") >= -1e-9, "KL divergence is non-negative")
+    }
+    // source-partitioned shards hold exactly one source each
+    sorted.foreach(r => assert(r.getAs[Double]("top_share") === 1.0))
+    // the shuffle buys mixing: hash-sharded KL sits strictly below the
+    // source-partitioned regime on average
+    def avgKl(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Double]("kl")).sum / rs.length
+    assert(avgKl(hash) < avgKl(sorted))
+    // every shard's mix shares sum to ~1 is implied by top_share <= 1;
+    // shard counts: both regimes cover the whole corpus
+    val n = ops.T.documents(spark, sf).count()
+    assert(hash.map(_.getAs[Long]("n_docs")).sum === n)
+    assert(sorted.map(_.getAs[Long]("n_docs")).sum === n)
+  }
 }

@@ -194,7 +194,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_filtered_search_recall",
     // the ONE shared exact pass is a probe-side non-equi join; per-
     // strategy 1-row candidate/hit/true-count builds compose the table
-    "q_sim_serving_cost")
+    "q_sim_serving_cost",
+    // eval-bench broadcast scored against every train vector (a real
+    // eval set is fixed-size; the fixture's %20 carve stands in) + the
+    // 1-row adaptive-threshold build
+    "q_contamination_semantic",
+    // 1-row corpus-params build (n, n_src, mix, shard count) joined
+    // onto the map-side shard assignment
+    "q_shard_mix_audit")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
@@ -355,7 +362,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_pack_waste" -> "three context-length folds + the token-total branch over ONE ckpt'd bucket-list relation (single scan in production; >2 leaves only in the checkpoint-free audit variant)",
     "q_pack_waste_ffd" -> "three context-length first-fit folds + the token-total branch over ONE ckpt'd bucket-list relation",
     "q_sim_probe_adaptive" -> "centroid + probe + corpus branches over ONE ckpt'd scored candidate set + exact ground-truth audit pipeline",
-    "q_sim_serving_cost" -> "four serving strategies (each its own ckpt'd candidate pull) + ONE shared exact pass over the corpus")
+    "q_sim_serving_cost" -> "four serving strategies (each its own ckpt'd candidate pull) + ONE shared exact pass over the corpus",
+    "q_contamination_semantic" -> "train + eval branches feeding ONE ckpt'd per-vector argmax relation (the threshold derivation re-reads the ckpt, not the corpus)",
+    "q_shard_mix_audit" -> "corpus assignment scan + ONE ckpt'd 1-row params relation (source index + shard count both derive from it)")
 
   test("no registered query scans one source relation more than twice") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -390,7 +399,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_sq_error_audit" -> "collect_list of the 64-row per-dimension min/max stats (dim-bounded)",
     "q_sq_recall" -> "collect_list of the 64-row per-dimension min/max stats (dim-bounded)",
     "q_pack_waste" -> "collect_list of one 100-doc bucket's (doc_id, n_tok) pairs (bucket-bounded by construction)",
-    "q_pack_waste_ffd" -> "collect_list of one 100-doc bucket's token counts (bucket-bounded by construction)")
+    "q_pack_waste_ffd" -> "collect_list of one 100-doc bucket's token counts (bucket-bounded by construction)",
+    "q_shard_mix_audit" -> "collect_list of per-source counts into the 1-row params map (|sources|-bounded)")
 
   test("no registered query buffers group values (exact percentile / collect) over an unbounded input") {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet, Percentile}
