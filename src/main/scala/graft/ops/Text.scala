@@ -1932,7 +1932,273 @@ object Text extends QueryFamily {
       |  round(exp((sy - (m * sxy - sx * sy) / (m * sx2 - sx * sx) * sx) / m), 4) AS k
       |FROM s""".stripMargin
 
+  /** One Viterbi iteration of unigram-LM tokenizer training (the
+    * SentencePiece estimator, Kudo 2018) — the OTHER tokenizer-training
+    * algorithm next to [[qBpeMerges]]'s merge rules: seed a candidate
+    * vocabulary (every ≤4-char substring of every word), score pieces
+    * by corpus frequency, Viterbi-segment each DISTINCT word under
+    * those scores, and report the top-20 pieces by segmentation usage
+    * — the expected-count signal the EM step would re-estimate from.
+    *
+    * Scale shape: everything after the first tokenize is
+    * VOCABULARY-bounded, never corpus-bounded — words aggregate to a
+    * distinct-word table (Heaps-law growth), candidate generation and
+    * the DP both run in-array per distinct word, and corpus counts
+    * re-enter only as multiplicities. The DP is one codegen'd
+    * `aggregate` fold per word: position i's cell is the max over the
+    * ≤4 admissible predecessors of dp[j] + logp(piece(j+1..i)),
+    * carrying (value, backpointer) structs in the accumulator array
+    * (single chars are always in vocab, so every position is
+    * reachable); a second fold walks the backpointers to emit the
+    * argmax segmentation. Tie-break pinned: equal path scores prefer
+    * the LONGEST piece (min j), encoded as max over (v, -(s-1))
+    * structs here and `first(s-1 ORDER BY v DESC, s)` in the oracle.
+    * The top-200 multi-char piece carve and the final top-20 both ride
+    * [[Skew.twoPhaseTopK]], so no window ever sees the unbounded piece
+    * stream; the oracle replays the identical DP as a recursive CTE
+    * (list state indexed by correlated subquery, NOT list lambdas —
+    * the DuckDB 1.0.0 recursive-lambda corruption from the
+    * q_pack_waste work applies here too). */
+  /** Shared unigram-LM pipeline: (wordMap, scores). `wordMap` is the
+    * distinct-word table with corpus count `c` and the word's own
+    * piece→logp map `m` (only vocab pieces the word contains — ≤ 4 ×
+    * word length entries); `scores` is the pruned-vocab score table.
+    * Both ckpt'd/derived so the corpus parquet is scanned once. */
+  private def uniPipeline(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val words = T.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+      .ckpt()
+    val pieceArr = expr(
+      """flatten(transform(sequence(1, length(w)), i ->
+        |  filter(transform(array(1, 2, 3, 4), l ->
+        |    IF(i + l - 1 <= length(w), substring(w, i, l), NULL)),
+        |    x -> x IS NOT NULL)))""".stripMargin)
+    val occ = words.select($"w", $"c", explode(pieceArr).as("p"))
+    val freq = occ.groupBy($"p").agg(sum($"c").as("f")).ckpt()
+    val top = Skew.twoPhaseTopK(freq.filter(length($"p") > 1), Seq(),
+        Seq(desc("f"), asc("p")), k = 200, rankName = "__r")
+      .drop("__r")
+    val vocab = freq.filter(length($"p") === 1).unionByName(top)
+    val fTot = vocab.agg(sum($"f").as("ftot"))
+    val scores = vocab.crossJoin(broadcast(fTot))
+      .select($"p", log($"f" / $"ftot").as("lp"))
+      .ckpt()
+    val wordMap = occ.select($"w", $"p").distinct()
+      .join(broadcast(scores), Seq("p"))
+      .groupBy($"w")
+      .agg(map_from_entries(collect_list(struct($"p", $"lp"))).as("m"))
+      .join(words, Seq("w"))
+    (wordMap, scores)
+  }
+
+  /** The unigram DP's input relation (distinct words + their piece
+    * maps) — exposed so ScaleSpec can pin that the per-word DP volume
+    * is vocabulary-bounded, not corpus-bounded. */
+  private[graft] def unigramDpWords(spark: SparkSession, dir: String): DataFrame =
+    uniPipeline(spark, dir)._1
+
+  /** Viterbi DP fold over one word: array of (v, j) structs, element k
+    * = best path score for the k-1-char prefix and the NEGATED
+    * backpointer that achieved it. `lookup(piece)` supplies the score
+    * expression so the prune variant can knock one piece out. */
+  private def uniStFold(lookup: String => String): String =
+    s"""aggregate(
+       |  sequence(1, length(w)),
+       |  array(named_struct('v', CAST(0.0 AS DOUBLE), 'j', 0)),
+       |  (acc, i) -> array_append(acc,
+       |    array_max(transform(sequence(greatest(1, i - 3), i), s ->
+       |      named_struct(
+       |        'v', element_at(acc, s).v +
+       |          coalesce(${lookup("substring(w, s, i - s + 1)")},
+       |                   CAST(-1e18 AS DOUBLE)),
+       |        'j', -(s - 1))))))""".stripMargin
+
+  private val uniBaseLookup: String => String =
+    piece => s"element_at(m, $piece)"
+
+  /** Backtrack fold: walks `st`'s negated backpointers from the last
+    * position down and emits the argmax segmentation's pieces. */
+  private val uniPsFold: String =
+    """aggregate(
+      |  sequence(length(w), 1, -1),
+      |  named_struct('cur', length(w), 'ps', CAST(array() AS ARRAY<STRING>)),
+      |  (acc, i) -> IF(i = acc.cur,
+      |    named_struct(
+      |      'cur', -element_at(st, i + 1).j,
+      |      'ps', array_append(acc.ps,
+      |        substring(w, -element_at(st, i + 1).j + 1,
+      |                  i + element_at(st, i + 1).j))),
+      |    acc),
+      |  acc -> acc.ps)""".stripMargin
+
+  def qUnigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (wordMap, scores) = uniPipeline(spark, dir)
+    val segs = wordMap
+      .withColumn("st", expr(uniStFold(uniBaseLookup)))
+      .withColumn("ps", expr(uniPsFold))
+      .select($"c", explode($"ps").as("p"))
+    val usage = segs.groupBy($"p").agg(sum($"c").as("usage"))
+    Skew.twoPhaseTopK(usage, Seq(), Seq(desc("usage"), asc("p")), k = 20,
+        rankName = "rank")
+      .join(broadcast(scores), Seq("p"))
+      .select($"rank".cast("long").as("rank"), $"p".as("piece"), $"usage",
+        round($"lp", 4).as("logp"))
+      .orderBy($"rank")
+  }
+
+  /** The prune half of the unigram-LM training iteration: for the
+    * top-10 multi-char pieces by Viterbi usage, the corpus
+    * negative-log-likelihood INCREASE if that piece were removed from
+    * the vocabulary — SentencePiece's prune criterion (it drops the
+    * pieces whose removal costs least; single chars are never
+    * candidates because they guarantee segmentability). Each
+    * (word, piece) pair re-runs the SAME Viterbi fold with that one
+    * piece's score knocked out (the `lookup` parameter of
+    * [[uniStFold]]); pairs exist only where the word's own piece map
+    * contains the piece, so the re-DP volume is (words containing a
+    * top piece) x 10, vocabulary-bounded like everything else here. A
+    * zero nll_gain is the algorithm's real signal — the piece has an
+    * equal-cost alternative segmentation and would be pruned first
+    * (the fixture's "co"/"lumn" pair re-segments as "colu"+"mn" at
+    * identical cost). */
+  def qUnigramPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (wordMap, _) = uniPipeline(spark, dir)
+    val base = wordMap
+      .withColumn("st", expr(uniStFold(uniBaseLookup)))
+      .withColumn("nll0", expr("element_at(st, length(w) + 1).v"))
+      .withColumn("ps", expr(uniPsFold))
+      .drop("st")
+      .ckpt()
+    val usage = base.select($"c", explode($"ps").as("p"))
+      .groupBy($"p").agg(sum($"c").as("usage"))
+    val top10 = Skew.twoPhaseTopK(usage.filter(length($"p") > 1), Seq(),
+      Seq(desc("usage"), asc("p")), k = 10, rankName = "rank")
+    val pruneLookup: String => String = piece =>
+      s"IF($piece = rp, CAST(NULL AS DOUBLE), element_at(m, $piece))"
+    val pairs = base
+      .select($"w", $"c", $"m", $"nll0", explode(map_keys($"m")).as("rp"))
+      .join(broadcast(top10.select($"p".as("rp"))), Seq("rp"))
+      .withColumn("st1", expr(uniStFold(pruneLookup)))
+      .select($"rp", ($"c" * ($"nll0" - expr("element_at(st1, length(w) + 1).v")))
+        .as("gain"))
+    pairs.groupBy($"rp").agg(sum($"gain").as("g"))
+      .join(broadcast(top10), $"rp" === $"p")
+      .select($"rank".cast("long").as("rank"), $"p".as("piece"), $"usage",
+        round($"g", 4).as("nll_gain"))
+      .orderBy($"rank")
+  }
+
+  val qUnigramPruneSql: String =
+    """WITH RECURSIVE tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |words AS MATERIALIZED (SELECT w, count(*)::BIGINT AS c FROM tok WHERE len(w) > 0 GROUP BY w),
+      |pos AS (SELECT w, c, unnest(range(1, len(w) + 1)) AS i FROM words),
+      |pieces AS (SELECT w, c, substr(w, i, L) AS p
+      |  FROM pos CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS L) ls
+      |  WHERE i + L - 1 <= len(w)),
+      |freq AS (SELECT p, CAST(sum(c) AS BIGINT) AS f FROM pieces GROUP BY p),
+      |vocab AS (SELECT p, f FROM freq WHERE len(p) = 1
+      |  UNION ALL
+      |  SELECT p, f FROM (SELECT p, f FROM freq WHERE len(p) > 1 ORDER BY f DESC, p LIMIT 200)),
+      |sc AS MATERIALIZED (SELECT p, ln(f::DOUBLE / (SELECT sum(f) FROM vocab)) AS lp FROM vocab),
+      |wm AS MATERIALIZED (SELECT wp.w, map(list(wp.p ORDER BY wp.p), list(sc.lp ORDER BY wp.p)) AS m
+      |  FROM (SELECT DISTINCT w, p FROM pieces) wp JOIN sc ON sc.p = wp.p
+      |  GROUP BY wp.w),
+      |walk(w, i, dp, bp) AS (
+      |  SELECT w, 0::BIGINT, [0.0]::DOUBLE[], [0]::BIGINT[] FROM wm
+      |  UNION ALL
+      |  SELECT r.w, r.i + 1,
+      |    list_append(r.dp, (SELECT max(t.dpv + coalesce(map_extract(wm.m, substr(r.w, t.s, r.i + 2 - t.s))[1], -1e18))
+      |       FROM (SELECT unnest(r.dp) AS dpv, generate_subscripts(r.dp, 1) AS s) t
+      |       WHERE t.s >= greatest(1, r.i - 2))),
+      |    list_append(r.bp, (SELECT first(t.s - 1 ORDER BY t.dpv + coalesce(map_extract(wm.m, substr(r.w, t.s, r.i + 2 - t.s))[1], -1e18) DESC, t.s)
+      |       FROM (SELECT unnest(r.dp) AS dpv, generate_subscripts(r.dp, 1) AS s) t
+      |       WHERE t.s >= greatest(1, r.i - 2)))
+      |  FROM walk r JOIN wm ON wm.w = r.w
+      |  WHERE r.i < len(r.w)),
+      |done AS MATERIALIZED (SELECT w, dp, bp, dp[len(w) + 1] AS nll0 FROM walk WHERE i = len(w)),
+      |bt(w, cur, piece) AS (
+      |  SELECT w, len(w)::BIGINT, NULL::VARCHAR FROM done
+      |  UNION ALL
+      |  SELECT b.w, d.bp[b.cur + 1],
+      |    substr(b.w, d.bp[b.cur + 1] + 1, b.cur - d.bp[b.cur + 1])
+      |  FROM bt b JOIN done d ON d.w = b.w
+      |  WHERE b.cur > 0),
+      |usage AS (SELECT piece AS p, CAST(sum(c) AS BIGINT) AS usage
+      |  FROM bt JOIN words ON words.w = bt.w
+      |  WHERE piece IS NOT NULL GROUP BY piece),
+      |t10 AS MATERIALIZED (SELECT p, usage, row_number() OVER (ORDER BY usage DESC, p) AS rank
+      |  FROM usage WHERE len(p) > 1 QUALIFY rank <= 10),
+      |prs AS MATERIALIZED (SELECT wm.w, t10.p AS rp FROM wm JOIN t10 ON list_contains(map_keys(wm.m), t10.p)),
+      |walk2(w, rp, i, dp) AS (
+      |  SELECT w, rp, 0::BIGINT, [0.0]::DOUBLE[] FROM prs
+      |  UNION ALL
+      |  SELECT r.w, r.rp, r.i + 1,
+      |    list_append(r.dp, (SELECT max(t.dpv + coalesce(
+      |         CASE WHEN substr(r.w, t.s, r.i + 2 - t.s) = r.rp THEN NULL
+      |              ELSE map_extract(wm.m, substr(r.w, t.s, r.i + 2 - t.s))[1] END, -1e18))
+      |       FROM (SELECT unnest(r.dp) AS dpv, generate_subscripts(r.dp, 1) AS s) t
+      |       WHERE t.s >= greatest(1, r.i - 2)))
+      |  FROM walk2 r JOIN wm ON wm.w = r.w
+      |  WHERE r.i < len(r.w)),
+      |fin2 AS (SELECT w, rp, dp[len(w) + 1] AS v1 FROM walk2 WHERE i = len(w))
+      |SELECT t10.rank AS rank, t10.p AS piece, t10.usage,
+      |  round(sum(words.c * (done.nll0 - fin2.v1)), 4) AS nll_gain
+      |FROM fin2 JOIN done ON done.w = fin2.w
+      |  JOIN words ON words.w = fin2.w
+      |  JOIN t10 ON t10.p = fin2.rp
+      |GROUP BY 1, 2, 3 ORDER BY rank""".stripMargin
+
+  val qUnigramLmSql: String =
+    """WITH RECURSIVE tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |words AS MATERIALIZED (SELECT w, count(*)::BIGINT AS c FROM tok WHERE len(w) > 0 GROUP BY w),
+      |pos AS (SELECT w, c, unnest(range(1, len(w) + 1)) AS i FROM words),
+      |pieces AS (SELECT w, c, substr(w, i, L) AS p
+      |  FROM pos CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS L) ls
+      |  WHERE i + L - 1 <= len(w)),
+      |freq AS (SELECT p, CAST(sum(c) AS BIGINT) AS f FROM pieces GROUP BY p),
+      |vocab AS (SELECT p, f FROM freq WHERE len(p) = 1
+      |  UNION ALL
+      |  SELECT p, f FROM (SELECT p, f FROM freq WHERE len(p) > 1 ORDER BY f DESC, p LIMIT 200)),
+      |sc AS MATERIALIZED (SELECT p, ln(f::DOUBLE / (SELECT sum(f) FROM vocab)) AS lp FROM vocab),
+      |wm AS MATERIALIZED (SELECT wp.w, map(list(wp.p ORDER BY wp.p), list(sc.lp ORDER BY wp.p)) AS m
+      |  FROM (SELECT DISTINCT w, p FROM pieces) wp JOIN sc ON sc.p = wp.p
+      |  GROUP BY wp.w),
+      |walk(w, i, dp, bp) AS (
+      |  SELECT w, 0::BIGINT, [0.0]::DOUBLE[], [0]::BIGINT[] FROM wm
+      |  UNION ALL
+      |  SELECT r.w, r.i + 1,
+      |    list_append(r.dp, (SELECT max(t.dpv + coalesce(map_extract(wm.m, substr(r.w, t.s, r.i + 2 - t.s))[1], -1e18))
+      |       FROM (SELECT unnest(r.dp) AS dpv, generate_subscripts(r.dp, 1) AS s) t
+      |       WHERE t.s >= greatest(1, r.i - 2))),
+      |    list_append(r.bp, (SELECT first(t.s - 1 ORDER BY t.dpv + coalesce(map_extract(wm.m, substr(r.w, t.s, r.i + 2 - t.s))[1], -1e18) DESC, t.s)
+      |       FROM (SELECT unnest(r.dp) AS dpv, generate_subscripts(r.dp, 1) AS s) t
+      |       WHERE t.s >= greatest(1, r.i - 2)))
+      |  FROM walk r JOIN wm ON wm.w = r.w
+      |  WHERE r.i < len(r.w)),
+      |done AS MATERIALIZED (SELECT w, dp, bp FROM walk WHERE i = len(w)),
+      |bt(w, cur, piece) AS (
+      |  SELECT w, len(w)::BIGINT, NULL::VARCHAR FROM done
+      |  UNION ALL
+      |  SELECT b.w, d.bp[b.cur + 1],
+      |    substr(b.w, d.bp[b.cur + 1] + 1, b.cur - d.bp[b.cur + 1])
+      |  FROM bt b JOIN done d ON d.w = b.w
+      |  WHERE b.cur > 0),
+      |usage AS (SELECT piece AS p, CAST(sum(c) AS BIGINT) AS usage
+      |  FROM bt JOIN words ON words.w = bt.w
+      |  WHERE piece IS NOT NULL GROUP BY piece)
+      |SELECT row_number() OVER (ORDER BY usage DESC, u.p) AS rank, u.p AS piece,
+      |  u.usage, round(sc.lp, 4) AS logp
+      |FROM usage u JOIN sc ON sc.p = u.p
+      |ORDER BY usage DESC, u.p LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_unigram_lm", qUnigramLm, Some(qUnigramLmSql)),
+    QueryDef("q_unigram_prune", qUnigramPrune, Some(qUnigramPruneSql)),
     QueryDef("q_good_turing", qGoodTuring, Some(qGoodTuringSql)),
     QueryDef("q_heaps_law", qHeapsLaw, Some(qHeapsLawSql)),
     QueryDef("q_source_jaccard", qSourceJaccard, Some(qSourceJaccardSql)),

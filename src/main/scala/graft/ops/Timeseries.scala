@@ -1325,7 +1325,105 @@ object Timeseries extends QueryFamily {
       |SELECT m, n_blocks, round(mean_rs, 4) AS mean_rs, round(hurst, 4) AS hurst
       |FROM rs, fit ORDER BY m""".stripMargin
 
+  /** Holt-Winters triple exponential smoothing (additive, m = 7) over
+    * the daily revenue series — the seasonal upgrade of
+    * [[qBrownSmoothing]]'s level+trend model: level, trend, and a
+    * 7-slot day-of-week seasonal state, classic init (first-week mean,
+    * week-1→week-2 trend, week-1 deviations), recursion from day 8
+    * with α=0.3 β=0.1 γ=0.2, plus the one-step-ahead in-sample MAE
+    * (error taken BEFORE each update — the honest forecast error) and
+    * a 3-day-ahead forecast. Facts reduce to the O(days) daily grain
+    * FIRST (one hash aggregate); the sequential recurrence then runs
+    * as ONE in-array fold over the collected daily series — bounded by
+    * study duration, never SF — carrying (level, trend, seasonal[7],
+    * abs-err, n) through the accumulator. The smoothed-level recurrence
+    * appears textually duplicated inside the trend/seasonal updates
+    * (HOF lambdas have no let-binding); both engines evaluate the same
+    * expression so the doubles agree bit-for-bit. The oracle replays
+    * the identical recursion as a recursive CTE with the seasonal list
+    * rebuilt by slice||[x]||slice — index arithmetic, never a list
+    * lambda over recursive state (the DuckDB 1.0.0 corruption class). */
+  def qHoltWinters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // the new level L_t, referenced by every other update this step
+    val nl = "0.3 * (element_at(ys, t) - element_at(acc.s, ((t - 1) % 7) + 1))" +
+      " + 0.7 * (acc.lev + acc.tr)"
+    val m1 = "aggregate(slice(ys, 1, 7), CAST(0.0 AS DOUBLE), (a, x) -> a + x) / 7.0"
+    val m2 = "aggregate(slice(ys, 8, 7), CAST(0.0 AS DOUBLE), (a, x) -> a + x) / 7.0"
+    val fold = s"""aggregate(
+      |  sequence(8, size(ys)),
+      |  named_struct(
+      |    'lev', $m1,
+      |    'tr', (($m2) - ($m1)) / 7.0,
+      |    's', transform(sequence(1, 7), k -> element_at(ys, k) - ($m1)),
+      |    'ae', CAST(0.0 AS DOUBLE),
+      |    'cnt', CAST(0 AS BIGINT)),
+      |  (acc, t) -> named_struct(
+      |    'lev', $nl,
+      |    'tr', 0.1 * (($nl) - acc.lev) + 0.9 * acc.tr,
+      |    's', transform(sequence(0, 6), k -> IF(k = (t - 1) % 7,
+      |      0.2 * (element_at(ys, t) - ($nl)) + 0.8 * element_at(acc.s, k + 1),
+      |      element_at(acc.s, k + 1))),
+      |    'ae', acc.ae + abs(element_at(ys, t)
+      |      - (acc.lev + acc.tr + element_at(acc.s, ((t - 1) % 7) + 1))),
+      |    'cnt', acc.cnt + 1L))""".stripMargin
+    T.orders(spark, dir)
+      .groupBy(to_date($"o_orderdate").as("d"))
+      .agg(sum($"o_totalprice").cast("double").as("y"))
+      .agg(array_sort(collect_list(struct($"d", $"y"))).as("dy"))
+      .select(expr("transform(dy, x -> x.y)").as("ys"))
+      .select(expr(fold).as("hw"), size($"ys").cast("long").as("n_days"))
+      .select($"n_days",
+        round($"hw.lev", 4).as("level"),
+        round($"hw.tr", 4).as("trend"),
+        round($"hw.ae" / $"hw.cnt", 4).as("mae_1step"),
+        round($"hw.lev" + $"hw.tr" * 1 +
+          expr("element_at(hw.s, CAST(((n_days + 1 - 1) % 7) + 1 AS INT))"), 4).as("fc_1"),
+        round($"hw.lev" + $"hw.tr" * 2 +
+          expr("element_at(hw.s, CAST(((n_days + 2 - 1) % 7) + 1 AS INT))"), 4).as("fc_2"),
+        round($"hw.lev" + $"hw.tr" * 3 +
+          expr("element_at(hw.s, CAST(((n_days + 3 - 1) % 7) + 1 AS INT))"), 4).as("fc_3"))
+  }
+
+  val qHoltWintersSql: String =
+    """WITH RECURSIVE daily AS MATERIALIZED (
+      |  SELECT row_number() OVER (ORDER BY d) AS t, y FROM (
+      |    SELECT o_orderdate::DATE AS d, sum(o_totalprice)::DOUBLE AS y
+      |    FROM orders GROUP BY 1)),
+      |n AS (SELECT max(t)::BIGINT AS n FROM daily),
+      |wk AS (SELECT (SELECT list(y ORDER BY t) FROM daily WHERE t <= 14) AS l),
+      |init AS (SELECT 7::BIGINT AS t,
+      |    (l[1]+l[2]+l[3]+l[4]+l[5]+l[6]+l[7]) / 7.0 AS lev,
+      |    ((l[8]+l[9]+l[10]+l[11]+l[12]+l[13]+l[14]) / 7.0
+      |      - (l[1]+l[2]+l[3]+l[4]+l[5]+l[6]+l[7]) / 7.0) / 7.0 AS tr,
+      |    list_transform(list_slice(l, 1, 7),
+      |      x -> x - (l[1]+l[2]+l[3]+l[4]+l[5]+l[6]+l[7]) / 7.0) AS s,
+      |    0.0::DOUBLE AS ae, 0::BIGINT AS cnt
+      |  FROM wk),
+      |walk(t, lev, tr, s, ae, cnt) AS (
+      |  SELECT t, lev, tr, s, ae, cnt FROM init
+      |  UNION ALL
+      |  SELECT w.t + 1,
+      |    0.3 * (d.y - w.s[((w.t + 1 - 1) % 7) + 1]) + 0.7 * (w.lev + w.tr),
+      |    0.1 * ((0.3 * (d.y - w.s[((w.t + 1 - 1) % 7) + 1]) + 0.7 * (w.lev + w.tr)) - w.lev) + 0.9 * w.tr,
+      |    list_slice(w.s, 1, ((w.t + 1 - 1) % 7) + 1 - 1)
+      |      || [0.2 * (d.y - (0.3 * (d.y - w.s[((w.t + 1 - 1) % 7) + 1]) + 0.7 * (w.lev + w.tr)))
+      |          + 0.8 * w.s[((w.t + 1 - 1) % 7) + 1]]
+      |      || list_slice(w.s, ((w.t + 1 - 1) % 7) + 1 + 1, 7),
+      |    w.ae + abs(d.y - (w.lev + w.tr + w.s[((w.t + 1 - 1) % 7) + 1])),
+      |    w.cnt + 1
+      |  FROM walk w JOIN daily d ON d.t = w.t + 1, n
+      |  WHERE w.t < n.n),
+      |fin AS (SELECT w.*, n.n FROM walk w, n WHERE w.t = n.n)
+      |SELECT n AS n_days, round(lev, 4) AS level, round(tr, 4) AS trend,
+      |  round(ae / cnt, 4) AS mae_1step,
+      |  round(lev + 1 * tr + s[((n + 1 - 1) % 7) + 1], 4) AS fc_1,
+      |  round(lev + 2 * tr + s[((n + 2 - 1) % 7) + 1], 4) AS fc_2,
+      |  round(lev + 3 * tr + s[((n + 3 - 1) % 7) + 1], 4) AS fc_3
+      |FROM fin""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_holt_winters", qHoltWinters, Some(qHoltWintersSql)),
     QueryDef("q_mase", qMase, Some(qMaseSql)),
     QueryDef("q_pacf", qPacf, Some(qPacfSql)),
     QueryDef("q_ljung_box", qLjungBox, Some(qLjungBoxSql)),

@@ -295,6 +295,49 @@ object Stateful {
       .transformWithState(new TotalsProcessor, TimeMode.None(), OM.Update())
   }
 
+  case class PatEvent(user_id: Long, ts_us: Long, event_type: String)
+  case class PatState(lastView: Long, viewAtClick: Long, lastClick: Long,
+      lastError: Long, nPurch: Long, nMatch: Long)
+  case class PatCounts(user_id: Long, n_purchases: Long, n_matched: Long)
+
+  /** Streaming deployment twin of the MATCH_RECOGNIZE-style batch
+    * operator [[graft.ops.Analytics.qPatternMatch]]: the
+    * view → click → purchase-with-no-error-since-the-view detector as
+    * incremental per-user state. The batch form keeps three running
+    * maxima per user; the streaming form carries exactly those (plus
+    * the view-at-last-click snapshot, which the batch side recovers by
+    * joining back to the click row) as O(1) state per user — no event
+    * history is ever stored, so state is |users|-bounded. Events must
+    * arrive in event-time order per user ACROSS triggers (the group
+    * iterator is sorted within each trigger here; a deployment pairs
+    * this with watermark-ordered upstream delivery, the same contract
+    * q_stream_neardup documents). -1 encodes "never seen". */
+  def patternCounts(events: Dataset[PatEvent]): Dataset[PatCounts] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[PatState, PatCounts](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[PatEvent], state: GroupState[PatState]) =>
+          var s = state.getOption
+            .getOrElse(PatState(-1L, -1L, -1L, -1L, 0L, 0L))
+          batch.toSeq.sortBy(e => (e.ts_us, e.event_type)).foreach { e =>
+            e.event_type match {
+              case "view" => s = s.copy(lastView = e.ts_us)
+              case "click" =>
+                s = s.copy(viewAtClick = s.lastView, lastClick = e.ts_us)
+              case "purchase" =>
+                val ok = s.lastClick >= 0L && s.viewAtClick >= 0L &&
+                  (s.lastError < 0L || s.lastError < s.viewAtClick)
+                s = s.copy(nPurch = s.nPurch + 1L,
+                  nMatch = s.nMatch + (if (ok) 1L else 0L))
+              case "error" => s = s.copy(lastError = e.ts_us)
+              case _ => ()
+            }
+          }
+          state.update(s)
+          PatCounts(uid, s.nPurch, s.nMatch)
+      }
+  }
+
   /** Running per-user totals, updated every trigger. */
   def runningTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
     import events.sparkSession.implicits._

@@ -321,6 +321,29 @@ class CurationSpec extends AnyFunSuite {
     leaks.foreach(r => assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
   }
 
+  test("data card: one row per source, masses add up, entropy bounded by the lang space") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Curation.qDataCard(spark, sf).collect()
+    val docs = ops.T.documents(spark, sf)
+    assert(rows.length === docs.select("source").distinct().count().toInt)
+    val totalDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(totalDocs === docs.count())
+    val totalTok = rows.map(_.getAs[Long]("tokens")).sum
+    val expectTok = docs.select(sum(size(split(col("text"), " ")).cast("long")))
+      .collect().head.getLong(0)
+    assert(totalTok === expectTok)
+    val nLangs = docs.select("lang").distinct().count()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_quality") > 0.0 &&
+        r.getAs[Double]("avg_quality") <= 1.0)
+      val ds = r.getAs[Double]("dup_share")
+      assert(ds >= 0.0 && ds <= 1.0)
+      val h = r.getAs[Double]("lang_entropy")
+      assert(h >= -1e-9 && h <= math.log(nLangs.toDouble) + 1e-9,
+        s"entropy $h outside [0, ln($nLangs)]")
+    }
+  }
+
   test("semantic decontamination: every train vector reported once, flags are the 3-sigma tail") {
     val rows = ops.Curation.qContaminationSemantic(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -417,4 +417,76 @@ class DedupTextSpec extends AnyFunSuite {
         s"en row's argmax is ${best.getAs[String]("pred_lang")}")
     }
   }
+
+  test("unigram LM step: engine top-20 equals a driver-side Viterbi replay") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Text.qUnigramLm(spark, sf).collect()
+    assert(rows.length === 20)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq === (1L to 20L))
+    rows.foreach { r =>
+      val p = r.getAs[String]("piece")
+      assert(p.nonEmpty && p.length <= 4)
+      assert(r.getAs[Long]("usage") > 0L)
+      assert(r.getAs[Double]("logp") < 0.0)
+    }
+    // independent replay of the full estimator on the driver: the
+    // distinct-word table is vocabulary-bounded, so collecting it is
+    // legitimate in a test (never in the operator)
+    val words = ops.T.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count().collect()
+      .map(r => r.getAs[String]("w") -> r.getAs[Long]("count")).toMap
+    val freq = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for ((w, c) <- words; i <- 0 until w.length; l <- 1 to 4
+         if i + l <= w.length)
+      freq(w.substring(i, i + l)) += c
+    val chars = freq.filter(_._1.length == 1)
+    val top = freq.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, f) => (-f, p) }.take(200)
+    val vocab = (chars.toSeq ++ top).toMap
+    val fTot = vocab.values.sum.toDouble
+    val lp = vocab.map { case (p, f) => p -> math.log(f / fTot) }
+    val usage = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for ((w, c) <- words) {
+      val n = w.length
+      val dp = Array.fill(n + 1)(Double.NegativeInfinity); dp(0) = 0.0
+      val bp = Array.fill(n + 1)(0)
+      for (i <- 1 to n; j <- math.max(0, i - 4) until i) {
+        val piece = w.substring(j, i)
+        lp.get(piece).foreach { s =>
+          // strict > : ties keep the earlier (smaller) j = longer piece
+          if (dp(j) + s > dp(i)) { dp(i) = dp(j) + s; bp(i) = j }
+        }
+      }
+      var cur = n
+      while (cur > 0) { usage(w.substring(bp(cur), cur)) += c; cur = bp(cur) }
+    }
+    val expected = usage.toSeq.sortBy { case (p, u) => (-u, p) }.take(20)
+      .zipWithIndex.map { case ((p, u), i) => (i + 1L, p, u) }
+    val got = rows.map(r => (r.getAs[Long]("rank"), r.getAs[String]("piece"),
+      r.getAs[Long]("usage"))).toSeq
+    assert(got === expected)
+  }
+
+  test("unigram prune: gains non-negative, zero exactly when an equal-cost segmentation exists") {
+    val rows = ops.Text.qUnigramPrune(spark, sf).collect()
+    assert(rows.length === 10)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq === (1L to 10L))
+    rows.foreach { r =>
+      assert(r.getAs[String]("piece").length > 1, "single chars are never prune candidates")
+      assert(r.getAs[Long]("usage") > 0L)
+      assert(r.getAs[Double]("nll_gain") >= -1e-6,
+        s"removing a piece cannot improve the corpus likelihood: ${r.getAs[String]("piece")}")
+    }
+    // usage ordering matches the unigram step's own multi-char ranking
+    val lm = ops.Text.qUnigramLm(spark, sf).collect()
+      .filter(_.getAs[String]("piece").length > 1)
+      .map(r => r.getAs[String]("piece") -> r.getAs[Long]("usage")).toMap
+    rows.foreach { r =>
+      val p = r.getAs[String]("piece")
+      if (lm.contains(p)) assert(lm(p) === r.getAs[Long]("usage"),
+        s"usage for $p must agree between the step and the prune audit")
+    }
+  }
 }

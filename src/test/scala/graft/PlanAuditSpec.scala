@@ -201,7 +201,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_contamination_semantic",
     // 1-row corpus-params build (n, n_src, mix, shard count) joined
     // onto the map-side shard assignment
-    "q_shard_mix_audit")
+    "q_shard_mix_audit",
+    // 1-row vocab-mass normalizer broadcast onto the piece scores
+    "q_unigram_lm", "q_unigram_prune")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
@@ -261,6 +263,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_log_rank" -> "O(hours) duration grid",
     // two-phase top-100 survivors (k x |parts| rows max)
     "q_kendall_tau" -> "top-100 ranked survivors",
+    // two-phase top-200 piece carve + top-20 usage survivors
+    "q_unigram_lm" -> "two-phase top-k survivors (k x |parts| rows max)",
+    "q_unigram_prune" -> "two-phase top-k survivors (k x |parts| rows max)",
     // rank assignment over the two 20-row retrieval lists
     "q_rrf_fusion" -> "top-20 retrieval lists",
     // cumulative shares over the $100-bucketed value grid (<=6k rows)
@@ -400,7 +405,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_sq_recall" -> "collect_list of the 64-row per-dimension min/max stats (dim-bounded)",
     "q_pack_waste" -> "collect_list of one 100-doc bucket's (doc_id, n_tok) pairs (bucket-bounded by construction)",
     "q_pack_waste_ffd" -> "collect_list of one 100-doc bucket's token counts (bucket-bounded by construction)",
-    "q_shard_mix_audit" -> "collect_list of per-source counts into the 1-row params map (|sources|-bounded)")
+    "q_shard_mix_audit" -> "collect_list of per-source counts into the 1-row params map (|sources|-bounded)",
+    "q_unigram_lm" -> "collect_list of one word's vocab pieces into its score map (<= 4 x word length)",
+    "q_unigram_prune" -> "collect_list of one word's vocab pieces into its score map (<= 4 x word length)",
+    "q_holt_winters" -> "collect_list of the O(days) daily grain into the smoothing fold (study-duration-bounded)")
 
   test("no registered query buffers group values (exact percentile / collect) over an unbounded input") {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet, Percentile}

@@ -229,6 +229,18 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("unigram-LM DP volume is vocabulary-bounded, not corpus-bounded") {
+    // 10x the corpus must not mean 10x the Viterbi work: the DP runs
+    // once per DISTINCT word (Heaps-law growth; the fixture dictionary
+    // is flat), with corpus counts re-entering only as multiplicities.
+    val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val docs = dirs.map(d => spark.read.parquet(s"$d/documents.parquet").count())
+    assert(docs(1).toDouble / docs(0) >= 5.0, s"fixtures no longer differ: $docs")
+    val words = dirs.map(d => ops.Text.unigramDpWords(spark, d).count())
+    assert(words(1).toDouble / words(0) <= 2.0,
+      s"unigram DP input grew with the corpus: $words for doc growth ${docs(1).toDouble / docs(0)}")
+  }
+
   test("incremental kNN-graph recompute work tracks the delta, not the corpus") {
     // q_knn_graph_delta re-ranks only sources that can SEE an inserted
     // vector (a delta bucket among their hamming<=1 probe buckets).

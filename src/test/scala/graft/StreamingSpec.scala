@@ -214,6 +214,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pattern detection as incremental per-user state matches the batch operator") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ev = ops.T.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_type")
+      .orderBy("ts_us", "event_type").collect()
+      .map(r => graft.streaming.Stateful.PatEvent(
+        r.getLong(0), r.getLong(1), r.getString(2)))
+    val ms = MemoryStream[graft.streaming.Stateful.PatEvent]
+    val out = graft.streaming.Stateful.patternCounts(ms.toDS())
+    val q = out.writeStream.format("memory").queryName("pat_out")
+      .outputMode("update").start()
+    try {
+      // three time-ordered triggers: state must carry the pattern
+      // across micro-batch boundaries
+      ev.grouped(ev.length / 3 + 1).foreach { chunk =>
+        ms.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+      val got = spark.table("pat_out").groupBy($"user_id")
+        .agg(max($"n_purchases").as("p"), max($"n_matched").as("m"))
+        .filter($"p" > 0).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("p"),
+          r.getAs[Long]("m"))).toSet
+      val batch = ops.Analytics.qPatternMatch(spark, sf).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_purchases"),
+          r.getAs[Long]("n_matched"))).toSet
+      assert(got === batch, "streaming pattern counts must equal the batch operator")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink is idempotent under batch replay") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -506,4 +506,35 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(r.getAs[Double]("q") >= 0.0)
     assert(r.getAs[Long]("n") > 14)
   }
+
+  test("holt-winters: engine recursion equals a driver-side replay, forecasts use the right slots") {
+    import org.apache.spark.sql.functions._
+    val r = ops.Timeseries.qHoltWinters(spark, sf).collect().head
+    val ys = ops.T.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice")).cast("double").as("y"))
+      .orderBy("d").collect().map(_.getAs[Double]("y"))
+    val n = ys.length
+    assert(r.getAs[Long]("n_days") === n.toLong)
+    // replay: classic init from the first two weeks, recursion from day 8
+    val m1 = ys.take(7).foldLeft(0.0)(_ + _) / 7.0
+    val m2 = ys.slice(7, 14).foldLeft(0.0)(_ + _) / 7.0
+    var lev = m1; var tr = (m2 - m1) / 7.0
+    val s = Array.tabulate(7)(k => ys(k) - m1)
+    var ae = 0.0
+    for (t <- 8 to n) {
+      val idx = (t - 1) % 7
+      ae += math.abs(ys(t - 1) - (lev + tr + s(idx)))
+      val nl = 0.3 * (ys(t - 1) - s(idx)) + 0.7 * (lev + tr)
+      val ntr = 0.1 * (nl - lev) + 0.9 * tr
+      s(idx) = 0.2 * (ys(t - 1) - nl) + 0.8 * s(idx)
+      lev = nl; tr = ntr
+    }
+    def rd(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("level") === rd(lev))
+    assert(r.getAs[Double]("trend") === rd(tr))
+    assert(r.getAs[Double]("mae_1step") === rd(ae / (n - 7)))
+    for (h <- 1 to 3)
+      assert(r.getAs[Double](s"fc_$h") === rd(lev + h * tr + s((n + h - 1) % 7)))
+  }
 }
