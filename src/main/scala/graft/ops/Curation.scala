@@ -1413,7 +1413,11 @@ object Curation extends QueryFamily {
     * top_share 1.0 — the gap is what the shuffle buys. Shard count is
     * corpus-scaled (one per ~50 docs, clamped to [4, 64]); everything
     * is a map-side shard assignment plus two bounded hash aggregates,
-    * so the audit costs one corpus scan at any SF. */
+    * so the audit costs one corpus scan at any SF. The sorted regime
+    * allocates floor(S/n_src) shards per source (min 1), so when
+    * n_src > S its shard COUNT exceeds S — deliberate: the regime
+    * models one-shard-chain-per-source exports, and each regime
+    * reports its own shard universe. */
   def qShardMixAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = T.documents(spark, dir)

@@ -1154,7 +1154,80 @@ object Stats extends QueryFamily {
       |    ((0.02 * mean_c) * (0.02 * mean_c))) AS BIGINT) AS powered
       |FROM v""".stripMargin
 
+  /** Group-sequential A/B monitoring — the peeking-safe companion to
+    * [[qAbTest]]'s fixed-horizon read: per day, the CUMULATIVE pooled
+    * two-proportion z between the user_id%2 arms next to an
+    * O'Brien-Fleming-SHAPED boundary z(t) = 1.96/√t (t = information
+    * fraction, normalized so the final look sits at 1.96). The shape is
+    * the audit's point — early looks demand overwhelming evidence,
+    * late looks converge to the fixed-horizon cut; a production
+    * deployment re-scales the constant by Lan-DeMets alpha spending
+    * for its actual look schedule (daily looks at C=1.96 spend more
+    * than 0.05 overall — documented, not hidden). Facts reduce to the
+    * per-(day, arm) grain in one hash aggregate; cumulative sums ride
+    * an arm-keyed window over O(days) rows; the final-look total is a
+    * 1-row broadcast. Every z input is an exact integer count, so the
+    * doubles agree bit-for-bit across engines. */
+  def qSequentialTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = T.events(spark, dir)
+      .select(($"user_id" % 2).as("arm"),
+        when($"event_type" === "purchase", 1L).otherwise(0L).as("succ"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy($"day", $"arm")
+      .agg(count(lit(1)).as("n"), sum($"succ").as("x"))
+    val w = Window.partitionBy($"arm").orderBy($"day")
+    val cum = daily.select($"day", $"arm",
+      sum($"n").over(w).as("cn"), sum($"x").over(w).as("cx"))
+    val a = cum.filter($"arm" === 0)
+      .select($"day", $"cn".as("na"), $"cx".as("xa"))
+    val b = cum.filter($"arm" === 1)
+      .select($"day".as("day_b"), $"cn".as("nb"), $"cx".as("xb"))
+    val wide = a.join(b, $"day" === $"day_b").drop("day_b").ckpt()
+    val tot = wide.agg(max($"na" + $"nb").as("ntot"))
+    val p = ($"xa" + $"xb").cast("double") / ($"na" + $"nb")
+    val zv = ($"xa".cast("double") / $"na" - $"xb".cast("double") / $"nb") /
+      sqrt(p * (lit(1.0) - p) * (lit(1.0) / $"na" + lit(1.0) / $"nb"))
+    val frac = ($"na" + $"nb").cast("double") / $"ntot"
+    wide.crossJoin(broadcast(tot))
+      .select($"day", ($"na" + $"nb").as("n"), round(zv, 4).as("z"),
+        // 6dp, not 4: info_frac is an exact multiple of 1/ntot, which at
+        // round fixture sizes can sit ON a 4dp half boundary (60025/1e5 =
+        // 0.60025) where HALF_UP and binary-double rounding disagree; the
+        // 6dp grid is never within double error of a boundary for these
+        // ratios
+        round(frac, 6).as("info_frac"),
+        round(lit(1.96) / sqrt(frac), 4).as("obf_bound"),
+        (abs(zv) > lit(1.96) / sqrt(frac)).as("crossed"))
+      .orderBy($"day")
+  }
+
+  val qSequentialTestSql: String =
+    """WITH e AS (SELECT user_id % 2 AS arm, (event_type = 'purchase')::INT AS succ,
+      |    (epoch_ns(ts) // 1000 // 86400000000)::BIGINT AS day FROM events),
+      |daily AS (SELECT day, arm, count(*) AS n, CAST(sum(succ) AS BIGINT) AS x
+      |  FROM e GROUP BY 1, 2),
+      |cum AS (SELECT day, arm,
+      |    sum(n) OVER (PARTITION BY arm ORDER BY day) AS cn,
+      |    sum(x) OVER (PARTITION BY arm ORDER BY day) AS cx
+      |  FROM daily),
+      |wide AS (SELECT a.day, a.cn AS na, a.cx AS xa, b.cn AS nb, b.cx AS xb
+      |  FROM cum a JOIN cum b ON a.day = b.day AND a.arm = 0 AND b.arm = 1),
+      |tot AS (SELECT max(na + nb) AS ntot FROM wide),
+      |z AS (SELECT day, na, xa, nb, xb,
+      |    (xa::DOUBLE / na - xb::DOUBLE / nb) /
+      |      sqrt(((xa + xb)::DOUBLE / (na + nb)) * (1.0 - (xa + xb)::DOUBLE / (na + nb))
+      |           * (1.0 / na + 1.0 / nb)) AS zval,
+      |    (na + nb)::DOUBLE / ntot AS frac
+      |  FROM wide, tot)
+      |SELECT day, CAST(na + nb AS BIGINT) AS n, round(zval, 4) AS z,
+      |  round(frac, 6) AS info_frac,
+      |  round(1.96 / sqrt(frac), 4) AS obf_bound,
+      |  (abs(zval) > 1.96 / sqrt(frac)) AS crossed
+      |FROM z ORDER BY day""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_sequential_test", qSequentialTest, Some(qSequentialTestSql)),
     QueryDef("q_srm_check", qSrmCheck, Some(qSrmCheckSql)),
     QueryDef("q_power_analysis", qPowerAnalysis, Some(qPowerAnalysisSql)),
     QueryDef("q_jarque_bera", qJarqueBera, Some(qJarqueBeraSql)),

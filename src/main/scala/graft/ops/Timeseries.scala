@@ -1332,7 +1332,12 @@ object Timeseries extends QueryFamily {
     * week-1→week-2 trend, week-1 deviations), recursion from day 8
     * with α=0.3 β=0.1 γ=0.2, plus the one-step-ahead in-sample MAE
     * (error taken BEFORE each update — the honest forecast error) and
-    * a 3-day-ahead forecast. Facts reduce to the O(days) daily grain
+    * a 3-day-ahead forecast. The 7-slot cycle runs on the DENSE
+    * day-index grid (position in the sorted daily series), which
+    * equals calendar day-of-week only while the series has no gaps —
+    * true of the order-date fixtures at every SF; a gapped series
+    * would compose q_gapfill's zero-filled spine first. Facts reduce
+    * to the O(days) daily grain
     * FIRST (one hash aggregate); the sequential recurrence then runs
     * as ONE in-array fold over the collected daily series — bounded by
     * study duration, never SF — carrying (level, trend, seasonal[7],

@@ -203,7 +203,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // onto the map-side shard assignment
     "q_shard_mix_audit",
     // 1-row vocab-mass normalizer broadcast onto the piece scores
-    "q_unigram_lm", "q_unigram_prune")
+    "q_unigram_lm", "q_unigram_prune",
+    // 1-row final-look total broadcast onto the O(days) z table
+    "q_sequential_test")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>

@@ -239,4 +239,29 @@ class StatsSpec extends AnyFunSuite {
       assert(r.getAs[Double]("cooks_d") >= 0.0)
     }
   }
+
+  test("sequential test: OBF boundary decays to the fixed-horizon cut, crossings consistent") {
+    val rows = ops.Stats.qSequentialTest(spark, sf).collect()
+    assert(rows.length > 5, "need a multi-day monitoring window")
+    // information accumulates monotonically and ends at fraction 1
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.sameElements(ns.sorted), "cumulative n must be monotone")
+    assert(rows.last.getAs[Double]("info_frac") === 1.0)
+    assert(rows.last.getAs[Double]("obf_bound") === 1.96)
+    // the boundary is monotone non-increasing in information
+    val bounds = rows.map(_.getAs[Double]("obf_bound"))
+    bounds.sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi >= lo - 1e-9, s"boundary must decay: $hi -> $lo")
+    }
+    // crossed was decided on unrounded values; the 4dp output admits a
+    // +-2e-4 boundary strip where either flag is legitimate
+    rows.foreach { r =>
+      val z = math.abs(r.getAs[Double]("z"))
+      val b = r.getAs[Double]("obf_bound")
+      if (z > b + 2e-4)
+        assert(r.getAs[Boolean]("crossed"), s"|z|=$z above bound $b but not crossed")
+      if (z < b - 2e-4)
+        assert(!r.getAs[Boolean]("crossed"), s"|z|=$z below bound $b but crossed")
+    }
+  }
 }
