@@ -159,6 +159,69 @@ object Mining extends QueryFamily {
       |FROM t GROUP BY 1, 2, 3 HAVING count(*) >= 2
       |ORDER BY n_orders DESC, part_a, part_b, part_c LIMIT 50""".stripMargin
 
+  /** 5-fold cross-validated OLS (price ~ quantity) — the
+    * generalization audit next to [[qRegrFit]]'s in-sample fit: each
+    * fold's model trains on the OTHER four folds and scores on its own
+    * held-out rows. The scale trick is fold-COMPLEMENT moments: one
+    * hash aggregate produces the 5 per-fold moment rows, the train-side
+    * sums are total-minus-fold arithmetic against a 1-row broadcast of
+    * the totals (no per-fold re-scan of the corpus), and the held-out
+    * RMSE pass joins the 5-row coefficient table back by fold — two
+    * corpus scans total at any SF, never 5 train passes. Folds are the
+    * deterministic systematic rotation (l_orderkey*7 + l_linenumber)
+    * mod 5 so both engines carve identically without a hash. */
+  def qCrossvalRegr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = T.lineitem(spark, dir).select(
+      (($"l_orderkey" * 7 + $"l_linenumber") % 5).as("fold"),
+      $"l_quantity".as("x"), $"l_extendedprice".as("y"))
+    val m = rows.groupBy($"fold").agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+      .ckpt()
+    val tot = m.agg(sum($"n").as("tn"), sum($"sx").as("tsx"),
+      sum($"sy").as("tsy"), sum($"sxx").as("tsxx"), sum($"sxy").as("tsxy"))
+    val nt = ($"tn" - $"n").cast("double")
+    val cx = $"tsx" - $"sx"
+    val cy = $"tsy" - $"sy"
+    val cxx = $"tsxx" - $"sxx"
+    val cxy = $"tsxy" - $"sxy"
+    val b = (nt * cxy - cx * cy) / (nt * cxx - cx * cx)
+    val coef = m.crossJoin(broadcast(tot))
+      .select($"fold", ($"tn" - $"n").as("n_train"), $"n".as("n_test"),
+        b.as("b"), (cy / nt - b * (cx / nt)).as("a"))
+    rows.join(broadcast(coef), Seq("fold"))
+      .groupBy($"fold")
+      .agg(first($"n_train").as("n_train"), first($"n_test").as("n_test"),
+        round(first($"b"), 4).as("slope"),
+        round(first($"a"), 4).as("intercept"),
+        round(sqrt(sum(pow($"y" - $"a" - $"b" * $"x", 2)) / count(lit(1))), 4)
+          .as("rmse_test"))
+      .orderBy($"fold")
+  }
+
+  val qCrossvalRegrSql: String =
+    """WITH r AS (SELECT (l_orderkey * 7 + l_linenumber) % 5 AS fold,
+      |    l_quantity AS x, l_extendedprice AS y FROM lineitem),
+      |m AS (SELECT fold, count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * x) AS sxx, sum(x * y) AS sxy FROM r GROUP BY fold),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS tn, sum(sx) AS tsx, sum(sy) AS tsy,
+      |    sum(sxx) AS tsxx, sum(sxy) AS tsxy FROM m),
+      |coef AS (SELECT fold, (tn - n)::BIGINT AS n_train, n AS n_test,
+      |    ((tn - n)::DOUBLE * (tsxy - sxy) - (tsx - sx) * (tsy - sy)) /
+      |    ((tn - n)::DOUBLE * (tsxx - sxx) - (tsx - sx) * (tsx - sx)) AS b,
+      |    (tsy - sy) / (tn - n)::DOUBLE -
+      |      (((tn - n)::DOUBLE * (tsxy - sxy) - (tsx - sx) * (tsy - sy)) /
+      |       ((tn - n)::DOUBLE * (tsxx - sxx) - (tsx - sx) * (tsx - sx)))
+      |      * ((tsx - sx) / (tn - n)::DOUBLE) AS a
+      |  FROM m, t)
+      |SELECT r.fold AS fold, any_value(n_train) AS n_train,
+      |  any_value(n_test) AS n_test,
+      |  round(any_value(b), 4) AS slope, round(any_value(a), 4) AS intercept,
+      |  round(sqrt(sum(pow(y - a - b * x, 2)) / count(*)), 4) AS rmse_test
+      |FROM r JOIN coef ON coef.fold = r.fold
+      |GROUP BY r.fold ORDER BY fold""".stripMargin
+
   /** Per-group simple linear regression (price ~ quantity) from
     * single-pass moment aggregates: slope = covar_pop/var_pop,
     * intercept = mean(y) - slope*mean(x), r2 = corr^2. */
@@ -1651,6 +1714,7 @@ object Mining extends QueryFamily {
     QueryDef("q_abc_pareto", qAbcPareto, Some(qAbcParetoSql)),
     QueryDef("q_basket_pairs", qBasketPairs, Some(qBasketPairsSql)),
     QueryDef("q_regr_fit", qRegrFit, Some(qRegrFitSql)),
+    QueryDef("q_crossval_regr", qCrossvalRegr, Some(qCrossvalRegrSql)),
     QueryDef("q_corr_matrix", qCorrMatrix, Some(qCorrMatrixSql)),
     QueryDef("q_doc_deciles", qDocDeciles, Some(qDocDecilesSql)),
     QueryDef("q_pmi_bigrams", qPmiBigrams, Some(qPmiBigramsSql)),

@@ -203,4 +203,44 @@ class MiningSpec extends AnyFunSuite {
       assert(r.getAs[Long]("k11") >= 25L)
     }
   }
+
+  test("cross-validated regression: folds partition the data, models are stable across folds") {
+    val rows = ops.Mining.qCrossvalRegr(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("fold")).toSeq.sorted === (0L to 4L))
+    val total = ops.T.lineitem(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_test") === total,
+        "each fold's train + test must cover the corpus exactly")
+      assert(r.getAs[Double]("rmse_test") > 0.0)
+    }
+    // driver replay of the complement-moment fit (the fixture's
+    // price~quantity relation is weak and noisy — the CHECK is the
+    // arithmetic, not the sign)
+    import org.apache.spark.sql.functions._
+    val data = ops.T.lineitem(spark, sf)
+      .select((((col("l_orderkey") * 7) + col("l_linenumber")) % 5).as("fold"),
+        col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      .collect().map(r => (r.getAs[Long]("fold"),
+        r.getAs[Double]("x"), r.getAs[Double]("y")))
+    val byFold = data.groupBy(_._1)
+    for (r <- rows) {
+      val f = r.getAs[Long]("fold")
+      val test = byFold(f)
+      val train = data.filterNot(_._1 == f)
+      val (n, sx, sy, sxx, sxy) = train.foldLeft((0L, 0.0, 0.0, 0.0, 0.0)) {
+        case ((cn, csx, csy, csxx, csxy), (_, x, y)) =>
+          (cn + 1, csx + x, csy + y, csxx + x * x, csxy + x * y)
+      }
+      val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val a = sy / n - b * (sx / n)
+      val rmse = math.sqrt(
+        test.map { case (_, x, y) => math.pow(y - a - b * x, 2) }.sum / test.length)
+      assert(math.abs(r.getAs[Double]("slope") - b) < 0.01,
+        s"fold $f slope ${r.getAs[Double]("slope")} vs replay $b")
+      assert(math.abs(r.getAs[Double]("intercept") - a) < 0.5,
+        s"fold $f intercept mismatch")
+      assert(math.abs(r.getAs[Double]("rmse_test") - rmse) / rmse < 1e-3,
+        s"fold $f rmse ${r.getAs[Double]("rmse_test")} vs replay $rmse")
+    }
+  }
 }

@@ -205,7 +205,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row vocab-mass normalizer broadcast onto the piece scores
     "q_unigram_lm", "q_unigram_prune",
     // 1-row final-look total broadcast onto the O(days) z table
-    "q_sequential_test")
+    "q_sequential_test",
+    // 1-row moment-totals broadcast onto the 5-fold moment rows
+    "q_crossval_regr")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
