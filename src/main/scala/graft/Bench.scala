@@ -60,6 +60,18 @@ import org.apache.spark.sql.functions._
   *    {prev, min, runs: [full trajectory], ext_cpu: sample-at-record}
   *    so warmth vs contention vs regression is a field read, not a
   *    judge re-bench.
+  *  - CALIBRATION PROBE (round-13 verdict task 1): ext_cpu is blind
+  *    to hypervisor steal, memory-bandwidth contention, and cgroup
+  *    throttling — the r13 driver artifact carried 12 drift rows with
+  *    ext_cpu 0.00 during a machine-wide 4-7x slowdown. A fixed-work
+  *    single-thread probe (~100 ms nominal) is timed 3x at run start
+  *    (min = healthy floor, recorded as "calib_start_ms") and again
+  *    at every drift record; a drift row whose "calib_ms" exceeds
+  *    1.5x the floor is stamped "machine_slow": true —
+  *    self-adjudicating contention, no judge re-bench. Mid-run
+  *    re-gates also spin on the probe (after the ext-cpu spin,
+  *    same shared budget) so a contended retry waits the slowness
+  *    out instead of re-measuring under it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -102,11 +114,42 @@ object Bench {
       math.max(0.0, sysCpus - ownCpus)
     }
 
+    /** Fixed-work single-thread calibration probe (~100 ms nominal):
+      * a multiply-add sweep over a fixed 1 MiB buffer, timed. The
+      * round-13 driver artifact carried 12 drift rows during a
+      * machine-wide 4-7x slowdown while ext_cpu sampled 0.00-0.05 —
+      * hypervisor steal, memory-bandwidth contention, and cgroup cpu
+      * throttling are all invisible to /proc/stat-minus-own-JVM, but
+      * every one of them slows THIS probe by the same mechanism that
+      * slows the queries. The run-start minimum (of 3, past JIT
+      * warm-up) is the machine's healthy floor; a drift recorded with
+      * calib_ms > 1.5x that floor is machine-slow by direct
+      * measurement — self-adjudicating, no judge re-bench needed. */
+    val calibBuf = Array.tabulate(1 << 20)(i => (i * 2654435761L).toByte)
+    def calibMs(): Double = {
+      var h = 1125899906842597L
+      val t0 = System.nanoTime()
+      var rep = 0
+      while (rep < 80) {
+        var i = 0
+        while (i < calibBuf.length) { h = h * 31 + calibBuf(i); i += 1 }
+        rep += 1
+      }
+      if (h == 42L) System.err.println("") // sink: keep JIT honest
+      (System.nanoTime() - t0) / 1e6
+    }
+
+    // run-start healthy floor for the calibration probe; 0 until the
+    // start gate has passed (the probe is meaningless on a host we
+    // haven't yet seen idle)
+    var calibFloorMs = 0.0
+
     // shared spin budget: total sleep across initial gate + every
     // mid-run re-check is capped at maxWaitSec, so a busy host delays
     // the suite at most once, not per query. The START gate uses
     // loadavg (nothing of ours is running yet); mid-run re-gates use
-    // external-cpu pressure, which is self-load-blind.
+    // external-cpu pressure plus the fixed-work calibration probe,
+    // which between them are self-load-blind AND steal/bandwidth-aware.
     def gate(tag: String): Unit = {
       var waitedHere = false
       if (tag == "start") {
@@ -127,6 +170,20 @@ object Bench {
           waitedHere = true
           ext = extBusyCpus()
         }
+        // second signal: the fixed-work probe sees steal/bandwidth/
+        // throttle contention that ext_cpu cannot. Only meaningful
+        // once the run-start floor exists.
+        if (calibFloorMs > 0) {
+          var cal = calibMs()
+          while (cal > 1.5 * calibFloorMs && gateWaited < maxWaitSec) {
+            System.err.println(
+              f"[bench] idle gate ($tag): calib ${cal}%.0f ms > 1.5x floor ${calibFloorMs}%.0f ms, waiting (${gateWaited}s)")
+            Thread.sleep(14000)
+            gateWaited += 15
+            waitedHere = true
+            cal = calibMs()
+          }
+        }
       }
       if (waitedHere && tag != "start") gateRechecksWaited += 1
     }
@@ -143,6 +200,9 @@ object Bench {
       }
     safeGate("start")
     val loadStart = loadavg
+    // healthy floor: min of 3 probes (first includes JIT compile)
+    calibFloorMs = (1 to 3).map(_ => calibMs()).min
+    System.err.println(f"[bench] calibration floor: ${calibFloorMs}%.0f ms")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -189,10 +249,11 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // persisting drifts carry the FULL evidence a judge needs to call
     // warmth vs contention vs regression without re-running: the whole
-    // run trajectory plus an external-cpu sample taken at record time
-    // (round-12 verdict task 2b — the r12 artifact's 7 false drifts
-    // recorded one number each and needed a manual idle re-bench)
-    val drifts = scala.collection.mutable.LinkedHashMap[String, (Double, Seq[Double], Double)]()
+    // run trajectory, an external-cpu sample, AND a calibration-probe
+    // sample taken at record time (round-13 verdict task 1 — the r13
+    // artifact's 12 false drifts all carried ext_cpu 0.00 during a
+    // machine-wide slowdown the probe would have measured directly)
+    val drifts = scala.collection.mutable.LinkedHashMap[String, (Double, Seq[Double], Double, Double)]()
     // Local-iteration subset, mirroring Verify: SPARK_GRAFT_ONLY=q_a,q_b
     // times just those queries. Unset for driver runs.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -232,7 +293,7 @@ object Bench {
           if (ts.min > 3 * prev && ts.min > 0.2) { safeGate(name); ts = ts :+ once(fn) }
           if (ts.min > 3 * prev && ts.min > 0.2) {
             val ext = try extBusyCpus() catch { case _: Exception => -1.0 }
-            drifts(name) = (prev, ts, ext)
+            drifts(name) = (prev, ts, ext, calibMs())
           }
         }
         timings(name) = ts.min
@@ -259,12 +320,14 @@ object Bench {
       "\"" + k + "\":[" + ts.map(t => f"$t%.4f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = timings.values.sum
-    val driftJson = drifts.map { case (k, (p, ts, ext)) =>
+    val driftJson = drifts.map { case (k, (p, ts, ext, cal)) =>
       f""""$k":{"prev":$p%.4f,"min":${ts.min}%.4f,""" +
         s""""runs":[${ts.map(t => f"$t%.4f").mkString(",")}],""" +
-        f""""ext_cpu":$ext%.2f}"""
+        f""""ext_cpu":$ext%.2f,"calib_ms":$cal%.0f,""" +
+        s""""machine_slow":${cal > 1.5 * calibFloorMs}}"""
     }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      f""""calib_start_ms":$calibFloorMs%.0f,""" +
       s""""runs_detail":$spreads,"loadavg_start":$loadStart,"loadavg_end":$loadavg,""" +
       s""""idle_gate_waited_sec":$gateWaited,"gate_rechecks_waited":$gateRechecksWaited,""" +
       s""""gate_errors":$gateErrors,""" +

@@ -970,11 +970,16 @@ object Analytics extends QueryFamily {
     * "latest view before me" from the SAME pass, so the pattern closes
     * with one user-keyed equi-join back to click rows instead of a
     * per-pattern-step self-join cascade. An error is "between" iff the
-    * latest error before the purchase postdates the matched view. */
+    * latest error before the purchase postdates the matched view.
+    *
+    * Tie contract: two events sharing (user_id, ts) are ordered by
+    * event_id (unique), in BOTH the window ordering and the ROWS frame,
+    * so "prior" is deterministic and engine-stable even on fixtures
+    * with timestamp collisions. */
   def qPatternMatch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ev = T.events(spark, dir).select($"user_id", $"ts", $"event_type")
-    val w = Window.partitionBy($"user_id").orderBy($"ts")
+    val ev = T.events(spark, dir).select($"user_id", $"ts", $"event_type", $"event_id")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val marked = ev
       .withColumn("last_click", max(when($"event_type" === "click", $"ts")).over(w))
@@ -1000,13 +1005,13 @@ object Analytics extends QueryFamily {
   val qPatternMatchSql: String =
     """WITH m AS (SELECT user_id, ts, event_type,
       |  max(CASE WHEN event_type = 'click' THEN ts END)
-      |    OVER (PARTITION BY user_id ORDER BY ts
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click,
       |  max(CASE WHEN event_type = 'view' THEN ts END)
-      |    OVER (PARTITION BY user_id ORDER BY ts
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view,
       |  max(CASE WHEN event_type = 'error' THEN ts END)
-      |    OVER (PARTITION BY user_id ORDER BY ts
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_error
       |  FROM events),
       |clicks AS (SELECT user_id, ts AS click_ts, max(last_view) AS view_ts

@@ -586,6 +586,116 @@ object Curation extends QueryFamily {
        |GROUP BY f.l ORDER BY ctx_len""".stripMargin
   }
 
+  /** LOSSLESS chunk-then-pack — the twin that closes [[qPackWaste]]'s
+    * documented truncation gap: docs longer than L are CHUNKED first
+    * (split into floor(n_tok/L) full-L pieces plus the remainder —
+    * [[qSeqPacking]]'s concat-and-chunk regime applied per document),
+    * then greedy next-fit packs the chunk stream within the SAME
+    * 100-doc buckets. Nothing is dropped, so exact conservation holds
+    * over the RAW token mass: n_windows x L = total_tokens + pad
+    * (`token_loss` is computed from that identity and must be 0 —
+    * CurationSpec pins it at both fixtures, next to the waste
+    * comparison against the truncating packers). Full-L chunks pack
+    * perfectly (they close and fill whole windows); only remainder
+    * chunks contribute pad, which is the price of losslessness the
+    * comparison row makes visible. Same scale shape as qPackWaste:
+    * chunking happens IN-ARRAY inside the per-bucket fold input
+    * (flatten ∘ transform — no explode, no extra shuffle), the fold
+    * is bounded by the bucket's chunk count (<= 100 + bucket_tokens/L),
+    * and buckets are embarrassingly parallel. Oracle: the identical
+    * walk as a recursive CTE over the pre-chunked lists (the
+    * list_reduce-avoidance discipline of [[qPackWasteSql]]).
+    *
+    * SEEDED NON-VACUOUSLY (the Multimodal.seedThumbs discipline): the
+    * fixture's docs top out under 100 tokens, so no natural doc ever
+    * chunks at L ∈ {128, 256, 512} and the chunk branch would be dead
+    * code in every differential. Eight deterministic synthetic docs at
+    * doc_ids -1..-8 (token counts 95..1024, spanning sub-L, exactly-L,
+    * and multi-chunk shapes) are appended IN BOTH ENGINES; they land
+    * in bucket 0 (both engines' integer division truncates toward
+    * zero) and interleave with the natural docs there, so the chunk
+    * stream, the full-L fast path, and the remainder handling are all
+    * exercised by the oracle-checked rows at every fixture. */
+  def qPackChunked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seeds = Seq(-8L -> 640L, -7L -> 256L, -6L -> 95L, -5L -> 1024L,
+        -4L -> 777L, -3L -> 517L, -2L -> 300L, -1L -> 150L)
+      .toDF("doc_id", "n_tok")
+    val docs = T.documents(spark, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
+      .unionByName(seeds)
+      .select($"doc_id", $"n_tok", ($"doc_id" / 100).cast("long").as("bucket"))
+    val lists = docs.groupBy($"bucket")
+      .agg(array_sort(collect_list(struct($"doc_id", $"n_tok"))).as("ds"))
+      .ckpt()
+    val totals = docs.agg(sum($"n_tok").as("total_tokens"))
+    def fold(l: Long): DataFrame =
+      lists.select(expr(
+        s"""aggregate(
+           |  flatten(transform(ds, d -> CASE
+           |    WHEN d.n_tok % ${l}L = 0L
+           |    THEN array_repeat(${l}L, CAST(d.n_tok div ${l}L AS INT))
+           |    ELSE concat(array_repeat(${l}L, CAST(d.n_tok div ${l}L AS INT)),
+           |                array(d.n_tok % ${l}L)) END)),
+           |  named_struct('fill', CAST(0 AS BIGINT), 'wins', CAST(0 AS BIGINT), 'pad', CAST(0 AS BIGINT)),
+           |  (acc, c) -> CASE
+           |    WHEN acc.fill + c <= ${l}L THEN named_struct(
+           |      'fill', acc.fill + c, 'wins', acc.wins, 'pad', acc.pad)
+           |    ELSE named_struct('fill', c,
+           |      'wins', acc.wins + 1L, 'pad', acc.pad + ${l}L - acc.fill) END,
+           |  acc -> named_struct(
+           |    'wins', acc.wins + IF(acc.fill > 0L, 1L, 0L),
+           |    'pad', acc.pad + IF(acc.fill > 0L, ${l}L - acc.fill, 0L)))""".stripMargin).as("st"))
+        .agg(sum($"st.wins").as("n_windows"), sum($"st.pad").as("pad_tokens"))
+        .crossJoin(broadcast(totals))
+        .select(lit(l).as("ctx_len"), $"n_windows", $"pad_tokens",
+          round($"pad_tokens".cast("double") / ($"n_windows" * lit(l)), 4).as("pad_frac"),
+          $"total_tokens",
+          ($"n_windows" * lit(l) - $"pad_tokens" - $"total_tokens").as("token_loss"),
+          ceil($"total_tokens".cast("double") / lit(l)).cast("long").as("lb_windows"))
+    fold(128L).unionByName(fold(256L)).unionByName(fold(512L)).orderBy($"ctx_len")
+  }
+
+  val qPackChunkedSql: String =
+    """WITH RECURSIVE d AS (SELECT doc_id, n_tok, doc_id // 100 AS bucket FROM (
+      |    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |    FROM documents
+      |    UNION ALL
+      |    SELECT doc_id::BIGINT, n_tok::BIGINT FROM (VALUES
+      |      (-8, 640), (-7, 256), (-6, 95), (-5, 1024),
+      |      (-4, 777), (-3, 517), (-2, 300), (-1, 150)) s(doc_id, n_tok))),
+      |b AS (SELECT bucket, list(n_tok ORDER BY doc_id) AS ds FROM d GROUP BY bucket),
+      |ch AS MATERIALIZED (SELECT bucket, l::BIGINT AS l,
+      |    flatten(list_transform(ds, t -> CASE
+      |      WHEN t % l = 0 THEN list_transform(range(t // l), x -> l::BIGINT)
+      |      ELSE list_append(list_transform(range(t // l), x -> l::BIGINT), t % l)
+      |      END)) AS cs
+      |  FROM b, (VALUES (128), (256), (512)) ls(l)),
+      |walk(bucket, l, i, fill, wins, pad) AS (
+      |  SELECT bucket, l, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT FROM ch
+      |  UNION ALL
+      |  SELECT w.bucket, w.l, w.i + 1,
+      |    CASE WHEN w.fill + c.cs[w.i + 1] <= w.l
+      |         THEN w.fill + c.cs[w.i + 1] ELSE c.cs[w.i + 1] END,
+      |    CASE WHEN w.fill + c.cs[w.i + 1] <= w.l THEN w.wins ELSE w.wins + 1 END,
+      |    CASE WHEN w.fill + c.cs[w.i + 1] <= w.l THEN w.pad
+      |         ELSE w.pad + w.l - w.fill END
+      |  FROM walk w JOIN ch c ON c.bucket = w.bucket AND c.l = w.l
+      |  WHERE w.i < len(c.cs)),
+      |fin AS (SELECT w.l, w.wins + CASE WHEN w.fill > 0 THEN 1 ELSE 0 END AS wins,
+      |    w.pad + CASE WHEN w.fill > 0 THEN w.l - w.fill ELSE 0 END AS pad
+      |  FROM walk w JOIN ch c ON c.bucket = w.bucket AND c.l = w.l
+      |  WHERE w.i = len(c.cs)),
+      |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total_tokens FROM d)
+      |SELECT l AS ctx_len, CAST(sum(wins) AS BIGINT) AS n_windows,
+      |  CAST(sum(pad) AS BIGINT) AS pad_tokens,
+      |  round(sum(pad)::DOUBLE / (sum(wins) * l), 4) AS pad_frac,
+      |  any_value(tot.total_tokens) AS total_tokens,
+      |  CAST(sum(wins) * l - sum(pad) - any_value(tot.total_tokens) AS BIGINT)
+      |    AS token_loss,
+      |  CAST(ceil(any_value(tot.total_tokens)::DOUBLE / l) AS BIGINT) AS lb_windows
+      |FROM fin, tot GROUP BY l ORDER BY ctx_len""".stripMargin
+
   /** Deterministic train/val/test split assignment: the first two md5
     * nibbles of the document CONTENT (not the id — re-keyed corpora
     * keep their assignment) bucket into 256 cells, carved 90/5/5.
@@ -1563,6 +1673,8 @@ object Curation extends QueryFamily {
     QueryDef("q_epoch_expand", qEpochExpand, Some(qEpochExpandSql)),
     QueryDef("q_pack_waste", qPackWaste, Some(qPackWasteSql)),
     QueryDef("q_pack_waste_ffd", qPackWasteFfd, Some(qPackWasteFfdSql)),
+    // lossless chunk-then-pack: conservation over the RAW token mass
+    QueryDef("q_pack_chunked", qPackChunked, Some(qPackChunkedSql)),
     QueryDef("q_split_leakage", qSplitLeakage, Some(qSplitLeakageSql)),
     QueryDef("q_mlm_mask_plan", qMlmMaskPlan, Some(qMlmMaskPlanSql)),
     QueryDef("q_boilerplate", qBoilerplate, Some(qBoilerplateSql)),

@@ -1590,6 +1590,134 @@ object Similarity extends QueryFamily {
       |FROM codes0 c0 JOIN cb ON cb.sub = c0.sub AND cb.c = c0.code
       |ORDER BY c0.n_id, c0.sub""".stripMargin
 
+  /** Size of the PQ delta batch (highest vec_ids) — fixed across
+    * fixtures so ScaleSpec can pin encode cost to |delta|, mirroring
+    * [[KnnDeltaSize]] for the graph family. */
+  private[graft] val PqDeltaSize = 50
+
+  /** The delta batch's subspace-exploded dims (cost ∝ |delta| × 64,
+    * never corpus). */
+  private def pqDeltaDims(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = T.embeddings(spark, dir).agg(count(lit(1)).as("n_all"))
+    pqDims(spark, dir).crossJoin(broadcast(n))
+      .filter($"vec_id" >= $"n_all" - PqDeltaSize)
+  }
+
+  /** The (vector, subspace, candidate-code) relation the incremental
+    * PQ encode evaluates — |delta| × 4 subs × codebook size, a
+    * CONSTANT across fixtures (ScaleSpec pins it against the full
+    * encode's corpus-linear volume). */
+  private[graft] def pqDeltaEncodeCandidates(
+      spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cent = storedPqCodebook(spark, dir)
+    pqDeltaDims(spark, dir)
+      .join(broadcast(cent), Seq("sub", "i"))
+      .groupBy($"vec_id", $"sub", $"c")
+      .agg(sum(($"x" - $"cx") * ($"x" - $"cx")).as("d2"))
+  }
+
+  /** Incremental PQ index maintenance — encode a FIXED delta batch
+    * (the [[PqDeltaSize]] highest vec_ids) against the STORED
+    * codebook, no retrain: the billion-vector store's insert path,
+    * where new vectors pay 4 argmin lookups against a pinned artifact
+    * and the codebook never moves between compactions. Encode cost is
+    * |delta| × 64 dims × codebook — independent of corpus size
+    * (ScaleSpec pins it). Oracle = the full-corpus encode under the
+    * SAME stored codebook restricted to the delta ids, so incremental
+    * == rebuild-encode is differentially proved, completing for the
+    * PQ family what [[qKnnGraphDelta]] proves for the graph index. */
+  def qPqDelta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val enc = pqDeltaEncodeCandidates(spark, dir)
+    val wEnc = Window.partitionBy($"vec_id", $"sub").orderBy(asc("d2"), asc("c"))
+    enc.withColumn("rn", row_number().over(wEnc)).filter($"rn" === 1)
+      .select($"vec_id".as("n_id"), $"sub".cast("long").as("sub"), $"c".as("code"))
+      .orderBy($"n_id", $"sub")
+  }
+
+  val qPqDeltaSql: String =
+    s"""WITH ex AS (SELECT vec_id, unnest(embedding) AS xf,
+       |  unnest(range(1, len(embedding) + 1)) AS i FROM embeddings),
+       |d AS (SELECT vec_id, i, (i - 1) // 16 AS sub, xf::DOUBLE AS x FROM ex),
+       |cent AS (SELECT c, sub, i, cx FROM read_parquet('{PQCODEBOOK}/*.parquet')),
+       |n AS (SELECT count(*) AS n_all FROM embeddings),
+       |enc AS (SELECT d.vec_id, d.sub, c, sum((x - cx) * (x - cx)) AS d2
+       |  FROM d JOIN cent ON cent.i = d.i - 1 AND cent.sub = d.sub
+       |  GROUP BY 1, 2, 3),
+       |codes AS (SELECT vec_id AS n_id, sub, c AS code FROM (
+       |  SELECT vec_id, sub, c,
+       |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, c) AS rn
+       |  FROM enc) WHERE rn = 1)
+       |SELECT n_id, sub, code FROM codes, n
+       |WHERE n_id >= n_all - $PqDeltaSize ORDER BY n_id, sub""".stripMargin
+
+  /** PQ codebook staleness audit — the retrain trigger that completes
+    * the [[qIndexCompactAudit]] decision story for the PQ family:
+    * quantization error of the PENDING delta batch under the stored
+    * codebook vs the stored corpus' train-time error. A codebook
+    * quantizes well only near its training distribution; when new
+    * data drifts, the delta's per-dimension MSE climbs above the
+    * train-time floor and the ratio is the drift signal (here the
+    * delta is in-distribution, so the ratio sits near 1 and
+    * retrain_recommended is false — the audit's value is the
+    * machinery). Corpus error = ONE scan of dims joined to the stored
+    * (codes, codebook) assignment; delta error = the |delta|-bounded
+    * fresh encode's min-d2. Both sides are sums of exact per-dim
+    * squared deviations, rounded 4dp after the final division. */
+  def qPqStaleness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cent = storedPqCodebook(spark, dir)
+    val codes = storedPqCodes(spark, dir)
+    val d = pqDims(spark, dir)
+    val codesR = codes.select($"n_id", $"sub".as("c_sub"), $"code")
+    val centR = cent.select($"c", $"sub".as("k_sub"), $"i".as("k_i"), $"cx")
+    val corpusErr = d
+      .join(codesR, $"vec_id" === $"n_id" && $"sub" === $"c_sub")
+      .join(broadcast(centR),
+        $"sub" === $"k_sub" && $"code" === $"c" && $"i" === $"k_i")
+      .select((($"x" - $"cx") * ($"x" - $"cx")).as("se"))
+      .agg(sum($"se").as("c_se"), (count(lit(1)) / 64).as("n_corpus"))
+    val deltaErr = pqDeltaEncodeCandidates(spark, dir)
+      .groupBy($"vec_id", $"sub").agg(min($"d2").as("d2"))
+      .agg(sum($"d2").as("d_se"), (count(lit(1)) / 4).as("n_delta"))
+    corpusErr.crossJoin(broadcast(deltaErr))
+      .select($"n_corpus".cast("long").as("n_corpus"),
+        $"n_delta".cast("long").as("n_delta"),
+        round($"c_se" / ($"n_corpus" * 64), 4).as("corpus_mse"),
+        round($"d_se" / ($"n_delta" * 64), 4).as("delta_mse"),
+        round(($"d_se" / ($"n_delta" * 64)) / ($"c_se" / ($"n_corpus" * 64)), 4)
+          .as("mse_ratio"),
+        (($"d_se" / ($"n_delta" * 64)) / ($"c_se" / ($"n_corpus" * 64)) > 1.5)
+          .as("retrain_recommended"))
+  }
+
+  val qPqStalenessSql: String =
+    s"""WITH ex AS (SELECT vec_id, unnest(embedding) AS xf,
+       |  unnest(range(1, len(embedding) + 1)) AS i FROM embeddings),
+       |d AS (SELECT vec_id, i, (i - 1) // 16 AS sub, xf::DOUBLE AS x FROM ex),
+       |cent AS (SELECT c, sub, i, cx FROM read_parquet('{PQCODEBOOK}/*.parquet')),
+       |codes AS (SELECT n_id, sub, code FROM read_parquet('{PQCODES}/*.parquet')),
+       |n AS (SELECT count(*) AS n_all FROM embeddings),
+       |ce AS (SELECT sum((x - cx) * (x - cx)) AS c_se, count(*) // 64 AS n_corpus
+       |  FROM d
+       |  JOIN codes ON codes.n_id = d.vec_id AND codes.sub = d.sub
+       |  JOIN cent ON cent.sub = d.sub AND cent.c = codes.code AND cent.i = d.i - 1),
+       |enc AS (SELECT d.vec_id, d.sub, c, sum((x - cx) * (x - cx)) AS d2
+       |  FROM d JOIN cent ON cent.i = d.i - 1 AND cent.sub = d.sub, n
+       |  WHERE d.vec_id >= n.n_all - $PqDeltaSize GROUP BY 1, 2, 3),
+       |dm AS (SELECT vec_id, sub, min(d2) AS d2 FROM enc GROUP BY 1, 2),
+       |de AS (SELECT sum(d2) AS d_se, count(*) // 4 AS n_delta FROM dm)
+       |SELECT CAST(n_corpus AS BIGINT) AS n_corpus,
+       |  CAST(n_delta AS BIGINT) AS n_delta,
+       |  round(c_se / (n_corpus * 64), 4) AS corpus_mse,
+       |  round(d_se / (n_delta * 64), 4) AS delta_mse,
+       |  round((d_se / (n_delta * 64)) / (c_se / (n_corpus * 64)), 4) AS mse_ratio,
+       |  ((d_se / (n_delta * 64)) / (c_se / (n_corpus * 64)) > 1.5)
+       |    AS retrain_recommended
+       |FROM ce, de""".stripMargin
+
   def qSimPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = pqDims(spark, dir)
@@ -3607,6 +3735,10 @@ object Similarity extends QueryFamily {
     QueryDef("q_sim_pq", qSimPq, Some(qSimPqSql)),
     // stored == retrain for the PQ artifacts (codebook + codes)
     QueryDef("q_pq_persist", qPqPersist, Some(qPqPersistSql)),
+    // incremental PQ encode == rebuild-encode under the pinned codebook
+    QueryDef("q_pq_delta", qPqDelta, Some(qPqDeltaSql)),
+    // the PQ retrain trigger: delta quantization MSE vs train-time MSE
+    QueryDef("q_pq_staleness", qPqStaleness, Some(qPqStalenessSql)),
     QueryDef("q_sim_pq_recall", qSimPqRecall, Some(qSimPqRecallSql)),
     QueryDef("q_sim_ivfpq", qSimIvfPq, Some(qSimIvfPqSql)),
     QueryDef("q_sim_bruteforce", qSimBruteforce, Some(qSimBruteforceSql)),

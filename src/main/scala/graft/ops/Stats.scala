@@ -1167,7 +1167,17 @@ object Stats extends QueryFamily {
     * per-(day, arm) grain in one hash aggregate; cumulative sums ride
     * an arm-keyed window over O(days) rows; the final-look total is a
     * 1-row broadcast. Every z input is an exact integer count, so the
-    * doubles agree bit-for-bit across engines. */
+    * doubles agree bit-for-bit across engines.
+    *
+    * Sparse-day robustness: the two arms meet through a FULL OUTER
+    * join with last-value carry-forward of the cumulative counts (a
+    * day where only one arm has events keeps the other arm's running
+    * totals instead of vanishing from the look schedule); looks before
+    * either arm's first event are dropped (no test exists yet), and z
+    * is NULL — not NaN/Inf — at a degenerate look where the pooled
+    * p-hat is 0 or 1 (the pooled-variance denominator is 0 there).
+    * The carry-forward window is partitionless but runs over the
+    * O(days) look grid, never fact rows. */
   def qSequentialTest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val daily = T.events(spark, dir)
@@ -1180,14 +1190,27 @@ object Stats extends QueryFamily {
     val cum = daily.select($"day", $"arm",
       sum($"n").over(w).as("cn"), sum($"x").over(w).as("cx"))
     val a = cum.filter($"arm" === 0)
-      .select($"day", $"cn".as("na"), $"cx".as("xa"))
+      .select($"day", $"cn".as("na0"), $"cx".as("xa0"))
     val b = cum.filter($"arm" === 1)
-      .select($"day".as("day_b"), $"cn".as("nb"), $"cx".as("xb"))
-    val wide = a.join(b, $"day" === $"day_b").drop("day_b").ckpt()
+      .select($"day".as("day_b"), $"cn".as("nb0"), $"cx".as("xb0"))
+    val wSpine = Window.orderBy($"day") // O(days) look grid, bounded
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wide = a.join(b, $"day" === $"day_b", "full_outer")
+      .select(coalesce($"day", $"day_b").as("day"),
+        $"na0", $"xa0", $"nb0", $"xb0")
+      .select($"day",
+        last($"na0", ignoreNulls = true).over(wSpine).as("na"),
+        last($"xa0", ignoreNulls = true).over(wSpine).as("xa"),
+        last($"nb0", ignoreNulls = true).over(wSpine).as("nb"),
+        last($"xb0", ignoreNulls = true).over(wSpine).as("xb"))
+      .filter($"na".isNotNull && $"nb".isNotNull)
+      .ckpt()
     val tot = wide.agg(max($"na" + $"nb").as("ntot"))
     val p = ($"xa" + $"xb").cast("double") / ($"na" + $"nb")
-    val zv = ($"xa".cast("double") / $"na" - $"xb".cast("double") / $"nb") /
-      sqrt(p * (lit(1.0) - p) * (lit(1.0) / $"na" + lit(1.0) / $"nb"))
+    val zv = when($"xa" + $"xb" === 0 || $"xa" + $"xb" === $"na" + $"nb",
+      lit(null).cast("double")).otherwise(
+      ($"xa".cast("double") / $"na" - $"xb".cast("double") / $"nb") /
+        sqrt(p * (lit(1.0) - p) * (lit(1.0) / $"na" + lit(1.0) / $"nb")))
     val frac = ($"na" + $"nb").cast("double") / $"ntot"
     wide.crossJoin(broadcast(tot))
       .select($"day", ($"na" + $"nb").as("n"), round(zv, 4).as("z"),
@@ -1211,13 +1234,27 @@ object Stats extends QueryFamily {
       |    sum(n) OVER (PARTITION BY arm ORDER BY day) AS cn,
       |    sum(x) OVER (PARTITION BY arm ORDER BY day) AS cx
       |  FROM daily),
-      |wide AS (SELECT a.day, a.cn AS na, a.cx AS xa, b.cn AS nb, b.cx AS xb
-      |  FROM cum a JOIN cum b ON a.day = b.day AND a.arm = 0 AND b.arm = 1),
+      |wide0 AS (SELECT coalesce(a.day, b.day) AS day,
+      |    a.cn AS na0, a.cx AS xa0, b.cn AS nb0, b.cx AS xb0
+      |  FROM (SELECT * FROM cum WHERE arm = 0) a
+      |  FULL JOIN (SELECT * FROM cum WHERE arm = 1) b ON a.day = b.day),
+      |ff AS (SELECT day,
+      |    last_value(na0 IGNORE NULLS) OVER
+      |      (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS na,
+      |    last_value(xa0 IGNORE NULLS) OVER
+      |      (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xa,
+      |    last_value(nb0 IGNORE NULLS) OVER
+      |      (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nb,
+      |    last_value(xb0 IGNORE NULLS) OVER
+      |      (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xb
+      |  FROM wide0),
+      |wide AS (SELECT * FROM ff WHERE na IS NOT NULL AND nb IS NOT NULL),
       |tot AS (SELECT max(na + nb) AS ntot FROM wide),
       |z AS (SELECT day, na, xa, nb, xb,
-      |    (xa::DOUBLE / na - xb::DOUBLE / nb) /
+      |    CASE WHEN xa + xb = 0 OR xa + xb = na + nb THEN NULL
+      |    ELSE (xa::DOUBLE / na - xb::DOUBLE / nb) /
       |      sqrt(((xa + xb)::DOUBLE / (na + nb)) * (1.0 - (xa + xb)::DOUBLE / (na + nb))
-      |           * (1.0 / na + 1.0 / nb)) AS zval,
+      |           * (1.0 / na + 1.0 / nb)) END AS zval,
       |    (na + nb)::DOUBLE / ntot AS frac
       |  FROM wide, tot)
       |SELECT day, CAST(na + nb AS BIGINT) AS n, round(zval, 4) AS z,
@@ -1226,7 +1263,113 @@ object Stats extends QueryFamily {
       |  (abs(zval) > 1.96 / sqrt(frac)) AS crossed
       |FROM z ORDER BY day""".stripMargin
 
+  /** Bradley-Terry MM fit on one row: 3 simultaneous-update Hunter
+    * (2004) iterations p_i <- W_i / Σ_{j≠i} n_ij/(p_i+p_j) over the
+    * K-bounded collected win matrix, normalized to a probability
+    * simplex. Deterministic: sources iterate in sorted order, sums
+    * accumulate left-to-right, so the result is reproducible; the
+    * oracle's hash-aggregate sums differ only in accumulation order
+    * and the 5-dp display rounding absorbs it (the
+    * [[graft.ops.Mining]] markovAbsorb convention). */
+  private val btFit = udf { (entries: Seq[org.apache.spark.sql.Row]) =>
+    val wins = entries.map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2).toDouble).toMap
+    val srcs = entries.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.sorted
+    val wTot = srcs.map(s =>
+      s -> wins.collect { case ((a, _), w) if a == s => w }.sum).toMap
+    val games = (for (a <- srcs; b <- srcs if a != b) yield (a, b) ->
+      (wins.getOrElse((a, b), 0.0) + wins.getOrElse((b, a), 0.0))).toMap
+    var p = srcs.map(_ => 1.0)
+    for (_ <- 1 to 3) {
+      p = srcs.zipWithIndex.map { case (a, i) =>
+        val denom = srcs.zipWithIndex.collect {
+          case (b, j) if b != a && games((a, b)) > 0 => games((a, b)) / (p(i) + p(j))
+        }.sum
+        if (denom > 0) wTot(a) / denom else 0.0
+      }
+    }
+    val tot = p.sum
+    srcs.zip(p.map(_ / tot))
+  }
+
+  /** Bradley-Terry preference strengths over the document sources —
+    * the pairwise-preference statistic an RLHF/eval pipeline reads
+    * when "which source is better" arrives as comparisons rather than
+    * absolute scores. Directed win counts come from token-length
+    * dominance: wins(a, b) = #{(doc_a, doc_b) : tok_a > tok_b} (ties
+    * dropped, the standard BT convention), computed WITHOUT any
+    * doc×doc product — facts reduce to the (source × token-count)
+    * histogram in ONE hash aggregate (≤ |grid|·K rows), and the win
+    * matrix is histogram-pair arithmetic on that bounded relation
+    * (≤ |grid|²·K² comparisons, corpus-independent). The K×K matrix
+    * then reduces to ONE row and three MM iterations evaluate in a
+    * single deterministic expression ([[btFit]] — the
+    * q_attribution_markov discipline: a data-independent-size chain
+    * never pays per-stage scheduling). Oracle unrolls the identical
+    * three iterations as K²-bounded joins; rank is computed on the
+    * ROUNDED strength with a source tiebreak so ordering is
+    * engine-stable. */
+  def qBradleyTerry(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = T.documents(spark, dir)
+      .select($"source", size(split($"text", " ")).cast("long").as("t"))
+      .groupBy($"source", $"t").agg(count(lit(1)).as("c"))
+      .ckpt()
+    val hb = h.select($"source".as("b_src"), $"t".as("b_t"), $"c".as("b_c"))
+    val wmat = h.join(hb, $"t" > $"b_t" && $"source" =!= $"b_src")
+      .groupBy($"source".as("a"), $"b_src".as("b"))
+      .agg(sum($"c" * $"b_c").as("w"))
+      .ckpt()
+    val n = wmat.select($"a", $"b", $"w")
+      .unionByName(wmat.select($"b".as("a"), $"a".as("b"), $"w"))
+      .groupBy($"a", $"b").agg(sum($"w").as("nij"))
+    val wt = wmat.groupBy($"a".as("src")).agg(sum($"w").as("wins"))
+    val games = n.groupBy($"a".as("src")).agg(sum($"nij").as("games"))
+    val strengths = wmat
+      .agg(collect_list(struct($"a", $"b", $"w")).as("m"))
+      .select(explode(btFit($"m")).as("sp"))
+      .select($"sp._1".as("src"), $"sp._2".as("p"))
+    val wRank = Window.orderBy(desc("strength"), asc("source")) // K rows
+    strengths.join(wt, Seq("src"), "left").join(games, Seq("src"))
+      .select($"src".as("source"), coalesce($"wins", lit(0L)).as("wins"),
+        $"games", round($"p", 5).as("strength"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .orderBy($"rank")
+  }
+
+  val qBradleyTerrySql: String = {
+    def it(prev: String): String =
+      s"""SELECT n.a AS src, any_value(coalesce(wt.wins, 0)) /
+         |    sum(n.nij::DOUBLE / (pa.p + pb.p)) AS p
+         |  FROM n JOIN $prev pa ON pa.src = n.a JOIN $prev pb ON pb.src = n.b
+         |  LEFT JOIN wt ON wt.src = n.a GROUP BY n.a""".stripMargin
+    s"""WITH d AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+       |  FROM documents),
+       |h AS (SELECT source, t, count(*)::BIGINT AS c FROM d GROUP BY 1, 2),
+       |wmat AS (SELECT a.source AS a, b.source AS b, CAST(sum(a.c * b.c) AS BIGINT) AS w
+       |  FROM h a JOIN h b ON a.t > b.t AND a.source <> b.source GROUP BY 1, 2),
+       |n AS (SELECT a, b, CAST(sum(w) AS BIGINT) AS nij FROM (
+       |  SELECT a, b, w FROM wmat
+       |  UNION ALL SELECT b AS a, a AS b, w FROM wmat) GROUP BY 1, 2),
+       |wt AS (SELECT a AS src, CAST(sum(w) AS BIGINT) AS wins FROM wmat GROUP BY 1),
+       |games AS (SELECT a AS src, CAST(sum(nij) AS BIGINT) AS games FROM n GROUP BY 1),
+       |p0 AS (SELECT DISTINCT a AS src, 1.0::DOUBLE AS p FROM n),
+       |p1 AS (${it("p0")}),
+       |p2 AS (${it("p1")}),
+       |p3 AS (${it("p2")}),
+       |tot AS (SELECT sum(p) AS s FROM p3)
+       |SELECT p3.src AS source, coalesce(wt.wins, 0) AS wins, games.games,
+       |  round(p3.p / tot.s, 5) AS strength,
+       |  row_number() OVER (ORDER BY round(p3.p / tot.s, 5) DESC, p3.src)::BIGINT
+       |    AS rank
+       |FROM p3 LEFT JOIN wt ON wt.src = p3.src
+       |JOIN games ON games.src = p3.src, tot
+       |ORDER BY rank""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_bradley_terry", qBradleyTerry, Some(qBradleyTerrySql)),
     QueryDef("q_sequential_test", qSequentialTest, Some(qSequentialTestSql)),
     QueryDef("q_srm_check", qSrmCheck, Some(qSrmCheckSql)),
     QueryDef("q_power_analysis", qPowerAnalysis, Some(qPowerAnalysisSql)),

@@ -1333,11 +1333,17 @@ object Timeseries extends QueryFamily {
     * with α=0.3 β=0.1 γ=0.2, plus the one-step-ahead in-sample MAE
     * (error taken BEFORE each update — the honest forecast error) and
     * a 3-day-ahead forecast. The 7-slot cycle runs on the DENSE
-    * day-index grid (position in the sorted daily series), which
-    * equals calendar day-of-week only while the series has no gaps —
-    * true of the order-date fixtures at every SF; a gapped series
-    * would compose q_gapfill's zero-filled spine first. Facts reduce
-    * to the O(days) daily grain
+    * day-index grid (position in the sorted daily series) — a
+    * period-7 pseudo-weekly cycle, NOT calendar day-of-week: the
+    * order-date fixtures are only approximately gapless (sf0.01 has
+    * 6 missing days over its 2405-day span, so the slot drifts off
+    * calendar DOW after each gap). Engine, oracle, and spec all share
+    * the dense-index convention; the calendar-DOW variant is obtained
+    * by composing q_gapfill's zero-filled spine first. A series
+    * shorter than 14 days cannot seed the two-week init (and under 8
+    * days sequence(8, n) would run DESCENDING), so both forms emit
+    * zero rows below that floor instead of folding over wrong
+    * indices. Facts reduce to the O(days) daily grain
     * FIRST (one hash aggregate); the sequential recurrence then runs
     * as ONE in-array fold over the collected daily series — bounded by
     * study duration, never SF — carrying (level, trend, seasonal[7],
@@ -1377,6 +1383,7 @@ object Timeseries extends QueryFamily {
       .agg(sum($"o_totalprice").cast("double").as("y"))
       .agg(array_sort(collect_list(struct($"d", $"y"))).as("dy"))
       .select(expr("transform(dy, x -> x.y)").as("ys"))
+      .filter(size($"ys") >= 14) // two-week init floor; see Scaladoc
       .select(expr(fold).as("hw"), size($"ys").cast("long").as("n_days"))
       .select($"n_days",
         round($"hw.lev", 4).as("level"),
@@ -1425,7 +1432,7 @@ object Timeseries extends QueryFamily {
       |  round(lev + 1 * tr + s[((n + 1 - 1) % 7) + 1], 4) AS fc_1,
       |  round(lev + 2 * tr + s[((n + 2 - 1) % 7) + 1], 4) AS fc_2,
       |  round(lev + 3 * tr + s[((n + 3 - 1) % 7) + 1], 4) AS fc_3
-      |FROM fin""".stripMargin
+      |FROM fin WHERE n >= 14""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_holt_winters", qHoltWinters, Some(qHoltWintersSql)),

@@ -281,6 +281,64 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk-then-pack: zero token loss, driver replay matches, recovers what truncation drops") {
+    val rows = ops.Curation.qPackChunked(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("ctx_len")).toSeq === Seq(128L, 256L, 512L))
+    // the seeded input (natural docs + the 8 deterministic long docs)
+    val seeds = Seq(-8L -> 640L, -7L -> 256L, -6L -> 95L, -5L -> 1024L,
+      -4L -> 777L, -3L -> 517L, -2L -> 300L, -1L -> 150L)
+    val natural = ops.T.documents(spark, sf)
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS LONG) AS n_tok")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val all = (natural ++ seeds).sortBy(_._1)
+    val totalTok = all.map(_._2).sum
+    // the chunk path must actually be exercised at every L
+    assert(seeds.map(_._2).max > 512L)
+    // full driver replay: per bucket (truncating integer division,
+    // matching both engines), chunk each doc, next-fit the chunk stream
+    def replay(l: Long): (Long, Long) = {
+      val byBucket = all.groupBy { case (id, _) => id / 100 }
+      var wins = 0L; var pad = 0L
+      byBucket.toSeq.foreach { case (_, ds) =>
+        val chunks = ds.sortBy(_._1).flatMap { case (_, t) =>
+          Seq.fill((t / l).toInt)(l) ++ (if (t % l > 0) Seq(t % l) else Nil)
+        }
+        var fill = 0L
+        chunks.foreach { c =>
+          if (fill + c <= l) fill += c
+          else { wins += 1; pad += l - fill; fill = c }
+        }
+        if (fill > 0) { wins += 1; pad += l - fill }
+      }
+      (wins, pad)
+    }
+    rows.foreach { r =>
+      val l = r.getAs[Long]("ctx_len")
+      val wins = r.getAs[Long]("n_windows")
+      val pad = r.getAs[Long]("pad_tokens")
+      val (rWins, rPad) = replay(l)
+      assert((wins, pad) === ((rWins, rPad)),
+        s"L=$l: query ($wins, $pad) != driver replay ($rWins, $rPad)")
+      // the lossless twin's whole point: NOTHING dropped, so the
+      // window identity closes over the RAW corpus token mass
+      assert(r.getAs[Long]("token_loss") === 0L,
+        s"L=$l: chunk-then-pack lost ${r.getAs[Long]("token_loss")} tokens")
+      assert(r.getAs[Long]("total_tokens") === totalTok)
+      assert(wins * l === totalTok + pad,
+        s"L=$l: $wins x $l != $totalTok raw tokens + $pad pad")
+      assert(wins >= r.getAs[Long]("lb_windows"))
+      assert(r.getAs[Double]("pad_frac") >= 0.0 && r.getAs[Double]("pad_frac") < 0.5)
+      // waste comparison vs the truncating next-fit over the SAME
+      // seeded input: truncation discards trunc > 0 tokens here (the
+      // seeds exceed every L), the chunked pack discards none and its
+      // packed mass strictly exceeds the truncating pack's
+      val trunc = all.map { case (_, t) => math.max(t - l, 0L) }.sum
+      assert(trunc > 0L, s"L=$l: seeds failed to exceed the context length")
+      assert(wins * l - pad > (totalTok - trunc) - 1,
+        s"L=$l: chunked packed mass not above the truncating pack's")
+    }
+  }
+
   test("epoch expand: fills each source's target within doc granularity, upsamples past 1 epoch") {
     val rows = ops.Curation.qEpochExpand(spark, sf).collect()
     val nSources = ops.T.documents(spark, sf).select("source").distinct().count()

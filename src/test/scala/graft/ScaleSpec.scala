@@ -266,6 +266,27 @@ class ScaleSpec extends AnyFunSuite {
         s"(full-build growth $fullGrowth) — delta locality collapsed")
   }
 
+  test("incremental PQ encode work is delta-bounded, not corpus-bounded") {
+    // q_pq_delta encodes a FIXED 50-vector batch against the stored
+    // codebook: the candidate relation is |delta| x 4 subspaces x
+    // codebook size — IDENTICAL at both fixtures while the corpus
+    // (and the full encode's volume) grows ~4-10x. If this ever grows
+    // with the fixture, the insert path is secretly re-encoding the
+    // corpus.
+    val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val corpus = dirs.map(d => spark.read.parquet(s"$d/embeddings.parquet").count())
+    assert(corpus(1).toDouble / corpus(0) >= 2.0, s"fixtures no longer differ: $corpus")
+    val cand = dirs.map(d =>
+      ops.Similarity.pqDeltaEncodeCandidates(spark, d).count())
+    assert(cand(0) === cand(1),
+      s"PQ delta encode candidates grew with the corpus: $cand")
+    // the FULL encode evaluates corpus x 4 subspaces x codebook rows;
+    // the delta encode must stay strictly below it at every fixture
+    cand.zip(corpus).foreach { case (c, n) =>
+      assert(c < n * 40, s"delta encode volume $c not below the full encode's ${n * 40}")
+    }
+  }
+
   test("kNN-graph delete recompute work tracks the deleted set's in-degree, not the corpus") {
     // q_knn_graph_delete re-ranks only sources whose STORED top-3
     // contained a deleted neighbor — the deleted vectors' graph

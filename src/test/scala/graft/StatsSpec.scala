@@ -264,4 +264,45 @@ class StatsSpec extends AnyFunSuite {
         assert(!r.getAs[Boolean]("crossed"), s"|z|=$z below bound $b but crossed")
     }
   }
+
+  test("bradley-terry: driver replay of the MM iterations matches, strengths form a simplex") {
+    val rows = ops.Stats.qBradleyTerry(spark, sf).collect()
+    assert(rows.length >= 2, "need at least two competitors")
+    // ranks are a 1..K permutation ordered by strength desc
+    assert(rows.map(_.getAs[Long]("rank")).toSeq === (1L to rows.length).toSeq)
+    val s = rows.map(_.getAs[Double]("strength"))
+    s.sliding(2).foreach { case Array(hi, lo) => assert(hi >= lo); case _ => }
+    assert(math.abs(s.sum - 1.0) < 1e-3, s"strengths sum ${s.sum}, not a simplex")
+    // full driver replay from the raw (source, token-count) pairs:
+    // directed win counts, then 3 simultaneous-update MM iterations
+    val toks = ops.T.documents(spark, sf)
+      .selectExpr("source", "CAST(size(split(text, ' ')) AS LONG) AS t")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val srcs = toks.map(_._1).distinct.sorted
+    val bySource = toks.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val wins = (for (a <- srcs; b <- srcs if a != b) yield (a, b) ->
+      bySource(a).map(ta => bySource(b).count(_ < ta).toLong).sum.toDouble).toMap
+    val wTot = srcs.map(a => a -> srcs.filter(_ != a).map(b => wins((a, b))).sum).toMap
+    val games = (for (a <- srcs; b <- srcs if a != b) yield (a, b) ->
+      (wins((a, b)) + wins((b, a)))).toMap
+    var p = srcs.map(_ => 1.0)
+    for (_ <- 1 to 3) {
+      p = srcs.zipWithIndex.map { case (a, i) =>
+        val denom = srcs.zipWithIndex.collect {
+          case (b, j) if b != a && games((a, b)) > 0 => games((a, b)) / (p(i) + p(j))
+        }.sum
+        if (denom > 0) wTot(a) / denom else 0.0
+      }
+    }
+    val tot = p.sum
+    val expected = srcs.zip(p.map(x =>
+      math.rint(x / tot * 1e5) / 1e5)).toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(math.abs(r.getAs[Double]("strength") - expected(src)) < 2e-5,
+        s"$src: query strength ${r.getAs[Double]("strength")} != replay ${expected(src)}")
+      assert(r.getAs[Long]("wins") === wTot(src).toLong)
+      assert(r.getAs[Long]("games") === srcs.filter(_ != src).map(b => games((src, b))).sum.toLong)
+    }
+  }
 }
