@@ -2153,6 +2153,139 @@ object Text extends QueryFamily {
       |  JOIN t10 ON t10.p = fin2.rp
       |GROUP BY 1, 2, 3 ORDER BY rank""".stripMargin
 
+  /** SECOND EM iteration of unigram-LM training — the M-step
+    * [[qUnigramLm]] stops short of, proving the training LOOP
+    * composes (the claim q_knn_graph_churn makes for index
+    * maintenance, made here for tokenizer training): piece scores are
+    * RE-ESTIMATED from iteration-1's Viterbi segmentation counts
+    * (hard-EM M-step: p(piece) ∝ usage, add-one smoothed over the
+    * retained vocabulary so zero-usage single chars stay finite —
+    * they must survive every round to guarantee segmentability;
+    * zero-usage multi-char pieces drop, which is the estimator's
+    * built-in prune), and Viterbi re-runs under the NEW scores. The
+    * report is iteration-2's top-20 pieces with their re-estimated
+    * log-probs next to the iteration-1 usage that produced them — the
+    * convergence readout (stable top pieces ⇒ the vocabulary has
+    * settled). Scale shape identical to iteration 1: everything after
+    * the one tokenize is vocabulary-bounded; the M-step is one
+    * aggregate over the |vocab|-row usage table; each word's
+    * iteration-2 piece map rebuilds from its OWN iteration-1 map keys
+    * (no re-tokenize, no second corpus scan). Oracle replays both
+    * iterations as recursive CTEs. */
+  def qUnigramEm2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (wordMap, scores) = uniPipeline(spark, dir)
+    val base = wordMap
+      .withColumn("st", expr(uniStFold(uniBaseLookup)))
+      .withColumn("ps", expr(uniPsFold))
+      .drop("st")
+      .ckpt()
+    val usage1 = base.select($"c", explode($"ps").as("p"))
+      .groupBy($"p").agg(sum($"c").as("u1"))
+    // M-step vocabulary: pieces the Viterbi pass actually used, plus
+    // every single char (segmentability floor)
+    val vocab2 = scores.select($"p")
+      .join(usage1, Seq("p"), "left")
+      .select($"p", coalesce($"u1", lit(0L)).as("u1"))
+      .filter($"u1" > 0 || length($"p") === 1)
+      .ckpt()
+    val tot2 = vocab2.agg(sum($"u1").as("ut"), count(lit(1)).as("v"))
+    val scores2 = vocab2.crossJoin(broadcast(tot2))
+      .select($"p", $"u1", log(($"u1" + 1).cast("double") / ($"ut" + $"v")).as("lp"))
+      .ckpt()
+    val wordMap2 = base.select($"w", $"c", explode(map_keys($"m")).as("p"))
+      .join(broadcast(scores2.select($"p", $"lp")), Seq("p"))
+      .groupBy($"w")
+      .agg(map_from_entries(collect_list(struct($"p", $"lp"))).as("m"),
+        max($"c").as("c"))
+    val segs2 = wordMap2
+      .withColumn("st", expr(uniStFold(uniBaseLookup)))
+      .withColumn("ps", expr(uniPsFold))
+      .select($"c", explode($"ps").as("p"))
+    val usage2 = segs2.groupBy($"p").agg(sum($"c").as("usage"))
+    Skew.twoPhaseTopK(usage2, Seq(), Seq(desc("usage"), asc("p")), k = 20,
+        rankName = "rank")
+      .join(broadcast(scores2), Seq("p"))
+      .select($"rank".cast("long").as("rank"), $"p".as("piece"), $"usage",
+        $"u1".as("usage_prev"), round($"lp", 4).as("logp2"))
+      .orderBy($"rank")
+  }
+
+  val qUnigramEm2Sql: String =
+    """WITH RECURSIVE tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |words AS MATERIALIZED (SELECT w, count(*)::BIGINT AS c FROM tok WHERE len(w) > 0 GROUP BY w),
+      |pos AS (SELECT w, c, unnest(range(1, len(w) + 1)) AS i FROM words),
+      |pieces AS (SELECT w, c, substr(w, i, L) AS p
+      |  FROM pos CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS L) ls
+      |  WHERE i + L - 1 <= len(w)),
+      |freq AS (SELECT p, CAST(sum(c) AS BIGINT) AS f FROM pieces GROUP BY p),
+      |vocab AS (SELECT p, f FROM freq WHERE len(p) = 1
+      |  UNION ALL
+      |  SELECT p, f FROM (SELECT p, f FROM freq WHERE len(p) > 1 ORDER BY f DESC, p LIMIT 200)),
+      |sc AS MATERIALIZED (SELECT p, ln(f::DOUBLE / (SELECT sum(f) FROM vocab)) AS lp FROM vocab),
+      |wm AS MATERIALIZED (SELECT wp.w, map(list(wp.p ORDER BY wp.p), list(sc.lp ORDER BY wp.p)) AS m
+      |  FROM (SELECT DISTINCT w, p FROM pieces) wp JOIN sc ON sc.p = wp.p
+      |  GROUP BY wp.w),
+      |walk(w, i, dp, bp) AS (
+      |  SELECT w, 0::BIGINT, [0.0]::DOUBLE[], [0]::BIGINT[] FROM wm
+      |  UNION ALL
+      |  SELECT r.w, r.i + 1,
+      |    list_append(r.dp, (SELECT max(t.dpv + coalesce(map_extract(wm.m, substr(r.w, t.s, r.i + 2 - t.s))[1], -1e18))
+      |       FROM (SELECT unnest(r.dp) AS dpv, generate_subscripts(r.dp, 1) AS s) t
+      |       WHERE t.s >= greatest(1, r.i - 2))),
+      |    list_append(r.bp, (SELECT first(t.s - 1 ORDER BY t.dpv + coalesce(map_extract(wm.m, substr(r.w, t.s, r.i + 2 - t.s))[1], -1e18) DESC, t.s)
+      |       FROM (SELECT unnest(r.dp) AS dpv, generate_subscripts(r.dp, 1) AS s) t
+      |       WHERE t.s >= greatest(1, r.i - 2)))
+      |  FROM walk r JOIN wm ON wm.w = r.w
+      |  WHERE r.i < len(r.w)),
+      |done AS MATERIALIZED (SELECT w, dp, bp FROM walk WHERE i = len(w)),
+      |bt(w, cur, piece) AS (
+      |  SELECT w, len(w)::BIGINT, NULL::VARCHAR FROM done
+      |  UNION ALL
+      |  SELECT b.w, d.bp[b.cur + 1],
+      |    substr(b.w, d.bp[b.cur + 1] + 1, b.cur - d.bp[b.cur + 1])
+      |  FROM bt b JOIN done d ON d.w = b.w
+      |  WHERE b.cur > 0),
+      |usage1 AS (SELECT piece AS p, CAST(sum(c) AS BIGINT) AS u1
+      |  FROM bt JOIN words ON words.w = bt.w
+      |  WHERE piece IS NOT NULL GROUP BY piece),
+      |v2 AS MATERIALIZED (SELECT sc.p, coalesce(u.u1, 0)::BIGINT AS u1
+      |  FROM sc LEFT JOIN usage1 u ON u.p = sc.p
+      |  WHERE coalesce(u.u1, 0) > 0 OR len(sc.p) = 1),
+      |sc2 AS MATERIALIZED (SELECT p, u1,
+      |    ln((u1 + 1)::DOUBLE / ((SELECT sum(u1) FROM v2) + (SELECT count(*) FROM v2))) AS lp
+      |  FROM v2),
+      |wm2 AS MATERIALIZED (SELECT k.w, map(list(k.p ORDER BY k.p), list(sc2.lp ORDER BY k.p)) AS m
+      |  FROM (SELECT w, unnest(map_keys(m)) AS p FROM wm) k JOIN sc2 ON sc2.p = k.p
+      |  GROUP BY k.w),
+      |walk2(w, i, dp, bp) AS (
+      |  SELECT w, 0::BIGINT, [0.0]::DOUBLE[], [0]::BIGINT[] FROM wm2
+      |  UNION ALL
+      |  SELECT r.w, r.i + 1,
+      |    list_append(r.dp, (SELECT max(t.dpv + coalesce(map_extract(wm2.m, substr(r.w, t.s, r.i + 2 - t.s))[1], -1e18))
+      |       FROM (SELECT unnest(r.dp) AS dpv, generate_subscripts(r.dp, 1) AS s) t
+      |       WHERE t.s >= greatest(1, r.i - 2))),
+      |    list_append(r.bp, (SELECT first(t.s - 1 ORDER BY t.dpv + coalesce(map_extract(wm2.m, substr(r.w, t.s, r.i + 2 - t.s))[1], -1e18) DESC, t.s)
+      |       FROM (SELECT unnest(r.dp) AS dpv, generate_subscripts(r.dp, 1) AS s) t
+      |       WHERE t.s >= greatest(1, r.i - 2)))
+      |  FROM walk2 r JOIN wm2 ON wm2.w = r.w
+      |  WHERE r.i < len(r.w)),
+      |done2 AS MATERIALIZED (SELECT w, dp, bp FROM walk2 WHERE i = len(w)),
+      |bt2(w, cur, piece) AS (
+      |  SELECT w, len(w)::BIGINT, NULL::VARCHAR FROM done2
+      |  UNION ALL
+      |  SELECT b.w, d.bp[b.cur + 1],
+      |    substr(b.w, d.bp[b.cur + 1] + 1, b.cur - d.bp[b.cur + 1])
+      |  FROM bt2 b JOIN done2 d ON d.w = b.w
+      |  WHERE b.cur > 0),
+      |usage2 AS (SELECT piece AS p, CAST(sum(c) AS BIGINT) AS usage
+      |  FROM bt2 JOIN words ON words.w = bt2.w
+      |  WHERE piece IS NOT NULL GROUP BY piece)
+      |SELECT row_number() OVER (ORDER BY u.usage DESC, u.p) AS rank, u.p AS piece,
+      |  u.usage, sc2.u1 AS usage_prev, round(sc2.lp, 4) AS logp2
+      |FROM usage2 u JOIN sc2 ON sc2.p = u.p
+      |ORDER BY u.usage DESC, u.p LIMIT 20""".stripMargin
+
   val qUnigramLmSql: String =
     """WITH RECURSIVE tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
       |words AS MATERIALIZED (SELECT w, count(*)::BIGINT AS c FROM tok WHERE len(w) > 0 GROUP BY w),
@@ -2199,6 +2332,8 @@ object Text extends QueryFamily {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_unigram_lm", qUnigramLm, Some(qUnigramLmSql)),
     QueryDef("q_unigram_prune", qUnigramPrune, Some(qUnigramPruneSql)),
+    // the M-step + second Viterbi pass: the training loop composes
+    QueryDef("q_unigram_em2", qUnigramEm2, Some(qUnigramEm2Sql)),
     QueryDef("q_good_turing", qGoodTuring, Some(qGoodTuringSql)),
     QueryDef("q_heaps_law", qHeapsLaw, Some(qHeapsLawSql)),
     QueryDef("q_source_jaccard", qSourceJaccard, Some(qSourceJaccardSql)),

@@ -469,6 +469,65 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("unigram EM2: driver replay of both iterations (Viterbi -> M-step -> Viterbi) matches") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Text.qUnigramEm2(spark, sf).collect()
+    assert(rows.length === 20)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq === (1L to 20L))
+    // full two-iteration replay on the driver (vocabulary-bounded, so
+    // collecting the distinct-word table is legitimate in a test)
+    val words = ops.T.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count().collect()
+      .map(r => r.getAs[String]("w") -> r.getAs[Long]("count")).toMap
+    val freq = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for ((w, c) <- words; i <- 0 until w.length; l <- 1 to 4
+         if i + l <= w.length)
+      freq(w.substring(i, i + l)) += c
+    val chars = freq.filter(_._1.length == 1)
+    val top = freq.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, f) => (-f, p) }.take(200)
+    val vocab1 = (chars.toSeq ++ top).toMap
+    def viterbiUsage(lp: Map[String, Double]): Map[String, Long] = {
+      val usage = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      for ((w, c) <- words) {
+        val n = w.length
+        val dp = Array.fill(n + 1)(Double.NegativeInfinity); dp(0) = 0.0
+        val bp = Array.fill(n + 1)(0)
+        for (i <- 1 to n; j <- math.max(0, i - 4) until i) {
+          lp.get(w.substring(j, i)).foreach { s =>
+            // strict > : ties keep the earlier (smaller) j = longer piece
+            if (dp(j) + s > dp(i)) { dp(i) = dp(j) + s; bp(i) = j }
+          }
+        }
+        var cur = n
+        while (cur > 0) { usage(w.substring(bp(cur), cur)) += c; cur = bp(cur) }
+      }
+      usage.toMap.withDefaultValue(0L)
+    }
+    val fTot = vocab1.values.sum.toDouble
+    val lp1 = vocab1.map { case (p, f) => p -> math.log(f / fTot) }
+    val u1 = viterbiUsage(lp1)
+    // M-step: retained vocab = used pieces + all single chars,
+    // add-one smoothing over the retained set
+    val vocab2 = vocab1.keySet.filter(p => u1(p) > 0 || p.length == 1)
+    val ut = vocab2.toSeq.map(u1).sum
+    val lp2 = vocab2.map(p =>
+      p -> math.log((u1(p) + 1).toDouble / (ut + vocab2.size))).toMap
+    val u2 = viterbiUsage(lp2)
+    val expected = u2.toSeq.sortBy { case (p, u) => (-u, p) }.take(20)
+      .zipWithIndex.map { case ((p, u), i) => (i + 1L, p, u) }
+    val got = rows.map(r => (r.getAs[Long]("rank"), r.getAs[String]("piece"),
+      r.getAs[Long]("usage"))).toSeq
+    assert(got === expected)
+    // the prev-usage column is iteration 1's count for the same piece
+    rows.foreach { r =>
+      assert(r.getAs[Long]("usage_prev") === u1(r.getAs[String]("piece")))
+      assert(r.getAs[Double]("logp2") < 0.0)
+    }
+  }
+
   test("unigram prune: gains non-negative, zero exactly when an equal-cost segmentation exists") {
     val rows = ops.Text.qUnigramPrune(spark, sf).collect()
     assert(rows.length === 10)

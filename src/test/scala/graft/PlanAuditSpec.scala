@@ -207,7 +207,20 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row final-look total broadcast onto the O(days) z table
     "q_sequential_test",
     // 1-row moment-totals broadcast onto the 5-fold moment rows
-    "q_crossval_regr")
+    "q_crossval_regr",
+    // 1-row corpus-count broadcast carving the fixed delta batch
+    "q_pq_delta",
+    // 1-row corpus-count + 1-row delta-error builds for the MSE ratio
+    "q_pq_staleness",
+    // 1-row raw-token-total broadcast per context-length fold (the
+    // q_pack_waste shape)
+    "q_pack_chunked",
+    // non-equi (t > t') join of the grid-bounded per-source token
+    // histogram with itself, plus the 1-row collected win matrix
+    "q_bradley_terry",
+    // 1-row M-step normalizer (usage total + vocab size) broadcast
+    // onto the iteration-2 piece scores
+    "q_unigram_em2")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
@@ -270,6 +283,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // two-phase top-200 piece carve + top-20 usage survivors
     "q_unigram_lm" -> "two-phase top-k survivors (k x |parts| rows max)",
     "q_unigram_prune" -> "two-phase top-k survivors (k x |parts| rows max)",
+    "q_unigram_em2" -> "two-phase top-k survivors (k x |parts| rows max)",
+    // strength rank over the K-source table
+    "q_bradley_terry" -> "K-source strength table (20 rows)",
     // rank assignment over the two 20-row retrieval lists
     "q_rrf_fusion" -> "top-20 retrieval lists",
     // cumulative shares over the $100-bucketed value grid (<=6k rows)
@@ -370,6 +386,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_filtered_search_recall" -> "shared LSH candidate pipeline + exact filtered ground-truth audit pipeline",
     "q_pack_waste" -> "three context-length folds + the token-total branch over ONE ckpt'd bucket-list relation (single scan in production; >2 leaves only in the checkpoint-free audit variant)",
     "q_pack_waste_ffd" -> "three context-length first-fit folds + the token-total branch over ONE ckpt'd bucket-list relation",
+    "q_pack_chunked" -> "three context-length chunk-then-pack folds + the token-total branch over ONE ckpt'd bucket-list relation",
+    "q_pq_staleness" -> "stored codebook/codes sidecar reads + corpus-error scan + the |delta|-bounded fresh-encode branch over the subspace-exploded embeddings",
     "q_sim_probe_adaptive" -> "centroid + probe + corpus branches over ONE ckpt'd scored candidate set + exact ground-truth audit pipeline",
     "q_sim_serving_cost" -> "four serving strategies (each its own ckpt'd candidate pull) + ONE shared exact pass over the corpus",
     "q_contamination_semantic" -> "train + eval branches feeding ONE ckpt'd per-vector argmax relation (the threshold derivation re-reads the ckpt, not the corpus)",
@@ -412,6 +430,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_shard_mix_audit" -> "collect_list of per-source counts into the 1-row params map (|sources|-bounded)",
     "q_unigram_lm" -> "collect_list of one word's vocab pieces into its score map (<= 4 x word length)",
     "q_unigram_prune" -> "collect_list of one word's vocab pieces into its score map (<= 4 x word length)",
+    "q_unigram_em2" -> "collect_list of one word's vocab pieces into its score map (<= 4 x word length)",
+    "q_bradley_terry" -> "collect_list of the K^2-bounded (<= 400 rows) win matrix",
+    "q_pack_chunked" -> "collect_list of one 100-doc bucket's (doc_id, n_tok) pairs (bucket-bounded by construction)",
     "q_holt_winters" -> "collect_list of the O(days) daily grain into the smoothing fold (study-duration-bounded)")
 
   test("no registered query buffers group values (exact percentile / collect) over an unbounded input") {

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's t2 differential check.
 
-Usage: python3 tools/t2_local.py <sfDir> <verifyOutDir>
+Usage: python3 tools/t2_local.py <sfDir> <verifyOutDir> [--json <path>]
 
 Reads each <verifyOutDir>/<name> parquet dump produced by graft.Verify,
 runs the paired SQL from oracle_sql.json in DuckDB against views named
@@ -75,6 +75,14 @@ def frame_key(df, name, side):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional: --json <path> writes a machine-readable per-query
+    # summary (the committed FULL_SF01.json artifact — round-13 verdict
+    # task 6: the full-registry sf0.1 differential, systematic instead
+    # of judge-spot-checked)
+    json_out = None
+    if len(sys.argv) >= 5 and sys.argv[3] == "--json":
+        json_out = sys.argv[4]
+    results = {}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -101,6 +109,8 @@ def main():
               "graft.Verify to regenerate the declared-vacuous markers")
     for name, err in sorted(meta.get("failures", {}).items()):
         print(f"FAIL {name}: spark-side failure: {err}")
+        results[name] = {"status": "fail", "rows": None,
+                         "detail": f"spark-side failure: {err}"[:200]}
     n_pass, n_fail = 0, len(meta.get("failures", {}))
     for name, sql in sorted(oracle.items()):
         try:
@@ -110,16 +120,22 @@ def main():
             ec, er, ed = frame_key(exp, name, "oracle")
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
+            results[name] = {"status": "fail", "rows": None,
+                             "detail": f"exception: {e}"[:200]}
             n_fail += 1
             continue
         if gc != ec:
             print(f"FAIL {name}: schema {gc} != {ec}")
+            results[name] = {"status": "fail", "rows": len(gr),
+                             "detail": "schema mismatch"}
             n_fail += 1
         elif gr != er:
             diffs = [(a, b) for a, b in zip(gr, er) if a != b][:3]
             print(
                 f"FAIL {name}: rows spark={len(gr)} oracle={len(er)}; "
                 f"dtypes spark={gd} oracle={ed}; first diffs: {diffs}")
+            results[name] = {"status": "fail", "rows": len(gr),
+                             "detail": "row/value mismatch"}
             if len(gr) != len(er):
                 only_g = set(gr) - set(er)
                 only_e = set(er) - set(gr)
@@ -134,16 +150,26 @@ def main():
             if len(gr) == 0:
                 if qmeta.get("declared_vacuous"):
                     print(f"PASS {name} (0 rows) VACUOUS[declared]")
+                    results[name] = {"status": "pass", "rows": 0,
+                                     "detail": "declared-vacuous"}
                     n_pass += 1
                 else:
                     print(f"FAIL {name}: vacuous differential (both "
                           f"engines empty, not declared-empty for this "
                           f"fixture) — proves nothing")
+                    results[name] = {"status": "fail", "rows": 0,
+                                     "detail": "undeclared vacuous"}
                     n_fail += 1
             else:
                 print(f"PASS {name} ({len(gr)} rows)")
+                results[name] = {"status": "pass", "rows": len(gr)}
                 n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                       "queries": results}, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     sys.exit(1 if n_fail else 0)
 
 
