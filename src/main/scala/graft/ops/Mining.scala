@@ -115,14 +115,22 @@ object Mining extends QueryFamily {
       |GROUP BY c.rf ORDER BY l_returnflag""".stripMargin
 
   /** Frequent 3-itemsets (the Apriori step above [[qBasketPairs]]):
-    * co-purchased part TRIPLES with support ≥ 2 orders. Instead of a
-    * 3-way fact self-join (shuffle³), each order's distinct-part
+    * the TOP-50 co-purchased part triples by order support. Instead
+    * of a 3-way fact self-join (shuffle³), each order's distinct-part
     * basket is collected once and the C(|basket|, 3) combinations are
     * generated IN-ARRAY — TPC-H baskets hold ≤ 7 parts, so the
     * per-row expansion is ≤ 35 structs, bounded by construction (an
     * unbounded-basket corpus would Apriori-prune on frequent pairs
     * first). One distinct aggregate, one bounded explode, one hash
-    * count: the triple relation is the only thing that shuffles. */
+    * count: the triple relation is the only thing that shuffles.
+    * Ranked top-50 rather than an absolute support cut: the part
+    * keyspace grows faster than the order count across fixtures, so a
+    * fixed "support ≥ 2" floor that selects rows at sf0.01 empties at
+    * sf0.1 (max triple support there is 1 — caught by the r14 sf0.1
+    * differential as undeclared-vacuous); the ranking keeps the
+    * differential non-vacuous at every fixture and still surfaces the
+    * repeated triples first wherever they exist, with the full
+    * (support, part ids) order pinned for cross-engine stability. */
   def qBasketTriples(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val baskets = T.lineitem(spark, dir)
@@ -140,7 +148,6 @@ object Mining extends QueryFamily {
           |               element_at(it, k) AS c))))))""".stripMargin)).as("t"))
       .groupBy($"t.a".as("part_a"), $"t.b".as("part_b"), $"t.c".as("part_c"))
       .agg(count(lit(1)).as("n_orders"))
-      .filter($"n_orders" >= 2)
       .orderBy(desc("n_orders"), asc("part_a"), asc("part_b"), asc("part_c"))
       .limit(50)
   }
@@ -156,7 +163,7 @@ object Mining extends QueryFamily {
       |          {'a': it[i], 'b': it[j], 'c': it[k]}))))), recursive := true)
       |  FROM b WHERE len(it) >= 3)
       |SELECT a AS part_a, b AS part_b, c AS part_c, count(*) AS n_orders
-      |FROM t GROUP BY 1, 2, 3 HAVING count(*) >= 2
+      |FROM t GROUP BY 1, 2, 3
       |ORDER BY n_orders DESC, part_a, part_b, part_c LIMIT 50""".stripMargin
 
   /** 5-fold cross-validated OLS (price ~ quantity) — the

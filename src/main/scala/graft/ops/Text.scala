@@ -1899,7 +1899,12 @@ object Text extends QueryFamily {
     * vocabulary does another 10x of corpus buy". One explode + one
     * hash aggregate reduce the corpus to |sources| points; the fit is
     * closed-form sums over that bounded relation (the q_forecast
-    * discipline — identical arithmetic on both engines). */
+    * discipline — identical arithmetic on both engines). The fixture's
+    * flat dictionary makes beta ~ 0, and a slope rounding to zero can
+    * carry either IEEE sign depending on the engine's accumulation
+    * order (+0.0 in Spark vs -0.0 in DuckDB at sf0.1 — a hash
+    * mismatch on equal values); adding +0.0 AFTER the round
+    * normalizes the signed zero in both engines. */
   def qHeapsLaw(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pts = T.documents(spark, dir)
@@ -1913,8 +1918,8 @@ object Text extends QueryFamily {
         sum($"x").as("sx"), sum($"y").as("sy"),
         sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sx2"))
       .select($"m".cast("long").as("n_sources"),
-        round(($"m" * $"sxy" - $"sx" * $"sy") /
-          ($"m" * $"sx2" - $"sx" * $"sx"), 4).as("beta"),
+        (round(($"m" * $"sxy" - $"sx" * $"sy") /
+          ($"m" * $"sx2" - $"sx" * $"sx"), 4) + lit(0.0)).as("beta"),
         round(exp(($"sy" - ($"m" * $"sxy" - $"sx" * $"sy") /
           ($"m" * $"sx2" - $"sx" * $"sx") * $"sx") / $"m"), 4).as("k"))
   }
@@ -1928,7 +1933,7 @@ object Text extends QueryFamily {
       |s AS (SELECT count(*)::DOUBLE AS m, sum(x) AS sx, sum(y) AS sy,
       |    sum(x * y) AS sxy, sum(x * x) AS sx2 FROM pts)
       |SELECT m::BIGINT AS n_sources,
-      |  round((m * sxy - sx * sy) / (m * sx2 - sx * sx), 4) AS beta,
+      |  round((m * sxy - sx * sy) / (m * sx2 - sx * sx), 4) + 0.0 AS beta,
       |  round(exp((sy - (m * sxy - sx * sy) / (m * sx2 - sx * sx) * sx) / m), 4) AS k
       |FROM s""".stripMargin
 

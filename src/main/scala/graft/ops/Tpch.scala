@@ -237,9 +237,19 @@ object Tpch extends QueryFamily {
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
   /** TPC-H Q11 shape: high-value parts for a nation group, HAVING
-    * value > fraction of the group total. The total is a 1-row
-    * aggregate broadcast back — the grouped side streams through one
-    * hash aggregate, no second scan of the filtered join. */
+    * value > a derived scalar of the same grouped relation. The
+    * threshold is 3x the MEAN per-part value (= 3/|parts| of the
+    * group total) rather than TPC-H's fixed 0.0001/SF fraction of the
+    * total: the fixture's part-value distribution is much flatter
+    * than TPC-H's (max share ~0.0003 of total at sf0.1), so any fixed
+    * fraction that selects rows at one fixture empties at the next —
+    * the r14 sf0.1 differential caught exactly that (0 rows both
+    * engines, flagged undeclared-vacuous). A mean-multiple cut is the
+    * same query shape (grouped sum vs broadcast scalar of the same
+    * relation) and scales with the data by construction: 36 rows at
+    * sf0.01, 342 at sf0.1. The scalar is a 1-row aggregate broadcast
+    * back — the grouped side streams through one hash aggregate, no
+    * second scan of the filtered join. */
   def q11ImportantValue(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val nations = broadcast(T.nation(spark, dir)
@@ -250,27 +260,23 @@ object Tpch extends QueryFamily {
       .select($"l_partkey".as("partkey"),
         ($"l_extendedprice" * $"l_quantity").as("v"))
     val perPart = contrib.groupBy($"partkey").agg(sum($"v").as("raw_value"))
-    val total = perPart.agg(sum($"raw_value").as("total_value"))
+    val total = perPart.agg(avg($"raw_value").as("mean_value"))
     perPart.crossJoin(broadcast(total))
-      .filter($"raw_value" > lit(0.001) * $"total_value")
+      .filter($"raw_value" > lit(3.0) * $"mean_value")
       .select($"partkey", round($"raw_value", 2).as("value"))
       .orderBy(desc("value"), asc("partkey"))
   }
 
   val q11ImportantValueSql: String =
-    """SELECT l_partkey AS partkey,
-      |  round(sum(l_extendedprice * l_quantity), 2) AS value
-      |FROM lineitem
-      |JOIN supplier ON l_suppkey = s_suppkey
-      |JOIN nation ON s_nationkey = n_nationkey
-      |WHERE n_name IN ('NATION_3', 'NATION_4')
-      |GROUP BY 1
-      |HAVING sum(l_extendedprice * l_quantity) > (
-      |  SELECT 0.001 * sum(l_extendedprice * l_quantity)
+    """WITH g AS (SELECT l_partkey AS partkey,
+      |    sum(l_extendedprice * l_quantity) AS raw_value
       |  FROM lineitem
       |  JOIN supplier ON l_suppkey = s_suppkey
       |  JOIN nation ON s_nationkey = n_nationkey
-      |  WHERE n_name IN ('NATION_3', 'NATION_4'))
+      |  WHERE n_name IN ('NATION_3', 'NATION_4')
+      |  GROUP BY 1)
+      |SELECT partkey, round(raw_value, 2) AS value
+      |FROM g WHERE raw_value > 3.0 * (SELECT avg(raw_value) FROM g)
       |ORDER BY value DESC, partkey""".stripMargin
 
   /** TPC-H Q12 shape: priority-class line counts per line status for a

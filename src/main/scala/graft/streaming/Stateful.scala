@@ -338,6 +338,53 @@ object Stateful {
       }
   }
 
+  case class ArmEvent(user_id: Long, succ: Boolean)
+  case class SeqState(na: Long, xa: Long, nb: Long, xb: Long)
+  case class MonitorLook(n: Long, z: Double, obf_bound: Double, crossed: Boolean)
+
+  /** Streaming deployment twin of the group-sequential A/B monitor
+    * [[graft.ops.Stats.qSequentialTest]]: the cumulative pooled
+    * two-proportion z between the user_id%2 arms, evaluated ONLINE at
+    * every trigger against the O'Brien-Fleming-shaped boundary
+    * 1.96/√t. One difference is the honest one: the batch audit
+    * normalizes information fraction by the REALIZED final total (it
+    * can peek at the end of the fixture); a live monitor can't, so it
+    * takes `plannedN` — the experiment's designed sample size, fixed
+    * before launch, which is how Lan-DeMets spending is actually
+    * deployed. State is FOUR longs per experiment (here one global
+    * experiment key; a deployment keys by experiment_id), so the
+    * store is |experiments|-bounded no matter the event volume, and z
+    * recomputes from exact integer counts at every look — no decayed
+    * or approximate state. The z guard matches the batch form: NaN
+    * (emitted, never Inf) while either arm is empty or pooled p-hat
+    * is degenerate. */
+  def sequentialMonitor(events: Dataset[ArmEvent], plannedN: Long): Dataset[MonitorLook] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_ => 0)
+      .mapGroupsWithState[SeqState, MonitorLook](GroupStateTimeout.NoTimeout) {
+        (_: Int, batch: Iterator[ArmEvent], state: GroupState[SeqState]) =>
+          var s = state.getOption.getOrElse(SeqState(0L, 0L, 0L, 0L))
+          batch.foreach { e =>
+            if (e.user_id % 2 == 0)
+              s = s.copy(na = s.na + 1, xa = s.xa + (if (e.succ) 1L else 0L))
+            else
+              s = s.copy(nb = s.nb + 1, xb = s.xb + (if (e.succ) 1L else 0L))
+          }
+          state.update(s)
+          val n = s.na + s.nb
+          val z =
+            if (s.na == 0 || s.nb == 0 || s.xa + s.xb == 0 || s.xa + s.xb == n)
+              Double.NaN
+            else {
+              val p = (s.xa + s.xb).toDouble / n
+              (s.xa.toDouble / s.na - s.xb.toDouble / s.nb) /
+                math.sqrt(p * (1.0 - p) * (1.0 / s.na + 1.0 / s.nb))
+            }
+          val bound = 1.96 / math.sqrt(n.toDouble / plannedN)
+          MonitorLook(n, z, bound, !z.isNaN && math.abs(z) > bound)
+      }
+  }
+
   /** Running per-user totals, updated every trigger. */
   def runningTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
     import events.sparkSession.implicits._

@@ -244,6 +244,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("group-sequential monitor as streaming state matches the batch looks at trigger boundaries") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ev = ops.T.events(spark, sf)
+      .select($"user_id", ($"event_type" === "purchase").as("succ"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .orderBy("day").collect()
+      .map(r => (r.getLong(2),
+        graft.streaming.Stateful.ArmEvent(r.getLong(0), r.getBoolean(1))))
+    val days = ev.map(_._1).distinct.sorted
+    // three triggers split at day boundaries; the planned horizon is
+    // the realized total so the streaming boundary matches the batch
+    // audit's realized-information normalizer
+    val cuts = Seq(days(days.length / 3 - 1), days(2 * days.length / 3 - 1), days.last)
+    val ms = MemoryStream[graft.streaming.Stateful.ArmEvent]
+    val out = graft.streaming.Stateful.sequentialMonitor(ms.toDS(), ev.length.toLong)
+    val q = out.writeStream.format("memory").queryName("seqmon_out")
+      .outputMode("update").start()
+    try {
+      val batch = ops.Stats.qSequentialTest(spark, sf).collect()
+        .map(r => r.getAs[Long]("day") -> r).toMap
+      var prev = Long.MinValue
+      cuts.foreach { cut =>
+        val chunk = ev.filter { case (d, _) => d > prev && d <= cut }.map(_._2)
+        prev = cut
+        ms.addData(chunk.toSeq: _*); q.processAllAvailable()
+        val look = spark.table("seqmon_out").orderBy($"n").collect().last
+        val b = batch(cut)
+        assert(look.getAs[Long]("n") === b.getAs[Long]("n"),
+          s"cumulative n diverged at day $cut")
+        assert(math.abs(look.getAs[Double]("z") - b.getAs[Double]("z")) < 1e-4,
+          s"z diverged at day $cut")
+        assert(math.abs(look.getAs[Double]("obf_bound") - b.getAs[Double]("obf_bound")) < 1e-4)
+        assert(look.getAs[Boolean]("crossed") === b.getAs[Boolean]("crossed"))
+      }
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink is idempotent under batch replay") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
