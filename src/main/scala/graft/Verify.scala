@@ -90,12 +90,14 @@ object Verify {
     val graphBase = graft.ops.Similarity.graphBaseSidecarPath(sfDir)
     val pqBook = graft.ops.Similarity.pqCodebookSidecarPath(sfDir)
     val pqCodes = graft.ops.Similarity.pqCodesSidecarPath(sfDir)
+    val pqBookBase = graft.ops.Similarity.pqBaseCodebookSidecarPath(sfDir)
     val json = SparkEntry.oracleSql
       .filter(kv => keep(kv._1) && !failures.contains(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v
         .replace("{THUMBS}", thumbs)
         .replace("{GRAPH}", graph)
         .replace("{GRAPHBASE}", graphBase)
+        .replace("{PQCODEBOOKBASE}", pqBookBase)
         .replace("{PQCODEBOOK}", pqBook)
         .replace("{PQCODES}", pqCodes))}" }
       .mkString("{", ",", "}")

@@ -1604,19 +1604,30 @@ object Similarity extends QueryFamily {
       .filter($"vec_id" >= $"n_all" - PqDeltaSize)
   }
 
+  /** (vector, subspace, candidate-code) distances of `d` against a
+    * broadcast codebook — the shared encode kernel of the PQ family. */
+  private def pqEncodeAgainst(d: DataFrame, cent: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
+    d.join(broadcast(cent), Seq("sub", "i"))
+      .groupBy($"vec_id", $"sub", $"c")
+      .agg(sum(($"x" - $"cx") * ($"x" - $"cx")).as("d2"))
+  }
+
+  /** Argmin-code selection over [[pqEncodeAgainst]]'s candidates. */
+  private def pqArgminCodes(enc: DataFrame): DataFrame = {
+    import enc.sparkSession.implicits._
+    val wEnc = Window.partitionBy($"vec_id", $"sub").orderBy(asc("d2"), asc("c"))
+    enc.withColumn("rn", row_number().over(wEnc)).filter($"rn" === 1)
+      .select($"vec_id".as("n_id"), $"sub", $"c".as("code"))
+  }
+
   /** The (vector, subspace, candidate-code) relation the incremental
     * PQ encode evaluates — |delta| × 4 subs × codebook size, a
     * CONSTANT across fixtures (ScaleSpec pins it against the full
     * encode's corpus-linear volume). */
   private[graft] def pqDeltaEncodeCandidates(
-      spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val cent = storedPqCodebook(spark, dir)
-    pqDeltaDims(spark, dir)
-      .join(broadcast(cent), Seq("sub", "i"))
-      .groupBy($"vec_id", $"sub", $"c")
-      .agg(sum(($"x" - $"cx") * ($"x" - $"cx")).as("d2"))
-  }
+      spark: SparkSession, dir: String): DataFrame =
+    pqEncodeAgainst(pqDeltaDims(spark, dir), storedPqCodebook(spark, dir))
 
   /** Incremental PQ index maintenance — encode a FIXED delta batch
     * (the [[PqDeltaSize]] highest vec_ids) against the STORED
@@ -1630,10 +1641,8 @@ object Similarity extends QueryFamily {
     * PQ family what [[qKnnGraphDelta]] proves for the graph index. */
   def qPqDelta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val enc = pqDeltaEncodeCandidates(spark, dir)
-    val wEnc = Window.partitionBy($"vec_id", $"sub").orderBy(asc("d2"), asc("c"))
-    enc.withColumn("rn", row_number().over(wEnc)).filter($"rn" === 1)
-      .select($"vec_id".as("n_id"), $"sub".cast("long").as("sub"), $"c".as("code"))
+    pqArgminCodes(pqDeltaEncodeCandidates(spark, dir))
+      .select($"n_id", $"sub".cast("long").as("sub"), $"code")
       .orderBy($"n_id", $"sub")
   }
 
@@ -1717,6 +1726,78 @@ object Similarity extends QueryFamily {
        |  ((d_se / (n_delta * 64)) / (c_se / (n_corpus * 64)) > 1.5)
        |    AS retrain_recommended
        |FROM ce, de""".stripMargin
+
+  /** Stored PRE-INSERT PQ index: codebook trained on the corpus MINUS
+    * the [[PqDeltaSize]] delta batch, codes for the base vectors only
+    * — the artifact [[qPqChurn]] maintains, mirroring
+    * [[materializeKnnBaseGraph]] for the graph family. The codebook
+    * genuinely never saw the delta at train time, which is what makes
+    * the insert differential an honest lifecycle claim rather than a
+    * re-encode of training data. */
+  def pqBaseCodebookSidecarPath(dir: String): String =
+    Fixtures.sidecarPath(dir, "pqcodebook_base")
+
+  def pqBaseCodesSidecarPath(dir: String): String =
+    Fixtures.sidecarPath(dir, "pqcodes_base")
+
+  def materializePqBaseIndex(spark: SparkSession, dir: String): (String, String) = {
+    import spark.implicits._
+    val bookPath = pqBaseCodebookSidecarPath(dir)
+    val codesPath = pqBaseCodesSidecarPath(dir)
+    if (!indexFresh(bookPath) || !indexFresh(codesPath)) {
+      val n = T.embeddings(spark, dir).agg(count(lit(1)).as("n_all"))
+      val d = pqDims(spark, dir).crossJoin(broadcast(n))
+        .filter($"vec_id" < $"n_all" - PqDeltaSize)
+        .ckpt() // feeds the codebook train AND the base encode
+      val cent = d.groupBy($"label".as("c"), $"sub", $"i").agg(avg($"x").as("cx"))
+        .ckpt()
+      cent.write.mode("overwrite").parquet(bookPath)
+      markIndex(bookPath)
+      pqArgminCodes(pqEncodeAgainst(d, cent))
+        .write.mode("overwrite").parquet(codesPath)
+      markIndex(codesPath)
+    }
+    (bookPath, codesPath)
+  }
+
+  /** COMPOSED PQ index maintenance — the maintained artifact itself,
+    * not just the delta rows: the stored BASE codes (built before the
+    * delta existed) plus the delta batch encoded incrementally under
+    * the PINNED base codebook, surfaced as one table. Oracle = the
+    * full-corpus encode under the same stored base codebook
+    * ({PQCODEBOOKBASE}), so maintained == rebuild-encode is
+    * differentially proved with a codebook that NEVER saw the delta —
+    * the PQ analogue of [[qKnnGraphChurn]]'s composition claim.
+    * (Erasure needs no counterpart here: a PQ index is a per-vector
+    * code table, so a delete is a pure row drop with no neighbor
+    * recompute — unlike the graph, where deleted vectors appear in
+    * other sources' edge lists.) Maintenance cost is the
+    * |delta|-bounded encode; the base corpus is never re-encoded. */
+  def qPqChurn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (bookPath, codesPath) = materializePqBaseIndex(spark, dir)
+    val cent = spark.read.parquet(bookPath)
+    val baseCodes = spark.read.parquet(codesPath)
+    val deltaCodes = pqArgminCodes(
+      pqEncodeAgainst(pqDeltaDims(spark, dir), cent))
+    baseCodes.unionByName(deltaCodes)
+      .select($"n_id", $"sub".cast("long").as("sub"), $"code")
+      .orderBy($"n_id", $"sub")
+  }
+
+  val qPqChurnSql: String =
+    """WITH ex AS (SELECT vec_id, unnest(embedding) AS xf,
+      |  unnest(range(1, len(embedding) + 1)) AS i FROM embeddings),
+      |d AS (SELECT vec_id, i, (i - 1) // 16 AS sub, xf::DOUBLE AS x FROM ex),
+      |cent AS (SELECT c, sub, i, cx FROM read_parquet('{PQCODEBOOKBASE}/*.parquet')),
+      |enc AS (SELECT d.vec_id, d.sub, c, sum((x - cx) * (x - cx)) AS d2
+      |  FROM d JOIN cent ON cent.i = d.i - 1 AND cent.sub = d.sub
+      |  GROUP BY 1, 2, 3),
+      |codes AS (SELECT vec_id AS n_id, sub, c AS code FROM (
+      |  SELECT vec_id, sub, c,
+      |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, c) AS rn
+      |  FROM enc) WHERE rn = 1)
+      |SELECT n_id, sub, code FROM codes ORDER BY n_id, sub""".stripMargin
 
   def qSimPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -3739,6 +3820,9 @@ object Similarity extends QueryFamily {
     QueryDef("q_pq_delta", qPqDelta, Some(qPqDeltaSql)),
     // the PQ retrain trigger: delta quantization MSE vs train-time MSE
     QueryDef("q_pq_staleness", qPqStaleness, Some(qPqStalenessSql)),
+    // composed PQ maintenance: stored base codes + incremental delta
+    // encode == full rebuild-encode under the pinned base codebook
+    QueryDef("q_pq_churn", qPqChurn, Some(qPqChurnSql)),
     QueryDef("q_sim_pq_recall", qSimPqRecall, Some(qSimPqRecallSql)),
     QueryDef("q_sim_ivfpq", qSimIvfPq, Some(qSimIvfPqSql)),
     QueryDef("q_sim_bruteforce", qSimBruteforce, Some(qSimBruteforceSql)),

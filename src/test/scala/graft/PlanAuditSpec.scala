@@ -209,7 +209,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row moment-totals broadcast onto the 5-fold moment rows
     "q_crossval_regr",
     // 1-row corpus-count broadcast carving the fixed delta batch
-    "q_pq_delta",
+    "q_pq_delta", "q_pq_churn",
     // 1-row corpus-count + 1-row delta-error builds for the MSE ratio
     "q_pq_staleness",
     // 1-row raw-token-total broadcast per context-length fold (the
