@@ -1330,10 +1330,21 @@ object Stats extends QueryFamily {
       .agg(collect_list(struct($"a", $"b", $"w")).as("m"))
       .select(explode(btFit($"m")).as("sp"))
       .select($"sp._1".as("src"), $"sp._2".as("p"))
+    // round-14 advice: a source whose every pairwise comparison is a
+    // tie never enters wmat, so it would silently vanish from the
+    // output. Left-joining the fit back to the DISTINCT source list
+    // keeps the output enumerating every competitor — excluded ones
+    // carry strength 0, wins 0, games 0 (the simplex still sums to 1
+    // over the sources that actually competed).
+    val allSrc = T.documents(spark, dir).select($"source").distinct()
     val wRank = Window.orderBy(desc("strength"), asc("source")) // K rows
-    strengths.join(wt, Seq("src"), "left").join(games, Seq("src"))
-      .select($"src".as("source"), coalesce($"wins", lit(0L)).as("wins"),
-        $"games", round($"p", 5).as("strength"))
+    allSrc
+      .join(strengths.withColumnRenamed("src", "source"), Seq("source"), "left")
+      .join(wt.withColumnRenamed("src", "source"), Seq("source"), "left")
+      .join(games.withColumnRenamed("src", "source"), Seq("source"), "left")
+      .select($"source", coalesce($"wins", lit(0L)).as("wins"),
+        coalesce($"games", lit(0L)).as("games"),
+        round(coalesce($"p", lit(0.0)), 5).as("strength"))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .orderBy($"rank")
   }
@@ -1358,13 +1369,16 @@ object Stats extends QueryFamily {
        |p1 AS (${it("p0")}),
        |p2 AS (${it("p1")}),
        |p3 AS (${it("p2")}),
-       |tot AS (SELECT sum(p) AS s FROM p3)
-       |SELECT p3.src AS source, coalesce(wt.wins, 0) AS wins, games.games,
-       |  round(p3.p / tot.s, 5) AS strength,
-       |  row_number() OVER (ORDER BY round(p3.p / tot.s, 5) DESC, p3.src)::BIGINT
-       |    AS rank
-       |FROM p3 LEFT JOIN wt ON wt.src = p3.src
-       |JOIN games ON games.src = p3.src, tot
+       |tot AS (SELECT sum(p) AS s FROM p3),
+       |allsrc AS (SELECT DISTINCT source FROM documents)
+       |SELECT allsrc.source, coalesce(wt.wins, 0) AS wins,
+       |  coalesce(games.games, 0) AS games,
+       |  round(coalesce(p3.p / tot.s, 0.0), 5) AS strength,
+       |  row_number() OVER (ORDER BY round(coalesce(p3.p / tot.s, 0.0), 5) DESC,
+       |    allsrc.source)::BIGINT AS rank
+       |FROM allsrc LEFT JOIN p3 ON p3.src = allsrc.source
+       |LEFT JOIN wt ON wt.src = allsrc.source
+       |LEFT JOIN games ON games.src = allsrc.source, tot
        |ORDER BY rank""".stripMargin
   }
 

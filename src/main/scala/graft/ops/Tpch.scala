@@ -261,8 +261,14 @@ object Tpch extends QueryFamily {
         ($"l_extendedprice" * $"l_quantity").as("v"))
     val perPart = contrib.groupBy($"partkey").agg(sum($"v").as("raw_value"))
     val total = perPart.agg(avg($"raw_value").as("mean_value"))
+    // both sides of the cut are rounded to the displayed 2 dp before
+    // comparing (round-14 advice): a part landing within
+    // accumulation-order ulp of the unrounded threshold could be
+    // included by one engine and excluded by the other — after 2-dp
+    // rounding a crossing needs a >= 0.01 gap, which float
+    // accumulation order cannot produce on these magnitudes
     perPart.crossJoin(broadcast(total))
-      .filter($"raw_value" > lit(3.0) * $"mean_value")
+      .filter(round($"raw_value", 2) > round(lit(3.0) * $"mean_value", 2))
       .select($"partkey", round($"raw_value", 2).as("value"))
       .orderBy(desc("value"), asc("partkey"))
   }
@@ -276,7 +282,7 @@ object Tpch extends QueryFamily {
       |  WHERE n_name IN ('NATION_3', 'NATION_4')
       |  GROUP BY 1)
       |SELECT partkey, round(raw_value, 2) AS value
-      |FROM g WHERE raw_value > 3.0 * (SELECT avg(raw_value) FROM g)
+      |FROM g WHERE round(raw_value, 2) > round(3.0 * (SELECT avg(raw_value) FROM g), 2)
       |ORDER BY value DESC, partkey""".stripMargin
 
   /** TPC-H Q12 shape: priority-class line counts per line status for a

@@ -357,7 +357,14 @@ object Stateful {
     * recomputes from exact integer counts at every look — no decayed
     * or approximate state. The z guard matches the batch form: NaN
     * (emitted, never Inf) while either arm is empty or pooled p-hat
-    * is degenerate. */
+    * is degenerate. DEGENERATE-LOOK REPRESENTATION (round-14
+    * advice): the batch twin emits SQL NULL for both z and crossed
+    * at a degenerate look; this typed Dataset has non-nullable
+    * primitives, so z is NaN and `crossed` is FALSE (not NULL) —
+    * semantically "boundary not crossed at this look", which is the
+    * decision a deployment acts on. A consumer diffing streaming
+    * looks against the batch audit must map (z IS NULL, crossed IS
+    * NULL) <-> (z.isNaN, crossed == false) before comparing. */
   def sequentialMonitor(events: Dataset[ArmEvent], plannedN: Long): Dataset[MonitorLook] = {
     import events.sparkSession.implicits._
     events.groupByKey(_ => 0)

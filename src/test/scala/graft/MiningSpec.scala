@@ -167,11 +167,16 @@ class MiningSpec extends AnyFunSuite {
     rows.foreach { r =>
       val (a, b, c) = (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"), r.getAs[Long]("part_c"))
       assert(a < b && b < c, "canonical itemset order")
-      assert(r.getAs[Long]("n_orders") >= 1L)
     }
     // top-50 ranking: supports are non-increasing, repeated triples
-    // (where the fixture has them) surface before the support-1 tail
+    // (where the fixture has them) surface before the support-1 tail.
+    // (A grouped count is always >= 1, so a per-row support assert is
+    // vacuous — round-14 advice; the fixture-aware signal is the HEAD:
+    // sf0.001 genuinely contains repeated triples, so the top of the
+    // ranking must show support >= 2 or the ranking is broken.)
     val ns = rows.map(_.getAs[Long]("n_orders"))
+    assert(ns.nonEmpty && ns.head >= 2L,
+      s"top-ranked triple support ${ns.headOption} — fixture has repeated triples")
     ns.sliding(2).foreach { case Array(hi, lo) => assert(hi >= lo); case _ => }
     // Apriori monotonicity: a triple's support never exceeds any
     // contained pair's support (checked against the unfiltered pairs)
