@@ -91,6 +91,7 @@ object Verify {
     val pqBook = graft.ops.Similarity.pqCodebookSidecarPath(sfDir)
     val pqCodes = graft.ops.Similarity.pqCodesSidecarPath(sfDir)
     val pqBookBase = graft.ops.Similarity.pqBaseCodebookSidecarPath(sfDir)
+    val uniVocab = graft.ops.Text.uniVocabSidecarPath(sfDir)
     val json = SparkEntry.oracleSql
       .filter(kv => keep(kv._1) && !failures.contains(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v
@@ -99,7 +100,8 @@ object Verify {
         .replace("{GRAPHBASE}", graphBase)
         .replace("{PQCODEBOOKBASE}", pqBookBase)
         .replace("{PQCODEBOOK}", pqBook)
-        .replace("{PQCODES}", pqCodes))}" }
+        .replace("{PQCODES}", pqCodes)
+        .replace("{UNIVOCAB}", uniVocab))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Per-query metadata sidecar: row counts + vacuous markers +

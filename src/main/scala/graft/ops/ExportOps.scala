@@ -369,6 +369,134 @@ object ExportOps extends QueryFamily {
       | round(arg_max(o_totalprice, version), 2) AS o_totalprice
       |FROM u GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
 
+  /** Incremental-export lifecycle differential (round-14 verdict
+    * task 4) — the nightly Oracle-to-lake sync the reference's
+    * snapshot exporter exists to feed
+    * (`/root/reference/README.md:9` stages Oracle for OLAP; a 100 TB
+    * user re-stages it nightly as base + deltas, never as a full
+    * re-export): a BASE snapshot is taken AS OF a commit point
+    * (`scn0` — event_id stands in for Oracle's SCN: the monotone
+    * commit number [[graft.engine.Scan]]'s AS-OF-SCN pinning uses),
+    * the post-cutoff changelog (keyed upserts + every-17th-id
+    * tombstones, the [[graft.ops.Timeseries.qCdcMerge]] convention)
+    * MERGEs onto it, and the query PROVES merge ≡ a fresh full
+    * rebuild of the post-change state inside its own output
+    * (`merge_equals_rebuild`), alongside the numbers the nightly-sync
+    * decision reads: rows inserted/updated/deleted, bytes touched
+    * (32 B/row: 4 long-width columns) vs the full-rewrite bytes, and
+    * the write ratio. Scale shape: the op-log is scanned ONCE
+    * (ckpt'd); base/delta/rebuild states are single hash aggregates
+    * keyed on the merge key (max_by — partial-combines map-side, no
+    * window); the merge itself is one anti-join plus a union; the
+    * differential is one full-outer join of two key-sized relations.
+    * The delta carve is count-proportional (last ~10% of SCNs) so the
+    * row stays non-vacuous at every fixture. */
+  def qExportIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val log = T.events(spark, dir)
+      .select($"user_id", $"event_id".as("scn"), $"ts",
+        round($"value", 4).as("v"),
+        when($"event_id" % 17 === 0, lit("D")).otherwise(lit("U")).as("op"))
+      .ckpt()
+    val cut = log.agg((max($"scn") - (count(lit(1)) / 10).cast("long")).as("scn0"))
+    // latest op per key of an op-log slice: ONE hash aggregate (scn is
+    // unique, so max_by is deterministic)
+    def latest(df: DataFrame): DataFrame =
+      df.groupBy($"user_id").agg(
+        max($"scn").as("last_scn"),
+        max_by(struct($"op", $"ts", $"v"), $"scn").as("s"))
+        .select($"user_id", $"last_scn", $"s.op".as("op"),
+          $"s.ts".as("last_ts"), $"s.v".as("last_value"))
+    val withCut = log.crossJoin(broadcast(cut))
+    val baseLive = latest(withCut.filter($"scn" <= $"scn0"))
+      .filter($"op" === "U").drop("op").ckpt()
+    val deltaOps = withCut.filter($"scn" > $"scn0").ckpt()
+    val deltaLatest = latest(deltaOps).ckpt()
+    // MERGE: untouched base rows survive; touched keys take the
+    // delta's latest op (delta SCNs are strictly newer than base's);
+    // a delta tombstone deletes, a tombstone on an absent key no-ops
+    val merged = baseLive
+      .join(deltaLatest.select($"user_id"), Seq("user_id"), "left_anti")
+      .unionByName(deltaLatest.filter($"op" === "U").drop("op"))
+      .ckpt()
+    val rebuild = latest(log).filter($"op" === "U")
+      .select($"user_id", $"last_scn".as("r_scn"), $"last_ts".as("r_ts"),
+        $"last_value".as("r_v"))
+    val mism = merged.join(rebuild, Seq("user_id"), "full_outer")
+      .filter(!($"last_scn" <=> $"r_scn" && $"last_ts" <=> $"r_ts" &&
+        $"last_value" <=> $"r_v"))
+      .agg(count(lit(1)).as("bad"))
+    val st = deltaLatest
+      .join(baseLive.select($"user_id", lit(1).as("inb")), Seq("user_id"), "left")
+      .agg(
+        sum(when($"op" === "U" && $"inb".isNull, 1L).otherwise(0L)).as("rows_inserted"),
+        sum(when($"op" === "U" && $"inb".isNotNull, 1L).otherwise(0L)).as("rows_updated"),
+        sum(when($"op" === "D" && $"inb".isNotNull, 1L).otherwise(0L)).as("rows_deleted"),
+        sum(when($"op" === "D" && $"inb".isNull, 1L).otherwise(0L)).as("noop_deletes"),
+        count(lit(1)).as("keys_touched"))
+    st.crossJoin(broadcast(baseLive.agg(count(lit(1)).as("n_base"))))
+      .crossJoin(broadcast(deltaOps.agg(count(lit(1)).as("n_delta_ops"))))
+      .crossJoin(broadcast(merged.agg(count(lit(1)).as("n_final"))))
+      .crossJoin(broadcast(mism))
+      .select($"n_base", $"n_delta_ops", $"keys_touched",
+        $"rows_inserted", $"rows_updated", $"rows_deleted", $"noop_deletes",
+        $"n_final", ($"bad" === 0L).as("merge_equals_rebuild"),
+        (lit(32L) * ($"rows_inserted" + $"rows_updated" + $"rows_deleted"))
+          .as("bytes_touched"),
+        (lit(32L) * $"n_final").as("bytes_full"),
+        round(($"rows_inserted" + $"rows_updated" + $"rows_deleted") / $"n_final", 4)
+          .as("write_ratio"))
+  }
+
+  val qExportIncrementalSql: String =
+    """WITH log AS (SELECT user_id, event_id AS scn,
+      |    make_timestamp(epoch_ns(ts) // 1000) AS ts, round(value, 4) AS v,
+      |    CASE WHEN event_id % 17 = 0 THEN 'D' ELSE 'U' END AS op
+      |  FROM events),
+      |cut AS (SELECT max(scn) - (count(*) // 10) AS scn0 FROM log),
+      |baselive AS (SELECT user_id, last_scn, last_ts, last_value FROM (
+      |    SELECT user_id, scn AS last_scn, op, ts AS last_ts, v AS last_value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY scn DESC) AS rn
+      |    FROM log, cut WHERE scn <= scn0) WHERE rn = 1 AND op = 'U'),
+      |delta AS (SELECT log.* FROM log, cut WHERE scn > scn0),
+      |dl AS (SELECT user_id, last_scn, op, last_ts, last_value FROM (
+      |    SELECT user_id, scn AS last_scn, op, ts AS last_ts, v AS last_value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY scn DESC) AS rn
+      |    FROM delta) WHERE rn = 1),
+      |merged AS (
+      |  SELECT b.* FROM baselive b
+      |  WHERE NOT EXISTS (SELECT 1 FROM dl WHERE dl.user_id = b.user_id)
+      |  UNION ALL
+      |  SELECT user_id, last_scn, last_ts, last_value FROM dl WHERE op = 'U'),
+      |rebuild AS (SELECT user_id, last_scn, last_ts, last_value FROM (
+      |    SELECT user_id, scn AS last_scn, op, ts AS last_ts, v AS last_value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY scn DESC) AS rn
+      |    FROM log) WHERE rn = 1 AND op = 'U'),
+      |mism AS (SELECT count(*)::BIGINT AS bad
+      |  FROM merged m FULL JOIN rebuild r ON m.user_id = r.user_id
+      |  WHERE m.user_id IS NULL OR r.user_id IS NULL
+      |     OR m.last_scn <> r.last_scn OR m.last_ts <> r.last_ts
+      |     OR m.last_value <> r.last_value),
+      |st AS (SELECT
+      |    sum(CASE WHEN dl.op = 'U' AND b.user_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS rows_inserted,
+      |    sum(CASE WHEN dl.op = 'U' AND b.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS rows_updated,
+      |    sum(CASE WHEN dl.op = 'D' AND b.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS rows_deleted,
+      |    sum(CASE WHEN dl.op = 'D' AND b.user_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS noop_deletes,
+      |    count(*)::BIGINT AS keys_touched
+      |  FROM dl LEFT JOIN baselive b ON b.user_id = dl.user_id)
+      |SELECT (SELECT count(*) FROM baselive)::BIGINT AS n_base,
+      |  (SELECT count(*) FROM delta)::BIGINT AS n_delta_ops,
+      |  st.keys_touched, st.rows_inserted, st.rows_updated,
+      |  st.rows_deleted, st.noop_deletes,
+      |  (SELECT count(*) FROM merged)::BIGINT AS n_final,
+      |  ((SELECT bad FROM mism) = 0) AS merge_equals_rebuild,
+      |  (32 * (st.rows_inserted + st.rows_updated + st.rows_deleted))::BIGINT AS bytes_touched,
+      |  (32 * (SELECT count(*) FROM merged))::BIGINT AS bytes_full,
+      |  round((st.rows_inserted + st.rows_updated + st.rows_deleted)::DOUBLE
+      |    / (SELECT count(*) FROM merged), 4) AS write_ratio
+      |FROM st""".stripMargin
+
   /** Benford leading-digit audit on exported money amounts: observed
     * first-digit shares next to the Benford expectation log10(1+1/d).
     * A cheap whole-table fraud/corruption screen on an export —
@@ -589,6 +717,8 @@ object ExportOps extends QueryFamily {
     QueryDef("q_export_roundtrip", qExportRoundtrip, Some(qExportRoundtripSql)),
     QueryDef("q_schema_merge", qSchemaMerge, Some(qSchemaMergeSql)),
     QueryDef("q_upsert_latest", qUpsertLatest, Some(qUpsertLatestSql)),
+    // nightly sync: base AS-OF-SCN export + changelog MERGE ≡ rebuild
+    QueryDef("q_export_incremental", qExportIncremental, Some(qExportIncrementalSql)),
     QueryDef("q_jsonl_roundtrip", qJsonlRoundtrip, Some(qJsonlRoundtripSql)),
     QueryDef("q_csv_roundtrip", qCsvRoundtrip, Some(qCsvRoundtripSql)),
     QueryDef("q_orc_roundtrip", qOrcRoundtrip, Some(qOrcRoundtripSql)),

@@ -1969,6 +1969,14 @@ object Text extends QueryFamily {
     * piece→logp map `m` (only vocab pieces the word contains — ≤ 4 ×
     * word length entries); `scores` is the pruned-vocab score table.
     * Both ckpt'd/derived so the corpus parquet is scanned once. */
+  /** Candidate pieces of a word column `w`: every substring of length
+    * 1-4 (the training family's piece-length cap). */
+  private val pieceArr = expr(
+    """flatten(transform(sequence(1, length(w)), i ->
+      |  filter(transform(array(1, 2, 3, 4), l ->
+      |    IF(i + l - 1 <= length(w), substring(w, i, l), NULL)),
+      |    x -> x IS NOT NULL)))""".stripMargin)
+
   private def uniPipeline(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val words = T.documents(spark, dir)
@@ -1976,11 +1984,6 @@ object Text extends QueryFamily {
       .filter(length($"w") > 0)
       .groupBy($"w").agg(count(lit(1)).as("c"))
       .ckpt()
-    val pieceArr = expr(
-      """flatten(transform(sequence(1, length(w)), i ->
-        |  filter(transform(array(1, 2, 3, 4), l ->
-        |    IF(i + l - 1 <= length(w), substring(w, i, l), NULL)),
-        |    x -> x IS NOT NULL)))""".stripMargin)
     val occ = words.select($"w", $"c", explode(pieceArr).as("p"))
     val freq = occ.groupBy($"p").agg(sum($"c").as("f")).ckpt()
     val top = Skew.twoPhaseTopK(freq.filter(length($"p") > 1), Seq(),
@@ -2177,7 +2180,14 @@ object Text extends QueryFamily {
     * iteration-2 piece map rebuilds from its OWN iteration-1 map keys
     * (no re-tokenize, no second corpus scan). Oracle replays both
     * iterations as recursive CTEs. */
-  def qUnigramEm2(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared EM-iteration-2 pipeline: (base, scores2). `base` is the
+    * iteration-1 Viterbi segmentation (word, count, piece map,
+    * pieces); `scores2` is the hard-EM re-estimated vocabulary
+    * (p, u1, lp) — every quantity derives from INTEGER usage counts
+    * (u1, Σu1, |vocab|), so `lp` is bit-for-bit reproducible across
+    * builds: the property [[materializeUniVocab]]'s stored==retrain
+    * differential rests on. */
+  private def uniEm2Pipeline(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val (wordMap, scores) = uniPipeline(spark, dir)
     val base = wordMap
@@ -2198,6 +2208,12 @@ object Text extends QueryFamily {
     val scores2 = vocab2.crossJoin(broadcast(tot2))
       .select($"p", $"u1", log(($"u1" + 1).cast("double") / ($"ut" + $"v")).as("lp"))
       .ckpt()
+    (base, scores2)
+  }
+
+  def qUnigramEm2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (base, scores2) = uniEm2Pipeline(spark, dir)
     val wordMap2 = base.select($"w", $"c", explode(map_keys($"m")).as("p"))
       .join(broadcast(scores2.select($"p", $"lp")), Seq("p"))
       .groupBy($"w")
@@ -2291,6 +2307,185 @@ object Text extends QueryFamily {
       |FROM usage2 u JOIN sc2 ON sc2.p = u.p
       |ORDER BY u.usage DESC, u.p LIMIT 20""".stripMargin
 
+  /** The EM-2 vocabulary WITHOUT the sidecar — the retrain side of
+    * the stored==retrain differential (DedupTextSpec). */
+  private[graft] def uniEm2Scores(spark: SparkSession, dir: String): DataFrame =
+    uniEm2Pipeline(spark, dir)._2
+
+  /** Version stamp for the stored unigram vocabulary: bumping it
+    * invalidates sidecars built by older code (the
+    * [[graft.ops.Similarity]] index-freshness discipline). */
+  private val UniVocabVersion = 1
+
+  /** Stored trained unigram-LM vocabulary of a fixture: the EM-2
+    * piece scores (p, u1, lp) from [[uniEm2Pipeline]]. */
+  def uniVocabSidecarPath(dir: String): String =
+    Fixtures.sidecarPath(dir, "univocab")
+
+  private def uniVocabFresh(path: String): Boolean =
+    !sys.env.get("SPARK_GRAFT_REBUILD_INDEX").contains("1") &&
+      new java.io.File(path, s"_GRAFT_UNIVOCAB_V$UniVocabVersion").isFile
+
+  /** Build-once/serve-many for the TRAINED tokenizer (round-14
+    * verdict task 3 — the tokenizer family's q_index_persist): the
+    * EM-2 vocabulary materializes to [[uniVocabSidecarPath]] and every
+    * serve pass ([[qUnigramApply]]) reads the STORED artifact instead
+    * of retraining. The build is exactly reproducible — lp derives
+    * from integer usage counts only — so stored == retrain is a
+    * bit-equality check (TextSpec pins it). SPARK_GRAFT_REBUILD_INDEX=1
+    * forces a rebuild. */
+  def materializeUniVocab(spark: SparkSession, dir: String): String = {
+    val path = uniVocabSidecarPath(dir)
+    if (!uniVocabFresh(path)) {
+      uniEm2Pipeline(spark, dir)._2
+        .write.mode("overwrite").parquet(path)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, s"_GRAFT_UNIVOCAB_V$UniVocabVersion"), "")
+    }
+    path
+  }
+
+  def storedUniVocab(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(materializeUniVocab(spark, dir))
+
+  /** Tokenizer SERVE pass — encode the whole corpus under the STORED
+    * trained unigram vocabulary (round-14 verdict task 3: the family
+    * had train-only; this is the pass a pipeline actually runs on
+    * every new shard once the tokenizer is frozen). One corpus scan
+    * reduces the text to (source, word, count); the Viterbi encode
+    * then runs once per DISTINCT word against the broadcast stored
+    * vocab (|vocab| ≤ #chars + 200 — KB-sized at any corpus scale) —
+    * the same in-array DP fold as training ([[uniStFold]]), so at
+    * 100 TB the encode cost is vocabulary x distinct-words bounded,
+    * never corpus x DP. Per source it reports: fertility
+    * (pieces/word — THE tokenizer-budget number), OOV-char rate
+    * (chars with no vocab entry; 0 on the training corpus itself by
+    * the segmentability floor, non-zero on unseen shards), the
+    * piece-length mix, and the GPT-2-ish regex pre-tokenizer's
+    * tokens/word ([[qTokenBpe]]'s n_bpe) as the untrained baseline in
+    * the same row. Oracle replays the DP as a recursive CTE against
+    * the SAME stored sidecar ({UNIVOCAB} token), so a green row
+    * proves the serve path, not the training. */
+  def qUnigramApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = storedUniVocab(spark, dir).select($"p", $"lp")
+    val srcWords = T.documents(spark, dir)
+      .select($"source", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      .ckpt()
+    val words = srcWords.select($"w").distinct()
+    val wordMap = words.select($"w", explode(pieceArr).as("p")).distinct()
+      .join(broadcast(vocab), Seq("p"))
+      .groupBy($"w")
+      .agg(map_from_entries(collect_list(struct($"p", $"lp"))).as("m"))
+    val wstats = wordMap
+      .withColumn("st", expr(uniStFold(uniBaseLookup)))
+      .withColumn("ps", expr(uniPsFold))
+      .select($"w",
+        size($"ps").cast("long").as("np"),
+        expr("size(filter(ps, x -> length(x) = 1))").cast("long").as("l1"),
+        expr("size(filter(ps, x -> length(x) = 2))").cast("long").as("l2"),
+        expr("size(filter(ps, x -> length(x) = 3))").cast("long").as("l3"),
+        expr("size(filter(ps, x -> length(x) = 4))").cast("long").as("l4"),
+        expr("""size(filter(transform(sequence(1, length(w)), i ->
+          |  substring(w, i, 1)), ch -> element_at(m, ch) IS NULL))""".stripMargin)
+          .cast("long").as("oovc"),
+        length($"w").cast("long").as("nc"))
+    val bySrc = srcWords.join(wstats, Seq("w"))
+      .groupBy($"source")
+      .agg(sum($"c").as("n_words"),
+        sum($"c" * $"np").as("n_pieces"),
+        sum($"c" * $"l1").as("pieces_len1"),
+        sum($"c" * $"l2").as("pieces_len2"),
+        sum($"c" * $"l3").as("pieces_len3"),
+        sum($"c" * $"l4").as("pieces_len4"),
+        sum($"c" * $"oovc").as("oov_chars"),
+        sum($"c" * $"nc").as("n_chars"))
+    val bpe = T.documents(spark, dir)
+      .groupBy($"source")
+      .agg(sum(expr(
+          "size(filter(regexp_extract_all(text, ' ?\\\\p{L}+| ?\\\\p{N}+| ?[^\\\\s\\\\p{L}\\\\p{N}]+|\\\\s+', 0), x -> x NOT RLIKE '^\\\\s+$'))")
+          .cast("long")).as("n_bpe"),
+        sum(size(split($"text", " ")).cast("long")).as("n_ws"))
+    bySrc.join(bpe, Seq("source"))
+      .select($"source", $"n_words", $"n_pieces",
+        round($"n_pieces" / $"n_words", 4).as("fertility"),
+        round($"oov_chars" / $"n_chars", 6).as("oov_char_rate"),
+        $"pieces_len1", $"pieces_len2", $"pieces_len3", $"pieces_len4",
+        round($"n_bpe" / $"n_ws", 4).as("bpe_tokens_per_word"))
+      .orderBy($"source")
+  }
+
+  val qUnigramApplySql: String =
+    """WITH RECURSIVE sc AS MATERIALIZED (SELECT p, lp FROM read_parquet('{UNIVOCAB}/*.parquet')),
+      |tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |srcw AS MATERIALIZED (SELECT source, w, count(*)::BIGINT AS c
+      |  FROM tok WHERE len(w) > 0 GROUP BY 1, 2),
+      |words AS MATERIALIZED (SELECT DISTINCT w FROM srcw),
+      |pos AS (SELECT w, unnest(range(1, len(w) + 1)) AS i FROM words),
+      |pieces AS (SELECT w, substr(w, i, L) AS p
+      |  FROM pos CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS L) ls
+      |  WHERE i + L - 1 <= len(w)),
+      |wm AS MATERIALIZED (SELECT wp.w, map(list(wp.p ORDER BY wp.p), list(sc.lp ORDER BY wp.p)) AS m
+      |  FROM (SELECT DISTINCT w, p FROM pieces) wp JOIN sc ON sc.p = wp.p
+      |  GROUP BY wp.w),
+      |walk(w, i, dp, bp) AS (
+      |  SELECT w, 0::BIGINT, [0.0]::DOUBLE[], [0]::BIGINT[] FROM wm
+      |  UNION ALL
+      |  SELECT r.w, r.i + 1,
+      |    list_append(r.dp, (SELECT max(t.dpv + coalesce(map_extract(wm.m, substr(r.w, t.s, r.i + 2 - t.s))[1], -1e18))
+      |       FROM (SELECT unnest(r.dp) AS dpv, generate_subscripts(r.dp, 1) AS s) t
+      |       WHERE t.s >= greatest(1, r.i - 2))),
+      |    list_append(r.bp, (SELECT first(t.s - 1 ORDER BY t.dpv + coalesce(map_extract(wm.m, substr(r.w, t.s, r.i + 2 - t.s))[1], -1e18) DESC, t.s)
+      |       FROM (SELECT unnest(r.dp) AS dpv, generate_subscripts(r.dp, 1) AS s) t
+      |       WHERE t.s >= greatest(1, r.i - 2)))
+      |  FROM walk r JOIN wm ON wm.w = r.w
+      |  WHERE r.i < len(r.w)),
+      |done AS MATERIALIZED (SELECT w, dp, bp FROM walk WHERE i = len(w)),
+      |bt(w, cur, piece) AS (
+      |  SELECT w, len(w)::BIGINT, NULL::VARCHAR FROM done
+      |  UNION ALL
+      |  SELECT b.w, d.bp[b.cur + 1],
+      |    substr(b.w, d.bp[b.cur + 1] + 1, b.cur - d.bp[b.cur + 1])
+      |  FROM bt b JOIN done d ON d.w = b.w
+      |  WHERE b.cur > 0),
+      |wstat AS MATERIALIZED (SELECT w,
+      |    count(piece)::BIGINT AS np,
+      |    sum(CASE WHEN len(piece) = 1 THEN 1 ELSE 0 END)::BIGINT AS l1,
+      |    sum(CASE WHEN len(piece) = 2 THEN 1 ELSE 0 END)::BIGINT AS l2,
+      |    sum(CASE WHEN len(piece) = 3 THEN 1 ELSE 0 END)::BIGINT AS l3,
+      |    sum(CASE WHEN len(piece) = 4 THEN 1 ELSE 0 END)::BIGINT AS l4
+      |  FROM bt WHERE piece IS NOT NULL GROUP BY w),
+      |oov AS (SELECT c.w, sum(CASE WHEN sc1.p IS NULL THEN 1 ELSE 0 END)::BIGINT AS oovc
+      |  FROM (SELECT w, substr(w, i, 1) AS ch FROM pos) c
+      |  LEFT JOIN (SELECT p FROM sc WHERE len(p) = 1) sc1 ON sc1.p = c.ch
+      |  GROUP BY c.w),
+      |agg AS (SELECT srcw.source,
+      |    CAST(sum(srcw.c) AS BIGINT) AS n_words,
+      |    CAST(sum(srcw.c * wstat.np) AS BIGINT) AS n_pieces,
+      |    CAST(sum(srcw.c * wstat.l1) AS BIGINT) AS pieces_len1,
+      |    CAST(sum(srcw.c * wstat.l2) AS BIGINT) AS pieces_len2,
+      |    CAST(sum(srcw.c * wstat.l3) AS BIGINT) AS pieces_len3,
+      |    CAST(sum(srcw.c * wstat.l4) AS BIGINT) AS pieces_len4,
+      |    CAST(sum(srcw.c * oov.oovc) AS BIGINT) AS oov_chars,
+      |    CAST(sum(srcw.c * len(srcw.w)) AS BIGINT) AS n_chars
+      |  FROM srcw JOIN wstat ON wstat.w = srcw.w JOIN oov ON oov.w = srcw.w
+      |  GROUP BY 1),
+      |bpe AS (SELECT source,
+      |    sum(len(list_filter(
+      |      regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
+      |      x -> NOT regexp_matches(x, '^\s+$'))))::BIGINT AS n_bpe,
+      |    sum(len(string_split(text, ' ')))::BIGINT AS n_ws
+      |  FROM documents GROUP BY 1)
+      |SELECT agg.source, n_words, n_pieces,
+      |  round(n_pieces::DOUBLE / n_words, 4) AS fertility,
+      |  round(oov_chars::DOUBLE / n_chars, 6) AS oov_char_rate,
+      |  pieces_len1, pieces_len2, pieces_len3, pieces_len4,
+      |  round(bpe.n_bpe::DOUBLE / bpe.n_ws, 4) AS bpe_tokens_per_word
+      |FROM agg JOIN bpe ON bpe.source = agg.source
+      |ORDER BY agg.source""".stripMargin
+
   val qUnigramLmSql: String =
     """WITH RECURSIVE tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
       |words AS MATERIALIZED (SELECT w, count(*)::BIGINT AS c FROM tok WHERE len(w) > 0 GROUP BY w),
@@ -2339,6 +2534,8 @@ object Text extends QueryFamily {
     QueryDef("q_unigram_prune", qUnigramPrune, Some(qUnigramPruneSql)),
     // the M-step + second Viterbi pass: the training loop composes
     QueryDef("q_unigram_em2", qUnigramEm2, Some(qUnigramEm2Sql)),
+    // tokenizer SERVE: corpus encode under the STORED trained vocab
+    QueryDef("q_unigram_apply", qUnigramApply, Some(qUnigramApplySql)),
     QueryDef("q_good_turing", qGoodTuring, Some(qGoodTuringSql)),
     QueryDef("q_heaps_law", qHeapsLaw, Some(qHeapsLawSql)),
     QueryDef("q_source_jaccard", qSourceJaccard, Some(qSourceJaccardSql)),

@@ -48,6 +48,29 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental export: merge-then-read == rebuild, and the counts balance") {
+    val r = ops.ExportOps.qExportIncremental(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    // the differential the query embeds: base snapshot + changelog
+    // MERGE reproduces the fresh full export bit-for-bit
+    assert(row.getAs[Boolean]("merge_equals_rebuild"),
+      "incremental merge diverged from the full rebuild")
+    // conservation: final keys = base + inserts - deletes (updates and
+    // no-op tombstones don't change the key count)
+    assert(row.getAs[Long]("n_final") ===
+      row.getAs[Long]("n_base") + row.getAs[Long]("rows_inserted") -
+        row.getAs[Long]("rows_deleted"))
+    // the touched set partitions into the four outcomes
+    assert(row.getAs[Long]("keys_touched") ===
+      row.getAs[Long]("rows_inserted") + row.getAs[Long]("rows_updated") +
+        row.getAs[Long]("rows_deleted") + row.getAs[Long]("noop_deletes"))
+    // non-vacuous at the spec fixture: a delta with no inserts, no
+    // updates, AND no deletes would prove nothing
+    assert(row.getAs[Long]("rows_updated") > 0)
+    assert(row.getAs[Long]("n_delta_ops") > 0)
+  }
+
   test("k-means assignment covers every vector and is label-dominant") {
     val rows = ops.Similarity.qKmeansAssign(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n")).sum

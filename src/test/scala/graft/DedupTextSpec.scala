@@ -528,6 +528,43 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("unigram serve: stored vocab == retrain bit-for-bit, encode conserves characters") {
+    import org.apache.spark.sql.functions._
+    // (a) stored == retrain: the EM-2 scores derive only from integer
+    // usage counts, so the sidecar must equal a fresh training run
+    // EXACTLY (no rounding tolerance) — the tokenizer family's
+    // analogue of the q_index_persist stored==rebuild differential
+    def vocabSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("p", "u1", "lp").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val stored = vocabSet(ops.Text.storedUniVocab(spark, sf))
+    val fresh = vocabSet(ops.Text.uniEm2Scores(spark, sf))
+    assert(stored === fresh, "stored unigram vocab diverged from retrain")
+    // (b) the serve pass segments every character exactly once:
+    // per source, sum(piece_len x count) == total characters, and the
+    // length buckets partition the piece count
+    val rows = ops.Text.qUnigramApply(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val charsBySrc = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("source").agg(sum(length(col("w"))).as("nc"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (l1, l2, l3, l4) = (r.getAs[Long]("pieces_len1"), r.getAs[Long]("pieces_len2"),
+        r.getAs[Long]("pieces_len3"), r.getAs[Long]("pieces_len4"))
+      assert(l1 + l2 + l3 + l4 === r.getAs[Long]("n_pieces"),
+        "length buckets must partition the pieces")
+      assert(l1 + 2 * l2 + 3 * l3 + 4 * l4 === charsBySrc(r.getAs[String]("source")),
+        "piece lengths must reassemble the source's characters exactly")
+      // a word is at least one piece; multi-char pieces make it fewer
+      assert(r.getAs[Double]("fertility") >= 1.0)
+      // on the training corpus itself the segmentability floor
+      // guarantees every char is in-vocab
+      assert(r.getAs[Double]("oov_char_rate") === 0.0)
+    }
+  }
+
   test("unigram prune: gains non-negative, zero exactly when an equal-cost segmentation exists") {
     val rows = ops.Text.qUnigramPrune(spark, sf).collect()
     assert(rows.length === 10)
