@@ -88,6 +88,7 @@ object Verify {
     val thumbs = graft.ops.Multimodal.thumbsSidecarPath(sfDir)
     val graph = graft.ops.Similarity.graphSidecarPath(sfDir)
     val graphBase = graft.ops.Similarity.graphBaseSidecarPath(sfDir)
+    val graphUpper = graft.ops.Similarity.upperGraphSidecarPath(sfDir)
     val pqBook = graft.ops.Similarity.pqCodebookSidecarPath(sfDir)
     val pqCodes = graft.ops.Similarity.pqCodesSidecarPath(sfDir)
     val pqBookBase = graft.ops.Similarity.pqBaseCodebookSidecarPath(sfDir)
@@ -98,6 +99,7 @@ object Verify {
         .replace("{THUMBS}", thumbs)
         .replace("{GRAPH}", graph)
         .replace("{GRAPHBASE}", graphBase)
+        .replace("{GRAPHUPPER}", graphUpper)
         .replace("{PQCODEBOOKBASE}", pqBookBase)
         .replace("{PQCODEBOOK}", pqBook)
         .replace("{PQCODES}", pqCodes)

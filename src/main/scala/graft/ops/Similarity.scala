@@ -520,6 +520,10 @@ object Similarity extends QueryFamily {
     *    ([[qFilteredSearchRecall]]); its recall is against the
     *    FILTERED exact top-3 (the only correct truth for constrained
     *    serving), flagged in ground_truth.
+    *  - e_graph_hier (round 15): the two-layer HNSW-style walk
+    *    ([[qKnnHierSearch]]) — upper-layer walk over the stored 1/32
+    *    coarse graph finds the entries, base walk serves; candidates
+    *    = both layers' scored pairs.
     * The exact pass runs ONCE: all probe x corpus pairs scored to one
     * ckpt'd relation; the overall AND filtered ground truths are
     * windows over it. */
@@ -613,7 +617,23 @@ object Similarity extends QueryFamily {
         Seq(desc("cos"), asc("n_id")), 3, "r").select($"q_id", $"n_id")
     val dRow = row("d_filtered_prefilter", fTop, exactF,
       fCand.agg(count(lit(1)).as("n_candidates")), "filtered_top3")
+    // ---- e: hierarchical two-layer walk (qKnnHierSearch config) ----
+    val gu = storedKnnUpperGraph(spark, dir).select($"src_id", $"nbr_id").ckpt()
+    val upEntry = probes.select($"q_id").crossJoin(broadcast(
+      e0.filter($"vec_id" % 32 === 0).agg(min($"vec_id").as("n_id"))))
+    val upVisited = searchWalk(gu, eVec, probes, beam = 3, upEntry).ckpt()
+    val hierEntries = upVisited.withColumn("r", row_number().over(wq))
+      .filter($"r" <= 2).select($"q_id", $"n_id")
+    val hierVisited = searchWalk(g, eVec, probes, beam = 3, hierEntries).ckpt()
+    val hTop = hierVisited.filter($"q_id" =!= $"n_id")
+      .withColumn("r", row_number().over(wq)).filter($"r" <= 3)
+      .select($"q_id", $"n_id")
+    val hCount = upVisited.agg(count(lit(1)).as("nu"))
+      .crossJoin(hierVisited.agg(count(lit(1)).as("nv")))
+      .select(($"nu" + $"nv").as("n_candidates"))
+    val eRow = row("e_graph_hier", hTop, exact, hCount, "overall_top3")
     aRow.unionByName(bRow).unionByName(cRow).unionByName(dRow)
+      .unionByName(eRow)
       .orderBy($"strategy")
   }
 
@@ -690,12 +710,24 @@ object Similarity extends QueryFamily {
        |asel AS (SELECT t.q_id, t.n_id FROM tops t JOIN pu ON pu.q_id = t.q_id
        |  AND t.stage = pu.probes_used),
        |g AS MATERIALIZED (SELECT src_id, nbr_id FROM read_parquet('{GRAPH}/*.parquet')),
+       |gu AS MATERIALIZED (SELECT src_id, nbr_id FROM read_parquet('{GRAPHUPPER}/*.parquet')),
        |$quantizer,
        |${searchWalkCtes("_sc", 3, "SELECT q_id, n_id FROM entries")},
        |got_sc AS (SELECT q_id, n_id FROM (
        |  SELECT q_id, n_id, row_number() OVER (
        |      PARTITION BY q_id ORDER BY cos DESC, n_id) AS r
        |  FROM v3_sc WHERE q_id <> n_id) WHERE r <= 3),
+       |${searchWalkCtes("_su", 3,
+          "SELECT q_id, (SELECT min(vec_id) FROM embeddings WHERE vec_id % 32 = 0) AS n_id FROM probes",
+          "gu")},
+       |she AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS r
+       |  FROM v3_su) WHERE r <= 2),
+       |${searchWalkCtes("_sh", 3, "SELECT q_id, n_id FROM she")},
+       |got_sh AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY cos DESC, n_id) AS r
+       |  FROM v3_sh WHERE q_id <> n_id) WHERE r <= 3),
        |fb AS (SELECT vec_id, embedding, n2, (label % 3 = 0) AS pass,
        |  array_to_string(list_transform(embedding[1:8],
        |    x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket FROM en),
@@ -719,7 +751,10 @@ object Similarity extends QueryFamily {
            "(SELECT count(*) FROM cscored) + (SELECT count(*) FROM v3_sc)",
            "got_sc", "exact", "(SELECT count(*) FROM exact)", "overall_top3")}UNION ALL
        |${strategyRow("d_filtered_prefilter", "(SELECT count(*) FROM fcand)",
-           "ftop", "exactf", "(SELECT count(*) FROM exactf)", "filtered_top3")}ORDER BY strategy""".stripMargin
+           "ftop", "exactf", "(SELECT count(*) FROM exactf)", "filtered_top3")}UNION ALL
+       |${strategyRow("e_graph_hier",
+           "(SELECT count(*) FROM v3_su) + (SELECT count(*) FROM v3_sh)",
+           "got_sh", "exact", "(SELECT count(*) FROM exact)", "overall_top3")}ORDER BY strategy""".stripMargin
   }
 
   /** Single k-means assignment step: every corpus vector is assigned
@@ -2437,6 +2472,56 @@ object Similarity extends QueryFamily {
   def storedKnnBaseGraph(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(materializeKnnBaseGraph(spark, dir))
 
+  /** Stored UPPER-LAYER graph (the HNSW-style coarse layer): the kNN
+    * graph over the deterministic 1/32 node sample (vec_id % 32 == 0),
+    * under the SAMPLE's own scaled hash depth. */
+  def upperGraphSidecarPath(dir: String): String =
+    Fixtures.sidecarPath(dir, "knngraph_upper")
+
+  /** The upper-layer graph WITHOUT the sidecar — the rebuild side of
+    * the stored==rebuild differential (SimilaritySpec), and the build
+    * body of [[materializeKnnUpperGraph]]. Same pipeline as the base
+    * layer: LSH-bucketed candidates among the sampled nodes only,
+    * hamming<=1 probes, [[knnEdgesOf]] top-3 ranking. */
+  private[graft] def buildKnnUpperGraph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val up = T.embeddings(spark, dir)
+      .filter($"vec_id" % 32 === 0)
+      .select($"vec_id", $"embedding")
+    val nUp = up.agg(count(lit(1)).as("n"))
+    val h = up.crossJoin(broadcast(nUp))
+      .withColumn("bits", scaledBits($"n", targetBucket = 64, floor = 2, max = 16))
+      .withColumn("sg", signBits(16))
+      .withColumn("bucket", expr("substring(sg, 1, bits)"))
+      .ckpt()
+    val cand = h.withColumn("probe_bucket", hamming1Probes)
+      .select($"vec_id".as("src_id"), $"embedding".as("qv"), $"probe_bucket")
+      .join(h.select($"vec_id".as("nbr_id"), $"embedding".as("v"),
+        $"bucket".as("probe_bucket")), Seq("probe_bucket"))
+      .filter($"src_id" =!= $"nbr_id")
+    knnEdgesOf(cand)
+      .crossJoin(broadcast(h.agg(max($"bits").as("bits"))))
+      .withColumn("hash_kind", lit("sign16"))
+  }
+
+  /** Build-once/serve-many for the coarse layer — the same lifecycle
+    * as [[materializeKnnGraph]]: [[qKnnHierSearch]] and the serving-
+    * cost table pay serve-only cost once the artifact exists. At a
+    * 100 TB corpus the upper layer is 1/32 of the nodes, so its build
+    * is a rounding error next to the base graph's, and its whole edge
+    * relation is small enough to broadcast to every searcher. */
+  def materializeKnnUpperGraph(spark: SparkSession, dir: String): String = {
+    val path = upperGraphSidecarPath(dir)
+    if (!indexFresh(path)) {
+      buildKnnUpperGraph(spark, dir).write.mode("overwrite").parquet(path)
+      markIndex(path)
+    }
+    path
+  }
+
+  def storedKnnUpperGraph(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(materializeKnnUpperGraph(spark, dir))
+
   /** The coarse quantizer REUSING a stored index's config: hash depth
     * comes from the artifact's `bits` column, never re-derived from
     * the corpus (SimilaritySpec pins this by feeding a synthetic index
@@ -3301,10 +3386,11 @@ object Similarity extends QueryFamily {
        |        JOIN en ON en.vec_id = c.n_id)
        |  GROUP BY q_id, n_id)""".stripMargin
 
-  private def searchHopCtes(i: Int, sfx: String, beam: Int): String = {
+  private def searchHopCtes(i: Int, sfx: String, beam: Int,
+                            gname: String = "g"): String = {
     val prevF = s"f${i - 1}$sfx"; val prevV = s"v${i - 1}$sfx"
-    s"""c$i$sfx AS (SELECT DISTINCT f.q_id, g.nbr_id AS n_id
-       |  FROM $prevF f JOIN g ON g.src_id = f.n_id),
+    s"""c$i$sfx AS (SELECT DISTINCT f.q_id, $gname.nbr_id AS n_id
+       |  FROM $prevF f JOIN $gname ON $gname.src_id = f.n_id),
        |w$i$sfx AS (SELECT c.q_id, c.n_id FROM c$i$sfx c WHERE NOT EXISTS
        |  (SELECT 1 FROM $prevV v WHERE v.q_id = c.q_id AND v.n_id = c.n_id)),
        |${searchScoreCte(s"w$i$sfx", s"s$i$sfx")},
@@ -3320,15 +3406,16 @@ object Similarity extends QueryFamily {
     * the fixed single entry (corpus min vec_id). */
   private def searchWalkCtes(sfx: String, beam: Int,
       entryBody: String =
-        "SELECT q_id, (SELECT min(vec_id) FROM embeddings) AS n_id FROM probes")
+        "SELECT q_id, (SELECT min(vec_id) FROM embeddings) AS n_id FROM probes",
+      gname: String = "g")
       : String =
     s"""c0$sfx AS ($entryBody),
        |${searchScoreCte(s"c0$sfx", s"s0$sfx")},
        |v0$sfx AS (SELECT * FROM s0$sfx),
        |f0$sfx AS (SELECT q_id, n_id FROM s0$sfx),
-       |${searchHopCtes(1, sfx, beam)},
-       |${searchHopCtes(2, sfx, beam)},
-       |${searchHopCtes(3, sfx, beam)}""".stripMargin
+       |${searchHopCtes(1, sfx, beam, gname)},
+       |${searchHopCtes(2, sfx, beam, gname)},
+       |${searchHopCtes(3, sfx, beam, gname)}""".stripMargin
 
   // the oracle serves from the SAME stored artifact as the Spark side
   // (stored == rebuild is proven separately by q_index_persist)
@@ -3502,6 +3589,101 @@ object Similarity extends QueryFamily {
        |${row(1, "_e1")}UNION ALL
        |${row(2, "_e2")}UNION ALL
        |${row(4, "_e4")}ORDER BY entries""".stripMargin
+  }
+
+  /** Hierarchical (HNSW-style two-layer) graph search vs the flat walk
+    * at EQUAL beam (round-14 verdict task 5 — "does a hierarchy pay at
+    * this corpus size", measured): the coarse layer is the stored kNN
+    * graph over the deterministic 1/32 node sample
+    * ([[storedKnnUpperGraph]], its own sidecar lifecycle with a
+    * stored==rebuild spec); a query first walks the UPPER layer
+    * (beam 3, fixed entry = min sampled id) and enters the BASE layer
+    * at its top-2 upper results, replacing the flat walk's one fixed
+    * entry. Both strategies report recall@3 against the shared exact
+    * pass plus the cost a deployment pays: hops and candidates scored
+    * (upper-walk + base-walk distance computations for the hierarchy —
+    * honest double-counting where both layers score the same pair).
+    * Scale shape: the upper layer is 1/32 of the corpus (its whole
+    * edge relation broadcasts); every walk stage is frontier-bounded
+    * exactly as [[qKnnSearch]]; the entry upgrade multiplies only the
+    * seed size (<= |probes| x 2), never corpus work. The reference
+    * has no vector search at all (`main.py` exports tables); this is
+    * the HNSW serving pattern (Malkov & Yashunin 2016) on DataFrames. */
+  def qKnnHierSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = storedKnnGraph(spark, dir).select($"src_id", $"nbr_id").ckpt()
+    val gu = storedKnnUpperGraph(spark, dir).select($"src_id", $"nbr_id").ckpt()
+    val e = T.embeddings(spark, dir).select($"vec_id", $"embedding").cache()
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val exact = qSimBruteforce(spark, dir).filter($"rank" <= 3)
+      .select($"q_id", $"n_id").ckpt()
+    val nTrue = exact.agg(count(lit(1)).as("n_true"))
+    val wq = Window.partitionBy($"q_id").orderBy(desc("cos"), asc("n_id"))
+    // flat: the qKnnSearch configuration (1 fixed entry, beam 3)
+    val flat = searchWalk(g, e, probes, beam = 3, fixedEntry(e, probes)).ckpt()
+    // hier: coarse-layer walk first (fixed upper entry = min sampled
+    // id), then the base walk seeded at the upper walk's top-2
+    val upEntry = probes.select($"q_id").crossJoin(broadcast(
+      e.filter($"vec_id" % 32 === 0).agg(min($"vec_id").as("n_id"))))
+    val upper = searchWalk(gu, e, probes, beam = 3, upEntry).ckpt()
+    val baseEntries = upper.withColumn("r", row_number().over(wq))
+      .filter($"r" <= 2).select($"q_id", $"n_id")
+    val hier = searchWalk(g, e, probes, beam = 3, baseEntries).ckpt()
+    def row(name: String, visited: DataFrame, cand: DataFrame, hops: Int): DataFrame = {
+      val got = visited.filter($"q_id" =!= $"n_id")
+        .withColumn("r", row_number().over(wq)).filter($"r" <= 3)
+        .select($"q_id", $"n_id")
+      val hits = exact.join(got, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      cand.crossJoin(broadcast(hits)).crossJoin(broadcast(nTrue))
+        .select(lit(name).as("strategy"), lit(hops.toLong).as("hops"),
+          $"n_candidates", $"n_hits", $"n_true",
+          round($"n_hits".cast("double") / $"n_true", 4).as("recall"))
+    }
+    val flatRow = row("a_flat_fixed_entry", flat,
+      flat.agg(count(lit(1)).as("n_candidates")), hops = 3)
+    val hierRow = row("b_hier_upper_entry", hier,
+      upper.agg(count(lit(1)).as("nu"))
+        .crossJoin(hier.agg(count(lit(1)).as("nb")))
+        .select(($"nu" + $"nb").as("n_candidates")), hops = 6)
+    flatRow.unionByName(hierRow).orderBy($"strategy")
+  }
+
+  val qKnnHierSearchSql: String = {
+    def got(sfx: String): String =
+      s"""got$sfx AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM v3$sfx WHERE q_id <> n_id) WHERE rank <= 3)""".stripMargin
+    def row(name: String, hops: Int, candExpr: String, sfx: String): String =
+      s"""SELECT '$name' AS strategy, ${hops}::BIGINT AS hops,
+         |  ($candExpr)::BIGINT AS n_candidates,
+         |  (SELECT count(*) FROM exact e JOIN got$sfx a
+         |     ON a.q_id = e.q_id AND a.n_id = e.n_id) AS n_hits,
+         |  (SELECT count(*) FROM exact) AS n_true,
+         |  round((SELECT count(*) FROM exact e JOIN got$sfx a
+         |     ON a.q_id = e.q_id AND a.n_id = e.n_id)::DOUBLE /
+         |    (SELECT count(*) FROM exact), 4) AS recall
+         |""".stripMargin
+    s"""$searchPrologSql,
+       |gu AS MATERIALIZED (SELECT src_id, nbr_id
+       |  FROM read_parquet('{GRAPHUPPER}/*.parquet')),
+       |exact AS MATERIALIZED (SELECT q_id, n_id
+       |  FROM (${qSimBruteforceSql.replace("\n", "\n  ")}) WHERE rank <= 3),
+       |${searchWalkCtes("_fl", 3)},
+       |${searchWalkCtes("_up", 3,
+          "SELECT q_id, (SELECT min(vec_id) FROM embeddings WHERE vec_id % 32 = 0) AS n_id FROM probes",
+          "gu")},
+       |he AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS r
+       |  FROM v3_up) WHERE r <= 2),
+       |${searchWalkCtes("_hb", 3, "SELECT q_id, n_id FROM he")},
+       |${got("_fl")},
+       |${got("_hb")}
+       |${row("a_flat_fixed_entry", 3, "SELECT count(*) FROM v3_fl", "_fl")}UNION ALL
+       |${row("b_hier_upper_entry", 6,
+          "(SELECT count(*) FROM v3_up) + (SELECT count(*) FROM v3_hb)", "_hb")}ORDER BY strategy""".stripMargin
   }
 
   /** SemDeDup-style semantic clusters: connected components over the
@@ -3780,6 +3962,8 @@ object Similarity extends QueryFamily {
     QueryDef("q_semantic_purity", qSemanticPurity, Some(qSemanticPuritySql)),
     QueryDef("q_knn_beam_sweep", qKnnBeamSweep, Some(qKnnBeamSweepSql)),
     QueryDef("q_knn_entry_sweep", qKnnEntrySweep, Some(qKnnEntrySweepSql)),
+    // HNSW-style two-layer search vs the flat walk at equal beam
+    QueryDef("q_knn_hier_search", qKnnHierSearch, Some(qKnnHierSearchSql)),
     // stored == rebuild: the persisted artifact every serve/maintain
     // query reads, differentially proven against the inline rebuild
     QueryDef("q_index_persist", qIndexPersist, Some(qIndexPersistSql)),

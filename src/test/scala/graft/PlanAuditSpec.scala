@@ -172,6 +172,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // true-count builds per E + the brute-force ground-truth non-equi
     // join
     "q_knn_entry_sweep",
+    // 1-row fixed-entry builds per layer + 1-row candidate/hit/true
+    // counters + the brute-force ground-truth non-equi join
+    "q_knn_hier_search",
     // 1-row corpus-count broadcast that pins the index's hash depth
     // (shared by the base build and the delta recompute)
     "q_knn_graph_delta",
@@ -381,6 +384,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_knn_search_recall" -> "search pipeline + exact ground-truth audit pipeline",
     "q_knn_beam_sweep" -> "walk pipelines per beam + exact ground-truth audit pipeline",
     "q_knn_entry_sweep" -> "coarse-quantizer entry pull + walk pipelines per E + exact ground-truth audit pipeline",
+    "q_knn_hier_search" -> "upper-layer walk + base-layer walk (flat and hier) + exact ground-truth audit pipeline",
     "q_knn_graph_delta" -> "stored base-index sidecar read + affected-set + delta-recompute stages over the hashed corpus",
     "q_knn_graph_churn" -> "stored base-index sidecar read + insert affected/recompute + delete affected/recompute stages over the hashed corpus",
     "q_knn_graph_delete" -> "stored-index sidecar read + in-degree affected-set + survivor-recompute stages over the hashed corpus",
@@ -393,7 +397,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_pack_chunked" -> "three context-length chunk-then-pack folds + the token-total branch over ONE ckpt'd bucket-list relation",
     "q_pq_staleness" -> "stored codebook/codes sidecar reads + corpus-error scan + the |delta|-bounded fresh-encode branch over the subspace-exploded embeddings",
     "q_sim_probe_adaptive" -> "centroid + probe + corpus branches over ONE ckpt'd scored candidate set + exact ground-truth audit pipeline",
-    "q_sim_serving_cost" -> "four serving strategies (each its own ckpt'd candidate pull) + ONE shared exact pass over the corpus",
+    "q_sim_serving_cost" -> "five serving strategies (each its own ckpt'd candidate pull) + ONE shared exact pass over the corpus",
     "q_contamination_semantic" -> "train + eval branches feeding ONE ckpt'd per-vector argmax relation (the threshold derivation re-reads the ckpt, not the corpus)",
     "q_shard_mix_audit" -> "corpus assignment scan + ONE ckpt'd 1-row params relation (source index + shard count both derive from it)")
 

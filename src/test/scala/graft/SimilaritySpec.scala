@@ -389,6 +389,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(expBits != 9, "fixture corpus happens to derive bits=9 — pick another synthetic depth")
   }
 
+  test("persisted upper-layer graph: stored == rebuild, nodes are the 1/32 sample") {
+    import org.apache.spark.sql.functions._
+    val stored = ops.Similarity.storedKnnUpperGraph(spark, sf)
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("src_id"), col("rank").cast("long"), col("nbr_id"), col("cos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val fresh = edgeSet(ops.Similarity.buildKnnUpperGraph(spark, sf))
+    assert(fresh.nonEmpty, "upper-layer build produced no edges")
+    assert(edgeSet(stored) === fresh,
+      "stored upper-layer sidecar diverged from the rebuild")
+    // the coarse layer contains ONLY the deterministic 1/32 sample —
+    // a stray base-layer node would mean the serve walk escapes the
+    // hierarchy's contract
+    val ids = stored.select(col("src_id")).union(stored.select(col("nbr_id")))
+      .distinct().collect().map(_.getLong(0))
+    assert(ids.forall(_ % 32 == 0), "upper layer contains a non-sampled node")
+  }
+
   test("persisted PQ index: codebook shape, full code coverage, codes drawn from the codebook") {
     import org.apache.spark.sql.functions._
     val cb = ops.Similarity.storedPqCodebook(spark, sf)
