@@ -657,6 +657,81 @@ object Text extends QueryFamily {
       |SELECT 2, a, b, a || b, c::BIGINT FROM t2
       |ORDER BY step""".stripMargin
 
+  /** BPE training composed to depth 8 (round-14 verdict task 6 — the
+    * composition proof [[qBpeMerges]] stops short of, matching the
+    * unigram family's EM-2 standard): eight merge rounds folded over
+    * the distinct-word table, each round ONE vocabulary-bounded pair-
+    * count hash aggregate plus a 1-row argmax collected to the driver
+    * and broadcast back as the merge rule (the q_pagerank lineage
+    * discipline: per-round ckpt so eight rounds never stack lineage).
+    * Emits the full merge table with the corpus fertility
+    * (symbols/word occurrence) after EACH round — the trajectory a
+    * tokenizer-budget decision reads (fertility falls monotonically;
+    * where it plateaus is where training stops paying). Scale shape:
+    * every round's relation is the DISTINCT-WORD table (~10⁷ rows at
+    * 100 TB of text, never the corpus), so depth-k training costs k
+    * vocabulary-sized aggregates after the single corpus tokenize.
+    * Oracle unrolls the identical eight rounds; DedupTextSpec replays
+    * the fold on the driver. */
+  def qBpeTrain8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var wc = T.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .withColumn("seq", concat(lit(" "), regexp_replace($"w", "(.)", "$1 ")))
+      .select($"cnt", $"seq")
+      .ckpt()
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long, Double)]()
+    for (step <- 1 to 8) {
+      val top = wc.select($"cnt", split(trim($"seq"), " ").as("s"))
+        .filter(size($"s") >= 2)
+        .select($"cnt", explode(expr(
+          "transform(sequence(1, size(s) - 1), i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))")).as("p"))
+        .groupBy($"p.a", $"p.b").agg(sum($"cnt").as("c"))
+        .orderBy(desc("c"), asc("a"), asc("b"))
+        .head()
+      val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      // literal replace (never SQL interpolation): corpus tokens with
+      // quotes/backslashes stay data — the round-6 advice rule
+      wc = wc.withColumn("seq",
+        replace($"seq", lit(s" $a $b "), lit(s" $a$b "))).ckpt()
+      val fert = wc
+        .select(round(sum($"cnt" * size(split(trim($"seq"), " "))).cast("double")
+          / sum($"cnt"), 4).as("f"))
+        .head().getDouble(0)
+      out += ((step, a, b, a + b, c, fert))
+    }
+    out.toSeq.toDF("step", "lft", "rgt", "merged", "wcount", "fertility")
+      .orderBy($"step")
+  }
+
+  val qBpeTrain8Sql: String = {
+    def roundCtes(i: Int): String =
+      s"""p$i AS (SELECT s[j] AS a, s[j + 1] AS b, sum(cnt) AS c
+         |  FROM (SELECT cnt, s, unnest(range(1, len(s))) AS j
+         |        FROM (SELECT cnt, string_split(trim(seq), ' ') AS s FROM s${i - 1})
+         |        WHERE len(s) >= 2)
+         |  GROUP BY 1, 2),
+         |t$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+         |s$i AS MATERIALIZED (SELECT replace(seq, ' ' || t$i.a || ' ' || t$i.b || ' ',
+         |                      ' ' || t$i.a || t$i.b || ' ') AS seq, cnt
+         |  FROM s${i - 1}, t$i),
+         |f$i AS (SELECT round(sum(cnt * len(string_split(trim(seq), ' ')))::DOUBLE
+         |    / sum(cnt), 4) AS fert FROM s$i)""".stripMargin
+    def row(i: Int): String =
+      s"""SELECT $i AS step, a AS lft, b AS rgt, a || b AS merged,
+         |  c::BIGINT AS wcount, (SELECT fert FROM f$i) AS fertility FROM t$i
+         |""".stripMargin
+    s"""WITH wc AS (SELECT w, count(*) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |s0 AS MATERIALIZED (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq, cnt
+       |  FROM wc),
+       |${(1 to 8).map(roundCtes).mkString(",\n")}
+       |${(1 to 8).map(row).mkString("UNION ALL\n")}ORDER BY step""".stripMargin
+  }
+
   /** Token-window document chunking with overlap — the context-window
     * prep every LLM training/RAG pipeline runs before embedding or
     * packing: window W=32 tokens, stride S=24 (8-token overlap so no
@@ -2562,6 +2637,8 @@ object Text extends QueryFamily {
     QueryDef("q_kneser_ney", qKneserNey, Some(qKneserNeySql)),
     QueryDef("q_tail_index", qTailIndex, Some(qTailIndexSql)),
     QueryDef("q_bpe_merges", qBpeMerges, Some(qBpeMergesSql)),
+    // BPE training composed to depth 8 with the fertility trajectory
+    QueryDef("q_bpe_train8", qBpeTrain8, Some(qBpeTrain8Sql)),
     QueryDef("q_token_bpe", qTokenBpe, Some(qTokenBpeSql)),
     QueryDef("q_source_divergence", qSourceDivergence, Some(qSourceDivergenceSql)),
     QueryDef("q_bm25", qBm25, Some(qBm25Sql)),

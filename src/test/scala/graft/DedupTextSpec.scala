@@ -528,6 +528,46 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE depth-8: driver replay of all eight merge rounds matches, fertility non-increasing") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Text.qBpeTrain8(spark, sf).collect()
+    assert(rows.length === 8)
+    // replay the fold on the driver: same seq encoding, same pair
+    // count, same (count desc, a, b) argmax, same leftmost
+    // non-overlapping replace
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var seqs = words.map { case (w, c) => (" " + w.map(ch => s"$ch ").mkString, c) }
+    rows.zipWithIndex.foreach { case (row, idx) =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      seqs.foreach { case (seq, c) =>
+        val s = seq.trim.split(" ")
+        if (s.length >= 2)
+          for (i <- 0 until s.length - 1)
+            counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + c
+      }
+      val ((a, b), c) = counts.toSeq
+        .sortBy { case ((x, y), n) => (-n, x, y) }.head
+      assert(row.getAs[Int]("step") === idx + 1)
+      assert(row.getAs[String]("lft") === a, s"round ${idx + 1} merge left")
+      assert(row.getAs[String]("rgt") === b, s"round ${idx + 1} merge right")
+      assert(row.getAs[String]("merged") === a + b)
+      assert(row.getAs[Long]("wcount") === c, s"round ${idx + 1} pair count")
+      seqs = seqs.map { case (seq, cnt) => (seq.replace(s" $a $b ", s" $a$b "), cnt) }
+    }
+    // fertility falls monotonically: every merge strictly reduces the
+    // symbol count of at least one word occurrence
+    val ferts = rows.map(_.getAs[Double]("fertility"))
+    ferts.sliding(2).foreach { case Array(hi, lo) => assert(hi > lo); case _ => }
+    // replayed final fertility matches the reported round-8 value
+    val np = seqs.map { case (s, c) => s.trim.split(" ").length * c }.sum
+    val nw = seqs.map(_._2).sum
+    assert(math.abs(ferts.last - np.toDouble / nw) < 5e-5)
+  }
+
   test("unigram serve: stored vocab == retrain bit-for-bit, encode conserves characters") {
     import org.apache.spark.sql.functions._
     // (a) stored == retrain: the EM-2 scores derive only from integer

@@ -239,6 +239,10 @@ class ScaleSpec extends AnyFunSuite {
     val words = dirs.map(d => ops.Text.unigramDpWords(spark, d).count())
     assert(words(1).toDouble / words(0) <= 2.0,
       s"unigram DP input grew with the corpus: $words for doc growth ${docs(1).toDouble / docs(0)}")
+    // q_bpe_train8's per-round relation is this SAME distinct-word
+    // table (counts re-enter as multiplicities), so the bound above
+    // also pins depth-8 BPE training: 8 rounds x a vocabulary-sized
+    // aggregate, never 8 corpus passes.
   }
 
   test("incremental kNN-graph recompute work tracks the delta, not the corpus") {
