@@ -322,7 +322,8 @@ class SimilaritySpec extends AnyFunSuite {
   test("serving-cost table: one row per strategy, recalls equal the standalone audits") {
     val rows = ops.Similarity.qSimServingCost(spark, sf).collect()
     assert(rows.map(_.getAs[String]("strategy")).toSeq ===
-      Seq("a_lsh_multiprobe", "b_ivf_adaptive", "c_graph_walk_e4", "d_filtered_prefilter"))
+      Seq("a_lsh_multiprobe", "b_ivf_adaptive", "c_graph_walk_e4",
+        "d_filtered_prefilter", "e_graph_hier"))
     rows.foreach { r =>
       assert(r.getAs[Long]("n_candidates") > 0L)
       assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_true"))
@@ -353,6 +354,14 @@ class SimilaritySpec extends AnyFunSuite {
     val pre = ops.Similarity.qFilteredSearchRecall(spark, sf).collect()
       .find(_.getAs[String]("strategy") == "a_prefilter").get.getAs[Double]("recall")
     assert(byName("d_filtered_prefilter").getAs[Double]("recall") === pre)
+    // e: equals q_knn_hier_search's hier row exactly (same two-layer
+    // walk, same truth, same candidate accounting)
+    val hier = ops.Similarity.qKnnHierSearch(spark, sf).collect()
+      .find(_.getAs[String]("strategy") == "b_hier_upper_entry").get
+    assert(byName("e_graph_hier").getAs[Double]("recall") ===
+      hier.getAs[Double]("recall"))
+    assert(byName("e_graph_hier").getAs[Long]("n_candidates") ===
+      hier.getAs[Long]("n_candidates"))
   }
 
   test("persisted index: stored artifact == rebuild, config recorded, and serving REUSES the stored bits") {
