@@ -151,28 +151,47 @@ object Bench {
       * what was plainly DRAM-bandwidth contention from a co-tenant.
       * This sweep streams 1 GiB of reads (4 passes over 256 MiB), so
       * it is bottlenecked on exactly the resource the 32-thread
-      * shuffle queries starve on; its run-start minimum (of 3, past
-      * JIT warm-up and page-fault settling) is the machine's healthy
-      * floor, and a drift recorded with calib_ms > 1.5x that floor is
-      * machine-slow by direct measurement. ~60-120 ms nominal. */
+      * shuffle queries starve on. Two lessons from this probe's first
+      * live run are baked in:
+      *  - FOUR independent XOR accumulators, not one multiply chain —
+      *    a serial h = h*31 + x dependency made the sweep
+      *    mul-LATENCY-bound (~4 cycles/element), so it measured CPU
+      *    turbo state, not bandwidth: mid-run reads were 1.67x the
+      *    start floor on a loadavg-0.04 host and burned the whole
+      *    gate budget on a false positive. Independent 1-cycle XOR
+      *    chains let the loads pipeline and pin the probe to DRAM.
+      *  - The healthy floor is measured AFTER the Spark session warms
+      *    up (not before it exists): session creation grows the heap
+      *    by gigabytes and permanently changes the probe's memory
+      *    geography, so a pre-session floor is unreachably fast for
+      *    the rest of the run. The floor also updates to the rolling
+      *    MIN of every later sample, so it can only get more honest.
+      * A drift recorded with calib_ms > 1.5x that floor is
+      * machine-slow by direct measurement. ~70-150 ms nominal. */
+    // healthy floor for the probe; 0 until measured post-warm-up (the
+    // probe is meaningless on a host we haven't yet seen idle), then
+    // rolling-min over every later sample
+    var calibFloorMs = 0.0
     val calibBuf = Array.tabulate(1 << 25)(i => i * 2654435761L)
     def calibMs(): Double = {
-      var h = 1125899906842597L
+      val a = calibBuf
+      var h0 = 0L; var h1 = 0L; var h2 = 0L; var h3 = 0L
       val t0 = System.nanoTime()
       var rep = 0
       while (rep < 4) {
         var i = 0
-        while (i < calibBuf.length) { h = h * 31 + calibBuf(i); i += 1 }
+        while (i < a.length) {
+          h0 ^= a(i); h1 ^= a(i + 1); h2 ^= a(i + 2); h3 ^= a(i + 3)
+          i += 4
+        }
         rep += 1
       }
-      if (h == 42L) System.err.println("") // sink: keep JIT honest
-      (System.nanoTime() - t0) / 1e6
+      if ((h0 ^ h1 ^ h2 ^ h3) == 42L) System.err.println("") // sink: keep JIT honest
+      val ms = (System.nanoTime() - t0) / 1e6
+      // rolling floor: the healthiest state ever observed this run
+      if (calibFloorMs > 0 && ms < calibFloorMs) calibFloorMs = ms
+      ms
     }
-
-    // run-start healthy floor for the calibration probe; 0 until the
-    // start gate has passed (the probe is meaningless on a host we
-    // haven't yet seen idle)
-    var calibFloorMs = 0.0
 
     // shared spin budget: total sleep across initial gate + every
     // mid-run re-check is capped at maxWaitSec, so a busy host delays
@@ -236,11 +255,6 @@ object Bench {
     // host — inflated, so later machine_slow stamps would be
     // suppressed. Flag it so the artifact is self-identifying.
     val floorAfterBusyStart = loadStart > maxLoad
-    // healthy floor: min of 3 probes (first includes JIT compile and
-    // first-touch page faults on the 256 MiB buffer)
-    calibFloorMs = (1 to 3).map(_ => calibMs()).min
-    System.err.println(f"[bench] calibration floor: ${calibFloorMs}%.0f ms" +
-      (if (floorAfterBusyStart) " (measured after budget-exhausted start gate — may be inflated)" else ""))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -252,6 +266,13 @@ object Bench {
     // machinery) so the first measured query isn't charged JVM start-up
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().collect()
+    // healthy floor: min of 3 probes, measured AFTER the session
+    // warm-up so the probe sees the same heap/memory geography every
+    // mid-run sample will (a pre-session floor proved unreachably
+    // fast: 241 ms floor vs steady 400 ms mid-run on an idle host)
+    calibFloorMs = (1 to 3).map(_ => calibMs()).min
+    System.err.println(f"[bench] calibration floor: ${calibFloorMs}%.0f ms" +
+      (if (floorAfterBusyStart) " (measured after budget-exhausted start gate — may be inflated)" else ""))
 
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -294,8 +315,9 @@ object Bench {
     val bands: Map[String, (Double, Double)] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(bandsPath)), "UTF-8")
-      // per-query objects look like "name":{"max":1.2,...,"med3":0.5,...}
-      """"(q_?\w+)":\{([^}]*)\}""".r.findAllMatchIn(txt).flatMap { m =>
+      // per-query objects look like "name": {"max": 1.2, ..., "med3": 0.5, ...}
+      // (whitespace-tolerant: json.dump emits ": " separators)
+      """"(q\w+)"\s*:\s*\{([^}]*)\}""".r.findAllMatchIn(txt).flatMap { m =>
         val fields = m.group(2).split(",").flatMap { kv =>
           kv.split(":") match {
             case Array(k, v) =>
