@@ -2492,6 +2492,124 @@ object Text extends QueryFamily {
       .orderBy($"source")
   }
 
+  /** Tokenizer STALENESS trigger — the retrain decision completing the
+    * family's build→serve→maintain lifecycle (the [[qUnigramApply]]
+    * serve pass's q_pq_staleness analogue): the pending shard (the
+    * last ~10% of doc ids, the count-proportional carve every
+    * incremental lifecycle here uses) is encoded under the STORED
+    * vocabulary and its fertility + OOV-char rate are compared
+    * against the train-era slice under the SAME vocab. A shard whose
+    * fertility ratio exceeds 1.1 or whose OOV rate exceeds 1% gets
+    * `retrain = true` — the one-number nightly gate before paying a
+    * full EM retrain. The decision compares doubles derived purely
+    * from integer counts (piece/word/char tallies), so both engines
+    * compute bit-identical ratios and the boundary needs no rounding
+    * guard. One corpus scan splits word counts by era; the Viterbi
+    * DP runs ONCE per distinct word (shared by both sides of the
+    * comparison), vocab broadcast — at 100 TB the trigger costs one
+    * tokenize plus a vocabulary x distinct-words DP, and only a true
+    * trigger pays the retrain. */
+  def qUnigramStale(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = storedUniVocab(spark, dir).select($"p", $"lp")
+    val docs = T.documents(spark, dir).select($"doc_id", $"text")
+    val cut = docs.agg((max($"doc_id") - (count(lit(1)) / 10).cast("long")).as("cut0"))
+    val words = docs.crossJoin(broadcast(cut))
+      .select(($"doc_id" > $"cut0").as("is_new"),
+        explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(
+        sum(when($"is_new", 1L).otherwise(0L)).as("c_new"),
+        sum(when(!$"is_new", 1L).otherwise(0L)).as("c_old"))
+      .ckpt()
+    val wordMap = words.select($"w", explode(pieceArr).as("p")).distinct()
+      .join(broadcast(vocab), Seq("p"))
+      .groupBy($"w")
+      .agg(map_from_entries(collect_list(struct($"p", $"lp"))).as("m"))
+    val wstats = wordMap
+      .withColumn("st", expr(uniStFold(uniBaseLookup)))
+      .withColumn("ps", expr(uniPsFold))
+      .select($"w",
+        size($"ps").cast("long").as("np"),
+        expr("""size(filter(transform(sequence(1, length(w)), i ->
+          |  substring(w, i, 1)), ch -> element_at(m, ch) IS NULL))""".stripMargin)
+          .cast("long").as("oovc"),
+        length($"w").cast("long").as("nc"))
+    words.join(wstats, Seq("w"))
+      .agg(
+        sum($"c_old").as("nwt"), sum($"c_old" * $"np").as("npt"),
+        sum($"c_new").as("nws"), sum($"c_new" * $"np").as("nps"),
+        sum($"c_new" * $"oovc").as("oovs"), sum($"c_new" * $"nc").as("ncs"))
+      .select(
+        $"nwt".as("n_words_train"), $"nws".as("n_words_shard"),
+        round($"npt" / $"nwt", 4).as("fertility_train"),
+        round($"nps" / $"nws", 4).as("fertility_shard"),
+        round($"oovs" / $"ncs", 6).as("oov_char_rate_shard"),
+        round(($"nps" / $"nws") / ($"npt" / $"nwt"), 4).as("fertility_ratio"),
+        ((($"nps" / $"nws") / ($"npt" / $"nwt") > 1.1) ||
+          ($"oovs" / $"ncs" > 0.01)).as("retrain"))
+  }
+
+  val qUnigramStaleSql: String =
+    """WITH RECURSIVE sc AS MATERIALIZED (SELECT p, lp FROM read_parquet('{UNIVOCAB}/*.parquet')),
+      |cut AS (SELECT max(doc_id) - (count(*) // 10) AS cut0 FROM documents),
+      |tok AS (SELECT (doc_id > cut0) AS is_new,
+      |    unnest(string_split(text, ' ')) AS w
+      |  FROM documents, cut),
+      |words AS MATERIALIZED (SELECT w,
+      |    CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS c_new,
+      |    CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS c_old
+      |  FROM tok WHERE len(w) > 0 GROUP BY w),
+      |pos AS (SELECT w, unnest(range(1, len(w) + 1)) AS i FROM words),
+      |pieces AS (SELECT w, substr(w, i, L) AS p
+      |  FROM pos CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS L) ls
+      |  WHERE i + L - 1 <= len(w)),
+      |wm AS MATERIALIZED (SELECT wp.w, map(list(wp.p ORDER BY wp.p), list(sc.lp ORDER BY wp.p)) AS m
+      |  FROM (SELECT DISTINCT w, p FROM pieces) wp JOIN sc ON sc.p = wp.p
+      |  GROUP BY wp.w),
+      |walk(w, i, dp, bp) AS (
+      |  SELECT w, 0::BIGINT, [0.0]::DOUBLE[], [0]::BIGINT[] FROM wm
+      |  UNION ALL
+      |  SELECT r.w, r.i + 1,
+      |    list_append(r.dp, (SELECT max(t.dpv + coalesce(map_extract(wm.m, substr(r.w, t.s, r.i + 2 - t.s))[1], -1e18))
+      |       FROM (SELECT unnest(r.dp) AS dpv, generate_subscripts(r.dp, 1) AS s) t
+      |       WHERE t.s >= greatest(1, r.i - 2))),
+      |    list_append(r.bp, (SELECT first(t.s - 1 ORDER BY t.dpv + coalesce(map_extract(wm.m, substr(r.w, t.s, r.i + 2 - t.s))[1], -1e18) DESC, t.s)
+      |       FROM (SELECT unnest(r.dp) AS dpv, generate_subscripts(r.dp, 1) AS s) t
+      |       WHERE t.s >= greatest(1, r.i - 2)))
+      |  FROM walk r JOIN wm ON wm.w = r.w
+      |  WHERE r.i < len(r.w)),
+      |done AS MATERIALIZED (SELECT w, dp, bp FROM walk WHERE i = len(w)),
+      |bt(w, cur, piece) AS (
+      |  SELECT w, len(w)::BIGINT, NULL::VARCHAR FROM done
+      |  UNION ALL
+      |  SELECT b.w, d.bp[b.cur + 1],
+      |    substr(b.w, d.bp[b.cur + 1] + 1, b.cur - d.bp[b.cur + 1])
+      |  FROM bt b JOIN done d ON d.w = b.w
+      |  WHERE b.cur > 0),
+      |wstat AS MATERIALIZED (SELECT w, count(piece)::BIGINT AS np
+      |  FROM bt WHERE piece IS NOT NULL GROUP BY w),
+      |oov AS (SELECT c.w, sum(CASE WHEN sc1.p IS NULL THEN 1 ELSE 0 END)::BIGINT AS oovc
+      |  FROM (SELECT w, substr(w, i, 1) AS ch FROM pos) c
+      |  LEFT JOIN (SELECT p FROM sc WHERE len(p) = 1) sc1 ON sc1.p = c.ch
+      |  GROUP BY c.w),
+      |agg AS (SELECT
+      |    CAST(sum(c_old) AS BIGINT) AS nwt,
+      |    CAST(sum(c_old * np) AS BIGINT) AS npt,
+      |    CAST(sum(c_new) AS BIGINT) AS nws,
+      |    CAST(sum(c_new * np) AS BIGINT) AS nps,
+      |    CAST(sum(c_new * oovc) AS BIGINT) AS oovs,
+      |    CAST(sum(c_new * len(words.w)) AS BIGINT) AS ncs
+      |  FROM words JOIN wstat ON wstat.w = words.w JOIN oov ON oov.w = words.w)
+      |SELECT nwt AS n_words_train, nws AS n_words_shard,
+      |  round(npt::DOUBLE / nwt, 4) AS fertility_train,
+      |  round(nps::DOUBLE / nws, 4) AS fertility_shard,
+      |  round(oovs::DOUBLE / ncs, 6) AS oov_char_rate_shard,
+      |  round((nps::DOUBLE / nws) / (npt::DOUBLE / nwt), 4) AS fertility_ratio,
+      |  (((nps::DOUBLE / nws) / (npt::DOUBLE / nwt) > 1.1)
+      |    OR (oovs::DOUBLE / ncs > 0.01)) AS retrain
+      |FROM agg""".stripMargin
+
   val qUnigramApplySql: String =
     """WITH RECURSIVE sc AS MATERIALIZED (SELECT p, lp FROM read_parquet('{UNIVOCAB}/*.parquet')),
       |tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -2611,6 +2729,8 @@ object Text extends QueryFamily {
     QueryDef("q_unigram_em2", qUnigramEm2, Some(qUnigramEm2Sql)),
     // tokenizer SERVE: corpus encode under the STORED trained vocab
     QueryDef("q_unigram_apply", qUnigramApply, Some(qUnigramApplySql)),
+    // tokenizer MAINTAIN: shard-vs-train fertility/OOV retrain trigger
+    QueryDef("q_unigram_stale", qUnigramStale, Some(qUnigramStaleSql)),
     QueryDef("q_good_turing", qGoodTuring, Some(qGoodTuringSql)),
     QueryDef("q_heaps_law", qHeapsLaw, Some(qHeapsLawSql)),
     QueryDef("q_source_jaccard", qSourceJaccard, Some(qSourceJaccardSql)),

@@ -605,6 +605,25 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenizer staleness trigger: components consistent, self-corpus shard does not fire") {
+    val r = ops.Text.qUnigramStale(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_words_shard") > 0, "shard carve must be non-vacuous")
+    assert(row.getAs[Long]("n_words_train") > row.getAs[Long]("n_words_shard"),
+      "the shard is the ~10% tail, train era the rest")
+    val ft = row.getAs[Double]("fertility_train")
+    val fs = row.getAs[Double]("fertility_shard")
+    assert(ft >= 1.0 && fs >= 1.0, "a word is at least one piece")
+    assert(math.abs(row.getAs[Double]("fertility_ratio") - fs / ft) < 2e-3,
+      "ratio must derive from the two fertilities")
+    // the vocab trained on this very corpus: every char in-vocab, the
+    // shard's fertility matches the train era's, no trigger
+    assert(row.getAs[Double]("oov_char_rate_shard") === 0.0)
+    assert(!row.getAs[Boolean]("retrain"),
+      "self-corpus shard must not trigger a retrain")
+  }
+
   test("unigram prune: gains non-negative, zero exactly when an equal-cost segmentation exists") {
     val rows = ops.Text.qUnigramPrune(spark, sf).collect()
     assert(rows.length === 10)

@@ -227,7 +227,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row SCN cutoff broadcast onto the op-log, plus the 1-row
     // lifecycle counters (base/delta/final/mismatch) composed into
     // the single summary row
-    "q_export_incremental")
+    "q_export_incremental",
+    // 1-row doc-id cutoff broadcast carving the pending shard
+    "q_unigram_stale")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
@@ -440,6 +442,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_unigram_prune" -> "collect_list of one word's vocab pieces into its score map (<= 4 x word length)",
     "q_unigram_em2" -> "collect_list of one word's vocab pieces into its score map (<= 4 x word length)",
     "q_unigram_apply" -> "collect_list of one word's STORED-vocab pieces into its score map (<= 4 x word length)",
+    "q_unigram_stale" -> "collect_list of one word's STORED-vocab pieces into its score map (<= 4 x word length)",
     "q_bradley_terry" -> "collect_list of the K^2-bounded (<= 400 rows) win matrix",
     "q_pack_chunked" -> "collect_list of one 100-doc bucket's (doc_id, n_tok) pairs (bucket-bounded by construction)",
     "q_holt_winters" -> "collect_list of the O(days) daily grain into the smoothing fold (study-duration-bounded)")
