@@ -392,6 +392,40 @@ object Stateful {
       }
   }
 
+  case class CdcOp(user_id: Long, scn: Long, ts_us: Long, value: Double, op: String)
+  case class MergeRow(user_id: Long, last_scn: Long, last_ts_us: Long,
+                      last_value: Double, live: Boolean)
+
+  /** Streaming deployment twin of the incremental-export MERGE
+    * ([[graft.ops.ExportOps.qExportIncremental]]): the keyed changelog
+    * (upserts + tombstones, scn = the source's commit number) streams
+    * in and per-key state keeps the LATEST op by scn — max-scn wins
+    * regardless of arrival order, so late or out-of-order ops can
+    * never regress the state (the property a nightly batch MERGE gets
+    * for free from sorting and a live sink must enforce per event).
+    * Tombstones keep a `live = false` marker instead of dropping the
+    * state row: a later-arriving upsert with a LOWER scn must stay
+    * dead, which a deleted state entry could not enforce. State is
+    * one fixed-size row per key — |keys|-bounded no matter the
+    * changelog volume. The sink's table view is `filter(_.live)`;
+    * StreamingSpec proves the final view equals the batch MERGE's
+    * rebuilt state row-for-row under out-of-order delivery. */
+  def cdcMergeState(ops: Dataset[CdcOp]): Dataset[MergeRow] = {
+    import ops.sparkSession.implicits._
+    ops.groupByKey(_.user_id)
+      .mapGroupsWithState[MergeRow, MergeRow](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[CdcOp], state: GroupState[MergeRow]) =>
+          var s = state.getOption.getOrElse(
+            MergeRow(uid, Long.MinValue, 0L, 0.0, live = false))
+          batch.foreach { e =>
+            if (e.scn > s.last_scn)
+              s = MergeRow(uid, e.scn, e.ts_us, e.value, e.op == "U")
+          }
+          state.update(s)
+          s
+      }
+  }
+
   /** Running per-user totals, updated every trigger. */
   def runningTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
     import events.sparkSession.implicits._

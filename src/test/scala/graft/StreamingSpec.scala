@@ -282,6 +282,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming changelog MERGE matches the batch rebuild under out-of-order delivery") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the q_export_incremental changelog convention: scn = event_id,
+    // every 17th id a tombstone, values rounded to 4 dp
+    val opsLog = ops.T.events(spark, sf)
+      .select($"user_id", $"event_id".as("scn"),
+        expr("unix_micros(ts)").as("ts_us"),
+        round($"value", 4).as("value"),
+        when($"event_id" % 17 === 0, lit("D")).otherwise(lit("U")).as("op"))
+      .collect()
+      .map(r => graft.streaming.Stateful.CdcOp(
+        r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+    // adversarial arrival order: interleave by scn % 3 so each trigger
+    // carries a mix of old and new commits (out-of-order across AND
+    // within triggers)
+    val chunks = (0 until 3).map(k => opsLog.filter(_.scn % 3 == k))
+    val ms = MemoryStream[graft.streaming.Stateful.CdcOp]
+    val out = graft.streaming.Stateful.cdcMergeState(ms.toDS())
+    val q = out.writeStream.format("memory").queryName("cdc_merge_out")
+      .outputMode("update").start()
+    try {
+      chunks.foreach { c => ms.addData(c.toSeq: _*); q.processAllAvailable() }
+      val streamed = spark.table("cdc_merge_out")
+        // update mode appends a row per (trigger, key): the final state
+        // is the max-scn row per key, which the state contract says is
+        // also the LAST emitted
+        .groupBy($"user_id")
+        .agg(max_by(struct($"last_scn", $"last_ts_us", $"last_value", $"live"),
+          $"last_scn").as("s"))
+        .select($"user_id", $"s.last_scn", $"s.last_ts_us", $"s.last_value", $"s.live")
+        .filter($"live")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      // batch rebuild: latest op per key over the whole changelog
+      val rebuilt = opsLog.groupBy(_.user_id).values
+        .map(_.maxBy(_.scn)).filter(_.op == "U")
+        .map(e => (e.user_id, e.scn, e.ts_us, e.value)).toSet
+      assert(streamed === rebuilt,
+        "streamed MERGE state diverged from the batch rebuild")
+      // and the batch query's own accounting agrees on the live count
+      val nFinal = ops.ExportOps.qExportIncremental(spark, sf)
+        .collect().head.getAs[Long]("n_final")
+      assert(streamed.size.toLong === nFinal)
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink is idempotent under batch replay") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
