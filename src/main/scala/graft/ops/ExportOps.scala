@@ -497,6 +497,105 @@ object ExportOps extends QueryFamily {
       |    / (SELECT count(*) FROM merged), 4) AS write_ratio
       |FROM st""".stripMargin
 
+  /** Schema EVOLUTION through the incremental-export lifecycle — the
+    * other nightly-sync pain point [[qExportIncremental]] leaves open:
+    * the source table gains a column (ALTER TABLE ADD COLUMN at commit
+    * `scn0` — here the changelog's post-cutoff ops carry `etype`,
+    * which pre-evolution ops "didn't have"), the delta MERGEs onto the
+    * pre-evolution base snapshot with NULL backfill for untouched
+    * rows, and the query PROVES the evolved merge ≡ a fresh export of
+    * the post-evolution table under the lake's evolution rule (the
+    * new column is defined exactly for rows whose latest commit is
+    * post-evolution). The carve is the last ~1% of SCNs — small
+    * enough that untouched base rows EXIST at every fixture, so the
+    * NULL-backfill path is non-vacuous (the 10% carve of
+    * q_export_incremental touches every key of this fixture's
+    * user-cardinality). Same scale shape as the parent: one ckpt'd
+    * op-log scan, keyed hash aggregates, one anti-join + union, one
+    * full-outer differential. */
+  def qExportEvolve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val log = T.events(spark, dir)
+      .select($"user_id", $"event_id".as("scn"), round($"value", 4).as("v"),
+        $"event_type".as("etype"),
+        when($"event_id" % 17 === 0, lit("D")).otherwise(lit("U")).as("op"))
+      .ckpt()
+    val cut = log.agg((max($"scn") - (count(lit(1)) / 100).cast("long")).as("scn0"))
+    val withCut = log.crossJoin(broadcast(cut))
+    def latest(df: DataFrame): DataFrame =
+      df.groupBy($"user_id").agg(
+        max($"scn").as("last_scn"),
+        max_by(struct($"op", $"v", $"etype"), $"scn").as("s"))
+        .select($"user_id", $"last_scn", $"s.op".as("op"),
+          $"s.v".as("last_value"), $"s.etype".as("etype"))
+    // pre-evolution snapshot: the column doesn't exist yet
+    val baseLive = latest(withCut.filter($"scn" <= $"scn0"))
+      .filter($"op" === "U")
+      .select($"user_id", $"last_scn", $"last_value").ckpt()
+    val deltaLatest = latest(withCut.filter($"scn" > $"scn0")).ckpt()
+    val merged = baseLive
+      .join(deltaLatest.select($"user_id"), Seq("user_id"), "left_anti")
+      .withColumn("etype", lit(null).cast("string")) // NULL backfill
+      .unionByName(deltaLatest.filter($"op" === "U")
+        .select($"user_id", $"last_scn", $"last_value", $"etype"))
+      .ckpt()
+    // fresh export of the evolved table: new column defined exactly
+    // where the row's latest commit is post-evolution
+    val rebuild = latest(log).crossJoin(broadcast(cut))
+      .filter($"op" === "U")
+      .select($"user_id", $"last_scn".as("r_scn"), $"last_value".as("r_v"),
+        when($"last_scn" > $"scn0", $"etype").otherwise(lit(null)).as("r_etype"))
+    val mism = merged.join(rebuild, Seq("user_id"), "full_outer")
+      .filter(!($"last_scn" <=> $"r_scn" && $"last_value" <=> $"r_v" &&
+        $"etype" <=> $"r_etype"))
+      .agg(count(lit(1)).as("bad"))
+    merged.agg(
+        count(lit(1)).as("n_final"),
+        sum(when($"etype".isNotNull, 1L).otherwise(0L)).as("rows_evolved"),
+        sum(when($"etype".isNull, 1L).otherwise(0L)).as("rows_backfilled"))
+      .crossJoin(broadcast(mism))
+      .select($"n_final", $"rows_evolved", $"rows_backfilled",
+        ($"bad" === 0L).as("merge_equals_rebuild"))
+  }
+
+  val qExportEvolveSql: String =
+    """WITH log AS (SELECT user_id, event_id AS scn, round(value, 4) AS v,
+      |    event_type AS etype,
+      |    CASE WHEN event_id % 17 = 0 THEN 'D' ELSE 'U' END AS op
+      |  FROM events),
+      |cut AS (SELECT max(scn) - (count(*) // 100) AS scn0 FROM log),
+      |baselive AS (SELECT user_id, last_scn, last_value FROM (
+      |    SELECT user_id, scn AS last_scn, op, v AS last_value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY scn DESC) AS rn
+      |    FROM log, cut WHERE scn <= scn0) WHERE rn = 1 AND op = 'U'),
+      |dl AS (SELECT user_id, last_scn, op, last_value, etype FROM (
+      |    SELECT user_id, scn AS last_scn, op, v AS last_value, etype,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY scn DESC) AS rn
+      |    FROM log, cut WHERE scn > scn0) WHERE rn = 1),
+      |merged AS (
+      |  SELECT b.user_id, b.last_scn, b.last_value, NULL::VARCHAR AS etype
+      |  FROM baselive b
+      |  WHERE NOT EXISTS (SELECT 1 FROM dl WHERE dl.user_id = b.user_id)
+      |  UNION ALL
+      |  SELECT user_id, last_scn, last_value, etype FROM dl WHERE op = 'U'),
+      |rebuild AS (SELECT user_id, last_scn, last_value,
+      |    CASE WHEN last_scn > scn0 THEN etype ELSE NULL END AS etype
+      |  FROM (
+      |    SELECT user_id, scn AS last_scn, op, v AS last_value, etype,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY scn DESC) AS rn
+      |    FROM log) , cut WHERE rn = 1 AND op = 'U'),
+      |mism AS (SELECT count(*)::BIGINT AS bad
+      |  FROM merged m FULL JOIN rebuild r ON m.user_id = r.user_id
+      |  WHERE m.user_id IS NULL OR r.user_id IS NULL
+      |     OR m.last_scn <> r.last_scn OR m.last_value <> r.last_value
+      |     OR (m.etype IS DISTINCT FROM r.etype))
+      |SELECT count(*)::BIGINT AS n_final,
+      |  sum(CASE WHEN etype IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS rows_evolved,
+      |  sum(CASE WHEN etype IS NULL THEN 1 ELSE 0 END)::BIGINT AS rows_backfilled,
+      |  ((SELECT bad FROM mism) = 0) AS merge_equals_rebuild
+      |FROM merged""".stripMargin
+
   /** Benford leading-digit audit on exported money amounts: observed
     * first-digit shares next to the Benford expectation log10(1+1/d).
     * A cheap whole-table fraud/corruption screen on an export —
@@ -719,6 +818,8 @@ object ExportOps extends QueryFamily {
     QueryDef("q_upsert_latest", qUpsertLatest, Some(qUpsertLatestSql)),
     // nightly sync: base AS-OF-SCN export + changelog MERGE ≡ rebuild
     QueryDef("q_export_incremental", qExportIncremental, Some(qExportIncrementalSql)),
+    // schema evolution through the same lifecycle, NULL backfill proved
+    QueryDef("q_export_evolve", qExportEvolve, Some(qExportEvolveSql)),
     QueryDef("q_jsonl_roundtrip", qJsonlRoundtrip, Some(qJsonlRoundtripSql)),
     QueryDef("q_csv_roundtrip", qCsvRoundtrip, Some(qCsvRoundtripSql)),
     QueryDef("q_orc_roundtrip", qOrcRoundtrip, Some(qOrcRoundtripSql)),

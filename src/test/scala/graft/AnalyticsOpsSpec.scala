@@ -71,6 +71,20 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_delta_ops") > 0)
   }
 
+  test("schema evolution through the incremental export: backfill and evolved rows partition the table") {
+    val r = ops.ExportOps.qExportEvolve(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Boolean]("merge_equals_rebuild"),
+      "evolved merge diverged from the fresh post-evolution export")
+    assert(row.getAs[Long]("n_final") ===
+      row.getAs[Long]("rows_evolved") + row.getAs[Long]("rows_backfilled"))
+    // both paths must exist or the differential proves nothing: rows
+    // that got the new column AND pre-evolution rows left NULL
+    assert(row.getAs[Long]("rows_evolved") > 0)
+    assert(row.getAs[Long]("rows_backfilled") > 0)
+  }
+
   test("k-means assignment covers every vector and is label-dominant") {
     val rows = ops.Similarity.qKmeansAssign(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n")).sum

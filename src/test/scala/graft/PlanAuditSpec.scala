@@ -228,6 +228,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // lifecycle counters (base/delta/final/mismatch) composed into
     // the single summary row
     "q_export_incremental",
+    // same 1-row SCN cutoff + lifecycle counters, evolution variant
+    "q_export_evolve",
     // 1-row doc-id cutoff broadcast carving the pending shard
     "q_unigram_stale")
 
