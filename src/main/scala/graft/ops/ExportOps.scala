@@ -391,7 +391,13 @@ object ExportOps extends QueryFamily {
     * differential is one full-outer join of two key-sized relations.
     * The delta carve is count-proportional (last ~10% of SCNs) so the
     * row stays non-vacuous at every fixture. */
-  def qExportIncremental(spark: SparkSession, dir: String): DataFrame = {
+  /** The incremental-export lifecycle's shared state builder:
+    * (log, baseLive, deltaOps, deltaLatest, merged) for a delta carve
+    * of the last count/carveDiv SCNs. `latest` is ONE hash aggregate
+    * per slice (scn unique, so max_by is deterministic); the MERGE is
+    * one anti-join plus a union. */
+  private def cdcState(spark: SparkSession, dir: String, carveDiv: Int):
+      (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val log = T.events(spark, dir)
@@ -399,9 +405,8 @@ object ExportOps extends QueryFamily {
         round($"value", 4).as("v"),
         when($"event_id" % 17 === 0, lit("D")).otherwise(lit("U")).as("op"))
       .ckpt()
-    val cut = log.agg((max($"scn") - (count(lit(1)) / 10).cast("long")).as("scn0"))
-    // latest op per key of an op-log slice: ONE hash aggregate (scn is
-    // unique, so max_by is deterministic)
+    val cut = log.agg(
+      (max($"scn") - (count(lit(1)) / carveDiv).cast("long")).as("scn0"))
     def latest(df: DataFrame): DataFrame =
       df.groupBy($"user_id").agg(
         max($"scn").as("last_scn"),
@@ -420,7 +425,27 @@ object ExportOps extends QueryFamily {
       .join(deltaLatest.select($"user_id"), Seq("user_id"), "left_anti")
       .unionByName(deltaLatest.filter($"op" === "U").drop("op"))
       .ckpt()
-    val rebuild = latest(log).filter($"op" === "U")
+    (log, baseLive, deltaOps, deltaLatest, merged)
+  }
+
+  /** Latest live state of the FULL op-log — the rebuild side of the
+    * lifecycle differentials. */
+  private def cdcRebuild(opLog: DataFrame): DataFrame = {
+    import opLog.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    opLog.groupBy($"user_id").agg(
+        max($"scn").as("last_scn"),
+        max_by(struct($"op", $"ts", $"v"), $"scn").as("s"))
+      .select($"user_id", $"last_scn", $"s.op".as("op"),
+        $"s.ts".as("last_ts"), $"s.v".as("last_value"))
+      .filter($"op" === "U").drop("op")
+  }
+
+  def qExportIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val (log, baseLive, deltaOps, deltaLatest, merged) = cdcState(spark, dir, 10)
+    val rebuild = cdcRebuild(log)
       .select($"user_id", $"last_scn".as("r_scn"), $"last_ts".as("r_ts"),
         $"last_value".as("r_v"))
     val mism = merged.join(rebuild, Seq("user_id"), "full_outer")
@@ -595,6 +620,89 @@ object ExportOps extends QueryFamily {
       |  sum(CASE WHEN etype IS NULL THEN 1 ELSE 0 END)::BIGINT AS rows_backfilled,
       |  ((SELECT bad FROM mism) = 0) AS merge_equals_rebuild
       |FROM merged""".stripMargin
+
+  /** Copy-on-write partition audit of the incremental export — the
+    * claim that makes MERGE affordable at 100 TB is that untouched
+    * PARTITIONS of the lake table are byte-stable (never rewritten);
+    * this query PROVES it per partition: the merged state's
+    * order-invariant checksum equals the base snapshot's for every
+    * partition the delta didn't touch. Partitioning is user_id % 256
+    * (a hash-bucket stand-in the oracle can replicate exactly); the
+    * checksum is the [[qTableChecksum]] md5-prefix-to-int48 XOR over
+    * (user_id, last_scn) — sufficient to detect ANY state change,
+    * because a row's value cannot change without its SCN changing.
+    * The carve is the last ~0.2% of SCNs so touched and untouched
+    * partitions BOTH exist at every fixture (larger carves touch
+    * every bucket of this fixture's key space). Output: one row per
+    * materialized partition with (touched, n_base, n_merged, stable);
+    * the spec asserts untouched => stable — the copy-on-write
+    * contract — and that both sides are non-vacuous. */
+  def qExportPartitionAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val (_, baseLive, _, deltaLatest, merged) = cdcState(spark, dir, 500)
+    val fp = conv(substring(md5(concat_ws("|", $"user_id", $"last_scn")
+        .cast("binary")), 1, 12), 16, 10).cast("long")
+    def psum(df: DataFrame, nName: String, csName: String): DataFrame =
+      df.select(($"user_id" % 256).as("pt"), fp.as("fp"))
+        .groupBy($"pt")
+        .agg(count(lit(1)).as(nName), expr("bit_xor(fp)").as(csName))
+    val b = psum(baseLive, "n_base", "cs_base")
+    val m = psum(merged, "n_merged", "cs_merged")
+    val touched = deltaLatest.select(($"user_id" % 256).as("pt")).distinct()
+      .withColumn("t", lit(true))
+    b.join(m, Seq("pt"), "full_outer")
+      .join(touched, Seq("pt"), "left")
+      .select($"pt",
+        coalesce($"t", lit(false)).as("touched"),
+        coalesce($"n_base", lit(0L)).as("n_base"),
+        coalesce($"n_merged", lit(0L)).as("n_merged"),
+        (coalesce($"cs_base", lit(0L)) === coalesce($"cs_merged", lit(0L)) &&
+          coalesce($"n_base", lit(0L)) === coalesce($"n_merged", lit(0L)))
+          .as("stable"))
+      .orderBy($"pt")
+  }
+
+  val qExportPartitionAuditSql: String = {
+    def fp(rowStr: String) =
+      s"""list_sum(list_transform(range(1, 13),
+         |    i -> (strpos('0123456789abcdef', substr(md5($rowStr), i, 1)) - 1)
+         |         * pow(16.0, 12 - i)))::BIGINT""".stripMargin
+    s"""WITH log AS (SELECT user_id, event_id AS scn,
+       |    CASE WHEN event_id % 17 = 0 THEN 'D' ELSE 'U' END AS op
+       |  FROM events),
+       |cut AS (SELECT max(scn) - (count(*) // 500) AS scn0 FROM log),
+       |baselive AS (SELECT user_id, last_scn FROM (
+       |    SELECT user_id, scn AS last_scn, op,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY scn DESC) AS rn
+       |    FROM log, cut WHERE scn <= scn0) WHERE rn = 1 AND op = 'U'),
+       |dl AS (SELECT user_id, last_scn, op FROM (
+       |    SELECT user_id, scn AS last_scn, op,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY scn DESC) AS rn
+       |    FROM log, cut WHERE scn > scn0) WHERE rn = 1),
+       |merged AS (
+       |  SELECT b.user_id, b.last_scn FROM baselive b
+       |  WHERE NOT EXISTS (SELECT 1 FROM dl WHERE dl.user_id = b.user_id)
+       |  UNION ALL
+       |  SELECT user_id, last_scn FROM dl WHERE op = 'U'),
+       |bfp AS (SELECT user_id % 256 AS pt, ${fp("user_id || '|' || last_scn")} AS fp
+       |  FROM baselive),
+       |bsum AS (SELECT pt, count(*)::BIGINT AS n_base, bit_xor(fp) AS cs_base
+       |  FROM bfp GROUP BY pt),
+       |mfp AS (SELECT user_id % 256 AS pt, ${fp("user_id || '|' || last_scn")} AS fp
+       |  FROM merged),
+       |msum AS (SELECT pt, count(*)::BIGINT AS n_merged, bit_xor(fp) AS cs_merged
+       |  FROM mfp GROUP BY pt),
+       |tpt AS (SELECT DISTINCT user_id % 256 AS pt FROM dl)
+       |SELECT coalesce(b.pt, m.pt) AS pt,
+       |  (coalesce(b.pt, m.pt) IN (SELECT pt FROM tpt)) AS touched,
+       |  coalesce(n_base, 0) AS n_base,
+       |  coalesce(n_merged, 0) AS n_merged,
+       |  (coalesce(cs_base, 0) = coalesce(cs_merged, 0)
+       |    AND coalesce(n_base, 0) = coalesce(n_merged, 0)) AS stable
+       |FROM bsum b FULL JOIN msum m ON m.pt = b.pt
+       |ORDER BY pt""".stripMargin
+  }
 
   /** Benford leading-digit audit on exported money amounts: observed
     * first-digit shares next to the Benford expectation log10(1+1/d).
@@ -820,6 +928,8 @@ object ExportOps extends QueryFamily {
     QueryDef("q_export_incremental", qExportIncremental, Some(qExportIncrementalSql)),
     // schema evolution through the same lifecycle, NULL backfill proved
     QueryDef("q_export_evolve", qExportEvolve, Some(qExportEvolveSql)),
+    // copy-on-write: untouched partitions byte-stable under the MERGE
+    QueryDef("q_export_partition_audit", qExportPartitionAudit, Some(qExportPartitionAuditSql)),
     QueryDef("q_jsonl_roundtrip", qJsonlRoundtrip, Some(qJsonlRoundtripSql)),
     QueryDef("q_csv_roundtrip", qCsvRoundtrip, Some(qCsvRoundtripSql)),
     QueryDef("q_orc_roundtrip", qOrcRoundtrip, Some(qOrcRoundtripSql)),

@@ -85,6 +85,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("rows_backfilled") > 0)
   }
 
+  test("copy-on-write partition audit: untouched partitions are byte-stable") {
+    val rows = ops.ExportOps.qExportPartitionAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the copy-on-write contract: a partition the delta never touched
+    // must carry an UNCHANGED checksum and row count
+    rows.filter(!_.getAs[Boolean]("touched")).foreach { r =>
+      assert(r.getAs[Boolean]("stable"),
+        s"untouched partition ${r.getAs[Long]("pt")} changed under the MERGE")
+    }
+    // non-vacuous both ways: the delta touches something, and the
+    // carve leaves untouched partitions to prove stability on
+    assert(rows.exists(_.getAs[Boolean]("touched")))
+    assert(rows.exists(!_.getAs[Boolean]("touched")))
+    // and the MERGE actually changed state somewhere (not all
+    // tombstone no-ops)
+    assert(rows.exists(r => r.getAs[Boolean]("touched") && !r.getAs[Boolean]("stable")))
+  }
+
   test("k-means assignment covers every vector and is label-dominant") {
     val rows = ops.Similarity.qKmeansAssign(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n")).sum

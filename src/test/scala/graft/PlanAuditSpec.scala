@@ -230,6 +230,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_export_incremental",
     // same 1-row SCN cutoff + lifecycle counters, evolution variant
     "q_export_evolve",
+    // same 1-row SCN cutoff through the shared lifecycle builder
+    "q_export_partition_audit",
     // 1-row doc-id cutoff broadcast carving the pending shard
     "q_unigram_stale")
 
