@@ -317,7 +317,7 @@ object Bench {
         java.nio.file.Paths.get(bandsPath)), "UTF-8")
       // per-query objects look like "name": {"max": 1.2, ..., "med3": 0.5, ...}
       // (whitespace-tolerant: json.dump emits ": " separators)
-      """"(q\w+)"\s*:\s*\{([^}]*)\}""".r.findAllMatchIn(txt).flatMap { m =>
+      val parsed = """"(q\w+)"\s*:\s*\{([^}]*)\}""".r.findAllMatchIn(txt).flatMap { m =>
         val fields = m.group(2).split(",").flatMap { kv =>
           kv.split(":") match {
             case Array(k, v) =>
@@ -329,6 +329,17 @@ object Bench {
         for (m3 <- fields.get("med3"); mx <- fields.get("max"))
           yield m.group(1) -> (m3, mx)
       }.toMap
+      // round-15 advice: a PARTIAL parse (format drift dropping some
+      // queries) is otherwise indistinguishable from intent — compare
+      // against a structural count of `": {"` occurrences (minus the
+      // top-level "bands" wrapper) and warn loudly on a shortfall so a
+      // silently degraded tripwire is visible in the run log.
+      val braceKeys = """"\s*:\s*\{""".r.findAllIn(txt).size -
+        (if (txt.contains("\"bands\"")) 1 else 0)
+      if (parsed.size < braceKeys)
+        System.err.println(
+          s"[bench] WARNING: bands file $bandsPath has ~$braceKeys entries but only ${parsed.size} parsed — tripwire partially degraded (format drift?)")
+      parsed
     } catch { case _: Exception => Map.empty }
     if (bands.nonEmpty)
       System.err.println(s"[bench] tripwire bands loaded: ${bands.size} queries from $bandsPath")
@@ -341,8 +352,13 @@ object Bench {
     // run trajectory, an external-cpu sample, a calibration-probe
     // sample, AND (round-14 task 1b) a control-query re-measure taken
     // at record time. Fields per drift: (baseline, bandMax, runs,
-    // ext_cpu, calib_ms, control_ratio).
-    val drifts = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Seq[Double], Double, Double, Double)]()
+    // ext_cpu, calib_ms, control_ratio, calib_floor_at_record). The
+    // floor is SNAPSHOTTED at drift-record time (round-15 advice):
+    // calibMs() rolling-min-updates the global floor on every later
+    // sample, so evaluating machine_slow against the emission-time
+    // floor would retroactively inflate the ratio of a drift recorded
+    // under a then-higher (honest) floor.
+    val drifts = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Seq[Double], Double, Double, Double, Double)]()
     // Pinned control for drift-time re-measure: q_mode is flat across
     // every committed record (bands med 0.26 s, never drifted) and
     // exercises the same scan+shuffle+agg machinery as the suite.
@@ -402,7 +418,9 @@ object Bench {
             if cbase > 0
           } yield (try once(cfn) catch { case _: Exception => -1.0 }) / cbase)
             .getOrElse(-1.0)
-          drifts(name) = (baseline.get, bandMax, ts, ext, cal, controlRatio)
+          // snapshot the floor AS OF this record (calibMs() above may
+          // have just rolling-min'd it; later samples must not)
+          drifts(name) = (baseline.get, bandMax, ts, ext, cal, controlRatio, calibFloorMs)
         }
         timings(name) = ts.min
         perRun(name) = ts
@@ -428,11 +446,12 @@ object Bench {
       "\"" + k + "\":[" + ts.map(t => f"$t%.4f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = timings.values.sum
-    val driftJson = drifts.map { case (k, (base, bmax, ts, ext, cal, ctl)) =>
+    val driftJson = drifts.map { case (k, (base, bmax, ts, ext, cal, ctl, floorRec)) =>
       f""""$k":{"baseline":$base%.4f,"band_max":$bmax%.4f,"min":${ts.min}%.4f,""" +
         s""""runs":[${ts.map(t => f"$t%.4f").mkString(",")}],""" +
-        f""""ext_cpu":$ext%.2f,"calib_ms":$cal%.0f,"control_ratio":$ctl%.2f,""" +
-        s""""machine_slow":${cal > 1.5 * calibFloorMs || ctl > 1.5}}"""
+        f""""ext_cpu":$ext%.2f,"calib_ms":$cal%.0f,"calib_floor_ms":$floorRec%.0f,""" +
+        f""""control_ratio":$ctl%.2f,""" +
+        s""""machine_slow":${cal > 1.5 * floorRec || ctl > 1.5}}"""
     }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       f""""calib_start_ms":$calibFloorMs%.0f,""" +

@@ -2423,6 +2423,22 @@ object Text extends QueryFamily {
   def storedUniVocab(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(materializeUniVocab(spark, dir))
 
+  /** Test hook: install an externally-trained vocabulary as `dir`'s
+    * stored sidecar, stamped fresh at the current version. A
+    * self-trained sidecar covers every character of its own corpus
+    * (segmentability floor), so the serve passes' OOV/char-fallback
+    * path is unreachable without serving under a vocab trained on a
+    * DIFFERENT corpus — which is exactly the production shape
+    * (frozen tokenizer, new shards). */
+  private[graft] def installUniVocab(
+      spark: SparkSession, vocab: DataFrame, dir: String): String = {
+    val path = uniVocabSidecarPath(dir)
+    vocab.write.mode("overwrite").parquet(path)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, s"_GRAFT_UNIVOCAB_V$UniVocabVersion"), "")
+    path
+  }
+
   /** Tokenizer SERVE pass — encode the whole corpus under the STORED
     * trained unigram vocabulary (round-14 verdict task 3: the family
     * had train-only; this is the pass a pipeline actually runs on
@@ -2438,9 +2454,17 @@ object Text extends QueryFamily {
     * the segmentability floor, non-zero on unseen shards), the
     * piece-length mix, and the GPT-2-ish regex pre-tokenizer's
     * tokens/word ([[qTokenBpe]]'s n_bpe) as the untrained baseline in
-    * the same row. Oracle replays the DP as a recursive CTE against
-    * the SAME stored sidecar ({UNIVOCAB} token), so a green row
-    * proves the serve path, not the training. */
+    * the same row. A word with ZERO in-vocab pieces (every character
+    * unseen at train time — possible on a genuinely new-script shard)
+    * never enters the DP; it falls back to char-per-piece
+    * (np = l1 = oovc = char count) via a left join against the full
+    * word list, so it inflates fertility and the OOV rate instead of
+    * silently vanishing from n_words (the r15 ADVICE blind spot: the
+    * former inner join under-reported exactly the OOV drift this
+    * family exists to detect). Oracle replays the DP as a recursive
+    * CTE against the SAME stored sidecar ({UNIVOCAB} token) with the
+    * same left-join fallback, so a green row proves the serve path,
+    * not the training. */
   def qUnigramApply(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val vocab = storedUniVocab(spark, dir).select($"p", $"lp")
@@ -2454,7 +2478,7 @@ object Text extends QueryFamily {
       .join(broadcast(vocab), Seq("p"))
       .groupBy($"w")
       .agg(map_from_entries(collect_list(struct($"p", $"lp"))).as("m"))
-    val wstats = wordMap
+    val wstatsDp = wordMap
       .withColumn("st", expr(uniStFold(uniBaseLookup)))
       .withColumn("ps", expr(uniPsFold))
       .select($"w",
@@ -2465,7 +2489,17 @@ object Text extends QueryFamily {
         expr("size(filter(ps, x -> length(x) = 4))").cast("long").as("l4"),
         expr("""size(filter(transform(sequence(1, length(w)), i ->
           |  substring(w, i, 1)), ch -> element_at(m, ch) IS NULL))""".stripMargin)
-          .cast("long").as("oovc"),
+          .cast("long").as("oovc"))
+    // Piece-less words (zero in-vocab pieces ⇒ no known chars) fall
+    // back to one OOV piece per character instead of dropping out.
+    val wstats = words.join(wstatsDp, Seq("w"), "left")
+      .select($"w",
+        coalesce($"np", length($"w").cast("long")).as("np"),
+        coalesce($"l1", length($"w").cast("long")).as("l1"),
+        coalesce($"l2", lit(0L)).as("l2"),
+        coalesce($"l3", lit(0L)).as("l3"),
+        coalesce($"l4", lit(0L)).as("l4"),
+        coalesce($"oovc", length($"w").cast("long")).as("oovc"),
         length($"w").cast("long").as("nc"))
     val bySrc = srcWords.join(wstats, Seq("w"))
       .groupBy($"source")
@@ -2508,7 +2542,11 @@ object Text extends QueryFamily {
     * DP runs ONCE per distinct word (shared by both sides of the
     * comparison), vocab broadcast — at 100 TB the trigger costs one
     * tokenize plus a vocabulary x distinct-words DP, and only a true
-    * trigger pays the retrain. */
+    * trigger pays the retrain. Like [[qUnigramApply]], a word with
+    * zero in-vocab pieces falls back to char-per-piece
+    * (np = oovc = char count) through a left join, so an all-new-
+    * script shard DRIVES the trigger instead of vanishing from it
+    * (r15 ADVICE fix, mirrored in the oracle SQL). */
   def qUnigramStale(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val vocab = storedUniVocab(spark, dir).select($"p", $"lp")
@@ -2526,16 +2564,22 @@ object Text extends QueryFamily {
       .join(broadcast(vocab), Seq("p"))
       .groupBy($"w")
       .agg(map_from_entries(collect_list(struct($"p", $"lp"))).as("m"))
-    val wstats = wordMap
+    val wstatsDp = wordMap
       .withColumn("st", expr(uniStFold(uniBaseLookup)))
       .withColumn("ps", expr(uniPsFold))
       .select($"w",
         size($"ps").cast("long").as("np"),
         expr("""size(filter(transform(sequence(1, length(w)), i ->
           |  substring(w, i, 1)), ch -> element_at(m, ch) IS NULL))""".stripMargin)
-          .cast("long").as("oovc"),
+          .cast("long").as("oovc"))
+    // Char-per-piece fallback for piece-less words (see qUnigramApply).
+    val wstats = words.select($"w", $"c_new", $"c_old")
+      .join(wstatsDp, Seq("w"), "left")
+      .select($"w", $"c_new", $"c_old",
+        coalesce($"np", length($"w").cast("long")).as("np"),
+        coalesce($"oovc", length($"w").cast("long")).as("oovc"),
         length($"w").cast("long").as("nc"))
-    words.join(wstats, Seq("w"))
+    wstats
       .agg(
         sum($"c_old").as("nwt"), sum($"c_old" * $"np").as("npt"),
         sum($"c_new").as("nws"), sum($"c_new" * $"np").as("nps"),
@@ -2595,12 +2639,12 @@ object Text extends QueryFamily {
       |  GROUP BY c.w),
       |agg AS (SELECT
       |    CAST(sum(c_old) AS BIGINT) AS nwt,
-      |    CAST(sum(c_old * np) AS BIGINT) AS npt,
+      |    CAST(sum(c_old * coalesce(np, len(words.w))) AS BIGINT) AS npt,
       |    CAST(sum(c_new) AS BIGINT) AS nws,
-      |    CAST(sum(c_new * np) AS BIGINT) AS nps,
+      |    CAST(sum(c_new * coalesce(np, len(words.w))) AS BIGINT) AS nps,
       |    CAST(sum(c_new * oovc) AS BIGINT) AS oovs,
       |    CAST(sum(c_new * len(words.w)) AS BIGINT) AS ncs
-      |  FROM words JOIN wstat ON wstat.w = words.w JOIN oov ON oov.w = words.w)
+      |  FROM words LEFT JOIN wstat ON wstat.w = words.w JOIN oov ON oov.w = words.w)
       |SELECT nwt AS n_words_train, nws AS n_words_shard,
       |  round(npt::DOUBLE / nwt, 4) AS fertility_train,
       |  round(nps::DOUBLE / nws, 4) AS fertility_shard,
@@ -2656,14 +2700,14 @@ object Text extends QueryFamily {
       |  GROUP BY c.w),
       |agg AS (SELECT srcw.source,
       |    CAST(sum(srcw.c) AS BIGINT) AS n_words,
-      |    CAST(sum(srcw.c * wstat.np) AS BIGINT) AS n_pieces,
-      |    CAST(sum(srcw.c * wstat.l1) AS BIGINT) AS pieces_len1,
-      |    CAST(sum(srcw.c * wstat.l2) AS BIGINT) AS pieces_len2,
-      |    CAST(sum(srcw.c * wstat.l3) AS BIGINT) AS pieces_len3,
-      |    CAST(sum(srcw.c * wstat.l4) AS BIGINT) AS pieces_len4,
+      |    CAST(sum(srcw.c * coalesce(wstat.np, len(srcw.w))) AS BIGINT) AS n_pieces,
+      |    CAST(sum(srcw.c * coalesce(wstat.l1, len(srcw.w))) AS BIGINT) AS pieces_len1,
+      |    CAST(sum(srcw.c * coalesce(wstat.l2, 0)) AS BIGINT) AS pieces_len2,
+      |    CAST(sum(srcw.c * coalesce(wstat.l3, 0)) AS BIGINT) AS pieces_len3,
+      |    CAST(sum(srcw.c * coalesce(wstat.l4, 0)) AS BIGINT) AS pieces_len4,
       |    CAST(sum(srcw.c * oov.oovc) AS BIGINT) AS oov_chars,
       |    CAST(sum(srcw.c * len(srcw.w)) AS BIGINT) AS n_chars
-      |  FROM srcw JOIN wstat ON wstat.w = srcw.w JOIN oov ON oov.w = srcw.w
+      |  FROM srcw LEFT JOIN wstat ON wstat.w = srcw.w JOIN oov ON oov.w = srcw.w
       |  GROUP BY 1),
       |bpe AS (SELECT source,
       |    sum(len(list_filter(

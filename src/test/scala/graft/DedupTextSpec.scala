@@ -558,10 +558,14 @@ class DedupTextSpec extends AnyFunSuite {
       assert(row.getAs[Long]("wcount") === c, s"round ${idx + 1} pair count")
       seqs = seqs.map { case (seq, cnt) => (seq.replace(s" $a $b ", s" $a$b "), cnt) }
     }
-    // fertility falls monotonically: every merge strictly reduces the
-    // symbol count of at least one word occurrence
+    // fertility falls monotonically: every merge reduces the symbol
+    // count of at least one word occurrence. The reported values are
+    // rounded to 4 dp by the query, so a late merge whose gain is
+    // below 5e-5 can round to EQUAL — assert non-strict on the
+    // rounded values (r15 advice; strictness is covered by the exact
+    // pair-count replay above).
     val ferts = rows.map(_.getAs[Double]("fertility"))
-    ferts.sliding(2).foreach { case Array(hi, lo) => assert(hi > lo); case _ => }
+    ferts.sliding(2).foreach { case Array(hi, lo) => assert(hi >= lo); case _ => }
     // replayed final fertility matches the reported round-8 value
     val np = seqs.map { case (s, c) => s.trim.split(" ").length * c }.sum
     val nw = seqs.map(_._2).sum
@@ -622,6 +626,64 @@ class DedupTextSpec extends AnyFunSuite {
     assert(row.getAs[Double]("oov_char_rate_shard") === 0.0)
     assert(!row.getAs[Boolean]("retrain"),
       "self-corpus shard must not trigger a retrain")
+  }
+
+  test("unigram serve under a foreign vocab: fully-OOV words fall back to char-per-piece instead of vanishing (r15 advice)") {
+    import java.nio.file.{Files, Paths}
+    val trainDir = Files.createTempDirectory("graft-oov-train").toString
+    val serveDir = Files.createTempDirectory("graft-oov-serve").toString
+    import spark.implicits._
+    val ascii = (0L until 20L).map { i =>
+      (i, s"a cat sat on the mat and the rat ran item$i", "en", "web", 0L)
+    }
+    // serve corpus = train corpus + a 10% tail shard in an unseen
+    // script: doc 20 is FULLY piece-less (every char unseen), doc 21
+    // mixes a known char with an unseen one (the penalized-DP path)
+    val shard = Seq(
+      (20L, "\u03b1\u03b2\u03b3\u03b4 \u03b5\u03b6", "el", "oov", 0L),
+      (21L, "a\u03b2", "el", "oov", 0L))
+    def write(rows: Seq[(Long, String, String, String, Long)], dir: String): Unit =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    write(ascii, trainDir)
+    write(ascii ++ shard, serveDir)
+    val vocabPathA = ops.Text.materializeUniVocab(spark, trainDir)
+    val vocabPathB = ops.Text.installUniVocab(
+      spark, spark.read.parquet(vocabPathA), serveDir)
+    try {
+      val bynSrc = ops.Text.qUnigramApply(spark, serveDir).collect()
+        .map(r => r.getAs[String]("source") -> r).toMap
+      val oov = bynSrc("oov")
+      // the 3 shard words are COUNTED, not dropped: "\u03b1\u03b2\u03b3\u03b4"
+      // and "\u03b5\u03b6" have zero in-vocab pieces -> char-per-piece
+      // fallback (4 + 2 len-1 pieces, all chars OOV); "a\u03b2" has the
+      // in-vocab piece "a" so the penalized DP runs and emits the
+      // single len-2 piece "a\u03b2" (one -1e18 beats lp_a - 1e18),
+      // with exactly its one unseen char OOV
+      assert(oov.getAs[Long]("n_words") === 3L, "fully-OOV words must not vanish from n_words")
+      assert(oov.getAs[Long]("n_pieces") === 7L)
+      assert(oov.getAs[Long]("pieces_len1") === 6L)
+      assert(oov.getAs[Long]("pieces_len2") === 1L)
+      assert(oov.getAs[Double]("fertility") === 2.3333) // round(7/3, 4)
+      assert(oov.getAs[Double]("oov_char_rate") === 0.875) // 7 of 8 chars unseen
+      // the train-era source still serves OOV-free under its own vocab
+      assert(bynSrc("web").getAs[Double]("oov_char_rate") === 0.0)
+      // staleness trigger: the unseen-script shard DRIVES the retrain
+      // decision (oov rate 7/8 >> 1%) instead of vanishing from it
+      val st = ops.Text.qUnigramStale(spark, serveDir).collect().head
+      assert(st.getAs[Long]("n_words_shard") === 3L)
+      assert(st.getAs[Double]("oov_char_rate_shard") === 0.875)
+      assert(st.getAs[Boolean]("retrain") === true,
+        "an all-new-script shard must fire the retrain trigger")
+    } finally {
+      def rm(p: String): Unit = {
+        val f = Paths.get(p)
+        if (Files.exists(f))
+          Files.walk(f).sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => Files.delete(q))
+      }
+      rm(vocabPathA); rm(vocabPathB); rm(trainDir); rm(serveDir)
+    }
   }
 
   test("unigram prune: gains non-negative, zero exactly when an equal-cost segmentation exists") {
