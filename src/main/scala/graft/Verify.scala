@@ -93,6 +93,7 @@ object Verify {
     val pqCodes = graft.ops.Similarity.pqCodesSidecarPath(sfDir)
     val pqBookBase = graft.ops.Similarity.pqBaseCodebookSidecarPath(sfDir)
     val uniVocab = graft.ops.Text.uniVocabSidecarPath(sfDir)
+    val bpeMerges = graft.ops.Text.bpeMergesSidecarPath(sfDir)
     val json = SparkEntry.oracleSql
       .filter(kv => keep(kv._1) && !failures.contains(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v
@@ -103,7 +104,8 @@ object Verify {
         .replace("{PQCODEBOOKBASE}", pqBookBase)
         .replace("{PQCODEBOOK}", pqBook)
         .replace("{PQCODES}", pqCodes)
-        .replace("{UNIVOCAB}", uniVocab))}" }
+        .replace("{UNIVOCAB}", uniVocab)
+        .replace("{BPEMERGES}", bpeMerges))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Per-query metadata sidecar: row counts + vacuous markers +

@@ -628,6 +628,58 @@ class DedupTextSpec extends AnyFunSuite {
       "self-corpus shard must not trigger a retrain")
   }
 
+  test("BPE serve: stored merges == retrain exactly, serve fertility equals training's final round") {
+    // (a) stored == retrain: the merge table derives only from integer
+    // pair counts with lexical tie-break, so the sidecar must equal a
+    // fresh training run EXACTLY — the BPE analogue of the unigram
+    // stored==retrain differential
+    def mergeRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("step", "lft", "rgt", "merged").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    val stored = mergeRows(ops.Text.storedBpeMerges(spark, sf))
+    val fresh = mergeRows(ops.Text.qBpeTrain8(spark, sf))
+    assert(stored === fresh, "stored BPE merge table diverged from retrain")
+    // (b) the serve pass replays training's application order, so the
+    // corpus-weighted overall fertility must equal qBpeTrain8's
+    // round-8 fertility (same integer tallies, same 4dp rounding)
+    val rows = ops.Text.qBpeApply(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val np = rows.map(_.getAs[Long]("n_pieces")).sum
+    val nw = rows.map(_.getAs[Long]("n_words")).sum
+    val trainFinal = ops.Text.qBpeTrain8(spark, sf).collect()
+      .maxBy(_.getAs[Int]("step")).getAs[Double]("fertility")
+    assert(math.round(np.toDouble / nw * 1e4) / 1e4 === trainFinal,
+      "serve fertility must equal training's final-round fertility")
+    // (c) the length buckets partition the piece count per source
+    rows.foreach { r =>
+      val total = r.getAs[Long]("pieces_len1") + r.getAs[Long]("pieces_len2") +
+        r.getAs[Long]("pieces_len3") + r.getAs[Long]("pieces_len4") +
+        r.getAs[Long]("pieces_len5p")
+      assert(total === r.getAs[Long]("n_pieces"),
+        s"piece-length buckets must partition n_pieces for ${r.getAs[String]("source")}")
+      assert(r.getAs[Double]("fertility") >= 1.0)
+    }
+  }
+
+  test("BPE staleness trigger: components consistent, self-corpus shard does not fire") {
+    val r = ops.Text.qBpeStale(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_words_shard") > 0, "shard carve must be non-vacuous")
+    assert(row.getAs[Long]("n_words_train") > row.getAs[Long]("n_words_shard"))
+    val ft = row.getAs[Double]("fertility_train")
+    val fs = row.getAs[Double]("fertility_shard")
+    assert(ft >= 1.0 && fs >= 1.0)
+    assert(math.abs(row.getAs[Double]("fertility_ratio") - fs / ft) < 2e-3)
+    val st = row.getAs[Double]("singleton_rate_train")
+    val ss = row.getAs[Double]("singleton_rate_shard")
+    assert(st >= 0.0 && st <= 1.0 && ss >= 0.0 && ss <= 1.0)
+    // rules trained on this very corpus: the shard's words merge like
+    // the train era's, no retrain
+    assert(!row.getAs[Boolean]("retrain"),
+      "self-corpus shard must not trigger a BPE retrain")
+  }
+
   test("unigram serve under a foreign vocab: fully-OOV words fall back to char-per-piece instead of vanishing (r15 advice)") {
     import java.nio.file.{Files, Paths}
     val trainDir = Files.createTempDirectory("graft-oov-train").toString
@@ -650,6 +702,9 @@ class DedupTextSpec extends AnyFunSuite {
     val vocabPathA = ops.Text.materializeUniVocab(spark, trainDir)
     val vocabPathB = ops.Text.installUniVocab(
       spark, spark.read.parquet(vocabPathA), serveDir)
+    val mergesPathA = ops.Text.materializeBpeMerges(spark, trainDir)
+    val mergesPathB = ops.Text.installBpeMerges(
+      spark, spark.read.parquet(mergesPathA), serveDir)
     try {
       val bynSrc = ops.Text.qUnigramApply(spark, serveDir).collect()
         .map(r => r.getAs[String]("source") -> r).toMap
@@ -675,6 +730,19 @@ class DedupTextSpec extends AnyFunSuite {
       assert(st.getAs[Double]("oov_char_rate_shard") === 0.875)
       assert(st.getAs[Boolean]("retrain") === true,
         "an all-new-script shard must fire the retrain trigger")
+      // BPE under the same foreign rules: no ASCII-trained merge can
+      // fire on the Greek shard, so every piece stays a single char
+      // (fertility = chars/word = 8/3) and the gate reduces to the
+      // fertility ratio computed from those integer tallies
+      val bst = ops.Text.qBpeStale(spark, serveDir).collect().head
+      assert(bst.getAs[Long]("n_words_shard") === 3L)
+      assert(bst.getAs[Double]("fertility_shard") === 2.6667)
+      assert(bst.getAs[Double]("singleton_rate_shard") === 1.0,
+        "foreign-script pieces must all be unmerged single chars")
+      val expectFire = bst.getAs[Double]("fertility_shard") /
+        bst.getAs[Double]("fertility_train") > 1.1
+      assert(bst.getAs[Boolean]("retrain") === expectFire,
+        "BPE retrain gate must derive from the reported fertilities")
     } finally {
       def rm(p: String): Unit = {
         val f = Paths.get(p)
@@ -682,7 +750,8 @@ class DedupTextSpec extends AnyFunSuite {
           Files.walk(f).sorted(java.util.Comparator.reverseOrder())
             .forEach(q => Files.delete(q))
       }
-      rm(vocabPathA); rm(vocabPathB); rm(trainDir); rm(serveDir)
+      rm(vocabPathA); rm(vocabPathB); rm(mergesPathA); rm(mergesPathB)
+      rm(trainDir); rm(serveDir)
     }
   }
 
