@@ -36,6 +36,59 @@ class JdbcLiveSpec extends AnyFunSuite {
     assert(df.filter("id <= 5").count() === 5)
   }
 
+  test("partitioned jdbc read: live numPartitions > 1 equals the single-partition scan, bounds + every partition share one pinned SCN") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("""CREATE TABLE "HR"."PARTED" ("ID" INT, "VAL" VARCHAR(16))""")
+      (1 to 100).foreach { i =>
+        st.execute(s"""INSERT INTO "HR"."PARTED" VALUES ($i, 'v_$i')""")
+      }
+    } finally conn.close()
+
+    val cfg = ExportConfig(batchSize = 16)
+    val cols = Seq(ColumnMeta("ID", "INTEGER", 1), ColumnMeta("VAL", "VARCHAR", 2))
+    val single = new JdbcSource(cfg, scn = None, urlOverride = Some(url))
+
+    // live bounds round trip: the SAME generated bounds SQL the export
+    // loop issues, executed against the real database
+    val boundsSql = single.partitionBoundsSql("HR", "PARTED", "ID")
+    val c2 = DriverManager.getConnection(url)
+    val (lo, hi) = try {
+      val rs = c2.createStatement().executeQuery(boundsSql)
+      rs.next(); (rs.getLong(1), rs.getLong(2))
+    } finally c2.close()
+    assert((lo, hi) === (1L, 100L))
+
+    // live partitioned read: 4 JDBC partitions, one connection each
+    val parted = new JdbcSource(cfg, scn = None,
+      partitionColumn = Some(("ID", lo, hi, 4)), urlOverride = Some(url))
+    val dfP = parted.read(spark, "HR", "PARTED", cols, lowercase = true, rowLimit = -1L)
+    assert(dfP.rdd.getNumPartitions === 4, "reader must fan out to 4 JDBC partitions")
+    val perPart = dfP.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(perPart.sum === 100)
+    assert(perPart.count(_ > 0) > 1, "stride must spread rows across partitions")
+
+    // row-set equality with the sequential scan
+    val df1 = single.read(spark, "HR", "PARTED", cols, lowercase = true, rowLimit = -1L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rows(dfP) === rows(df1), "partitioned read must return the same row set")
+
+    // SCN pinning contract (SQL text — Derby has no flashback to run):
+    // the bounds query and the per-partition dbtable subquery carry the
+    // SAME pinned SCN, so partition ranges and every partition's data
+    // read the one snapshot. Spark fans out by wrapping the dbtable
+    // text (the code path proven live above) in per-partition WHERE
+    // clauses, so the SCN inside it rides along to every partition.
+    val pinned = new JdbcSource(cfg, scn = Some(7351L),
+      partitionColumn = Some(("ID", lo, hi, 4)), urlOverride = Some(url))
+    assert(pinned.selectSql("HR", "PARTED", cols.map(_.name), lowercase = true)
+      .contains("AS OF SCN 7351"))
+    assert(pinned.partitionBoundsSql("HR", "PARTED", "ID")
+      .contains("AS OF SCN 7351"))
+  }
+
   test("full live export: jdbc catalog discovery -> scan -> parquet sink") {
     val conn = DriverManager.getConnection(url)
     try {
