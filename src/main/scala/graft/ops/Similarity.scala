@@ -56,7 +56,7 @@ object Similarity extends QueryFamily {
     * only, so a pair whose buckets differ in exactly one bit matches
     * exactly once (at the flipped position) and an equal-bucket pair
     * matches exactly once (k = 0) — no candidate dedup needed. */
-  private[ops] def hamming1Probes: Column = explode(expr(
+  private[graft] def hamming1Probes: Column = explode(expr(
     """transform(sequence(0, bits), k -> CASE WHEN k = 0 THEN bucket
       |  ELSE concat(substring(bucket, 1, k - 1),
       |              IF(substring(bucket, k, 1) = '1', '0', '1'),
@@ -2585,7 +2585,7 @@ object Similarity extends QueryFamily {
     * insert), which is also what makes incremental == rebuild
     * provable: the oracle rebuilds under the same stored config.
     * ckpt: materialized once, feeds base/delta/affected/recompute. */
-  private def knnDeltaHashed(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def knnDeltaHashed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e0 = T.embeddings(spark, dir)
     val n = e0.agg(count(lit(1)).as("n"))
@@ -2617,7 +2617,7 @@ object Similarity extends QueryFamily {
     * bucket: their candidate sets changed, so their top-3 must be
     * re-ranked. Everything else's candidates are untouched (candidates
     * come exclusively from the bucket equi-join). */
-  private def knnDeltaAffectedBase(h: DataFrame): DataFrame = {
+  private[graft] def knnDeltaAffectedBase(h: DataFrame): DataFrame = {
     import h.sparkSession.implicits._
     val deltaBuckets = h.filter($"is_new").select($"bucket").distinct()
     h.filter(!$"is_new")

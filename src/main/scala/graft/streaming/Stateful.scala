@@ -224,6 +224,68 @@ object Stateful {
     }
   }
 
+  /** Bucket-keyed event for online ANN-index maintenance: `sub`
+    * registers `vec_id` as a subscriber of `bucket` (the bucket is in
+    * its hamming<=1 probe set, so its candidate set changes whenever
+    * the bucket gains a vector); `ins` records a vector INSERTED into
+    * `bucket` (its home bucket). */
+  case class AnnEvent(bucket: String, vec_id: Long, kind: String)
+
+  /** A source whose stored top-k must be re-ranked: `trigger_vec`
+    * landed in `via_bucket`, which `src_id` probes. */
+  case class AnnAffected(src_id: Long, via_bucket: String, trigger_vec: Long)
+
+  /** Streaming deployment twin of the incremental kNN-graph insert
+    * ([[graft.ops.Similarity]] q_knn_graph_delta — round-15 verdict
+    * task 6): the batch query's bucket-visibility rule ("a source
+    * re-ranks iff a delta bucket is among its hamming<=1 probe
+    * buckets") as keyed state. Key = LSH bucket; state = the bucket's
+    * SUBSCRIBER list (the inverted probe index — exactly the
+    * structure the batch rule joins against, sized (bits+1) x n /
+    * 2^bits per bucket, i.e. ~targetBucket x (bits+1) rows no matter
+    * the corpus). An inserted vector emits the re-rank set for its
+    * bucket: every subscriber plus itself (the delta's own rows are
+    * always re-ranked). Registrations in the same micro-batch apply
+    * BEFORE inserts — a vector's own-bucket subscription (k = 0
+    * probe) and its insert arriving together behave exactly like the
+    * batch rule, and insert-over-insert cascades (a later delta
+    * vector probing an earlier one's bucket) fall out of delta
+    * vectors subscribing like any source. StreamingSpec proves the
+    * per-batch emission union equals the batch affected set under
+    * interleaved delta delivery. */
+  final class AnnMaintenanceProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, AnnEvent, AnnAffected] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TTLConfig, TimeMode, TimerValues}
+    @transient private var subs: org.apache.spark.sql.streaming.ListState[Long] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      subs = getHandle.getListState[Long]("subs",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[AnnEvent],
+        timerValues: TimerValues): Iterator[AnnAffected] = {
+      val (subRows, insRows) = rows.toArray.partition(_.kind == "sub")
+      val known = scala.collection.mutable.LinkedHashSet[Long]()
+      subs.get().foreach(v => known += v)
+      val fresh = subRows.map(_.vec_id).distinct.filterNot(known.contains)
+      if (fresh.nonEmpty) subs.appendList(fresh)
+      known ++= fresh
+      insRows.sortBy(_.vec_id).iterator.flatMap { ins =>
+        Iterator.single(AnnAffected(ins.vec_id, key, ins.vec_id)) ++
+          known.iterator.filter(_ != ins.vec_id)
+            .map(s => AnnAffected(s, key, ins.vec_id))
+      }
+    }
+  }
+
+  /** Wire a bucket-keyed ANN maintenance stream through
+    * [[AnnMaintenanceProcessor]]. */
+  def annAffectedSets(events: Dataset[AnnEvent]): Dataset[AnnAffected] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    events
+      .groupByKey(_.bucket)
+      .transformWithState(new AnnMaintenanceProcessor, TimeMode.None(), OM.Update())
+  }
+
   case class BandObs(sig: String, doc_id: Long)
   case class BandDecision(doc_id: Long, sig: String, collided: Boolean)
 

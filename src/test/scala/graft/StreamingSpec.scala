@@ -801,4 +801,84 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming ANN maintenance: per-batch affected-set union equals the batch q_knn_graph_delta rule under interleaved delivery") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Stateful.{AnnAffected, AnnEvent, annAffectedSets}
+    val dir = SparkTestSession.sf
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState refuses the default HDFS-backed provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the SAME hashed corpus the batch delta query runs on: bits
+      // pinned from the stored base index, is_new = the delta batch
+      val h = ops.Similarity.knnDeltaHashed(spark, dir)
+        .select("vec_id", "bits", "bucket", "is_new")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getBoolean(3)))
+      def probes(bucket: String, bits: Int): Seq[String] =
+        bucket +: (1 to bits).map { k =>
+          val flipped = if (bucket(k - 1) == '1') '0' else '1'
+          bucket.substring(0, k - 1) + flipped + bucket.substring(k)
+        }
+      // bootstrap batch: the base index's inverted probe registry
+      val baseSubs = h.filter(!_._4).flatMap { case (id, bits, bucket, _) =>
+        probes(bucket, bits).map(pb => AnnEvent(pb, id, "sub"))
+      }.toIndexedSeq
+      // delta vectors arrive one per micro-batch, HIGHEST id first
+      // (interleaved delivery: arrival order != id order), each with
+      // its own probe subscriptions riding along
+      val delta = h.filter(_._4).sortBy(-_._1)
+      def deltaBatch(v: (Long, Int, String, Boolean)): IndexedSeq[AnnEvent] =
+        (AnnEvent(v._3, v._1, "ins") +:
+          probes(v._3, v._2).map(pb => AnnEvent(pb, v._1, "sub"))).toIndexedSeq
+
+      val ms = MemoryStream[AnnEvent]
+      val q = annAffectedSets(ms.toDS())
+        .writeStream.outputMode("update").format("memory")
+        .queryName("ann_out").start()
+      try {
+        def emitted(): Set[Long] =
+          spark.table("ann_out").as[AnnAffected]
+            .collect().map(_.src_id).toSet
+        ms.addData(baseSubs: _*)
+        q.processAllAvailable()
+        assert(emitted() === Set.empty[Long],
+          "registrations alone must trigger no re-ranks")
+        // batch 1: first delta vector — emission must be EXACTLY that
+        // vector's affected set (itself + base sources probing its
+        // bucket), proving per-batch work scales with the batch's
+        // delta, not the corpus
+        val v1 = delta.head
+        val expect1 = Set(v1._1) ++ h.filter(r => !r._4 &&
+          probes(r._3, r._2).contains(v1._3)).map(_._1)
+        ms.addData(deltaBatch(v1): _*)
+        q.processAllAvailable()
+        assert(emitted() === expect1,
+          "first micro-batch must emit exactly the first vector's bucket-visibility set")
+        // remaining delta vectors, one batch each
+        delta.tail.foreach { v => ms.addData(deltaBatch(v): _*) }
+        q.processAllAvailable()
+        // the union over all micro-batches == the batch delta query's
+        // affected set: delta vectors plus bucket-visible base sources
+        val hdf = ops.Similarity.knnDeltaHashed(spark, dir)
+        val batchAffected =
+          hdf.filter(col("is_new")).select(col("vec_id"))
+            .unionByName(ops.Similarity.knnDeltaAffectedBase(hdf))
+            .collect().map(_.getLong(0)).toSet
+        assert(emitted() === batchAffected,
+          "streamed affected-set union diverged from the batch bucket-visibility rule")
+        assert(batchAffected.size < h.length,
+          "differential is vacuous if every source is affected")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
+
