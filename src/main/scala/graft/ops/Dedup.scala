@@ -1035,6 +1035,190 @@ object Dedup extends QueryFamily {
       |  sum(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_dup
       |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
 
+  /** Probe bound of the serving-cost ground truth: the exact-Jaccard
+    * pass anchors on the docs with id < this bound, so its cost is
+    * |probes| x corpus (one inverted-index join), never corpus^2 —
+    * the same probe-bounded discipline as the similarity family's
+    * q_sim_serving_cost. Fixed, not corpus-proportional: at 100 TB
+    * the ground-truth pass still costs one bounded sample. */
+  private val ServingProbeDocs = 64L
+
+  /** Dedup SERVING-COST table (round-15 verdict task 7) — the
+    * capacity readout a 100 TB dedup run sizes before launch: for
+    * each candidate-generation strategy the family ships, ONE row
+    * with the full-corpus candidate volume (the shuffle/verify bill)
+    * and precision/recall against a single exact-Jaccard ground
+    * truth (3-gram Jaccard >= 0.8, the minhash family's contract) on
+    * the probe-anchored pair sample. All four strategy rows derive
+    * from ONE ckpt'd tagged candidate relation; the exact pass runs
+    * ONCE (probe docs x corpus through the shingle inverted index).
+    *
+    * Strategies measured (candidate GENERATION only — production
+    * exact-verifies candidates regardless, so generation is where
+    * the strategies differ):
+    *  - a_minhash_4x4: the production 16-component/4x4 band buckets
+    *    ([[docBands]]).
+    *  - b_simhash_band8: the 32-bit SimHash banded 4x8
+    *    ([[qDedupSimhashPairs]]'s pre-verify join).
+    *  - c_ngram_prefix: the AllPairs prefix-filter join
+    *    ([[Linkage.setSimParts]], 4-gram shingles, t = 0.5).
+    *  - d_embed_sign16: embedding-cosine blocking on the sign
+    *    pattern of a 16-dim hashed-TF document vector. MEASURED
+    *    DECISION: the fixture's `embeddings` table is synthetic
+    *    noise uncorrelated with document text (cos ~ 0.0 on every
+    *    true 3-gram near-dup pair at sf0.01) — blocking on it would
+    *    measure the fixture, not the strategy, so the embedding
+    *    route is exercised on text-derived vectors (the hashing
+    *    trick: dim = h mod 16, sign = parity of h div 16, summed
+    *    over token occurrences), which is also the cheap first
+    *    stage a real pipeline runs before paying for model
+    *    embeddings. */
+  def qDedupServingCost(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // ---- the ONE tagged candidate relation (full corpus) ----
+    val bandsDf = docBands(spark, dir)
+    val mh = bandsDf.select($"doc_id".as("a_id"), $"b", $"bandsig")
+      .join(bandsDf.select($"doc_id".as("b_id"), $"b", $"bandsig"), Seq("b", "bandsig"))
+      .filter($"a_id" < $"b_id").select($"a_id", $"b_id").distinct()
+      .withColumn("strategy", lit("a_minhash_4x4"))
+    val simBands = simhashes(spark, dir).select($"doc_id",
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> substring(simhash, b * 8 + 1, 8))")).as(Seq("b", "key")))
+    val sim = simBands.select($"doc_id".as("a_id"), $"b", $"key")
+      .join(simBands.select($"doc_id".as("b_id"), $"b", $"key"), Seq("b", "key"))
+      .filter($"a_id" < $"b_id").select($"a_id", $"b_id").distinct()
+      .withColumn("strategy", lit("b_simhash_band8"))
+    val pf = Linkage.setSimParts(spark, dir)._2
+      .select($"da".as("a_id"), $"db".as("b_id"))
+      .withColumn("strategy", lit("c_ngram_prefix"))
+    val tfh = T.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("t"))
+      .filter(length($"t") > 0)
+      .withColumn("h", expr("cast(conv(substring(md5(t), 1, 8), 16, 10) AS bigint)"))
+    val dims = tfh.groupBy($"doc_id", ($"h" % 16).as("k"))
+      .agg(sum(when(expr("(h div 16) % 2") === 0, 1L).otherwise(-1L)).as("s"))
+    val evec = dims.groupBy($"doc_id")
+      .agg(map_from_entries(collect_list(struct($"k", $"s"))).as("m"))
+      .withColumn("bucket", expr(
+        """array_join(transform(sequence(0, 15), k ->
+          |  IF(coalesce(element_at(m, cast(k AS bigint)), cast(0 AS bigint)) > 0,
+          |     '1', '0')), '')""".stripMargin))
+    val em = evec.select($"doc_id".as("a_id"), $"bucket")
+      .join(evec.select($"doc_id".as("b_id"), $"bucket"), Seq("bucket"))
+      .filter($"a_id" < $"b_id").select($"a_id", $"b_id").distinct()
+      .withColumn("strategy", lit("d_embed_sign16"))
+    val allc = mh.unionByName(sim).unionByName(pf).unionByName(em)
+      .select($"strategy", $"a_id", $"b_id").ckpt()
+    // ---- the ONE probe-anchored exact-Jaccard pass ----
+    val shx = shingleRows(spark, dir, 3).cache()
+    val sizes = shx.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = shx.filter($"doc_id" < ServingProbeDocs)
+      .select($"doc_id".as("a_id"), $"sh")
+      .join(shx.select($"doc_id".as("b_id"), $"sh"), Seq("sh"))
+      .filter($"a_id" < $"b_id")
+      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("ninter"))
+    val truth = inter
+      .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), Seq("a_id"))
+      .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), Seq("b_id"))
+      .filter($"ninter" / ($"na" + $"nb" - $"ninter") >= 0.8)
+      .select($"a_id", $"b_id").ckpt()
+    // ---- per-strategy capacity x quality rows ----
+    val counts = allc.groupBy($"strategy").agg(count(lit(1)).as("n_candidates"))
+    val pslice = allc.filter($"a_id" < ServingProbeDocs)
+    val pc = pslice.groupBy($"strategy").agg(count(lit(1)).as("n_cand_probe"))
+    val hits = pslice.join(truth, Seq("a_id", "b_id"), "left_semi")
+      .groupBy($"strategy").agg(count(lit(1)).as("n_hits"))
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    counts
+      .join(pc, Seq("strategy"), "left")
+      .join(hits, Seq("strategy"), "left")
+      .crossJoin(broadcast(nTrue))
+      .select($"strategy", $"n_candidates",
+        coalesce($"n_cand_probe", lit(0L)).as("n_cand_probe"),
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        $"n_true",
+        round(coalesce($"n_hits", lit(0L)) /
+          when(coalesce($"n_cand_probe", lit(0L)) =!= 0, $"n_cand_probe"), 4)
+          .as("probe_precision"),
+        round(coalesce($"n_hits", lit(0L)) / $"n_true", 4).as("probe_recall"))
+      .orderBy($"strategy")
+  }
+
+  val qDedupServingCostSql: String =
+    s"""$minhashCte,
+       |mh_c AS (SELECT 'a_minhash_4x4' AS strategy, a_id, b_id FROM cand),
+       |tw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |th AS (SELECT doc_id, md5(t) AS hh FROM tw),
+       |tbits AS (SELECT doc_id, b,
+       |  CASE WHEN ((strpos('0123456789abcdef', substr(hh, (b//4)+1, 1)) - 1) >> (b % 4)) & 1 = 1
+       |       THEN 1 ELSE -1 END AS v
+       |  FROM th, range(0, 32) r(b)),
+       |tacc AS (SELECT doc_id, b, sum(v) AS s FROM tbits GROUP BY 1, 2),
+       |tsh AS (SELECT doc_id,
+       |  string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+       |  FROM tacc GROUP BY doc_id),
+       |tbands AS (SELECT doc_id, b, substr(simhash, b*8+1, 8) AS key
+       |  FROM tsh, range(0, 4) r(b)),
+       |sh_c AS (SELECT DISTINCT 'b_simhash_band8' AS strategy,
+       |    a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM tbands a JOIN tbands b ON a.b = b.b AND a.key = b.key
+       |  WHERE a.doc_id < b.doc_id),
+       |pw AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+       |ptok AS (SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, len(ws) - 2), i ->
+       |      ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3])) AS t
+       |  FROM pw WHERE len(ws) >= 4),
+       |psz AS (SELECT doc_id, count(*) AS l FROM ptok GROUP BY doc_id),
+       |pfreq AS (SELECT t, count(*) AS df FROM ptok GROUP BY t),
+       |ppref AS (SELECT doc_id, t FROM (
+       |    SELECT ptok.doc_id, ptok.t,
+       |      row_number() OVER (PARTITION BY ptok.doc_id ORDER BY pfreq.df, ptok.t) AS pos,
+       |      psz.l
+       |    FROM ptok JOIN pfreq USING (t) JOIN psz USING (doc_id))
+       |  WHERE pos <= l - ceil(l * 0.5) + 1),
+       |pf_c AS (SELECT DISTINCT 'c_ngram_prefix' AS strategy,
+       |    a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM ppref a JOIN ppref b ON a.t = b.t WHERE a.doc_id < b.doc_id),
+       |ew AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |eh AS (SELECT doc_id, (list_sum(list_transform(range(1, 9),
+       |     i -> (strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1) * pow(16.0, 8 - i)))::BIGINT) AS h
+       |  FROM ew WHERE len(t) > 0),
+       |edim AS (SELECT doc_id, h % 16 AS k,
+       |    sum(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+       |  FROM eh GROUP BY 1, 2),
+       |evec AS (SELECT d.doc_id,
+       |    string_agg(CASE WHEN coalesce(e.s, 0) > 0 THEN '1' ELSE '0' END, '' ORDER BY r.k) AS bucket
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d CROSS JOIN range(0, 16) r(k)
+       |  LEFT JOIN edim e ON e.doc_id = d.doc_id AND e.k = r.k
+       |  GROUP BY d.doc_id),
+       |em_c AS (SELECT DISTINCT 'd_embed_sign16' AS strategy,
+       |    a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM evec a JOIN evec b ON a.bucket = b.bucket WHERE a.doc_id < b.doc_id),
+       |allc AS MATERIALIZED (SELECT * FROM mh_c UNION ALL SELECT * FROM sh_c
+       |  UNION ALL SELECT * FROM pf_c UNION ALL SELECT * FROM em_c),
+       |ti AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id < $ServingProbeDocs GROUP BY 1, 2),
+       |truth AS MATERIALIZED (SELECT i.a_id, i.b_id FROM ti i
+       |  JOIN sh sa ON sa.doc_id = i.a_id JOIN sh sb ON sb.doc_id = i.b_id
+       |  WHERE len(list_intersect(sa.shs, sb.shs))::DOUBLE /
+       |        (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= 0.8),
+       |counts AS (SELECT strategy, count(*)::BIGINT AS n_candidates FROM allc GROUP BY 1),
+       |pslice AS (SELECT strategy, a_id, b_id FROM allc WHERE a_id < $ServingProbeDocs),
+       |pc2 AS (SELECT strategy, count(*)::BIGINT AS n_cand_probe FROM pslice GROUP BY 1),
+       |hits AS (SELECT p.strategy, count(*)::BIGINT AS n_hits
+       |  FROM pslice p JOIN truth USING (a_id, b_id) GROUP BY 1),
+       |nt AS (SELECT count(*)::BIGINT AS n_true FROM truth)
+       |SELECT c.strategy, c.n_candidates,
+       |  coalesce(pc2.n_cand_probe, 0)::BIGINT AS n_cand_probe,
+       |  coalesce(hits.n_hits, 0)::BIGINT AS n_hits, nt.n_true,
+       |  round(coalesce(hits.n_hits, 0)::DOUBLE / nullif(coalesce(pc2.n_cand_probe, 0), 0), 4)
+       |    AS probe_precision,
+       |  round(coalesce(hits.n_hits, 0)::DOUBLE / nt.n_true, 4) AS probe_recall
+       |FROM counts c LEFT JOIN pc2 USING (strategy) LEFT JOIN hits USING (strategy)
+       |CROSS JOIN nt
+       |ORDER BY c.strategy""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_winnowing", qWinnowing, Some(qWinnowingSql)),
     QueryDef("q_line_dedup", qLineDedup, Some(qLineDedupSql)),
@@ -1055,5 +1239,6 @@ object Dedup extends QueryFamily {
     QueryDef("q_dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)),
     QueryDef("q_clean_corpus", qCleanCorpus, Some(qCleanCorpusSql)),
     QueryDef("q_dedup_embedding", qDedupEmbedding, Some(qDedupEmbeddingSql)),
+    QueryDef("q_dedup_serving_cost", qDedupServingCost, Some(qDedupServingCostSql)),
   )
 }

@@ -96,6 +96,25 @@ object Linkage extends QueryFamily {
     * filter. */
   def qSetSimJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val (docsArr, cand) = setSimParts(spark, dir)
+    cand
+      .join(docsArr.select($"doc_id".as("da"), $"arr".as("aa"), $"l".as("la")), Seq("da"))
+      .join(docsArr.select($"doc_id".as("db"), $"arr".as("ab"), $"l".as("lb")), Seq("db"))
+      .withColumn("common", size(array_intersect($"aa", $"ab")).cast("long"))
+      .withColumn("un", $"la" + $"lb" - $"common")
+      .filter($"common" * 2 >= $"un")
+      .select($"da", $"db", $"common", $"un",
+        round($"common" / $"un", 4).as("jacc"))
+      .orderBy($"da", $"db")
+  }
+
+  /** The prefix-filter machinery split from [[qSetSimJoin]] so the
+    * dedup serving-cost table ([[Dedup.qDedupServingCost]]) can
+    * measure this family's candidate generation without re-verifying:
+    * returns (docsArr = per-doc sorted shingle arrays with sizes,
+    * cand = the AllPairs candidate pairs (da, db)). */
+  private[graft] def setSimParts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
     val toks = T.documents(spark, dir)
       .select($"doc_id", split(lower($"text"), " ").as("ws"))
       .select($"doc_id", explode(expr(
@@ -127,15 +146,7 @@ object Linkage extends QueryFamily {
       .filter($"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("da"), $"y.doc_id".as("db"))
       .distinct()
-    cand
-      .join(docsArr.select($"doc_id".as("da"), $"arr".as("aa"), $"l".as("la")), Seq("da"))
-      .join(docsArr.select($"doc_id".as("db"), $"arr".as("ab"), $"l".as("lb")), Seq("db"))
-      .withColumn("common", size(array_intersect($"aa", $"ab")).cast("long"))
-      .withColumn("un", $"la" + $"lb" - $"common")
-      .filter($"common" * 2 >= $"un")
-      .select($"da", $"db", $"common", $"un",
-        round($"common" / $"un", 4).as("jacc"))
-      .orderBy($"da", $"db")
+    (docsArr, cand)
   }
 
   val qSetSimJoinSql: String =

@@ -628,6 +628,31 @@ class DedupTextSpec extends AnyFunSuite {
       "self-corpus shard must not trigger a retrain")
   }
 
+  test("dedup serving cost: four strategy rows, bounded and non-vacuous, minhash recall dominates its candidate budget") {
+    val rows = ops.Dedup.qDedupServingCost(spark, sf).collect()
+      .map(r => r.getAs[String]("strategy") -> r).toMap
+    assert(rows.keySet === Set("a_minhash_4x4", "b_simhash_band8",
+      "c_ngram_prefix", "d_embed_sign16"))
+    val nTrue = rows.values.head.getAs[Long]("n_true")
+    assert(nTrue > 0, "probe-anchored ground truth must be non-vacuous")
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_true") === nTrue, "one shared ground truth")
+      assert(r.getAs[Long]("n_hits") <= nTrue)
+      assert(r.getAs[Long]("n_cand_probe") <= r.getAs[Long]("n_candidates"))
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_cand_probe"))
+      val rec = r.getAs[Double]("probe_recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // the production choice must hold on the fixture: the 4x4 minhash
+    // config reaches full probe recall on orders-of-magnitude fewer
+    // candidates than the unverified banding strategies
+    val mh = rows("a_minhash_4x4")
+    assert(mh.getAs[Double]("probe_recall") === 1.0,
+      "production minhash banding must find every probe-anchored true pair")
+    assert(mh.getAs[Long]("n_candidates") < rows("b_simhash_band8").getAs[Long]("n_candidates"),
+      "minhash candidate volume must undercut the simhash band join")
+  }
+
   test("BPE serve: stored merges == retrain exactly, serve fertility equals training's final round") {
     // (a) stored == retrain: the merge table derives only from integer
     // pair counts with lexical tie-break, so the sidecar must equal a
