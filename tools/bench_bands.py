@@ -20,6 +20,10 @@ stop consuming drift attention, and one outlier baseline can't fake a
 cluster. Queries absent from the bands (new this round) fall back to the
 previous-artifact min, as before.
 
+Records that stamped any drift machine_slow are EXCLUDED (round-16): they
+measured themselves on a contended host, and one such record in the last-3
+window would raise every query's med3 baseline for three rounds.
+
 Usage: python3 tools/bench_bands.py [--repo DIR] [--out BENCH_BANDS.json]
 Run it after committing a fresh idle BENCH_FULL record; commit the output.
 """
@@ -53,8 +57,23 @@ def committed_records(repo):
         except json.JSONDecodeError:
             continue
         qs = rec.get("queries")
-        if isinstance(qs, dict) and qs:
-            out.append((sha, qs))
+        if not (isinstance(qs, dict) and qs):
+            continue
+        # Round-16 (r15 verdict task 1): a record that stamped ANY of its
+        # drifts machine_slow measured itself on a contended host — its
+        # minima are inflated and must not enter the bands (the r15-close
+        # driver record carried q_mlm_mask_plan at 12x with control_ratio
+        # 8.88; letting it into med3 would raise every query's tripwire
+        # baseline for three rounds). machine_slow:false drifts are kept:
+        # a real code regression's cost is real history.
+        drifts = rec.get("drifts") or {}
+        slow = [q for q, d in drifts.items()
+                if isinstance(d, dict) and d.get("machine_slow")]
+        if slow:
+            print(f"skipping contended record {sha[:9]} "
+                  f"(machine_slow drifts: {', '.join(sorted(slow))})")
+            continue
+        out.append((sha, qs))
     return out
 
 
