@@ -233,7 +233,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // same 1-row SCN cutoff through the shared lifecycle builder
     "q_export_partition_audit",
     // 1-row doc-id cutoff broadcast carving the pending shard
-    "q_unigram_stale")
+    "q_unigram_stale",
+    // 1-row doc-id cutoff broadcast carving the pending shard (BPE twin)
+    "q_bpe_stale",
+    // 1-row ground-truth-total (n_true) broadcast onto the 4 strategy rows
+    "q_dedup_serving_cost")
 
   test("nested-loop joins appear only in the documented bounded-build set") {
     plans.foreach { case (name, plan) =>
