@@ -392,7 +392,10 @@ object Multimodal extends QueryFamily {
   private def phashWords(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val path = materializeThumbs(spark, dir)
-    val pxRows = spark.read.parquet(path)
+    // sidecar ships as one small file: spread the 256-rows-per-doc
+    // explode across the session's cores (T.spreadScan is a no-op once
+    // the sidecar is big enough to split on its own)
+    val pxRows = T.spreadScan(spark, path, spark.read.parquet(path), Seq("doc_id"))
       .select($"doc_id", posexplode($"px").as(Seq("i", "v")))
     val mean = pxRows.groupBy($"doc_id")
       .agg((sum($"v") / lit(256.0)).as("mean"))
@@ -528,7 +531,8 @@ object Multimodal extends QueryFamily {
   private def phashDctWords(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val path = materializeThumbs(spark, dir)
-    dctWordsOf(spark.read.parquet(path).select($"doc_id", $"px"))
+    dctWordsOf(T.spreadScan(spark, path, spark.read.parquet(path), Seq("doc_id"))
+      .select($"doc_id", $"px"))
   }
 
   /** Band-collision candidates of [[qDedupPhashDct]] — split out for

@@ -13,6 +13,54 @@ object T {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scale-adaptive scan spread (optimization guide §2.5, "input skew:
+    * one huge unsplittable file ... repartition immediately after the
+    * read"). The driver fixtures ship as SINGLE-ROW-GROUP parquet
+    * files, so every scan plans exactly one split and all per-row map
+    * work (string splits, explodes, md5, map-side partial aggregation)
+    * serializes on one core no matter how many the session has —
+    * measured: q_bigram_top ran its whole 2.1 s of task time in 2
+    * tasks on local[32]. When the file layout cannot yield at least
+    * half the session's parallelism in splits (estimated the way Spark
+    * packs splits: bytes / maxPartitionBytes), one hash repartition on
+    * the table's key spreads the rows. The condition is scale-inverted
+    * by construction: a production-size table has thousands of splits
+    * and NEVER pays this shuffle; when the repartition does fire the
+    * whole table is smaller than parallelism x maxPartitionBytes, so
+    * the added shuffle is bounded by that same small size. Hash
+    * partitioning on a real key (never round-robin, never rand-derived)
+    * keeps task-retry semantics deterministic (SPARK-38388). */
+  private def spread(spark: SparkSession, dir: String, name: String,
+                     df: DataFrame, keys: Seq[String]): DataFrame =
+    spreadScan(spark, s"$dir/$name.parquet", df, keys)
+
+  /** The spread for ANY path-backed relation — also used on sidecar
+    * reads (the thumbs pixel table ships as one 5000-row file, so the
+    * whole DCT pipeline serialized on one core). */
+  private[graft] def spreadScan(spark: SparkSession, path: String,
+                                df: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val par = spark.sparkContext.defaultParallelism
+    val bytes = tableBytes(spark, path)
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val estSplits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    if (estSplits * 2 <= par) df.repartition(par, keys.map(col): _*) else df
+  }
+
+  private val bytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Total on-disk bytes of a parquet file or directory, via the
+    * Hadoop FS API (object-store-safe), memoized per path. */
+  private def tableBytes(spark: SparkSession, path0: String): Long =
+    bytesCache.computeIfAbsent(path0, path => {
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case _: Exception => Long.MaxValue } // unknown => never spread
+    })
+
   /** `events.ts` has shipped in two parquet physical types across fixture
     * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader rejects
     * outright with [PARQUET_TYPE_ILLEGAL], so we read it as a raw nanosecond
@@ -75,16 +123,31 @@ object T {
       } finally reader.close()
     })
 
+  // Dimension tables (region/nation/supplier/customer/part) stay
+  // un-spread: they ride the broadcast side of joins, where an extra
+  // exchange below the broadcast build is pure overhead. The fact /
+  // corpus tables get the adaptive spread — they carry the per-row map
+  // work (explodes, hashes, partial aggregation) that a one-split scan
+  // serializes.
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = eventsTs(s, d)
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  // Spread keys double as downstream keys (guide §2.4 — operations
+  // keyed the same way share one exchange): l_orderkey/o_orderkey feed
+  // the order-grain joins, user_id the per-user event windows, doc_id/
+  // vec_id the per-document and per-vector aggregations.
+  def orders(s: SparkSession, d: String): DataFrame =
+    spread(s, d, "orders", table(s, d, "orders"), Seq("o_orderkey"))
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    spread(s, d, "lineitem", table(s, d, "lineitem"), Seq("l_orderkey"))
+  def events(s: SparkSession, d: String): DataFrame =
+    spread(s, d, "events", eventsTs(s, d), Seq("user_id"))
+  def documents(s: SparkSession, d: String): DataFrame =
+    spread(s, d, "documents", table(s, d, "documents"), Seq("doc_id"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spread(s, d, "embeddings", table(s, d, "embeddings"), Seq("vec_id"))
 }
 
 /** Fixture-keyed sidecar parquet locations shared by the operators

@@ -172,9 +172,19 @@ object Tpch extends QueryFamily {
   /** TPC-H Q9 shape: product-line profit by supplier nation and order
     * year. Cost side adapted to `0.4 * p_retailprice * l_quantity`
     * (fixtures have no ps_supplycost). Substring part filter does NOT
-    * push to parquet as a range — it stays a codegen'd scan filter. */
+    * push to parquet as a range — it stays a codegen'd scan filter.
+    * Profit is summed as per-row integer cents (exact,
+    * order-independent — the q10 discipline): the plain double sum
+    * this query shipped with sat within an ulp of a half-cent
+    * rounding boundary on two sf0.01 groups, so its 2dp rounding
+    * flipped with partial-aggregation order (caught when the
+    * round-16 scan spread changed the input partitioning; the per-row
+    * product is the identical IEEE double in both engines, so the
+    * cents form is deterministic under ANY aggregation order). */
   def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val cents = round(($"l_extendedprice" * (lit(1) - $"l_discount") -
+      lit(0.4) * $"p_retailprice" * $"l_quantity") * 100).cast("long")
     T.lineitem(spark, dir)
       .join(T.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
       .join(T.part(spark, dir).filter($"p_name".like("%widget%")),
@@ -182,15 +192,14 @@ object Tpch extends QueryFamily {
       .join(T.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
       .join(broadcast(T.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name".as("nation"), year($"o_orderdate").as("o_year"))
-      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount") -
-        lit(0.4) * $"p_retailprice" * $"l_quantity"), 2).as("profit"))
+      .agg(round(sum(cents) / 100.0, 2).as("profit"))
       .orderBy($"nation", $"o_year")
   }
 
   val q9ProductProfitSql: String =
     """SELECT n_name AS nation, year(o_orderdate) AS o_year,
-      |  round(sum(l_extendedprice * (1 - l_discount)
-      |            - 0.4 * p_retailprice * l_quantity), 2) AS profit
+      |  round(sum(CAST(round((l_extendedprice * (1 - l_discount)
+      |            - 0.4 * p_retailprice * l_quantity) * 100) AS BIGINT)) / 100.0, 2) AS profit
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN part ON l_partkey = p_partkey
