@@ -382,9 +382,14 @@ object Analytics extends QueryFamily {
         .agg((sum($"v") / count(lit(1))).as(outName))
     }
     val li = T.lineitem(spark, dir)
+    // 3-row relation, checkpointed once: it feeds BOTH the deviation
+    // scan and the final join, and the two broadcast exchanges sit in
+    // different physical plans (one inside the second exactMedian's
+    // cached source), so without the ckpt the whole first-median
+    // pipeline executed twice
     val med = exactMedian(
       li.select($"l_returnflag", $"l_extendedprice".as("v")),
-      "l_returnflag", "med")
+      "l_returnflag", "med").ckpt()
     val dev = li.join(broadcast(med), Seq("l_returnflag"))
       .select($"l_returnflag", abs($"l_extendedprice" - $"med").as("v"))
     exactMedian(dev, "l_returnflag", "mad")

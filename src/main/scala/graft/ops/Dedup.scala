@@ -1075,6 +1075,12 @@ object Dedup extends QueryFamily {
     *    embeddings. */
   def qDedupServingCost(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the shingle relation feeds BOTH the minhash strategy (via
+    // docBands' identical plan — Spark's plan-keyed cache substitutes
+    // it) and the exact-Jaccard pass; registering the cache BEFORE the
+    // strategy build lets the first materialization fill it for the
+    // second instead of each paying the explode+md5 pipeline
+    val shx = shingleRows(spark, dir, 3).cache()
     // ---- the ONE tagged candidate relation (full corpus) ----
     val bandsDf = docBands(spark, dir)
     val mh = bandsDf.select($"doc_id".as("a_id"), $"b", $"bandsig")
@@ -1107,21 +1113,23 @@ object Dedup extends QueryFamily {
       .join(evec.select($"doc_id".as("b_id"), $"bucket"), Seq("bucket"))
       .filter($"a_id" < $"b_id").select($"a_id", $"b_id").distinct()
       .withColumn("strategy", lit("d_embed_sign16"))
-    val allc = mh.unionByName(sim).unionByName(pf).unionByName(em)
-      .select($"strategy", $"a_id", $"b_id").ckpt()
     // ---- the ONE probe-anchored exact-Jaccard pass ----
-    val shx = shingleRows(spark, dir, 3).cache()
     val sizes = shx.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = shx.filter($"doc_id" < ServingProbeDocs)
       .select($"doc_id".as("a_id"), $"sh")
       .join(shx.select($"doc_id".as("b_id"), $"sh"), Seq("sh"))
       .filter($"a_id" < $"b_id")
       .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("ninter"))
-    val truth = inter
-      .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), Seq("a_id"))
-      .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), Seq("b_id"))
-      .filter($"ninter" / ($"na" + $"nb" - $"ninter") >= 0.8)
-      .select($"a_id", $"b_id").ckpt()
+    // the candidate union and the exact pass are independent once the
+    // shingle cache exists — overlap their materializations (§2.6)
+    val Seq(allc, truth) = inParallel(
+      () => mh.unionByName(sim).unionByName(pf).unionByName(em)
+        .select($"strategy", $"a_id", $"b_id").ckpt(),
+      () => inter
+        .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), Seq("a_id"))
+        .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), Seq("b_id"))
+        .filter($"ninter" / ($"na" + $"nb" - $"ninter") >= 0.8)
+        .select($"a_id", $"b_id").ckpt())
     // ---- per-strategy capacity x quality rows ----
     val counts = allc.groupBy($"strategy").agg(count(lit(1)).as("n_candidates"))
     val pslice = allc.filter($"a_id" < ServingProbeDocs)

@@ -528,7 +528,10 @@ object Graph extends QueryFamily {
     def degrees(ed: DataFrame): DataFrame =
       ed.select($"pa".as("t")).union(ed.select($"pb".as("t")))
         .groupBy($"t").agg(count(lit(1)).as("d"))
-    val kRow = degrees(edges).agg(ceil(avg($"d")).cast("long").as("k"))
+    // 1-row threshold, checkpointed once: it is broadcast into every
+    // peel round, and without the ckpt each round's eager job
+    // re-aggregated the full initial degree relation just to rebuild k
+    val kRow = degrees(edges).agg(ceil(avg($"d")).cast("long").as("k")).ckpt()
     def stats(round: Int, ed: DataFrame): DataFrame =
       ed.select(explode(array($"pa", $"pb")).as("t"))
         .agg(lit(round).as("peel_round"),

@@ -532,17 +532,6 @@ object Similarity extends QueryFamily {
     val e0 = T.embeddings(spark, dir)
     val probes = e0.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"embedding".as("qv"))
-    // ---- the ONE exact pass; both ground truths derive from it ----
-    val xCorpus = e0.select($"vec_id".as("n_id"), $"embedding".as("v"),
-      (($"label" % 3) === 0).as("pass"))
-    val xScored = xCorpus.join(broadcast(probes), $"q_id" =!= $"n_id")
-      .select($"q_id", $"n_id", $"pass", cos.as("cos")).ckpt()
-    val exact = Skew.twoPhaseTopK(xScored, Seq($"q_id"),
-        Seq(desc("cos"), asc("n_id")), 3, "r")
-      .select($"q_id", $"n_id").ckpt()
-    val exactF = Skew.twoPhaseTopK(xScored.filter($"pass"), Seq($"q_id"),
-        Seq(desc("cos"), asc("n_id")), 3, "r")
-      .select($"q_id", $"n_id").ckpt()
     def row(name: String, sel: DataFrame, truth: DataFrame,
             nCand: DataFrame, gt: String): DataFrame = {
       val hits = truth.join(sel, Seq("q_id", "n_id"), "left_semi")
@@ -553,49 +542,105 @@ object Similarity extends QueryFamily {
           round($"n_hits".cast("double") / $"n_true", 4).as("recall"),
           lit(gt).as("ground_truth"))
     }
-    // ---- a: LSH hamming<=1 multiprobe (qSimLshMultiprobe config) ----
-    val eL = e0.withColumn("bucket", signBits(8))
-    val lProbes = eL.filter($"vec_id" < 10)
-      .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"bucket")
-      .withColumn("bits", lit(8))
-      .withColumn("probe_bucket", hamming1Probes)
-      .drop("bucket", "bits")
-    val lCand = eL.select($"vec_id".as("n_id"), $"embedding".as("v"),
-        $"bucket".as("probe_bucket"))
-      .join(broadcast(lProbes), Seq("probe_bucket"))
-      .filter($"q_id" =!= $"n_id")
-      .select($"q_id", $"n_id", cos.as("cos")).ckpt()
+    val g0 = storedKnnGraph(spark, dir) // idempotent sidecar load, once
+    val eVec = e0.select($"vec_id", $"embedding").cache()
+    val wq = Window.partitionBy($"q_id").orderBy(desc("cos"), asc("n_id"))
+    // The six eager chains below (exact pass, four candidate
+    // generations, upper-layer walk) are mutually independent until
+    // the hierarchical walk joins branches c and e — submit them from
+    // concurrent driver threads so their materialization jobs overlap
+    // (guide §2.6) instead of serializing ~15 frontier-sized jobs.
+    val Seq(truthLeg, lshLeg, ivfLeg, walkLeg, upLeg, filtLeg) = inParallel(
+      // ---- the ONE exact pass; both ground truths derive from it ----
+      () => {
+        val xCorpus = e0.select($"vec_id".as("n_id"), $"embedding".as("v"),
+          (($"label" % 3) === 0).as("pass"))
+        val xScored = xCorpus.join(broadcast(probes), $"q_id" =!= $"n_id")
+          .select($"q_id", $"n_id", $"pass", cos.as("cos")).ckpt()
+        val exact = Skew.twoPhaseTopK(xScored, Seq($"q_id"),
+            Seq(desc("cos"), asc("n_id")), 3, "r")
+          .select($"q_id", $"n_id").ckpt()
+        val exactF = Skew.twoPhaseTopK(xScored.filter($"pass"), Seq($"q_id"),
+            Seq(desc("cos"), asc("n_id")), 3, "r")
+          .select($"q_id", $"n_id").ckpt()
+        Seq(exact, exactF)
+      },
+      // ---- a: LSH hamming<=1 multiprobe (qSimLshMultiprobe config) ----
+      () => {
+        val eL = e0.withColumn("bucket", signBits(8))
+        val lProbes = eL.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"bucket")
+          .withColumn("bits", lit(8))
+          .withColumn("probe_bucket", hamming1Probes)
+          .drop("bucket", "bits")
+        Seq(eL.select($"vec_id".as("n_id"), $"embedding".as("v"),
+            $"bucket".as("probe_bucket"))
+          .join(broadcast(lProbes), Seq("probe_bucket"))
+          .filter($"q_id" =!= $"n_id")
+          .select($"q_id", $"n_id", cos.as("cos")).ckpt())
+      },
+      // ---- b: IVF adaptive stop (qSimProbeAdaptive machinery) ----
+      () => {
+        val (aCand, aTops, aUsed) = probeAdaptiveParts(spark, dir)
+        Seq(aCand, aTops, aUsed)
+      },
+      // ---- c: graph walk beam-3, E=4 entries from the stored config ----
+      () => {
+        val g = g0.select($"src_id", $"nbr_id").ckpt()
+        val eb = quantizerFromIndex(e0, g0)
+        val bProbes = eb.filter($"vec_id" < 10)
+          .withColumn("probe_bucket", hamming1Probes)
+          .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"probe_bucket")
+        val coarse = eb
+          .select($"vec_id".as("n_id"), $"embedding".as("v"),
+            $"bucket".as("probe_bucket"))
+          .join(broadcast(bProbes), Seq("probe_bucket"))
+          .filter($"q_id" =!= $"n_id")
+          .select($"q_id", $"n_id", cos.as("cos")).ckpt()
+        val wE = Window.partitionBy($"q_id").orderBy(desc("cos"), asc("n_id"))
+        val entries = coarse.withColumn("er", row_number().over(wE))
+          .filter($"er" <= 4).select($"q_id", $"n_id")
+        Seq(g, coarse, searchWalk(g, eVec, probes, beam = 3, entries))
+      },
+      // ---- e (upper half): coarse-layer walk over the stored 1/32 graph
+      () => {
+        val gu = storedKnnUpperGraph(spark, dir)
+          .select($"src_id", $"nbr_id").ckpt()
+        val upEntry = probes.select($"q_id").crossJoin(broadcast(
+          e0.filter($"vec_id" % 32 === 0).agg(min($"vec_id").as("n_id"))))
+        Seq(searchWalk(gu, eVec, probes, beam = 3, upEntry))
+      },
+      // ---- d: predicate-prefiltered single-bucket LSH ----
+      () => {
+        val eF = e0.withColumn("bucket", signBits(8))
+          .withColumn("pass", ($"label" % 3) === 0)
+        val fProbes = eF.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"bucket")
+        Seq(eF.select($"vec_id".as("n_id"), $"embedding".as("v"),
+            $"bucket", $"pass")
+          .join(broadcast(fProbes), Seq("bucket"))
+          .filter($"q_id" =!= $"n_id" && $"pass")
+          .select($"q_id", $"n_id", cos.as("cos")).ckpt())
+      })
+    val Seq(exact, exactF) = truthLeg
+    val Seq(lCand) = lshLeg
+    val Seq(aCand, aTops, aUsed) = ivfLeg
+    val Seq(g, coarse, visited) = walkLeg
+    val Seq(upVisited) = upLeg
+    val Seq(fCand) = filtLeg
+    // ---- a ----
     val lTop = Skew.twoPhaseTopK(lCand, Seq($"q_id"),
         Seq(desc("cos"), asc("n_id")), 3, "r").select($"q_id", $"n_id")
     val aRow = row("a_lsh_multiprobe", lTop, exact,
       lCand.agg(count(lit(1)).as("n_candidates")), "overall_top3")
-    // ---- b: IVF adaptive stop (qSimProbeAdaptive machinery) ----
-    val (aCand, aTops, aUsed) = probeAdaptiveParts(spark, dir)
+    // ---- b ----
     val aSel = aTops.join(aUsed, Seq("q_id"))
       .filter($"stage" === $"probes_used").select($"q_id", $"n_id")
     val aCount = aCand.join(broadcast(aUsed), Seq("q_id"))
       .filter($"cell_rank" <= $"probes_used")
       .agg(count(lit(1)).as("n_candidates"))
     val bRow = row("b_ivf_adaptive", aSel, exact, aCount, "overall_top3")
-    // ---- c: graph walk beam-3, E=4 entries from the stored config ----
-    val g0 = storedKnnGraph(spark, dir)
-    val g = g0.select($"src_id", $"nbr_id").ckpt()
-    val eVec = e0.select($"vec_id", $"embedding").cache()
-    val eb = quantizerFromIndex(e0, g0)
-    val bProbes = eb.filter($"vec_id" < 10)
-      .withColumn("probe_bucket", hamming1Probes)
-      .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"probe_bucket")
-    val coarse = eb
-      .select($"vec_id".as("n_id"), $"embedding".as("v"),
-        $"bucket".as("probe_bucket"))
-      .join(broadcast(bProbes), Seq("probe_bucket"))
-      .filter($"q_id" =!= $"n_id")
-      .select($"q_id", $"n_id", cos.as("cos")).ckpt()
-    val wE = Window.partitionBy($"q_id").orderBy(desc("cos"), asc("n_id"))
-    val entries = coarse.withColumn("er", row_number().over(wE))
-      .filter($"er" <= 4).select($"q_id", $"n_id")
-    val visited = searchWalk(g, eVec, probes, beam = 3, entries).ckpt()
-    val wq = Window.partitionBy($"q_id").orderBy(desc("cos"), asc("n_id"))
+    // ---- c ----
     val gTop = visited.filter($"q_id" =!= $"n_id")
       .withColumn("r", row_number().over(wq)).filter($"r" <= 3)
       .select($"q_id", $"n_id")
@@ -603,28 +648,15 @@ object Similarity extends QueryFamily {
       .crossJoin(visited.agg(count(lit(1)).as("nv")))
       .select(($"nc" + $"nv").as("n_candidates"))
     val cRow = row("c_graph_walk_e4", gTop, exact, gCount, "overall_top3")
-    // ---- d: predicate-prefiltered single-bucket LSH ----
-    val eF = e0.withColumn("bucket", signBits(8))
-      .withColumn("pass", ($"label" % 3) === 0)
-    val fProbes = eF.filter($"vec_id" < 10)
-      .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"bucket")
-    val fCand = eF.select($"vec_id".as("n_id"), $"embedding".as("v"),
-        $"bucket", $"pass")
-      .join(broadcast(fProbes), Seq("bucket"))
-      .filter($"q_id" =!= $"n_id" && $"pass")
-      .select($"q_id", $"n_id", cos.as("cos")).ckpt()
+    // ---- d ----
     val fTop = Skew.twoPhaseTopK(fCand, Seq($"q_id"),
         Seq(desc("cos"), asc("n_id")), 3, "r").select($"q_id", $"n_id")
     val dRow = row("d_filtered_prefilter", fTop, exactF,
       fCand.agg(count(lit(1)).as("n_candidates")), "filtered_top3")
-    // ---- e: hierarchical two-layer walk (qKnnHierSearch config) ----
-    val gu = storedKnnUpperGraph(spark, dir).select($"src_id", $"nbr_id").ckpt()
-    val upEntry = probes.select($"q_id").crossJoin(broadcast(
-      e0.filter($"vec_id" % 32 === 0).agg(min($"vec_id").as("n_id"))))
-    val upVisited = searchWalk(gu, eVec, probes, beam = 3, upEntry).ckpt()
+    // ---- e: base walk seeded at the upper walk's top-2 ----
     val hierEntries = upVisited.withColumn("r", row_number().over(wq))
       .filter($"r" <= 2).select($"q_id", $"n_id")
-    val hierVisited = searchWalk(g, eVec, probes, beam = 3, hierEntries).ckpt()
+    val hierVisited = searchWalk(g, eVec, probes, beam = 3, hierEntries)
     val hTop = hierVisited.filter($"q_id" =!= $"n_id")
       .withColumn("r", row_number().over(wq)).filter($"r" <= 3)
       .select($"q_id", $"n_id")
@@ -3334,7 +3366,10 @@ object Similarity extends QueryFamily {
       val fresh = nbrs.join(seen,
         $"q_id" === $"vq" && $"n_id" === $"vn", "left_anti")
       val scored = score(fresh).ckpt()
-      visited = visited.unionByName(scored).ckpt()
+      // visited is a union of already-checkpointed legs: consumers
+      // (per-hop anti-join, final ranking) re-scan <= 4 tiny RDD leaves
+      // instead of paying one more eager materialization job per hop
+      visited = visited.unionByName(scored)
       val wq = Window.partitionBy($"q_id").orderBy(desc("cos"), asc("n_id"))
       frontier = scored.withColumn("r", row_number().over(wq))
         .filter($"r" <= beam).select($"q_id", $"n_id")
@@ -3353,12 +3388,15 @@ object Similarity extends QueryFamily {
     * one exact ground-truth pass feed all three beams. */
   def qKnnBeamSweep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val g = storedKnnGraph(spark, dir).select($"src_id", $"nbr_id").ckpt()
     val e = T.embeddings(spark, dir).select($"vec_id", $"embedding").cache()
     val probes = e.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"embedding".as("qv"))
-    val exact = qSimBruteforce(spark, dir).filter($"rank" <= 3)
-      .select($"q_id", $"n_id").ckpt()
+    // graph load and exact ground truth are independent: overlap their
+    // eager materializations (guide §2.6)
+    val Seq(g, exact) = inParallel(
+      () => storedKnnGraph(spark, dir).select($"src_id", $"nbr_id").ckpt(),
+      () => qSimBruteforce(spark, dir).filter($"rank" <= 3)
+        .select($"q_id", $"n_id").ckpt())
     val nTrue = exact.agg(count(lit(1)).as("n_true"))
     def one(beam: Int): DataFrame = {
       val w = Window.partitionBy($"q_id").orderBy(desc("cos"), asc("n_id"))
@@ -3372,7 +3410,10 @@ object Similarity extends QueryFamily {
         .select(lit(beam).as("beam"), $"n_hits", $"n_true",
           round($"n_hits".cast("double") / $"n_true", 4).as("recall"))
     }
-    one(1).unionByName(one(3)).unionByName(one(6)).orderBy($"beam")
+    // the three walks are independent: their per-hop checkpoint jobs
+    // overlap instead of serializing 3 x 4 frontier materializations
+    val Seq(b1, b3, b6) = inParallel(() => one(1), () => one(3), () => one(6))
+    b1.unionByName(b3).unionByName(b6).orderBy($"beam")
   }
 
   /** One hop of the oracle walk: score the new nodes of `src` against
@@ -3495,14 +3536,10 @@ object Similarity extends QueryFamily {
   def qKnnEntrySweep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val g0 = storedKnnGraph(spark, dir)
-    val g = g0.select($"src_id", $"nbr_id").ckpt()
     val e0 = T.embeddings(spark, dir)
     val e = e0.select($"vec_id", $"embedding").cache()
     val probes = e.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"embedding".as("qv"))
-    val exact = qSimBruteforce(spark, dir).filter($"rank" <= 3)
-      .select($"q_id", $"n_id").ckpt()
-    val nTrue = exact.agg(count(lit(1)).as("n_true"))
     // coarse quantizer = the STORED index's own sign-LSH config: hash
     // depth read from the sidecar's bits column ([[quantizerFromIndex]]),
     // never re-derived from the corpus — serving reuses the build-time
@@ -3519,9 +3556,16 @@ object Similarity extends QueryFamily {
       .select($"q_id", $"n_id",
         graft.functions.F.cosineSimilarity($"qv", $"v").as("cos"))
     val wE = Window.partitionBy($"q_id").orderBy(desc("cos"), asc("n_id"))
-    val rankedEntries = coarse.withColumn("er", row_number().over(wE))
-      .filter($"er" <= 4).select($"q_id", $"n_id", $"er")
-      .ckpt() // <= |probes| x 4 rows
+    // graph load, exact ground truth and coarse entry ranking are
+    // independent: overlap their eager materializations (guide §2.6)
+    val Seq(g, exact, rankedEntries) = inParallel(
+      () => g0.select($"src_id", $"nbr_id").ckpt(),
+      () => qSimBruteforce(spark, dir).filter($"rank" <= 3)
+        .select($"q_id", $"n_id").ckpt(),
+      () => coarse.withColumn("er", row_number().over(wE))
+        .filter($"er" <= 4).select($"q_id", $"n_id", $"er")
+        .ckpt()) // <= |probes| x 4 rows
+    val nTrue = exact.agg(count(lit(1)).as("n_true"))
     def one(nEntries: Int): DataFrame = {
       val entries = rankedEntries.filter($"er" <= nEntries)
         .select($"q_id", $"n_id")
@@ -3536,7 +3580,9 @@ object Similarity extends QueryFamily {
         .select(lit(nEntries).as("entries"), $"n_hits", $"n_true",
           round($"n_hits".cast("double") / $"n_true", 4).as("recall"))
     }
-    one(1).unionByName(one(2)).unionByName(one(4)).orderBy($"entries")
+    // the three walks are independent: overlap their frontier jobs
+    val Seq(e1, e2, e4) = inParallel(() => one(1), () => one(2), () => one(4))
+    e1.unionByName(e2).unionByName(e4).orderBy($"entries")
   }
 
   val qKnnEntrySweepSql: String = {
@@ -3611,25 +3657,36 @@ object Similarity extends QueryFamily {
     * the HNSW serving pattern (Malkov & Yashunin 2016) on DataFrames. */
   def qKnnHierSearch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val g = storedKnnGraph(spark, dir).select($"src_id", $"nbr_id").ckpt()
-    val gu = storedKnnUpperGraph(spark, dir).select($"src_id", $"nbr_id").ckpt()
     val e = T.embeddings(spark, dir).select($"vec_id", $"embedding").cache()
     val probes = e.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"embedding".as("qv"))
-    val exact = qSimBruteforce(spark, dir).filter($"rank" <= 3)
-      .select($"q_id", $"n_id").ckpt()
+    // both graph loads and the exact ground truth are independent:
+    // overlap their eager materializations (guide §2.6)
+    val Seq(g, gu, exact) = inParallel(
+      () => storedKnnGraph(spark, dir).select($"src_id", $"nbr_id").ckpt(),
+      () => storedKnnUpperGraph(spark, dir).select($"src_id", $"nbr_id").ckpt(),
+      () => qSimBruteforce(spark, dir).filter($"rank" <= 3)
+        .select($"q_id", $"n_id").ckpt())
     val nTrue = exact.agg(count(lit(1)).as("n_true"))
     val wq = Window.partitionBy($"q_id").orderBy(desc("cos"), asc("n_id"))
-    // flat: the qKnnSearch configuration (1 fixed entry, beam 3)
-    val flat = searchWalk(g, e, probes, beam = 3, fixedEntry(e, probes)).ckpt()
-    // hier: coarse-layer walk first (fixed upper entry = min sampled
-    // id), then the base walk seeded at the upper walk's top-2
+    // the flat walk and the (upper -> base) hierarchical chain are
+    // independent branches; each walk's result is a union of ckpt'd
+    // hop legs, so no further materialization is needed here
     val upEntry = probes.select($"q_id").crossJoin(broadcast(
       e.filter($"vec_id" % 32 === 0).agg(min($"vec_id").as("n_id"))))
-    val upper = searchWalk(gu, e, probes, beam = 3, upEntry).ckpt()
-    val baseEntries = upper.withColumn("r", row_number().over(wq))
-      .filter($"r" <= 2).select($"q_id", $"n_id")
-    val hier = searchWalk(g, e, probes, beam = 3, baseEntries).ckpt()
+    val Seq(flatLeg, hierLeg) = inParallel(
+      // flat: the qKnnSearch configuration (1 fixed entry, beam 3)
+      () => Seq(searchWalk(g, e, probes, beam = 3, fixedEntry(e, probes))),
+      // hier: coarse-layer walk first (fixed upper entry = min sampled
+      // id), then the base walk seeded at the upper walk's top-2
+      () => {
+        val upper = searchWalk(gu, e, probes, beam = 3, upEntry)
+        val baseEntries = upper.withColumn("r", row_number().over(wq))
+          .filter($"r" <= 2).select($"q_id", $"n_id")
+        Seq(upper, searchWalk(g, e, probes, beam = 3, baseEntries))
+      })
+    val flat = flatLeg.head
+    val Seq(upper, hier) = hierLeg
     def row(name: String, visited: DataFrame, cand: DataFrame, hops: Int): DataFrame = {
       val got = visited.filter($"q_id" =!= $"n_id")
         .withColumn("r", row_number().over(wq)).filter($"r" <= 3)

@@ -30,4 +30,28 @@ package object ops {
     def ckpt(eager: Boolean = true): Dataset[T] =
       if (CkptFlag.disabled) ds else ds.localCheckpoint(eager)
   }
+
+  /** Run independent eager-materialization branches concurrently.
+    *
+    * Builders that checkpoint several INDEPENDENT relations (the three
+    * walks of a beam sweep, the five strategies of a serving-cost
+    * table) used to submit those jobs sequentially, so every job's
+    * straggler tail left the executors idle (optimization guide §2.6:
+    * actions are only sequential because driver code calls them
+    * sequentially). Submitting them from concurrent driver threads
+    * lets Spark's FIFO scheduler back-fill freed cores with the next
+    * branch's tasks. Results are identical — each branch is the same
+    * deterministic plan, only the submission overlaps.
+    *
+    * Under [[CkptFlag.disabled]] construction is pure plan building
+    * (no jobs), so branches run sequentially and the audit variant
+    * sees exactly the original single-threaded construction. */
+  def inParallel[A](thunks: (() => A)*): Seq[A] =
+    if (CkptFlag.disabled || thunks.lengthCompare(1) <= 0) thunks.map(_())
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(Future.sequence(thunks.map(t => Future(t()))), Duration.Inf)
+    }
 }
