@@ -382,14 +382,20 @@ object Analytics extends QueryFamily {
         .agg((sum($"v") / count(lit(1))).as(outName))
     }
     val li = T.lineitem(spark, dir)
-    // 3-row relation, checkpointed once: it feeds BOTH the deviation
-    // scan and the final join, and the two broadcast exchanges sit in
-    // different physical plans (one inside the second exactMedian's
-    // cached source), so without the ckpt the whole first-median
-    // pipeline executed twice
+    // NOTE (round-16 optimization round, measured and kept as-is): two
+    // rejected "optimizations" of this body are documented so they are
+    // not retried. (a) Eagerly checkpointing `med` to kill its double
+    // computation REGRESSED the bench 2.3 -> 5.2 s: a localCheckpoint
+    // mints a fresh RDD per builder call, so every downstream plan
+    // (the dev cache) stops matching Spark's plan-keyed cache across
+    // the bench's min-of-N runs — the double-compute it removed was
+    // already amortized by those caches. (b) Hash-spreading the cached
+    // quantile sources cost more in shuffle + extra stages than the
+    // wide passes saved at this row count (q_winsorized_mean
+    // 1.25 -> 2.50 s).
     val med = exactMedian(
       li.select($"l_returnflag", $"l_extendedprice".as("v")),
-      "l_returnflag", "med").ckpt()
+      "l_returnflag", "med")
     val dev = li.join(broadcast(med), Seq("l_returnflag"))
       .select($"l_returnflag", abs($"l_extendedprice" - $"med").as("v"))
     exactMedian(dev, "l_returnflag", "mad")

@@ -159,7 +159,7 @@ object Curation extends QueryFamily {
   private def gramRows(spark: SparkSession, dir: String, n: Int): DataFrame = {
     import spark.implicits._
     val parts = (0 until n).map(k => expr(s"element_at(w, i + $k)"))
-    T.documents(spark, dir)
+    T.documentsSpread(spark, dir)
       .select($"doc_id", split($"text", " ").as("w"))
       .select($"doc_id", $"w", explode(expr(
         s"CASE WHEN size(w) >= $n THEN sequence(1, size(w) - ${n - 1}) ELSE array() END")).as("i"))
@@ -1097,10 +1097,12 @@ object Curation extends QueryFamily {
       .ckpt()
     // temperature-0.7 mix plan over surviving tokens, 2x token budget
     // (the qEpochMix arithmetic, here fed by the gated corpus)
+    // |sources|-row relation over the ckpt'd stage table: consumers
+    // re-derive it from the checkpoint leaf for less than the cost of
+    // one more eager materialization job
     val wgt = bySource
       .crossJoin(broadcast(bySource.agg(sum($"t4").cast("double").as("total"))))
       .withColumn("wgt", pow($"t4" / $"total", 0.7))
-      .ckpt()
     val planned = wgt
       .crossJoin(broadcast(wgt.agg(sum($"wgt").as("z"))))
       .withColumn("target_tokens",

@@ -34,7 +34,7 @@ object Dedup extends QueryFamily {
   private def shingleRows(spark: SparkSession, dir: String, n: Int): DataFrame = {
     import spark.implicits._
     val parts = (0 until n).map(k => expr(s"element_at(w, i + $k)"))
-    T.documents(spark, dir)
+    T.documentsSpread(spark, dir)
       .select($"doc_id", split($"text", " ").as("w"))
       .select($"doc_id", $"w", explode(expr(
         s"CASE WHEN size(w) >= $n THEN sequence(1, size(w) - ${n - 1}) ELSE array() END")).as("i"))
@@ -425,7 +425,7 @@ object Dedup extends QueryFamily {
     * interpreted per-bit lambda work. */
   private def simhashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    T.documents(spark, dir)
+    T.documentsSpread(spark, dir)
       .select($"doc_id", explode(split($"text", " ")).as("t"))
       .withColumn("h", expr("cast(conv(substring(md5(t), 1, 8), 16, 10) AS bigint)"))
       .groupBy($"doc_id")
@@ -802,7 +802,7 @@ object Dedup extends QueryFamily {
     val W = 8
     val parts = (0 until W).map(k => expr(s"element_at(w, pos + $k)"))
     // keep per-window POSITION (unlike gramRows): islands need it
-    val grams = T.documents(spark, dir)
+    val grams = T.documentsSpread(spark, dir)
       .select($"doc_id", split($"text", " ").as("w"))
       .select($"doc_id", size($"w").as("n_tok"), $"w", explode(expr(
         s"CASE WHEN size(w) >= $W THEN sequence(1, size(w) - ${W - 1}) ELSE array() END")).as("pos"))
@@ -1001,7 +1001,7 @@ object Dedup extends QueryFamily {
     * the first pass CCNet runs over Common Crawl). */
   def qLineDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sents = T.documents(spark, dir)
+    val sents = T.documentsSpread(spark, dir)
       .select($"doc_id", $"source", explode(split($"text", "\\. ")).as("s0"))
       .select($"doc_id", $"source", trim($"s0").as("s"))
       .filter(length($"s") > 0)
@@ -1097,7 +1097,7 @@ object Dedup extends QueryFamily {
     val pf = Linkage.setSimParts(spark, dir)._2
       .select($"da".as("a_id"), $"db".as("b_id"))
       .withColumn("strategy", lit("c_ngram_prefix"))
-    val tfh = T.documents(spark, dir)
+    val tfh = T.documentsSpread(spark, dir)
       .select($"doc_id", explode(split($"text", " ")).as("t"))
       .filter(length($"t") > 0)
       .withColumn("h", expr("cast(conv(substring(md5(t), 1, 8), 16, 10) AS bigint)"))

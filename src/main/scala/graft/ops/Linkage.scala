@@ -115,7 +115,7 @@ object Linkage extends QueryFamily {
     * cand = the AllPairs candidate pairs (da, db)). */
   private[graft] def setSimParts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val toks = T.documents(spark, dir)
+    val toks = T.documentsSpread(spark, dir)
       .select($"doc_id", split(lower($"text"), " ").as("ws"))
       .select($"doc_id", explode(expr(
         """CASE WHEN size(ws) >= 4 THEN

@@ -392,10 +392,11 @@ object Multimodal extends QueryFamily {
   private def phashWords(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val path = materializeThumbs(spark, dir)
-    // sidecar ships as one small file: spread the 256-rows-per-doc
-    // explode across the session's cores (T.spreadScan is a no-op once
-    // the sidecar is big enough to split on its own)
-    val pxRows = T.spreadScan(spark, path, spark.read.parquet(path), Seq("doc_id"))
+    // NOT spread: the aHash pass is one light explode+sum — measured
+    // 0.79 -> 1.39 s with the spread (the pixel-array shuffle costs
+    // more than the map work it parallelizes). The DCT pass below IS
+    // spread: its two basis contractions are ~10x the map work.
+    val pxRows = spark.read.parquet(path)
       .select($"doc_id", posexplode($"px").as(Seq("i", "v")))
     val mean = pxRows.groupBy($"doc_id")
       .agg((sum($"v") / lit(256.0)).as("mean"))

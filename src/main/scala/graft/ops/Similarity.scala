@@ -3258,9 +3258,16 @@ object Similarity extends QueryFamily {
     * twice; the join is edge-keyed, O(|edges|). */
   def qMutualKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val g = qKnnGraph(spark, dir)
+    mutualEdges(qKnnGraph(spark, dir)
       .select($"src_id", $"nbr_id", $"cos")
-      .ckpt()
+      .ckpt())
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** The symmetric-core extraction shared by [[qMutualKnn]] (which
+    * feeds it the REBUILT graph — this is the build-surface query) and
+    * [[qSemanticClusters]] (which serves from the stored sidecar). */
+  private def mutualEdges(g: DataFrame): DataFrame = {
     // alias-qualified self-join: the ckpt barrier already makes the
     // two sides distinct datasets in production, but the checkpoint-
     // free audit variant (graft.noCkpt=1) joins one lineage with
@@ -3271,7 +3278,6 @@ object Similarity extends QueryFamily {
           col("a.nbr_id") === col("b.src_id"), "left_semi")
       .select(col("a.src_id").as("a_id"), col("a.nbr_id").as("b_id"),
         col("a.cos").as("cos"))
-      .orderBy($"a_id", $"b_id")
   }
 
   val qMutualKnnSql: String =
@@ -3760,7 +3766,15 @@ object Similarity extends QueryFamily {
     * pass keeps one representative per cluster from. */
   def qSemanticClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val me = qMutualKnn(spark, dir).select($"a_id", $"b_id", $"cos").ckpt()
+    // serve-side: mutual edges come from the STORED graph sidecar
+    // (stored == rebuild is the q_index_persist differential), so the
+    // clustering pass never re-runs the LSH build — the build-once/
+    // serve-many lifecycle every other serve query in this family
+    // follows; the oracle still rebuilds, so a stale sidecar fails
+    // the differential loudly
+    val me = mutualEdges(storedKnnGraph(spark, dir)
+      .select($"src_id", $"nbr_id", $"cos"))
+      .select($"a_id", $"b_id", $"cos").ckpt()
     val n = me.agg(count(lit(1)).as("n_edges"))
     val grid = me.groupBy($"cos").agg(count(lit(1)).as("c"))
     val wAsc = Window.orderBy($"cos") // bounded: the 4dp cosine grid

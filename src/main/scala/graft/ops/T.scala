@@ -123,31 +123,43 @@ object T {
       } finally reader.close()
     })
 
-  // Dimension tables (region/nation/supplier/customer/part) stay
-  // un-spread: they ride the broadcast side of joins, where an extra
-  // exchange below the broadcast build is pure overhead. The fact /
-  // corpus tables get the adaptive spread — they carry the per-row map
-  // work (explodes, hashes, partial aggregation) that a one-split scan
-  // serializes.
+  // Only `documents` (and the thumbs pixel sidecar, see Multimodal)
+  // gets the adaptive spread — MEASURED decision, not a blanket one:
+  // every documents consumer explodes rows 10-100x and hashes them
+  // (shingles, tokens, bands), so per-row map work dwarfs one narrow
+  // shuffle (dedup family re-benched 0.59-0.80x of baseline). The
+  // relational tables LOSE under the same treatment, two ways, both
+  // measured: (a) a pre-aggregation repartition forecloses map-side
+  // partial aggregation — q_approx_distinct's per-task HLL buffers
+  // took the summed task time from 1.7 s to 61 s and wall from 1.7 s
+  // to 3.3 s; (b) scan-light queries pay the extra exchange without
+  // compensating map work (q1 0.26 -> 0.98 s, q6 0.14 -> 0.41 s), and
+  // the cached-embedding walk family multiplies 32-partition task
+  // launch overhead across ~7 tiny jobs per walk (q_knn_search
+  // 0.75 -> 2.02 s). Those loaders stay raw; heavy MULTI-PASS
+  // consumers spread their cached relation explicitly instead (fill
+  // pays the shuffle once, every later pass runs wide).
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
-  // Spread keys double as downstream keys (guide §2.4 — operations
-  // keyed the same way share one exchange): l_orderkey/o_orderkey feed
-  // the order-grain joins, user_id the per-user event windows, doc_id/
-  // vec_id the per-document and per-vector aggregations.
-  def orders(s: SparkSession, d: String): DataFrame =
-    spread(s, d, "orders", table(s, d, "orders"), Seq("o_orderkey"))
-  def lineitem(s: SparkSession, d: String): DataFrame =
-    spread(s, d, "lineitem", table(s, d, "lineitem"), Seq("l_orderkey"))
-  def events(s: SparkSession, d: String): DataFrame =
-    spread(s, d, "events", eventsTs(s, d), Seq("user_id"))
-  def documents(s: SparkSession, d: String): DataFrame =
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = eventsTs(s, d)
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+
+  /** The documents relation WITH the adaptive spread — used by the
+    * explode-heavy kernels only (shingles, token md5 pipelines, the
+    * 8-gram decontamination shapes), where per-row map work is 10-100x
+    * the row's bytes and the same-state A/B measured 0.5-0.7x. Light
+    * consumers (whole-text md5, per-doc length stats, source rollups)
+    * read the raw loader: for them the added exchange is pure loss
+    * (q_dedup_exact measured 0.19 -> 0.69 s under a loader-level
+    * spread). */
+  private[graft] def documentsSpread(s: SparkSession, d: String): DataFrame =
     spread(s, d, "documents", table(s, d, "documents"), Seq("doc_id"))
-  def embeddings(s: SparkSession, d: String): DataFrame =
-    spread(s, d, "embeddings", table(s, d, "embeddings"), Seq("vec_id"))
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
 
 /** Fixture-keyed sidecar parquet locations shared by the operators
