@@ -115,7 +115,10 @@ object Linkage extends QueryFamily {
     * cand = the AllPairs candidate pairs (da, db)). */
   private[graft] def setSimParts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val toks = T.documentsSpread(spark, dir)
+    // raw loader: measured 1.57 -> 1.81 s under the spread — the
+    // distinct's own (doc_id, t) exchange already spreads the heavy
+    // downstream passes, so the extra pre-explode exchange is net loss
+    val toks = T.documents(spark, dir)
       .select($"doc_id", split(lower($"text"), " ").as("ws"))
       .select($"doc_id", explode(expr(
         """CASE WHEN size(ws) >= 4 THEN
